@@ -1,0 +1,72 @@
+"""Parquet catalog: scan the driver's tables, repair types, register views.
+
+Implements SURVEY.md §2a rows S1 (parquet scan), S2 (events ns-timestamp
+repair), S3 (view registration). The only physical source is Parquet with
+embedded schema; at 100 TB these reads stay fully distributed — the parquet
+vectorized reader + Catalyst column pruning / predicate pushdown do the
+heavy lifting, nothing is materialized on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.session import configure
+
+#: All tables the driver generates (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def repair_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts arrives as long nanos under ``nanosAsLong=true``.
+
+    Convert to micros TimestampType with exact integer division (``div``,
+    not ``/`` — float division loses precision above 2^53 and epoch-nanos
+    are ~1.7e18). The corpus has no sub-microsecond precision (verified:
+    every ts % 1000ns == 0) so this matches DuckDB's native ns read exactly.
+    """
+    dtypes = dict(df.dtypes)
+    if dtypes.get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table, applying per-table repairs."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = repair_event_ts(df)
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load every table; optionally register temp views mirroring the oracle.
+
+    Safe to call on a driver-owned session: runtime confs are (re)applied
+    first so the events scan does not hit PARQUET_TYPE_ILLEGAL.
+    """
+    configure(spark)
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,42 @@
+"""Local mirror of the driver's DuckDB differential oracle (SURVEY.md §5.2).
+
+Runs every registered (query, oracle_sql) pair at sf0.001 and compares
+row-count + columns + order-insensitive canonical values. Catches oracle
+drift in seconds, before the driver's sf0.01 verify does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lime_on_spark_spark.plans import registry
+
+
+def _pairs():
+    oracles = registry.oracle_sql()
+    return sorted(oracles.keys())
+
+
+@pytest.mark.parametrize("name", _pairs())
+def test_oracle_pair(name, spark, ddb, sf_dir):
+    from tests.compare import assert_frames_match
+
+    q = registry.queries()[name]
+    spark_pdf = q(spark, sf_dir).toPandas()
+    oracle_pdf = ddb.execute(registry.oracle_sql()[name]).fetch_df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def test_all_queries_have_callables():
+    qs = registry.queries()
+    for name in registry.oracle_sql():
+        assert name in qs, f"oracle {name} has no query"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.columns) > 0
