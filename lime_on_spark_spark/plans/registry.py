@@ -56,18 +56,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+#: Plan modules that failed to import as "not built yet" (inspectable in tests).
+_SKIPPED: list[str] = []
+
+
 def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    _LOADED = True
     for mod in _PLAN_MODULES:
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError as exc:
-            # Module not built yet (incremental rounds) — only swallow our own.
-            if "lime_on_spark_spark" not in str(exc):
+            # Module not built yet (incremental rounds). Swallow ONLY when the
+            # missing module IS the registry entry itself — a typo'd import
+            # inside an existing plan module must propagate loudly.
+            if exc.name != mod:
                 raise
+            _SKIPPED.append(mod)
+    _LOADED = True
 
 
 def queries() -> dict[str, QueryFn]:

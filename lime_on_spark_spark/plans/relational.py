@@ -137,8 +137,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    # dim chain (region->nation->customer) is tiny: broadcast it against the
-    # fact tables so the only shuffle is the final aggregation.
+    # Broadcast ONLY the genuinely bounded dims (region=5, nation=25 rows).
+    # The customer-derived dim is unbounded at scale (hundreds of millions of
+    # rows at 100x TPC-H) — an explicit hint there would override AQE's size
+    # check and OOM executors. Let AQE convert it at runtime when small.
     dim = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -146,7 +148,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dim), orders.o_custkey == F.col("c_custkey"))
+        .join(dim, orders.o_custkey == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
             F.round(

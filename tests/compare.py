@@ -52,7 +52,16 @@ def canon_frame(pdf: pd.DataFrame) -> list[tuple]:
         tuple(canon_value(v) for v in row)
         for row in pdf.itertuples(index=False, name=None)
     ]
-    return sorted(rows, key=repr)
+    # Type-insensitive sort key: 100 (int) and 100.0 (float) must sort
+    # identically on both sides or equal rows can misalign pairwise.
+    def _key(row: tuple) -> tuple:
+        return tuple(
+            (1, float(v)) if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else (0, repr(v))
+            for v in row
+        )
+
+    return sorted(rows, key=_key)
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):

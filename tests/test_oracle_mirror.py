@@ -38,5 +38,14 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0
     assert len(df.columns) > 0
+
+
+def test_registry_skip_list_is_expected():
+    """A typo in _PLAN_MODULES must not silently drop an operator family."""
+    from lime_on_spark_spark.plans.registry import _PLAN_MODULES, _SKIPPED
+
+    registry.queries()  # force load
+    unexpected = [m for m in _SKIPPED if m not in _PLAN_MODULES]
+    assert not unexpected, f"skipped modules not in _PLAN_MODULES: {unexpected}"
