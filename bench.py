@@ -1,0 +1,75 @@
+"""Bench harness (SURVEY.md §7 M7): time the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": sec, ...}, "sf": ...}
+
+Protocol mirrors BASELINE.md: warm run (one untimed warm-up, then best of 2),
+local[$SPARK_GRAFT_CPUS], shuffle.partitions=8. Each query is executed to
+completion with a noop sink (full execution, no driver-side collect) so the
+timing reflects distributed work, not Py4J result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+#: BASELINE.md's eight headline rows, mapped to registry query names.
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "w1_order_rank_per_customer",
+    "t1_tumbling_hour",
+    "d1_exact_dedup",
+    "d3_knn_cosine_topk",
+)
+
+
+def _run_once(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from lime_on_spark_spark.plans import registry
+    from lime_on_spark_spark.session import get_spark
+
+    spark = get_spark("lime-on-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        _run_once(df)  # untimed warm-up (parquet footer/OS cache, codegen)
+        best = min(_run_once(fn(spark, sf_dir)) for _ in range(2))
+        timings[name] = round(best, 4)
+
+    out = {
+        "metric": "headline_total_latency",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

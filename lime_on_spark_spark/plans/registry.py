@@ -64,6 +64,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    skipped: list[str] = []
     for mod in _PLAN_MODULES:
         try:
             importlib.import_module(mod)
@@ -73,7 +74,10 @@ def _load_all() -> None:
             # inside an existing plan module must propagate loudly.
             if exc.name != mod:
                 raise
-            _SKIPPED.append(mod)
+            skipped.append(mod)
+    # Assign only on a clean pass so a partial failure + retry can't leave
+    # stale duplicates behind.
+    _SKIPPED[:] = skipped
     _LOADED = True
 
 

@@ -95,8 +95,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer is the small side of the chain — broadcast it through
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer-derived side is unbounded at scale (1/5 of customer is
+        # tens of GB at 100x TPC-H, over the broadcast limit) — no forced
+        # hint; AQE converts to broadcast at runtime when actually small.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(

@@ -53,15 +53,17 @@ def canon_frame(pdf: pd.DataFrame) -> list[tuple]:
         for row in pdf.itertuples(index=False, name=None)
     ]
     # Type-insensitive sort key: 100 (int) and 100.0 (float) must sort
-    # identically on both sides or equal rows can misalign pairwise.
-    def _key(row: tuple) -> tuple:
-        return tuple(
-            (1, float(v)) if isinstance(v, (int, float)) and not isinstance(v, bool)
-            else (0, repr(v))
-            for v in row
-        )
+    # identically on both sides or equal rows can misalign pairwise. repr as
+    # final tiebreak keeps >2^53 ints deterministic; recurse into tuples so
+    # array columns holding ints on one side / floats on the other align too.
+    def _kv(v: Any) -> tuple:
+        if isinstance(v, tuple):
+            return (2, tuple(_kv(x) for x in v), "")
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return (1, float(v), repr(v))
+        return (0, repr(v), "")
 
-    return sorted(rows, key=_key)
+    return sorted(rows, key=lambda row: tuple(_kv(v) for v in row))
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
