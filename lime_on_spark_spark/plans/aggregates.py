@@ -1,0 +1,194 @@
+"""Aggregation operators (SURVEY.md §2d rows A2-A7).
+
+Scale notes: every group-by below is a partial (map-side) + final hash
+aggregate — one shuffle on the grouping key. count-distinct expands to a
+two-phase aggregate (Expand + two HashAggregates) which Spark plans
+automatically; approx_count_distinct (A3) is the single-pass HLL path to
+prefer at 100 TB when exactness isn't required.
+
+DuckDB quirks handled in oracle SQL: SUM(BIGINT) returns HUGEINT (cast to
+BIGINT); list aggregates are sorted on both sides for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# A2 — distinct rows and count-distinct
+# --------------------------------------------------------------------------
+@register(
+    "a2_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def a2_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "a2_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey)                         AS n_customers,
+           COUNT(DISTINCT o_orderpriority)                   AS n_priorities,
+           COUNT(*)                                          AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — approximate count-distinct (HLL). Rows-only: approx != oracle hash;
+# tests/test_aggregates.py bounds it against the exact count instead.
+# --------------------------------------------------------------------------
+@register("a3_approx_count_distinct")
+def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — statistical aggregates (stddev/variance/corr/exact percentile)
+# --------------------------------------------------------------------------
+@register(
+    "a4_stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4)                 AS sd_qty,
+           ROUND(var_samp(l_quantity), 4)                    AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                          v -> round(v, 4))                  AS price_quartiles
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a4_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    quartiles = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.transform(quartiles, lambda v: F.round(v, 4)).alias("price_quartiles"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — rollup (grouping sets)
+# --------------------------------------------------------------------------
+@register(
+    "a5_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                         AS sum_qty,
+           COUNT(*)                                          AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a5_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                                          AS n,
+           ROUND(SUM(o_totalprice), 2)                       AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — filtered / conditional aggregation
+# --------------------------------------------------------------------------
+@register(
+    "a6_filtered_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 2) AS qty_hi_disc,
+           COUNT(*) FILTER (WHERE l_tax > 0.04)                       AS n_hi_tax,
+           ROUND(AVG(l_extendedprice) FILTER (WHERE l_quantity >= 25), 4) AS avg_price_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a6_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))), 2
+        ).alias("qty_hi_disc"),
+        F.count(F.when(F.col("l_tax") > 0.04, F.lit(1))).alias("n_hi_tax"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 4
+        ).alias("avg_price_bulk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — collect_list / collect_set (sorted for cross-engine determinism)
+# --------------------------------------------------------------------------
+@register(
+    "a7_collect_list",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name))                           AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def a7_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@register(
+    "a7_collect_set",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment))            AS segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def a7_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments")
+    )

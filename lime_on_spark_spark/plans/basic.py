@@ -1,0 +1,124 @@
+"""Projection / predicate / conditional plans (SURVEY.md §2b rows P1, P3-P5).
+
+All four are single-table scans with sargable predicates — Catalyst pushes
+every filter and the column prune into the parquet scan, so each runs as one
+WholeStageCodegen stage with no shuffle (except the final tiny group-by).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# P1 — projection, aliasing, computed columns
+# --------------------------------------------------------------------------
+@register(
+    "p1_projection",
+    oracle="""
+    SELECT p_partkey,
+           p_name,
+           upper(p_brand)                                   AS brand_uc,
+           ROUND(p_retailprice * 1.1, 2)                    AS taxed_price,
+           p_size * 2                                       AS double_size
+    FROM part
+    WHERE p_size >= 10
+    """,
+)
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_size") >= 10).select(
+        "p_partkey",
+        "p_name",
+        F.upper("p_brand").alias("brand_uc"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed_price"),
+        (F.col("p_size") * 2).alias("double_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P3 — LIKE / regexp predicates + regexp_extract
+# --------------------------------------------------------------------------
+@register(
+    "p3_like_regexp",
+    oracle="""
+    SELECT regexp_extract(p_name, '^(\\w+)', 1)  AS color,
+           p_type,
+           COUNT(*)                               AS n_parts,
+           ROUND(AVG(p_retailprice), 2)           AS avg_price
+    FROM part
+    WHERE p_name LIKE '%gear%' OR regexp_matches(p_name, '^(red|blue)')
+    GROUP BY color, p_type
+    """,
+)
+def p3_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").like("%gear%") | F.col("p_name").rlike("^(red|blue)")
+        )
+        .groupBy(
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("color"),
+            "p_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P4 — CASE WHEN / conditional expressions
+# --------------------------------------------------------------------------
+@register(
+    "p4_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000  THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END                   AS price_band,
+           o_orderstatus,
+           COUNT(*)                               AS n_orders,
+           ROUND(SUM(o_totalprice), 2)            AS total
+    FROM orders
+    GROUP BY price_band, o_orderstatus
+    """,
+)
+def p4_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return orders.groupBy(
+        band.alias("price_band"), "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P5 — null-safe equality (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+@register(
+    "p5_nullsafe_eq",
+    oracle="""
+    SELECT (nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O'))
+               AS ns_eq,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ns_eq
+    """,
+)
+def p5_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ns_eq = F.nullif(F.col("l_returnflag"), F.lit("N")).eqNullSafe(
+        F.nullif(F.col("l_linestatus"), F.lit("O"))
+    )
+    return li.groupBy(ns_eq.alias("ns_eq")).agg(F.count(F.lit(1)).alias("n_rows"))

@@ -1,0 +1,281 @@
+"""Join operators (SURVEY.md §2c rows J2, J3, J5, J6, J7).
+
+Scale notes per row:
+* J2/J3 — shuffle hash/sort-merge joins on the equi-key; AQE converts to
+  broadcast when a side is actually small. No forced hints on unbounded
+  sides.
+* J5 — theta join on a deliberately tiny input (nation, 25 rows): Spark
+  plans BroadcastNestedLoopJoin. Never do this on unbounded inputs.
+* J6 — range join: the naive form is a cross product. The scale-correct
+  formulation (used here) buckets both sides by the hour and joins on
+  (user_id, bucket) with the probe side exploded over the two candidate
+  buckets, then applies the exact range as a residual filter — an equi-join
+  shuffle that AQE can size, instead of a nested loop.
+* J7 — as-of join: no native Spark operator. Formulated as a union of the
+  two sides tagged + a running `last(..., ignorenulls)` window over
+  (key, ts, side, id) — one shuffle on the key, no point lookups, scales to
+  arbitrary key cardinality. The oracle is the SAME window formulation in
+  SQL (not DuckDB ASOF JOIN) so tie-breaking is pinned on both engines:
+  at equal ts, clicks sort before purchases (side 0 < 1) => '<=' semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# J2 — left outer join (customers with/without orders)
+# --------------------------------------------------------------------------
+@register(
+    "j2_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           COUNT(o_orderkey)                                 AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2)          AS total_spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "j2_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nationkey, s.nationkey)                AS nationkey,
+           COALESCE(n_customers, 0)                          AS n_customers,
+           COALESCE(n_suppliers, 0)                          AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def j2_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — left semi / left anti (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+@register(
+    "j3_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def j3_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+@register(
+    "j3_anti",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def j3_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — theta (non-equi) join on a bounded input -> BroadcastNestedLoopJoin
+# --------------------------------------------------------------------------
+@register(
+    "j5_theta_join",
+    oracle="""
+    SELECT n1.n_regionkey                                    AS r_lo,
+           n2.n_regionkey                                    AS r_hi,
+           COUNT(*)                                          AS n_pairs
+    FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+    GROUP BY n1.n_regionkey, n2.n_regionkey
+    """,
+)
+def j5_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("r_lo")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("r_hi")
+    )
+    return (
+        n1.join(n2, F.col("r_lo") < F.col("r_hi"))
+        .groupBy("r_lo", "r_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J6 — range join: clicks within the hour preceding each purchase
+# --------------------------------------------------------------------------
+@register(
+    "j6_range_join",
+    oracle="""
+    SELECT p.event_id                                        AS purchase_id,
+           COUNT(*)                                          AS n_recent_clicks,
+           ROUND(SUM(c.value), 2)                            AS click_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >  p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+     AND c.event_type = 'click'
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    bucket = F.floor(sec / 3600)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            bucket.alias("p_bucket"),
+        )
+        # probe side explodes over the two buckets its 1-hour window spans —
+        # turns the range join into an equi-join on (user_id, bucket)
+        .withColumn(
+            "bucket", F.explode(F.array(F.col("p_bucket") - 1, F.col("p_bucket")))
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        bucket.alias("bucket"),
+    )
+    return (
+        purchases.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent_clicks"),
+            F.round(F.sum("c_value"), 2).alias("click_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 — as-of join: latest click at-or-before each purchase, per user
+# --------------------------------------------------------------------------
+@register(
+    "j7_asof_join",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, value, 1 AS side
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, event_id, value, 0 AS side
+        FROM events WHERE event_type = 'click'
+    ), w AS (
+        SELECT user_id, ts, event_id, value, side,
+               max(CASE WHEN side = 0 THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_ts,
+               last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_value
+        FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, ts,
+           last_click_ts,
+           ROUND(last_click_value, 2) AS last_click_value
+    FROM w WHERE side = 1
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(1).alias("side")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value", F.lit(0).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("side") == 0, F.col("ts"))
+    click_val = F.when(F.col("side") == 0, F.col("value"))
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("last_click_ts", F.max(click_ts).over(w))
+        .withColumn("last_click_value", F.last(click_val, ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            "last_click_ts",
+            F.round("last_click_value", 2).alias("last_click_value"),
+        )
+    )

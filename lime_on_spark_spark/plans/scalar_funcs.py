@@ -1,0 +1,150 @@
+"""Scalar function families (SURVEY.md §2h rows F1 string, F2 date/time,
+F3 math, F5 JSON). F4/F6 (array/vector) live in plans/vectors.py.
+
+Cross-engine quirks handled in the oracle SQL, never in Spark:
+* DuckDB ``log`` is log10 — use ``ln`` to mirror Spark's ``F.log``.
+* DuckDB ``regexp_replace`` replaces the first match unless the 'g' flag is
+  given; Spark replaces all.
+* DuckDB ``dayofweek`` is 0=Sunday, Spark is 1=Sunday — oracle adds 1.
+* DuckDB ``ceil``/``floor`` on DOUBLE return DOUBLE, Spark returns BIGINT —
+  oracle casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# F1 — string functions
+# --------------------------------------------------------------------------
+@register(
+    "f1_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name)                                    AS name_lc,
+           upper(c_mktsegment)                              AS seg_uc,
+           substring(c_name, 1, 8)                          AS name_prefix,
+           length(c_name)                                   AS name_len,
+           concat_ws('|', c_mktsegment, c_name)             AS tagged,
+           regexp_replace(c_name, '0', '', 'g')             AS no_zeros,
+           levenshtein(c_mktsegment, 'BUILDING')            AS seg_dist,
+           len(string_split(c_name, '#'))                   AS n_parts
+    FROM customer
+    WHERE c_custkey < 500
+    """,
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_custkey") < 500).select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lc"),
+        F.upper("c_mktsegment").alias("seg_uc"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.regexp_replace("c_name", "0", "").alias("no_zeros"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+        F.size(F.split("c_name", "#")).alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F2 — date/time functions
+# --------------------------------------------------------------------------
+@register(
+    "f2_datetime_funcs",
+    oracle="""
+    SELECT year(o_orderdate)                                          AS yr,
+           quarter(o_orderdate)                                       AS qtr,
+           month(o_orderdate)                                         AS mth,
+           dayofweek(o_orderdate) + 1                                 AS dow,
+           date_trunc('month', o_orderdate)                           AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)          AS due_date,
+           COUNT(*)                                                   AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY ALL
+    """,
+)
+def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return (
+        orders.filter(od >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(
+            F.year(od).alias("yr"),
+            F.quarter(od).alias("qtr"),
+            F.month(od).alias("mth"),
+            F.dayofweek(od).alias("dow"),
+            F.date_trunc("month", od).alias("month_start"),
+            F.datediff(od, F.lit("1995-01-01")).alias("days_since"),
+            F.date_add(od, 30).cast("timestamp").alias("due_date"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F3 — math functions
+# --------------------------------------------------------------------------
+@register(
+    "f3_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice, 1)                          AS price_r1,
+           abs(p_size - 25)                                 AS size_dev,
+           CAST(ceil(p_retailprice) AS BIGINT)              AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT)             AS price_floor,
+           ROUND(ln(p_retailprice), 4)                      AS price_ln,
+           ROUND(exp(p_size / 100.0), 4)                    AS size_exp,
+           ROUND(pow(p_size, 2), 1)                         AS size_sq,
+           ROUND(sqrt(p_retailprice), 4)                    AS price_sqrt
+    FROM part
+    WHERE p_partkey < 1000
+    """,
+)
+def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") < 1000).select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.round(F.log("p_retailprice"), 4).alias("price_ln"),
+        F.round(F.exp(F.col("p_size") / 100.0), 4).alias("size_exp"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 — JSON extraction (events.props is a JSON string like {"k": 87})
+# --------------------------------------------------------------------------
+@register(
+    "f5_json_funcs",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                         AS n,
+           ROUND(AVG(CAST(props->>'$.k' AS INT)), 4)        AS avg_k,
+           MAX(CAST(props->>'$.k' AS INT))                  AS max_k,
+           MIN(CAST(props->>'$.k' AS INT))                  AS min_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f5_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.min(k).alias("min_k"),
+    )

@@ -1,0 +1,115 @@
+"""Set operations (SURVEY.md §2g rows U1-U3), incl. the ALL variants.
+
+Scale notes: UNION ALL is a zero-shuffle concatenation of scans; the
+distinct variants and INTERSECT/EXCEPT (ALL) hash-shuffle on the full row —
+at 100 TB these partition on the projected key set, so the projections below
+deliberately prune to the join keys before the set op (column pruning keeps
+the shuffle payload minimal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+def _keys(spark: SparkSession, sf_dir: str, table: str, col: str) -> DataFrame:
+    return load_table(spark, sf_dir, table).select(F.col(col).alias("nationkey"))
+
+
+# --------------------------------------------------------------------------
+# U1 — UNION (distinct) and UNION ALL
+# --------------------------------------------------------------------------
+@register(
+    "u1_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _keys(spark, sf_dir, "customer", "c_nationkey")
+    s = _keys(spark, sf_dir, "supplier", "s_nationkey")
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "u1_union_all",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _keys(spark, sf_dir, "customer", "c_nationkey")
+    s = _keys(spark, sf_dir, "supplier", "s_nationkey")
+    return c.unionByName(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# U2 — INTERSECT and INTERSECT ALL
+# --------------------------------------------------------------------------
+@register(
+    "u2_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _keys(spark, sf_dir, "customer", "c_nationkey")
+    s = _keys(spark, sf_dir, "supplier", "s_nationkey")
+    return c.intersect(s)
+
+
+@register(
+    "u2_intersect_all",
+    oracle="""
+    SELECT s_nationkey AS nationkey FROM supplier
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer
+    """,
+)
+def u2_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _keys(spark, sf_dir, "customer", "c_nationkey")
+    s = _keys(spark, sf_dir, "supplier", "s_nationkey")
+    return s.intersectAll(c)
+
+
+# --------------------------------------------------------------------------
+# U3 — EXCEPT and EXCEPT ALL
+# --------------------------------------------------------------------------
+@register(
+    "u3_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _keys(spark, sf_dir, "customer", "c_nationkey")
+    s = _keys(spark, sf_dir, "supplier", "s_nationkey")
+    return c.subtract(s)
+
+
+@register(
+    "u3_except_all",
+    oracle="""
+    SELECT s_nationkey AS nationkey FROM supplier
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer
+    """,
+)
+def u3_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _keys(spark, sf_dir, "customer", "c_nationkey")
+    s = _keys(spark, sf_dir, "supplier", "s_nationkey")
+    return s.exceptAll(c)

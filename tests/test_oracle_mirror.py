@@ -45,12 +45,7 @@ def test_entry_smoke(spark):
 #: Plan modules we have knowingly not built yet. Shrinks each round; a typo'd
 #: module name in _PLAN_MODULES lands in _SKIPPED and fails this test loudly.
 EXPECTED_UNBUILT: set[str] = {
-    "lime_on_spark_spark.plans.basic",
-    "lime_on_spark_spark.plans.joins",
-    "lime_on_spark_spark.plans.aggregates",
     "lime_on_spark_spark.plans.windows",
-    "lime_on_spark_spark.plans.setops",
-    "lime_on_spark_spark.plans.scalar_funcs",
     "lime_on_spark_spark.plans.events_time",
     "lime_on_spark_spark.plans.datapipe",
     "lime_on_spark_spark.plans.vectors",
