@@ -1,0 +1,167 @@
+"""LLM-data-pipeline operators over `documents` (SURVEY.md §2k rows
+D1 exact dedup, D5 text stats, D6 multimodal join, D7 routing + S4 sink).
+
+Near-dup / ANN operators (D2-D4) live in plans/vectors.py with the vector
+math they depend on.
+
+Scale notes:
+* D1 groups on `sha2(text, 256)` — the shuffle payload is the 32-byte hash,
+  never the document body; survivor choice is `min(doc_id)`, a plain
+  aggregate (no window, no sort).
+* D5/D6/D7 are single-shuffle aggregates on low-cardinality keys.
+* D7 performs a real partitioned parquet write (S4): `partitionBy('lang')`
+  gives partition pruning to every downstream per-language read, which is
+  the routing primitive a 100 TB corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# D1 — exact dedup (bench headline; BASELINE.md row 7: 1 summary row)
+# --------------------------------------------------------------------------
+@register(
+    "d1_exact_dedup",
+    oracle="""
+    SELECT COUNT(*)                                           AS n_docs,
+           COUNT(DISTINCT text)                               AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT text)                    AS n_dups
+    FROM documents
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dups"),
+    )
+
+
+@register(
+    "d1_dedup_keep_first",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def d1_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor set of exact dedup: lowest doc_id per distinct text.
+
+    Hash-groupBy on the digest so the shuffle carries 32 bytes per row, not
+    the document body — the formulation that holds at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# D5 — text analysis / quality stats per (lang, source)
+# --------------------------------------------------------------------------
+@register(
+    "d5_text_stats",
+    oracle="""
+    SELECT lang,
+           source,
+           COUNT(*)                                           AS n_docs,
+           ROUND(AVG(len(string_split(text, ' '))), 4)        AS avg_tokens,
+           ROUND(AVG(length(text)), 4)                        AS avg_chars,
+           MAX(n_chars)                                       AS max_chars,
+           SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+                                                              AS n_chars_consistent
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def d5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(
+            F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)
+        ).cast("bigint").alias("n_chars_consistent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D6 — multimodal join: text + embedding + label in one row
+# --------------------------------------------------------------------------
+@register(
+    "d6_multimodal_join",
+    oracle="""
+    SELECT label,
+           lang,
+           COUNT(*)                                           AS n,
+           ROUND(AVG(n_chars), 4)                             AS avg_chars,
+           MIN(len(embedding))                                AS dim_min,
+           MAX(len(embedding))                                AS dim_max
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY label, lang
+    """,
+)
+def d6_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("label", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min(F.size("embedding")).alias("dim_min"),
+            F.max(F.size("embedding")).alias("dim_max"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D7 + S4 — language routing via a real partitioned parquet write
+# --------------------------------------------------------------------------
+@register(
+    "d7_lang_routing",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                                           AS n_docs,
+           ROUND(AVG(n_chars), 4)                             AS avg_chars,
+           COUNT(DISTINCT source)                             AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def d7_lang_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route documents into per-language parquet partitions, then aggregate
+    from the routed copy — the oracle checks the round-trip loses nothing.
+
+    `partitionBy('lang')` is the 100-TB routing primitive: downstream
+    per-language consumers read only their directory (partition pruning).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = os.environ.get(
+        "LIME_ON_SPARK_SCRATCH", os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
+    )
+    sink = os.path.join(os.path.abspath(scratch), "d7_routing.parquet")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(sink)
+    routed = spark.read.parquet(sink)
+    return routed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -1,0 +1,142 @@
+"""Event-time operators over `events` (SURVEY.md §2i rows T1-T3, batch twins).
+
+These are the batch twins of the streaming operators (the streaming variants
+live in plans/streaming_plans.py, rows-only) — DuckDB has no streaming, so
+the oracle checks the time-window *semantics* here on identical input.
+
+This module is also the only place the S2 ns-timestamp repair is exercised
+end-to-end: `events.ts` arrives as long nanos under `nanosAsLong=true` and
+is rebuilt as a microsecond timestamp (sources/catalog.py) — every oracle
+row here implicitly validates that repair against DuckDB's native ns read.
+
+Scale notes: tumbling/sliding aggregation shuffles once on (window, key) —
+at 100 TB the window key is dense and uniform, no skew. The sliding variant
+multiplies input by windows-per-event (4 here) *before* the shuffle, which
+is the same cost Structured Streaming pays; the session twin shuffles once
+on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# T1 — tumbling 1-hour aggregation (bench headline; BASELINE.md row 6)
+# --------------------------------------------------------------------------
+@register(
+    "t1_tumbling_hour",
+    oracle="""
+    SELECT date_trunc('hour', ts)                             AS hour_start,
+           event_type,
+           COUNT(*)                                           AS n_events,
+           ROUND(SUM(value), 2)                               AS total_value
+    FROM events
+    GROUP BY hour_start, event_type
+    """,
+)
+def t1_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# T2 — sliding 1-hour window, 15-minute slide (each event in 4 windows)
+# --------------------------------------------------------------------------
+@register(
+    "t2_sliding_window",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + (CAST(floor(epoch(ts) / 900) AS BIGINT) - k.k) * 900
+               * INTERVAL '1 second'                          AS window_start,
+           COUNT(*)                                           AS n_events,
+           ROUND(SUM(value), 2)                               AS total_value
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY window_start
+    """,
+)
+def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# T3 — session windows (30-minute gap), native session_window vs the
+# gaps-and-islands SQL formulation. Boundary semantics pinned on both sides:
+# an event exactly 30 minutes after the previous one starts a NEW session
+# (Spark sessions are half-open [start, last+gap)).
+# --------------------------------------------------------------------------
+@register(
+    "t3_session_window",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END                         AS new_session
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS session_id
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts)                                            AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE                       AS session_end,
+           COUNT(*)                                           AS n_events,
+           ROUND(SUM(value), 2)                               AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,227 @@
+"""Array/vector functions and similarity search (SURVEY.md §2h rows F4/F6,
+§2k rows D2 MinHash-LSH near-dup, D3 brute-force kNN, D4 LSH ANN).
+
+All vector math is pure JVM expressions (higher-order functions over the
+64-d `embedding` array) — no Python UDFs in any hot path. Float32 elements
+are cast to double *before* arithmetic so both engines accumulate in f64.
+
+Scale notes:
+* D3 brute-force kNN is O(n) per query against a broadcast query vector —
+  correct for one query at any corpus size, but O(n·q) for q queries; at
+  100 TB route multi-query workloads to D4.
+* D2 is banded MinHash-LSH (`approxSimilarityJoin`), never the O(n²)
+  all-pairs cross join: candidate pairs come from hash-bucket equi-joins.
+* D4 (`BucketedRandomProjectionLSH`) is the scale path for ANN: buckets are
+  an equi-join key, so lookups shuffle-prune instead of scanning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, left-to-right (matches DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --------------------------------------------------------------------------
+# F4 — array higher-order functions
+# --------------------------------------------------------------------------
+@register(
+    "f4_array_hofs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                     AS dim,
+           len(list_filter(embedding, x -> x > 0))            AS n_pos,
+           ROUND(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)
+                                                              AS sum_sq,
+           list_transform(
+               list_slice(list_sort(list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE))), 1, 4),
+               x -> round(x, 3))                              AS smallest4,
+           list_contains(list_transform(embedding, x -> x > 1.0), true)
+                                                              AS has_gt1
+    FROM embeddings
+    """,
+)
+def f4_array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.transform(
+            F.slice(F.array_sort(as_double), 1, 4), lambda x: F.round(x, 3)
+        ).alias("smallest4"),
+        F.array_contains(
+            F.transform("embedding", lambda x: x > 1.0), True
+        ).alias("has_gt1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F6 — vector math: dot / norm / cosine against a fixed query vector
+# --------------------------------------------------------------------------
+@register(
+    "f6_vector_math",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])), 6)
+                                                              AS dot_q,
+           ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 6)
+                                                              AS norm,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6)
+                                                              AS cos_q
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    """,
+)
+def f6_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 6).alias("dot_q"),
+            F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_q"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D3 — brute-force kNN: cosine top-10 for one query vector (bench headline)
+# --------------------------------------------------------------------------
+@register(
+    "d3_knn_cosine_topk",
+    oracle="""
+    SELECT e.vec_id,
+           e.label,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6)
+                                                              AS cos_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def d3_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan + broadcast query vector + TakeOrderedAndProject: O(n) work,
+    O(k) result — no shuffle of the corpus. Ordering is on the *rounded*
+    similarity with vec_id tie-break so the top-k frontier is deterministic
+    across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# D2 — near-duplicate detection via banded MinHash-LSH (rows-only: LSH is
+# approximate, no SQL oracle; tests bound recall against brute force)
+# --------------------------------------------------------------------------
+@register("d2_minhash_near_dup")
+def d2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle → HashingTF → MinHash → banded bucket join (approxSimilarityJoin).
+
+    Candidate pairs come from equi-joins on hash buckets — never the O(n²)
+    cross product — so the plan survives corpus-scale inputs.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Word 3-gram shingles: robust to single-word edits, cheap in JVM exprs.
+    toks = F.split("text", " ")
+    shingled = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D4 — approximate NN at scale via random-projection LSH (rows-only)
+# --------------------------------------------------------------------------
+@register("d4_ann_lsh")
+def d4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH top-10 for the vec_id=0 query — the
+    100-TB-viable ANN path (bucket equi-join instead of full scan)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=4, seed=42,
+    )
+    model = lsh.fit(emb)
+    key = emb.filter(F.col("vec_id") == 0).head()
+    neighbors = model.approxNearestNeighbors(
+        emb.filter(F.col("vec_id") != 0), key["features"], 10, distCol="l2_dist"
+    )
+    return neighbors.select(
+        "vec_id", "label", F.round("l2_dist", 6).alias("l2_dist")
+    )

@@ -1,0 +1,205 @@
+"""Window-function operators (SURVEY.md §2e rows W1-W4).
+
+Scale notes: every window below partitions by a high-cardinality key
+(customer), so the single shuffle it costs distributes evenly across
+executors — no global-ordering window (a scale anti-pattern) is used
+anywhere. Ordering keys always include a unique tie-breaker (o_orderkey)
+so rank/lag/lead outputs are deterministic on both engines.
+
+``w1_order_rank_per_customer`` is BASELINE.md row 5 (618 ms / 44 953 rows
+at sf0.1) and a bench headline query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# W1 + W4 — ranking windows, top-k per group (bench headline)
+# --------------------------------------------------------------------------
+@register(
+    "w1_order_rank_per_customer",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey,
+               o_orderkey,
+               ROUND(o_totalprice, 2)                        AS price,
+               rank()       OVER w                           AS rk,
+               dense_rank() OVER w                           AS drk,
+               row_number() OVER w                           AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rk <= 3
+    """,
+)
+def w1_order_rank_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "w1_ntile_percent_rank",
+    oracle="""
+    SELECT ntile_bucket, COUNT(*) AS n, ROUND(MIN(pr), 6) AS min_pr,
+           ROUND(MAX(pr), 6) AS max_pr
+    FROM (
+        SELECT ntile(4)       OVER w AS ntile_bucket,
+               percent_rank() OVER w AS pr
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    )
+    GROUP BY ntile_bucket
+    """,
+)
+def w1_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    # Un-partitioned window: acceptable only because the output is a 4-row
+    # summary; at scale rank-by-quantile goes through approxQuantile (L1).
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select(
+            F.ntile(4).over(w).alias("ntile_bucket"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .groupBy("ntile_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("pr"), 6).alias("min_pr"),
+            F.round(F.max("pr"), 6).alias("max_pr"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W2 — analytic windows: lag / lead / first / last
+# --------------------------------------------------------------------------
+@register(
+    "w2_lag_lead",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(o_totalprice, 2)                             AS price,
+           ROUND(lag(o_totalprice)  OVER w, 2)                AS prev_price,
+           ROUND(lead(o_totalprice) OVER w, 2)                AS next_price,
+           ROUND(first_value(o_totalprice) OVER w, 2)         AS first_price,
+           datediff('day',
+                    CAST(lag(o_orderdate) OVER w AS DATE),
+                    CAST(o_orderdate AS DATE))                AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3 — running / sliding aggregate frames
+# --------------------------------------------------------------------------
+@register(
+    "w3_running_frames",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(SUM(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                                                              AS running_spend,
+           ROUND(AVG(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                                                              AS moving_avg3,
+           COUNT(*) OVER
+                 (PARTITION BY o_custkey ORDER BY o_totalprice
+                  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+                                                              AS n_within_10k
+    FROM orders
+    """,
+)
+def w3_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.round(
+            F.avg("o_totalprice").over(w_seq.rowsBetween(-2, Window.currentRow)),
+            4,
+        ).alias("moving_avg3"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("o_custkey")
+            .orderBy("o_totalprice")
+            .rangeBetween(-10000, Window.currentRow)
+        )
+        .alias("n_within_10k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W4 — top-k per group (distinct from the headline: per-nation top spenders)
+# --------------------------------------------------------------------------
+@register(
+    "w4_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_nationkey,
+               c_custkey,
+               ROUND(c_acctbal, 2)                            AS acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 5
+    """,
+)
+def w4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )

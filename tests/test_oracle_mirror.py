@@ -27,6 +27,21 @@ def test_oracle_pair(name, spark, ddb, sf_dir):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
+def _rows_only():
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    return sorted(n for n in qs if n not in oracles)
+
+
+@pytest.mark.parametrize("name", _rows_only())
+def test_rows_only_query_executes(name, spark, sf_dir):
+    """Queries without an oracle (approx/stochastic ops) must still run and
+    produce a well-formed result under the driver's weaker rows-only check."""
+    df = registry.queries()[name](spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
 def test_all_queries_have_callables():
     qs = registry.queries()
     for name in registry.oracle_sql():
@@ -45,10 +60,6 @@ def test_entry_smoke(spark):
 #: Plan modules we have knowingly not built yet. Shrinks each round; a typo'd
 #: module name in _PLAN_MODULES lands in _SKIPPED and fails this test loudly.
 EXPECTED_UNBUILT: set[str] = {
-    "lime_on_spark_spark.plans.windows",
-    "lime_on_spark_spark.plans.events_time",
-    "lime_on_spark_spark.plans.datapipe",
-    "lime_on_spark_spark.plans.vectors",
     "lime_on_spark_spark.plans.lime_plans",
     "lime_on_spark_spark.plans.streaming_plans",
 }
