@@ -1,0 +1,82 @@
+"""Models-to-explain (SURVEY.md §2j row L10): MLlib trainers.
+
+These are the black boxes LIME explains — a 10-class logistic regression
+over the 64-d embeddings (tabular path) and a Tokenizer→HashingTF→LogReg
+pipeline predicting `lang` from `text` (text path). Fitted models are
+cached per (session, sf_dir) so the driver's repeated query calls don't
+retrain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.sources.catalog import load_table
+
+_CACHE: dict[tuple[int, str, str], object] = {}
+
+
+def train_tabular_model(spark: SparkSession, sf_dir: str):
+    """LogisticRegression on embeddings -> label (10 classes)."""
+    key = (id(spark), sf_dir, "tabular")
+    if key not in _CACHE:
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.functions import array_to_vector
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        train = emb.select(
+            array_to_vector("embedding").alias("features"),
+            F.col("label").cast("double").alias("label"),
+        )
+        lr = LogisticRegression(maxIter=50, regParam=0.01)
+        _CACHE[key] = lr.fit(train)
+    return _CACHE[key]
+
+
+def train_text_model(spark: SparkSession, sf_dir: str):
+    """Tokenizer -> HashingTF -> LogisticRegression predicting `lang`.
+
+    Returns (pipeline_model, labels) where labels[i] is the lang string for
+    model class i (StringIndexer order).
+    """
+    key = (id(spark), sf_dir, "text")
+    if key not in _CACHE:
+        from pyspark.ml import Pipeline
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import HashingTF, StringIndexer, Tokenizer
+
+        docs = load_table(spark, sf_dir, "documents").select("text", "lang")
+        pipe = Pipeline(
+            stages=[
+                StringIndexer(inputCol="lang", outputCol="label"),
+                Tokenizer(inputCol="text", outputCol="words"),
+                HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16),
+                LogisticRegression(maxIter=50, regParam=0.01),
+            ]
+        )
+        model = pipe.fit(docs)
+        _CACHE[key] = (model, list(model.stages[0].labels))
+    return _CACHE[key]
+
+
+def score_tabular(model, df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """L4 for the tabular path: black-box probabilities for each raw vector."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    scored = model.transform(df.withColumn("features", array_to_vector(raw_col)))
+    return scored.withColumn("probs", vector_to_array("probability")).drop(
+        "features", "rawPrediction", "probability", "prediction"
+    )
+
+
+def score_text(model, df: DataFrame, text_col: str = "perturbed") -> DataFrame:
+    """L4 for the text path: pipeline probabilities for each perturbed text."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df.withColumnRenamed(text_col, "text"))
+    return (
+        scored.withColumn("probs", vector_to_array("probability"))
+        .drop("words", "features", "rawPrediction", "probability", "prediction", "label")
+        .withColumnRenamed("text", text_col)
+    )

@@ -1,0 +1,116 @@
+"""Perturbation samplers for LIME (SURVEY.md §2j rows L2 tabular, L3 text).
+
+Upstream analogue [public, unverified locally]: ``lime_tabular``'s
+neighborhood sampler and ``lime_text.IndexedString`` word masking.
+
+Determinism without driver-side RNG: every Bernoulli draw is
+``xxhash64(seed, instance_id, sample_id, position) mod 2`` — a pure JVM
+expression, reproducible across runs, partitionings, and cluster sizes
+(no per-partition RNG state, no collect). Sample 0 is always the
+unperturbed instance, as upstream.
+
+Scale design: the instances × num_samples explosion happens via
+``explode(sequence(...))`` — each instance's neighborhood is generated
+where the instance row lives; nothing round-trips the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bernoulli_keep(seed: int, instance_id: Column, sample_id: Column, pos: Column) -> Column:
+    """Deterministic fair coin: True => keep the original feature/word."""
+    h = F.xxhash64(F.lit(seed), instance_id, sample_id, pos)
+    return F.pmod(h, F.lit(2)) == 0
+
+
+def with_samples(instances: DataFrame, num_samples: int) -> DataFrame:
+    """Explode each instance row into `num_samples` sample rows."""
+    return instances.withColumn(
+        "sample_id", F.explode(F.sequence(F.lit(0), F.lit(num_samples - 1)))
+    )
+
+
+def perturb_tabular(
+    instances: DataFrame,
+    *,
+    x_col: str = "x",
+    id_col: str = "instance_id",
+    mu: list[float],
+    num_samples: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Binary-mask neighborhood: z_i ~ Bernoulli(1/2); masked dims are
+    replaced with the corpus mean mu_i (mask-to-baseline reconstruction).
+
+    Output adds: sample_id, z (array<int> interpretable rep), raw
+    (array<double> reconstruction fed to the black box).
+    """
+    d = len(mu)
+    mu_col = F.array(*[F.lit(float(m)) for m in mu])
+    samples = with_samples(instances, num_samples)
+    keep = lambda i: _bernoulli_keep(  # noqa: E731
+        seed, F.col(id_col), F.col("sample_id"), i
+    )
+    z = F.when(
+        F.col("sample_id") == 0, F.array_repeat(F.lit(1), d)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)), lambda i: keep(i).cast("int")
+        )
+    )
+    samples = samples.withColumn("z", z)
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: (
+            F.element_at(F.col(x_col), i + 1).cast("double")
+            * F.element_at(F.col("z"), i + 1)
+            + F.element_at(mu_col, i + 1)
+            * (1 - F.element_at(F.col("z"), i + 1))
+        ),
+    )
+    return samples.withColumn("raw", raw)
+
+
+def perturb_text(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_samples: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Word-masking neighborhood for text: each word position is kept with
+    probability 1/2; the perturbed text is the kept words re-joined.
+
+    Output adds: sample_id, z (array<int> over word positions), perturbed
+    (string), n_kept.
+    """
+    samples = with_samples(docs, num_samples)
+    toks = F.split(F.col(text_col), " ")
+    keep = lambda i: _bernoulli_keep(  # noqa: E731
+        seed, F.col(id_col), F.col("sample_id"), i
+    )
+    z = F.when(
+        F.col("sample_id") == 0,
+        F.array_repeat(F.lit(1), F.size(toks)),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: keep(i).cast("int"),
+        )
+    )
+    samples = samples.withColumn("z", z)
+    kept_words = F.array_compact(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: F.when(
+                F.element_at(F.col("z"), i + 1) == 1, F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    return samples.withColumn("perturbed", F.concat_ws(" ", kept_words)).withColumn(
+        "n_kept", F.aggregate("z", F.lit(0), lambda s, v: s + v)
+    )

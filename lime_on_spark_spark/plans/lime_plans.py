@@ -1,0 +1,203 @@
+"""LIME operator rows (SURVEY.md §2j): discretizer and kernel weights carry
+full SQL oracles; the stochastic/model-dependent stages (perturb, explain,
+pick, train) are rows-only with deterministic outputs (xxhash64 masks,
+deterministic LBFGS fits) checked by unit tests in tests/test_lime.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# L1 — quantile discretizer (exact percentile edges vs DuckDB quantile_cont)
+# --------------------------------------------------------------------------
+@register(
+    "l1_discretizer",
+    oracle="""
+    WITH q AS (SELECT quantile_cont(c_acctbal, [0.25, 0.5, 0.75]) AS e
+               FROM customer)
+    SELECT CASE WHEN c_acctbal < e[1] THEN 0
+                WHEN c_acctbal < e[2] THEN 1
+                WHEN c_acctbal < e[3] THEN 2
+                ELSE 3 END                                    AS bin,
+           COUNT(*)                                           AS n,
+           ROUND(MIN(c_acctbal), 2)                           AS lo,
+           ROUND(MAX(c_acctbal), 2)                           AS hi
+    FROM customer, q
+    GROUP BY bin
+    """,
+)
+def l1_discretizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.discretize import discretize
+
+    cust = load_table(spark, sf_dir, "customer")
+    binned, _edges = discretize(cust, "c_acctbal", out="bin")
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L5 — euclidean distance + exponential kernel weights (deterministic)
+# --------------------------------------------------------------------------
+@register(
+    "l5_kernel_weights",
+    oracle="""
+    SELECT e.vec_id,
+           ROUND(list_distance(CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])), 6)      AS dist,
+           ROUND(exp(-pow(list_distance(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 2)
+                     / 36.0), 6)                                       AS kernel_weight
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    """,
+)
+def l5_kernel_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.kernel import (
+        default_kernel_width,
+        euclidean_distance,
+        exponential_kernel,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dist = euclidean_distance(F.col("embedding"), F.col("q_emb"))
+    # d = 64 => default width 0.75 * 8 = 6, w^2 = 36 (pinned in the oracle).
+    kernel = exponential_kernel(dist, default_kernel_width(64))
+    return emb.crossJoin(F.broadcast(query)).select(
+        "vec_id",
+        F.round(dist, 6).alias("dist"),
+        F.round(kernel, 6).alias("kernel_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L2 — tabular perturbation sampler (rows-only; deterministic xxhash64 masks)
+# --------------------------------------------------------------------------
+@register("l2_perturb_tabular")
+def l2_perturb_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.perturb import perturb_tabular
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    instances = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("instance_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    samples = perturb_tabular(instances, mu=[0.0] * 64, num_samples=50, seed=7)
+    n_kept = F.aggregate("z", F.lit(0), lambda s, v: s + v)
+    raw_sum = F.aggregate("raw", F.lit(0.0), lambda s, v: s + v)
+    return samples.groupBy("instance_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(n_kept).alias("total_kept_dims"),
+        F.round(F.sum(raw_sum), 4).alias("total_raw_mass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L3 — text perturbation sampler (rows-only; deterministic word masks)
+# --------------------------------------------------------------------------
+@register("l3_perturb_text")
+def l3_perturb_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.perturb import perturb_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    instances = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    samples = perturb_text(instances, num_samples=20, seed=7)
+    return samples.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("n_kept").alias("total_kept_words"),
+        F.countDistinct("perturbed").alias("n_distinct_texts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L8 — batch explain (tabular + text); L4/L6/L7 run inside
+# --------------------------------------------------------------------------
+@register("l8_batch_explain_tabular")
+def l8_batch_explain_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.explain import explain_tabular
+
+    out = explain_tabular(
+        spark, sf_dir, [0, 1, 2, 3], num_samples=200, k=6, seed=7
+    )
+    return out.select(
+        "instance_id",
+        "feature_idx",
+        F.round("weight", 6).alias("weight"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        F.round("local_pred", 6).alias("local_pred"),
+    )
+
+
+@register("l8_batch_explain_text")
+def l8_batch_explain_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.explain import explain_text
+
+    out = explain_text(spark, sf_dir, [0, 1, 2], num_samples=100, k=5, seed=7)
+    return out.select(
+        "instance_id",
+        "feature_idx",
+        "word",
+        F.round("weight", 6).alias("weight"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L9 — SP-LIME submodular pick over a batch of explanations
+# --------------------------------------------------------------------------
+@register("l9_sp_lime")
+def l9_sp_lime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from lime_on_spark_spark.lime.explain import explain_tabular
+    from lime_on_spark_spark.lime.pick import submodular_pick
+
+    expl = explain_tabular(
+        spark, sf_dir, list(range(8)), num_samples=100, k=4, seed=7
+    ).toPandas()
+    ids = sorted(expl["instance_id"].unique())
+    d = 64
+    W = np.zeros((len(ids), d))
+    for row in expl.itertuples(index=False):
+        W[ids.index(row.instance_id), row.feature_idx] = row.weight
+    picked = submodular_pick(W, k=3)
+    return spark.createDataFrame(
+        [(order, int(ids[i])) for order, i in enumerate(picked)],
+        schema="pick_order int, instance_id bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# L10 — model-to-explain training quality (rows-only; deterministic fit)
+# --------------------------------------------------------------------------
+@register("l10_model_quality")
+def l10_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    from lime_on_spark_spark.lime.models import train_tabular_model
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_tabular_model(spark, sf_dir)
+    preds = model.transform(
+        emb.select(
+            "label", array_to_vector("embedding").alias("features")
+        )
+    )
+    return preds.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("prediction") == F.col("label").cast("double")).cast("int")
+        ).cast("bigint").alias("n_correct"),
+    )

@@ -1,0 +1,182 @@
+"""Unit tests for the LIME library (SURVEY.md §5.3): closed-form ridge vs a
+hand-computed fixture, kernel math vs NumPy, seeded sampler determinism,
+and SP-LIME greedy coverage on a toy matrix.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.lime.pick import submodular_pick
+from lime_on_spark_spark.lime.ridge import (
+    explain_with_data,
+    select_highest_weights,
+    weighted_ridge,
+)
+
+
+# --------------------------------------------------------------------------
+# L6 — closed-form ridge against an independently hand-built normal-equation
+# solve on a 3-feature fixture.
+# --------------------------------------------------------------------------
+class TestWeightedRidge:
+    Z = np.array(
+        [
+            [1.0, 1.0, 1.0],
+            [1.0, 0.0, 1.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [1.0, 1.0, 0.0],
+            [0.0, 0.0, 0.0],
+        ]
+    )
+    y = np.array([1.0, 0.8, 0.3, 0.2, 0.9, 0.1])
+    w = np.array([1.0, 0.5, 0.5, 0.25, 0.75, 1.0])
+    alpha = 1.0
+
+    def _hand_solution(self):
+        # Independent construction: explicit augmented design + matrix inverse
+        # (vs np.linalg.solve on the normal equations in the implementation).
+        X = np.hstack([np.ones((6, 1)), self.Z])
+        W = np.diag(self.w)
+        reg = self.alpha * np.diag([0.0, 1.0, 1.0, 1.0])
+        theta = np.linalg.inv(X.T @ W @ X + reg) @ (X.T @ W @ self.y)
+        return theta
+
+    def test_matches_hand_computed_normal_equations(self):
+        beta, intercept, _ = weighted_ridge(self.Z, self.y, self.w, self.alpha)
+        theta = self._hand_solution()
+        assert intercept == pytest.approx(theta[0], abs=1e-12)
+        np.testing.assert_allclose(beta, theta[1:], atol=1e-12)
+
+    def test_unweighted_unregularized_recovers_exact_fit(self):
+        # y is exactly linear in Z: y = 0.1 + 0.4*z1 + 0.2*z2 + 0.3*z3
+        Z = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], dtype=float
+        )
+        y = 0.1 + Z @ np.array([0.4, 0.2, 0.3])
+        beta, intercept, r2 = weighted_ridge(Z, y, np.ones(5), alpha=0.0)
+        np.testing.assert_allclose(beta, [0.4, 0.2, 0.3], atol=1e-10)
+        assert intercept == pytest.approx(0.1, abs=1e-10)
+        assert r2 == pytest.approx(1.0, abs=1e-10)
+
+    def test_r2_in_unit_interval_for_noisy_fit(self):
+        _, _, r2 = weighted_ridge(self.Z, self.y, self.w, self.alpha)
+        assert 0.0 <= r2 <= 1.0
+
+
+# --------------------------------------------------------------------------
+# L7 — highest-weights feature selection
+# --------------------------------------------------------------------------
+def test_select_highest_weights_picks_strongest_features():
+    rng = np.random.default_rng(0)
+    Z = rng.integers(0, 2, size=(200, 6)).astype(float)
+    # Only features 1 and 4 matter.
+    y = 0.9 * Z[:, 1] - 0.7 * Z[:, 4] + 0.01 * rng.standard_normal(200)
+    idx = select_highest_weights(Z, y, np.ones(200), k=2)
+    assert list(idx) == [1, 4]
+
+
+def test_explain_with_data_local_pred_consistent():
+    rng = np.random.default_rng(1)
+    Z = rng.integers(0, 2, size=(100, 5)).astype(float)
+    Z[0] = 1.0  # sample 0 = unperturbed instance (all-ones rep)
+    y = 0.5 * Z[:, 0] + 0.25 * Z[:, 3] + 0.05
+    idx, beta, intercept, r2, local_pred = explain_with_data(
+        Z, y, np.ones(100), k=2, alpha=0.0
+    )
+    assert local_pred == pytest.approx(intercept + beta.sum(), abs=1e-9)
+    assert list(idx) == [0, 3]
+    assert r2 == pytest.approx(1.0, abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# L5 — kernel column vs NumPy
+# --------------------------------------------------------------------------
+def test_kernel_matches_numpy(spark):
+    from lime_on_spark_spark.lime.kernel import (
+        euclidean_distance,
+        exponential_kernel,
+    )
+
+    a = [1.0, 2.0, 3.0]
+    b = [0.0, 2.0, 5.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        euclidean_distance(F.col("a"), F.col("b")).alias("d"),
+        exponential_kernel(
+            euclidean_distance(F.col("a"), F.col("b")), 6.0
+        ).alias("k"),
+    ).head()
+    d_np = float(np.linalg.norm(np.array(a) - np.array(b)))
+    assert row["d"] == pytest.approx(d_np, rel=1e-12)
+    assert row["k"] == pytest.approx(math.exp(-(d_np**2) / 36.0), rel=1e-12)
+
+
+# --------------------------------------------------------------------------
+# L2/L3 — seeded determinism: same seed => identical masks, across actions
+# --------------------------------------------------------------------------
+def test_perturb_tabular_deterministic(spark):
+    from lime_on_spark_spark.lime.perturb import perturb_tabular
+
+    inst = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [5.0, 6.0, 7.0, 8.0])],
+        "instance_id bigint, x array<double>",
+    )
+    kwargs = dict(mu=[0.0, 0.0, 0.0, 0.0], num_samples=20, seed=11)
+    r1 = perturb_tabular(inst, **kwargs).select("instance_id", "sample_id", "z", "raw")
+    r2 = perturb_tabular(inst, **kwargs).select("instance_id", "sample_id", "z", "raw")
+    rows1 = sorted(map(tuple, r1.collect()))
+    rows2 = sorted(map(tuple, r2.collect()))
+    assert rows1 == rows2
+    # sample 0 is the unperturbed instance
+    s0 = [r for r in rows1 if r[1] == 0]
+    for iid, _sid, z, raw in s0:
+        assert z == [1, 1, 1, 1]
+        assert raw == ([1.0, 2.0, 3.0, 4.0] if iid == 0 else [5.0, 6.0, 7.0, 8.0])
+    # different seed => different neighborhood
+    r3 = perturb_tabular(inst, mu=[0.0] * 4, num_samples=20, seed=12)
+    assert sorted(map(tuple, r3.select("instance_id", "sample_id", "z", "raw").collect())) != rows1
+
+
+def test_perturb_text_masks_words(spark):
+    from lime_on_spark_spark.lime.perturb import perturb_text
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    out = perturb_text(docs, num_samples=10, seed=3).collect()
+    by_sample = {r["sample_id"]: r for r in out}
+    assert by_sample[0]["perturbed"] == "alpha beta gamma delta epsilon"
+    assert by_sample[0]["n_kept"] == 5
+    for r in out:
+        words = r["perturbed"].split(" ") if r["perturbed"] else []
+        assert len(words) == r["n_kept"]
+        # kept words appear in original order
+        orig = "alpha beta gamma delta epsilon".split(" ")
+        it = iter(orig)
+        assert all(w in it for w in words)
+
+
+# --------------------------------------------------------------------------
+# L9 — greedy submodular pick on a toy matrix with a known answer
+# --------------------------------------------------------------------------
+def test_submodular_pick_covers_features():
+    W = np.array(
+        [
+            [0.9, 0.0, 0.0, 0.0],  # covers f0
+            [0.8, 0.0, 0.0, 0.0],  # fully redundant with row 0
+            [0.0, 0.5, 0.7, 0.6],  # covers f1+f2+f3 (largest joint gain)
+            [0.0, 0.5, 0.0, 0.0],  # covers f1 only
+        ]
+    )
+    # importances: f0=sqrt(1.7), f1=sqrt(1.0), f2=sqrt(0.7), f3=sqrt(0.6)
+    # greedy: row2 (f1+f2+f3 = 2.61) > row0 (f0 = 1.30) > rest gain 0 -> row1
+    # (first index among zero-gain rows). Redundant rows never beat coverage.
+    picked = submodular_pick(W, k=3)
+    assert picked[:2] == [2, 0]
+    assert len(set(picked)) == 3

@@ -60,7 +60,6 @@ def test_entry_smoke(spark):
 #: Plan modules we have knowingly not built yet. Shrinks each round; a typo'd
 #: module name in _PLAN_MODULES lands in _SKIPPED and fails this test loudly.
 EXPECTED_UNBUILT: set[str] = {
-    "lime_on_spark_spark.plans.lime_plans",
     "lime_on_spark_spark.plans.streaming_plans",
 }
 
