@@ -1,0 +1,146 @@
+"""Structured Streaming operators (SURVEY.md §2a row S5, §2i rows T1/T4/T5/T6
+streaming variants — rows-only; their oracle-checked batch twins live in
+plans/events_time.py).
+
+Every query replays the events parquet as a file stream, runs to completion
+with `availableNow`, and returns the materialized sink — so the driver's
+rows-only check exercises real streaming execution (state store, watermarks,
+micro-batch planning), not a batch rewrite.
+
+Scale notes: all stateful ops are keyed and watermarked so state size is
+bounded by (keys in the watermark horizon), not by stream length — the
+invariant that matters on an unbounded 100-TB/day stream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.streaming.sources import read_events_stream, run_to_memory
+
+
+# --------------------------------------------------------------------------
+# S5 — deterministic dev stream source (rate-micro-batch)
+# --------------------------------------------------------------------------
+@register("s5_rate_source")
+def s5_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One micro-batch of the deterministic rate source: proves the
+    readStream -> transform -> sink loop without touching disk."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .load()
+        .withColumn("bucket", F.pmod("value", F.lit(10)))
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    name = "lime_rate_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(once=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# T1 streaming — tumbling 1-hour aggregation over the event stream
+# --------------------------------------------------------------------------
+@register("t1_streaming_tumbling")
+def t1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    # complete mode: emit every window including those inside the final
+    # watermark horizon, so the result equals the batch twin exactly.
+    return run_to_memory(agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# T4 — watermark + late-data drop (append mode: only finalized windows)
+# --------------------------------------------------------------------------
+@register("t4_watermark_append")
+def t4_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("hour_start"), "n_events")
+    )
+    # append mode emits a window only once the watermark passes its end —
+    # the streaming-correctness semantics T4 exists to exercise.
+    return run_to_memory(agg, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# T5 — streaming dedup within the watermark horizon
+# --------------------------------------------------------------------------
+@register("t5_streaming_dedup")
+def t5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    sink = run_to_memory(deduped, output_mode="append")
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# T6 — arbitrary stateful op: per-user session stats via applyInPandasWithState
+# --------------------------------------------------------------------------
+@register("t6_stateful_user_stats")
+def t6_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed state: running event count + max value per user,
+    emitted at state timeout — the minimal template for bespoke stateful
+    operators that session_window/window can't express."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [round(vmax, 2)]}
+        )
+
+    events = read_events_stream(spark, sf_dir).select("user_id", "value")
+    stats = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(stats, output_mode="update")
+    # update mode may emit a key several times (once per micro-batch that
+    # touched it); the final state per user is the max-n row.
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )

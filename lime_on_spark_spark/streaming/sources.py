@@ -1,0 +1,54 @@
+"""Streaming sources and sinks (SURVEY.md §2a row S5, §2i plumbing).
+
+The `events` parquet is replayed as a file stream (the dev-loop stand-in
+for Kafka/queue ingestion at scale); results land in a named memory sink
+processed with `availableNow` so each streaming query runs to completion
+and returns a bounded DataFrame the rows-only check can read.
+
+The ns-timestamp repair (S2) applies to the stream exactly as to the batch
+scan: the declared schema carries `ts` as long nanos (under
+`nanosAsLong=true`) and the same `timestamp_micros(ts div 1000)` rebuild
+runs on the streaming DataFrame.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lime_on_spark_spark.sources.catalog import repair_event_ts
+
+_SINK_IDS = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events parquet with the S2 timestamp repair."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file source requires a directory basePath; the glob (matching only
+    # the events file) makes Spark treat sf_dir as the base directory.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parque[t]")
+    )
+    return repair_event_ts(stream)
+
+
+def run_to_memory(df: DataFrame, *, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink and
+    return the sink contents as a batch DataFrame."""
+    spark = df.sparkSession
+    name = f"lime_stream_sink_{next(_SINK_IDS)}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    return spark.table(name)

@@ -59,9 +59,7 @@ def test_entry_smoke(spark):
 
 #: Plan modules we have knowingly not built yet. Shrinks each round; a typo'd
 #: module name in _PLAN_MODULES lands in _SKIPPED and fails this test loudly.
-EXPECTED_UNBUILT: set[str] = {
-    "lime_on_spark_spark.plans.streaming_plans",
-}
+EXPECTED_UNBUILT: set[str] = set()
 
 
 def test_registry_skip_list_is_expected():

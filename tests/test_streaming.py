@@ -1,0 +1,75 @@
+"""Streaming twins (SURVEY.md §5.5): each streaming variant fed the same
+events slice must equal (or consistently relate to) its batch twin."""
+
+from __future__ import annotations
+
+from lime_on_spark_spark.plans import registry
+
+
+def _canon(df):
+    from tests.compare import canon_frame
+
+    return canon_frame(df.toPandas())
+
+
+def test_t1_streaming_equals_batch_twin(spark, sf_dir):
+    qs = registry.queries()
+    batch = qs["t1_tumbling_hour"](spark, sf_dir)
+    stream = qs["t1_streaming_tumbling"](spark, sf_dir)
+    assert _canon(stream) == _canon(batch)
+
+
+def test_t5_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    qs = registry.queries()
+    stream = qs["t5_streaming_dedup"](spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+    assert _canon(stream) == _canon(batch)
+
+
+def test_t4_append_mode_only_emits_finalized_windows(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    qs = registry.queries()
+    appended = qs["t4_watermark_append"](spark, sf_dir).toPandas()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    # append emits a subset of the batch windows (final horizon withheld) …
+    assert len(appended) <= len(batch)
+    assert len(appended) > 0
+    # … and every emitted window agrees with the batch count.
+    merged = appended.merge(batch, on="hour_start", suffixes=("_s", "_b"))
+    assert len(merged) == len(appended)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_t6_stateful_matches_batch_aggregate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    qs = registry.queries()
+    stream = qs["t6_stateful_user_stats"](spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+    assert _canon(stream) == _canon(batch)
