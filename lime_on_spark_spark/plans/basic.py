@@ -104,6 +104,34 @@ def p4_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# O1 — global sort (range-partitioned total order, no limit)
+# --------------------------------------------------------------------------
+@register(
+    "o1_global_sort",
+    oracle="""
+    SELECT s_suppkey,
+           s_name,
+           ROUND(s_acctbal, 2)                              AS acctbal,
+           s_nationkey
+    FROM supplier
+    ORDER BY s_acctbal DESC, s_suppkey
+    """,
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order via range partitioning (Exchange rangepartitioning +
+    per-partition sort) — distributed, never a single-partition sort. The
+    oracle hash is order-insensitive; the unique (s_acctbal, s_suppkey)
+    key makes the order itself deterministic for consumers."""
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        "s_name",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        "s_nationkey",
+    ).orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+
+
+# --------------------------------------------------------------------------
 # P5 — null-safe equality (<=> / IS NOT DISTINCT FROM)
 # --------------------------------------------------------------------------
 @register(

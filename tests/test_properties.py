@@ -1,0 +1,136 @@
+"""Property-based and invariant tests (SURVEY.md §5.3-5.4).
+
+Spark-side algebraic invariants run on small generated frames (hypothesis
+drives the data); LSH recall is bounded against brute force on the corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+pairs = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 3)), min_size=0, max_size=30
+)
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(a, b) for a, b in rows] or [(0, 0)], "k int, v int"
+    ).limit(len(rows))
+
+
+# --------------------------------------------------------------------------
+# U1-U3 set-op algebra: |A ∪all B| = |A|+|B|; |A ∩all B| + |A \all B| = |A|
+# --------------------------------------------------------------------------
+@_SLOW
+@given(a=pairs, b=pairs)
+def test_setop_cardinalities(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    assert da.unionAll(db).count() == len(a) + len(b)
+    n_intersect = da.intersectAll(db).count()
+    n_except = da.exceptAll(db).count()
+    assert n_intersect + n_except == len(a)
+
+
+# --------------------------------------------------------------------------
+# D1 dedup idempotence: dedup(dedup(X)) == dedup(X); survivors ⊆ input
+# --------------------------------------------------------------------------
+@_SLOW
+@given(a=pairs)
+def test_dedup_idempotent(spark, a):
+    from pyspark.sql import functions as F
+
+    df = _df(spark, a)
+    once = df.groupBy("k").agg(F.min("v").alias("v"))
+    twice = once.groupBy("k").agg(F.min("v").alias("v"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == len({k for k, _ in a})
+
+
+# --------------------------------------------------------------------------
+# W1 rank invariants: dense_rank <= rank <= row_number; rank gaps == tie sizes
+# --------------------------------------------------------------------------
+@_SLOW
+@given(a=pairs)
+def test_rank_invariants(spark, a):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = _df(spark, a)
+    w = Window.partitionBy("k").orderBy("v")
+    out = df.select(
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.row_number().over(w).alias("rn"),
+    ).collect()
+    for r in out:
+        assert r["drk"] <= r["rk"] <= r["rn"]
+
+
+# --------------------------------------------------------------------------
+# P2/pushdown equivalence: filter-then-project == project-then-filter
+# --------------------------------------------------------------------------
+@_SLOW
+@given(a=pairs, cut=st.integers(0, 3))
+def test_filter_projection_commute(spark, a, cut):
+    from pyspark.sql import functions as F
+
+    df = _df(spark, a)
+    lhs = df.filter(F.col("v") >= cut).select((F.col("k") * 2).alias("k2"))
+    rhs = df.select((F.col("k") * 2).alias("k2"), "v").filter(
+        F.col("v") >= cut
+    ).select("k2")
+    assert sorted(r["k2"] for r in lhs.collect()) == sorted(
+        r["k2"] for r in rhs.collect()
+    )
+
+
+# --------------------------------------------------------------------------
+# D2 LSH recall vs D3 brute force (SURVEY §5.3): near-identical documents
+# planted next to corpus docs must be recovered by the banded MinHash join.
+# --------------------------------------------------------------------------
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Plant exact duplicates under shifted ids: guaranteed Jaccard 1.0 pairs.
+    n_planted = 20
+    planted = (
+        docs.filter(F.col("doc_id") < n_planted)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    spiked = docs.unionByName(planted).select("doc_id", "text")
+    shingled = spiked.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    feats = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    ).transform(shingled)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(feats)
+    pairs_df = model.approxSimilarityJoin(feats, feats, 0.3, distCol="d")
+    found = {
+        (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+        for r in pairs_df.filter(
+            F.col("datasetA.doc_id") + 1_000_000 == F.col("datasetB.doc_id")
+        ).collect()
+    }
+    recall = len(found) / n_planted
+    assert recall >= 0.95, f"LSH recall {recall} below bound; found {len(found)}"
