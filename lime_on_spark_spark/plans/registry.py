@@ -36,7 +36,9 @@ _PLAN_MODULES = (
     "lime_on_spark_spark.plans.scalar_funcs",
     "lime_on_spark_spark.plans.events_time",
     "lime_on_spark_spark.plans.datapipe",
+    "lime_on_spark_spark.plans.textpipe",
     "lime_on_spark_spark.plans.vectors",
+    "lime_on_spark_spark.plans.multimodal_plans",
     "lime_on_spark_spark.plans.lime_plans",
     "lime_on_spark_spark.plans.streaming_plans",
 )

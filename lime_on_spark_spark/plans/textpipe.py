@@ -1,0 +1,173 @@
+"""Text-analysis operators for the training-data pipeline (SURVEY.md §2k
+family: quality scoring, language-ID, fingerprinting — the D5/D7 surface
+beyond basic stats).
+
+Everything is JVM column expressions over `documents`; the only
+non-SQL-oracle rows are the ones built on xxhash64 (no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: token/char ratios a filtering pipeline would gate on
+# --------------------------------------------------------------------------
+@register(
+    "d5_quality_scores",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               lang,
+               len(string_split(text, ' '))                   AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))    AS n_distinct_tokens,
+               length(text)                                   AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*)                                           AS n_docs,
+           ROUND(AVG(n_tokens), 4)                            AS avg_tokens,
+           ROUND(AVG(n_distinct_tokens * 1.0 / n_tokens), 4)  AS avg_ttr,
+           ROUND(AVG((n_chars - n_tokens + 1) * 1.0 / n_tokens), 4)
+                                                              AS avg_word_len,
+           SUM(CASE WHEN n_tokens BETWEEN 5 AND 1000
+                     AND n_distinct_tokens * 1.0 / n_tokens > 0.2
+                    THEN 1 ELSE 0 END)                        AS n_quality_pass
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def d5_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio, length bounds, avg word length — the cheap quality
+    gates every corpus-cleaning pipeline applies before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    scored = docs.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    ttr = F.col("n_distinct_tokens") / F.col("n_tokens")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg(ttr), 4).alias("avg_ttr"),
+        F.round(
+            F.avg((F.col("n_chars") - F.col("n_tokens") + 1) / F.col("n_tokens")), 4
+        ).alias("avg_word_len"),
+        F.sum(
+            F.when(
+                F.col("n_tokens").between(5, 1000) & (ttr > 0.2), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_quality_pass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID: corpus-profile n-gram scoring (rows-only — argmax routing)
+# --------------------------------------------------------------------------
+@register("d7_langid_routing")
+def d7_langid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed language-ID: learn per-language token log-frequencies from
+    the corpus, score each document by summing its tokens' scores, route to
+    the argmax language.
+
+    Shape at scale: profile build is one agg over (lang, token); scoring is
+    explode → broadcast-join the profile (bounded by vocabulary) → sum per
+    doc. No Python in the loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    profile = (
+        tokens.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "score",
+            F.log(F.col("n") + 1)
+            - F.log(F.sum("n").over(Window.partitionBy("lang")) + 1),
+        )
+        .select(F.col("lang").alias("p_lang"), "token", "score")
+    )
+    doc_scores = (
+        tokens.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.sum("score").alias("total"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("total"), F.asc("p_lang"))
+    routed = (
+        doc_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("predicted_lang"))
+    )
+    return routed.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: order-sensitive rolling hash (rows-only: xxhash64)
+# --------------------------------------------------------------------------
+@register("d1_fingerprint")
+def d1_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token stream — an order-sensitive
+    fingerprint (unlike bag-of-shingles MinHash): fp = fold(31 * acc + h(t)).
+    Pure JVM fold; deterministic across runs and partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc * 31 + F.xxhash64(t),
+    )
+    with_fp = docs.select("doc_id", fp.alias("fingerprint"))
+    return with_fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct_fp"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup signatures (rows-only: xxhash64 bit tricks)
+# --------------------------------------------------------------------------
+@register("d2_simhash")
+def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: for each bit b, sign(Σ_tokens ±1) where
+    the ± comes from bit b of xxhash64(token). Near-dups share most bits, so
+    grouping on a band of the signature buckets candidates without an O(n²)
+    pass. Output: Hamming-band bucket sizes (the LSH-style candidate stats).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # bit b of the simhash: majority vote of bit b over token hashes
+    bit = lambda b: (  # noqa: E731
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1),
+        )
+        > 0
+    ).cast("long")
+    simhash = None
+    for b in range(16):  # 16-bit signature keeps the fold tree shallow
+        term = bit(b) * F.lit(1 << b)
+        simhash = term if simhash is None else simhash + term
+    sigs = docs.select("doc_id", simhash.alias("simhash"))
+    # band = top 8 bits: identical-band docs are near-dup candidates
+    banded = sigs.withColumn("band", F.shiftright("simhash", 8))
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("simhash").alias("n_signatures"),
+    )

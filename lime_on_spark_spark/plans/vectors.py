@@ -225,3 +225,54 @@ def d4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors.select(
         "vec_id", "label", F.round("l2_dist", 6).alias("l2_dist")
     )
+
+
+# --------------------------------------------------------------------------
+# D2b — embedding-cosine near-dup via BRP-LSH (rows-only)
+# --------------------------------------------------------------------------
+@register("d2_embedding_near_dup")
+def d2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, found with euclidean LSH:
+    for L2-normalized vectors ||a-b||^2 = 2 - 2cos(a,b), so cos > 0.95 is
+    dist < sqrt(0.1). Bucketed approxSimilarityJoin, never all-pairs."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=4, seed=42,
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 0.3162, distCol="l2_dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round(1 - F.col("l2_dist") * F.col("l2_dist") / 2, 6).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D4b — IVF cluster-probe ANN (rows-only)
+# --------------------------------------------------------------------------
+@register("d4_ivf_knn")
+def d4_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN: KMeans cells + probe the 4 nearest cells, exact
+    cosine top-10 inside them (operators/ivf.py)."""
+    from lime_on_spark_spark.operators.ivf import build_ivf_index, ivf_topk
+
+    assigned, centroids = build_ivf_index(spark, sf_dir, n_cells=16, seed=42)
+    query = assigned.filter(F.col("vec_id") == 0).head()
+    return ivf_topk(
+        assigned,
+        centroids,
+        [float(v) for v in query["embedding"]],
+        k=10,
+        n_probe=4,
+        exclude_ids=(0,),
+    )

@@ -1,0 +1,97 @@
+"""Unit tests for the multimodal plumbing (stubbed decode) and IVF ANN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Multimodal: schema, determinism, checksum correctness, stub behavior
+# --------------------------------------------------------------------------
+def test_decode_stub_rejects_real_formats():
+    from lime_on_spark_spark.operators.multimodal import decode_blob
+
+    with pytest.raises(NotImplementedError):
+        decode_blob("jpeg", b"\xff\xd8\xff")
+    arr = decode_blob("raw", b"abc")
+    assert arr.tolist() == [97, 98, 99]
+
+
+def test_extract_features_schema_and_values(spark):
+    from lime_on_spark_spark.operators.multimodal import (
+        attach_fake_blobs,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "xyz")], "doc_id bigint, text string"
+    )
+    out = extract_features(attach_fake_blobs(docs))
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,fmt:string,n_bytes:int,checksum:bigint,"
+        "feat:array<double>>"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # checksum = sum of utf-8 bytes; features normalized to sum 1
+    assert rows[1]["checksum"] == ord("a") + ord("b")
+    assert rows[1]["n_bytes"] == 2
+    assert rows[2]["checksum"] == ord("x") + ord("y") + ord("z")
+    for r in rows.values():
+        assert len(r["feat"]) == 8
+        assert sum(r["feat"]) == pytest.approx(1.0)
+
+
+def test_extract_features_deterministic_on_corpus(spark, sf_dir):
+    from lime_on_spark_spark.plans import registry
+
+    q = registry.queries()["m1_multimodal_features"]
+    r1 = sorted(map(tuple, q(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert r1 == r2
+    assert r1[0][0] == "raw"
+
+
+# --------------------------------------------------------------------------
+# IVF: probing all cells reproduces exact brute-force top-k; partial probe
+# returns correct similarity values for whatever it returns
+# --------------------------------------------------------------------------
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    from lime_on_spark_spark.operators.ivf import build_ivf_index, ivf_topk
+    from lime_on_spark_spark.plans import registry
+
+    assigned, centroids = build_ivf_index(spark, sf_dir, n_cells=16, seed=42)
+    query = assigned.filter(F.col("vec_id") == 0).head()
+    qvec = [float(v) for v in query["embedding"]]
+
+    full = ivf_topk(
+        assigned, centroids, qvec, k=10, n_probe=16, exclude_ids=(0,)
+    ).select("vec_id", "label", "cos_sim")
+    brute = registry.queries()["d3_knn_cosine_topk"](spark, sf_dir)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_ivf_partial_probe_values_correct(spark, sf_dir):
+    from lime_on_spark_spark.operators.ivf import build_ivf_index, ivf_topk
+
+    assigned, centroids = build_ivf_index(spark, sf_dir, n_cells=16, seed=42)
+    query = assigned.filter(F.col("vec_id") == 0).head()
+    qvec = np.array([float(v) for v in query["embedding"]])
+
+    partial = ivf_topk(
+        assigned, centroids, list(qvec), k=10, n_probe=4, exclude_ids=(0,)
+    ).collect()
+    assert 0 < len(partial) <= 10
+    # every returned similarity must equal the exact cosine for that id
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in assigned.collect()
+    }
+    for r in partial:
+        v = emb[r["vec_id"]]
+        expected = float(v @ qvec / (np.linalg.norm(v) * np.linalg.norm(qvec)))
+        assert r["cos_sim"] == pytest.approx(expected, abs=1e-6)
+    # descending order
+    sims = [r["cos_sim"] for r in partial]
+    assert sims == sorted(sims, reverse=True)
