@@ -279,3 +279,29 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("last_click_value", 2).alias("last_click_value"),
         )
     )
+
+
+@register(
+    "j2_right_outer",
+    oracle="""
+    SELECT n_name,
+           COUNT(s_suppkey)                                  AS n_suppliers,
+           ROUND(COALESCE(SUM(s_acctbal), 0), 2)             AS total_bal
+    FROM supplier
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def j2_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias(
+                "total_bal"
+            ),
+        )
+    )

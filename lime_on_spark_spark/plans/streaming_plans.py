@@ -144,3 +144,49 @@ def t6_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 streaming — sliding 1-hour / 15-minute windows over the stream
+# --------------------------------------------------------------------------
+@register("t2_streaming_sliding")
+def t2_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# T3 streaming — session windows (30-minute gap) per user over the stream
+# --------------------------------------------------------------------------
+@register("t3_streaming_session")
+def t3_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
