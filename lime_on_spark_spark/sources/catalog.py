@@ -44,7 +44,14 @@ def repair_event_ts(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one parquet table, applying per-table repairs."""
+    """Scan one parquet table, applying per-table repairs.
+
+    Applies runtime confs first: queries run under the DRIVER's session
+    (not one we built), and without ``nanosAsLong`` the events scan raises
+    PARQUET_TYPE_ILLEGAL. Conf-set on an already-configured session is a
+    cheap local no-op.
+    """
+    configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = repair_event_ts(df)
