@@ -120,13 +120,18 @@ def d7_langid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("d1_fingerprint")
 def d1_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the token stream — an order-sensitive
-    fingerprint (unlike bag-of-shingles MinHash): fp = fold(31 * acc + h(t)).
-    Pure JVM fold; deterministic across runs and partitionings."""
+    fingerprint (unlike bag-of-shingles MinHash):
+    fp = fold((31 * acc + h(t)) mod M), M = 2^31 - 1.
+
+    The modulus keeps every intermediate below 2^36, so the fold is exact
+    under ANSI arithmetic (no long overflow) while staying a pure JVM fold —
+    deterministic across runs and partitionings."""
     docs = load_table(spark, sf_dir, "documents")
+    m = F.lit(2147483647)  # 2^31 - 1 (Mersenne prime)
     fp = F.aggregate(
         F.split("text", " "),
         F.lit(0).cast("long"),
-        lambda acc, t: acc * 31 + F.xxhash64(t),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), m), m),
     )
     with_fp = docs.select("doc_id", fp.alias("fingerprint"))
     return with_fp.agg(

@@ -36,10 +36,12 @@ def _rows_only():
 @pytest.mark.parametrize("name", _rows_only())
 def test_rows_only_query_executes(name, spark, sf_dir):
     """Queries without an oracle (approx/stochastic ops) must still run and
-    produce a well-formed result under the driver's weaker rows-only check."""
+    produce a well-formed result under the driver's weaker rows-only check.
+    collect(), not count(): count() prunes projections and can hide
+    per-column evaluation errors (e.g. ANSI overflow)."""
     df = registry.queries()[name](spark, sf_dir)
     assert len(df.columns) > 0
-    assert df.count() >= 0
+    assert len(df.collect()) >= 0
 
 
 def test_all_queries_have_callables():

@@ -134,3 +134,37 @@ def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
     }
     recall = len(found) / n_planted
     assert recall >= 0.95, f"LSH recall {recall} below bound; found {len(found)}"
+
+
+# --------------------------------------------------------------------------
+# D2 embedding near-dup: the corpus has no pairs above the threshold (max
+# pairwise cosine ≈ 0.51 — verified via exact all-pairs), so the operator
+# correctly returns empty there; planted duplicates must be found.
+# --------------------------------------------------------------------------
+def test_embedding_near_dup_finds_planted_pairs(spark, sf_dir):
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planted = 10
+    planted = (
+        emb.filter(F.col("vec_id") < n_planted)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    spiked = emb.unionByName(planted).select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=4, seed=42,
+    )
+    pairs = lsh.fit(spiked).approxSimilarityJoin(
+        spiked, spiked, 0.3162, distCol="l2_dist"
+    )
+    found = pairs.filter(
+        F.col("datasetA.vec_id") + 1_000_000 == F.col("datasetB.vec_id")
+    ).count()
+    assert found == n_planted  # exact duplicates always collide in LSH
