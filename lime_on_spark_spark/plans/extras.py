@@ -1,0 +1,185 @@
+"""Extended analytics surface: pivot, explode/unnest, arg-min/max,
+subquery forms, sampling — operators a reference user reaches for beyond
+the core §2 rows.
+
+Determinism rules: arg-min/max order on a (value, unique-key) struct so
+ties are pinned identically in both engines; explode output carries the
+position; sampling is seeded (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide aggregation) — oracle via portable conditional aggregation
+# --------------------------------------------------------------------------
+@register(
+    "a5_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           COUNT(*)                                                        AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values — explicit values keep
+    the plan single-pass (no extra distinct job) and the schema stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        (F.coalesce("F_cnt", F.lit(0)) + F.coalesce("O_cnt", F.lit(0))).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Explode / unnest with position (lateral view)
+# --------------------------------------------------------------------------
+@register(
+    "f4_posexplode_unnest",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1              AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 4)        AS v
+    FROM embeddings
+    WHERE vec_id < 8
+    """,
+)
+def f4_posexplode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select("vec_id", "pos", F.round(F.col("x").cast("double"), 4).alias("v"))
+    )
+
+
+# --------------------------------------------------------------------------
+# arg-min / arg-max aggregates (min_by/max_by), tie-pinned via struct order
+# --------------------------------------------------------------------------
+@register(
+    "a4_minmax_by",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey)       AS rn_min,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC)
+                                                                           AS rn_max
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           MIN(CASE WHEN rn_min = 1 THEN o_orderkey END)     AS cheapest_order,
+           MIN(CASE WHEN rn_max = 1 THEN o_orderkey END)     AS priciest_order,
+           ROUND(MIN(o_totalprice), 2)                       AS min_price,
+           ROUND(MAX(o_totalprice), 2)                       AS max_price
+    FROM r
+    GROUP BY o_orderstatus
+    """,
+)
+def a4_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ordkey = F.struct("o_totalprice", "o_orderkey")
+    return orders.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", ordkey).alias("cheapest_order"),
+        F.max_by("o_orderkey", ordkey).alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery: rows above a computed global aggregate
+# --------------------------------------------------------------------------
+@register(
+    "p2_scalar_subquery",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*)                                          AS n_premium,
+           ROUND(AVG(p_retailprice), 4)                      AS avg_premium_price
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def p2_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-subquery pattern as a broadcast singleton join: the
+    aggregate is one row, so the comparison distributes for free."""
+    part = load_table(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("threshold"))
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("threshold"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_premium"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_premium_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated EXISTS over a date condition (TPC-H q4 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                                          AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS as a left-semi join with the correlation condition
+    inside the join predicate — one shuffle on the order key."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, 60).cast("timestamp")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Seeded sampling (rows-only: sample composition is partitioning-dependent)
+# --------------------------------------------------------------------------
+@register("s4_seeded_sample")
+def s4_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sample = li.sample(fraction=0.1, seed=42)
+    return sample.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("l_orderkey").alias("n_orders_touched"),
+    )

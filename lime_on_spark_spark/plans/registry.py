@@ -41,6 +41,7 @@ _PLAN_MODULES = (
     "lime_on_spark_spark.plans.multimodal_plans",
     "lime_on_spark_spark.plans.lime_plans",
     "lime_on_spark_spark.plans.streaming_plans",
+    "lime_on_spark_spark.plans.extras",
 )
 
 
