@@ -201,3 +201,76 @@ def l10_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prediction") == F.col("label").cast("double")).cast("int")
         ).cast("bigint").alias("n_correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# L4 — black-box scoring of perturbations (rows-only; deterministic model)
+# --------------------------------------------------------------------------
+@register("l4_score_perturbations")
+def l4_score_perturbations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone L4: perturb two instances, score every perturbation with
+    the broadcast MLlib model, summarize the probability mass per instance.
+    (Inside L8 this stage is fused with L5/L6.)"""
+    from lime_on_spark_spark.lime.models import score_tabular, train_tabular_model
+    from lime_on_spark_spark.lime.perturb import perturb_tabular
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    instances = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("instance_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    samples = perturb_tabular(instances, mu=[0.0] * 64, num_samples=50, seed=7)
+    model = train_tabular_model(spark, sf_dir)
+    scored = score_tabular(model, samples)
+    p_max = F.array_max("probs")
+    return scored.groupBy("instance_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg(p_max), 6).alias("avg_top_prob"),
+        F.round(F.min(p_max), 6).alias("min_top_prob"),
+        F.round(F.max(p_max), 6).alias("max_top_prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L6/L7 — weighted ridge surrogate on a fully deterministic neighborhood
+# (rows-only; no model in the loop, so the output is exactly reproducible)
+# --------------------------------------------------------------------------
+@register("l6_ridge_surrogate")
+def l6_ridge_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone L6: fit the per-instance weighted ridge where y is a known
+    linear function of the interpretable rep (y = 0.3*z0 + 0.2*z1 + 0.1),
+    so the surrogate must recover ~those weights — a distributed end-to-end
+    check of the applyInPandas fit path, reproducible bit-for-bit."""
+    import pandas as pd
+
+    from lime_on_spark_spark.lime.explain import TABULAR_SCHEMA, _fit_group
+    from lime_on_spark_spark.lime.perturb import perturb_tabular
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    instances = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("instance_id"),
+        F.transform(
+            F.slice("embedding", 1, 8), lambda v: v.cast("double")
+        ).alias("x"),
+    )
+    samples = perturb_tabular(instances, mu=[0.0] * 8, num_samples=100, seed=7)
+    with_y = samples.select(
+        "instance_id",
+        "sample_id",
+        "z",
+        (
+            F.element_at("z", 1) * 0.3 + F.element_at("z", 2) * 0.2 + F.lit(0.1)
+        ).cast("double").alias("y"),
+        F.lit(1.0).alias("weight"),
+    )
+    out = with_y.groupBy("instance_id").applyInPandas(
+        lambda pdf: _fit_group(pdf, k=3, alpha=1.0, with_words=False),
+        schema=TABULAR_SCHEMA,
+    )
+    return out.select(
+        "instance_id",
+        "feature_idx",
+        F.round("weight", 6).alias("weight"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )

@@ -168,3 +168,54 @@ def test_embedding_near_dup_finds_planted_pairs(spark, sf_dir):
         F.col("datasetA.vec_id") + 1_000_000 == F.col("datasetB.vec_id")
     ).count()
     assert found == n_planted  # exact duplicates always collide in LSH
+
+
+# --------------------------------------------------------------------------
+# J7 as-of join vs pandas merge_asof — independent implementation of the
+# same semantics (latest click at-or-before each purchase, per user).
+# --------------------------------------------------------------------------
+def test_asof_join_matches_pandas_merge_asof(spark, sf_dir):
+    import pandas as pd
+
+    from lime_on_spark_spark.plans import registry
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    ours = registry.queries()["j7_asof_join"](spark, sf_dir).toPandas()
+
+    events = load_table(spark, sf_dir, "events").toPandas()
+    purchases = (
+        events[events.event_type == "purchase"]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    clicks = (
+        events[events.event_type == "click"]
+        .sort_values(["ts", "event_id"])  # ties: max event_id wins (= window order)
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        purchases,
+        clicks[["user_id", "ts", "value"]].rename(
+            columns={"ts": "last_click_ts", "value": "last_click_value"}
+        ),
+        left_on="ts",
+        right_on="last_click_ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    merged = ours.merge(
+        expected[["event_id", "last_click_ts", "last_click_value"]],
+        left_on="purchase_id",
+        right_on="event_id",
+        suffixes=("", "_exp"),
+    )
+    assert len(merged) == len(ours) == len(purchases)
+    ts_match = (
+        merged["last_click_ts"].isna() & merged["last_click_ts_exp"].isna()
+    ) | (merged["last_click_ts"] == merged["last_click_ts_exp"])
+    assert ts_match.all()
+    val_match = (
+        merged["last_click_value"].isna() & merged["last_click_value_exp"].isna()
+    ) | ((merged["last_click_value"] - merged["last_click_value_exp"].round(2)).abs() < 1e-9)
+    assert val_match.all()
