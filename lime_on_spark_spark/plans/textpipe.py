@@ -176,3 +176,35 @@ def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("simhash").alias("n_signatures"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace vs BPE-ish regex tokenization (SQL oracle)
+# --------------------------------------------------------------------------
+@register(
+    "d5_token_counting",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*)                                           AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)  AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+                                                              AS regex_tokens,
+           CAST(SUM(length(text)) AS BIGINT)                  AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def d5_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per language — the budget
+    arithmetic (tokens-per-doc, chars-per-token) every training-data
+    pipeline runs before packing. Both counts are JVM regexp expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("regex_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
