@@ -150,3 +150,34 @@ def p5_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("l_linestatus"), F.lit("O"))
     )
     return li.groupBy(ns_eq.alias("ns_eq")).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# S3 — catalog view registration + the SQL-string interface over it
+# --------------------------------------------------------------------------
+@register(
+    "s3_sql_over_views",
+    oracle="""
+    SELECT r_name,
+           COUNT(*)                                          AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT)                  AS key_sum
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def s3_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registers every table as a temp view (S3) and answers with
+    spark.sql(...) — the engine's SQL-string front door. The SQL text is
+    identical ANSI on both engines."""
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        SELECT r_name,
+               COUNT(*)                   AS n_nations,
+               SUM(n_nationkey)           AS key_sum
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )

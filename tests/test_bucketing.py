@@ -1,0 +1,66 @@
+"""Bucketed co-located join (the 100-TB shuffle-elimination strategy).
+
+Writes orders/lineitem bucketed by the join key into managed tables, then
+asserts the bucketed join plan contains NO shuffle exchange while the plain
+parquet join does — the concrete payoff of pre-bucketing fact tables that
+are repeatedly joined on the same key.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    load_table(spark, sf_dir, "orders").write.bucketBy(4, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(4, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("b_lineitem")
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def _join_plan(spark, left, right):
+    df = left.join(right, left.o_orderkey == right.l_orderkey).groupBy(
+        "o_orderpriority"
+    ).agg(F.sum("l_quantity").alias("qty"))
+    return df, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
+    # Disable AQE broadcast conversion so the join strategy (not size-based
+    # runtime rewrites) is what the plan shows at this tiny SF.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b_df, b_plan = _join_plan(
+            spark, spark.table("b_orders"), spark.table("b_lineitem")
+        )
+        p_df, p_plan = _join_plan(
+            spark,
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+        # bucketed: join itself needs no exchange (only the final group-by's)
+        b_pre_agg = b_plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning" not in b_pre_agg, b_plan
+        # plain parquet: the same join must shuffle both sides
+        p_pre_agg = p_plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning" in p_pre_agg, p_plan
+        # and the results agree
+        assert sorted(map(tuple, b_df.collect())) == sorted(
+            map(tuple, p_df.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
