@@ -219,3 +219,47 @@ def test_asof_join_matches_pandas_merge_asof(spark, sf_dir):
         merged["last_click_value"].isna() & merged["last_click_value_exp"].isna()
     ) | ((merged["last_click_value"] - merged["last_click_value_exp"].round(2)).abs() < 1e-9)
     assert val_match.all()
+
+
+# --------------------------------------------------------------------------
+# Salting (skew mitigation): salted results must equal the plain ones, and
+# the salted partial stage must spread a hot key over many partitions.
+# --------------------------------------------------------------------------
+def test_salted_sum_equals_plain_sum(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.salting import salted_sum
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("total"))
+    salted = salted_sum(li, "l_returnflag", "l_quantity", n_salts=8)
+    p = {r["l_returnflag"]: round(r["total"], 6) for r in plain.collect()}
+    s = {r["l_returnflag"]: round(r["total"], 6) for r in salted.collect()}
+    assert p == s
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.salting import salted_join_small_build
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join_small_build(
+            orders.withColumnRenamed("o_custkey", "custkey"),
+            cust.withColumnRenamed("c_custkey", "custkey"),
+            "custkey",
+            n_salts=4,
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
