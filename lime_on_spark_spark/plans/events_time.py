@@ -140,3 +140,43 @@ def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical rollup: day-level aggregate REAGGREGATED from the hour level
+# (the continuous-aggregate pattern: at 100 TB the day rollup reads the tiny
+# materialized hour table, never the raw events)
+# --------------------------------------------------------------------------
+@register(
+    "t1_hierarchical_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts)  AS hour_start,
+               event_type,
+               COUNT(*)                AS n_events,
+               SUM(value)              AS total_value
+        FROM events
+        GROUP BY hour_start, event_type
+    )
+    SELECT date_trunc('day', hour_start)                      AS day_start,
+           event_type,
+           CAST(SUM(n_events) AS BIGINT)                      AS n_events,
+           ROUND(SUM(total_value), 2)                         AS total_value
+    FROM hourly
+    GROUP BY day_start, event_type
+    """,
+)
+def t1_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("total_value"), 2).alias("total_value"),
+    )

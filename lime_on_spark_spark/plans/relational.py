@@ -191,3 +191,76 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q10-shape: top customers by returned-revenue (join + agg + top-k)
+# --------------------------------------------------------------------------
+@register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c_custkey,
+           c_name,
+           n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer, top-20: fact-fact join shuffles
+    on the order key, bounded dims (nation) broadcast, top-k via
+    TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q12-shape: priority counts bucketed by a CASE over the priority column
+# --------------------------------------------------------------------------
+@register(
+    "q12_priority_buckets",
+    oracle="""
+    SELECT year(l_shipdate)                                   AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)        AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)        AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY ship_year
+    """,
+)
+def q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
