@@ -80,8 +80,8 @@ def d1_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(len(string_split(text, ' '))), 4)        AS avg_tokens,
            ROUND(AVG(length(text)), 4)                        AS avg_chars,
            MAX(n_chars)                                       AS max_chars,
-           SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
-                                                              AS n_chars_consistent
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+                AS BIGINT)                                    AS n_chars_consistent
     FROM documents
     GROUP BY lang, source
     """,
@@ -110,8 +110,8 @@ def d5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            lang,
            COUNT(*)                                           AS n,
            ROUND(AVG(n_chars), 4)                             AS avg_chars,
-           MIN(len(embedding))                                AS dim_min,
-           MAX(len(embedding))                                AS dim_max
+           CAST(MIN(len(embedding)) AS INTEGER)               AS dim_min,
+           CAST(MAX(len(embedding)) AS INTEGER)               AS dim_max
     FROM documents d
     JOIN embeddings e ON e.vec_id = d.doc_id
     GROUP BY label, lang

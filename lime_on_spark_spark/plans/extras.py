@@ -57,7 +57,7 @@ def a5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f4_posexplode_unnest",
     oracle="""
     SELECT vec_id,
-           generate_subscripts(embedding, 1) - 1              AS pos,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
            ROUND(CAST(unnest(embedding) AS DOUBLE), 4)        AS v
     FROM embeddings
     WHERE vec_id < 8

@@ -242,7 +242,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q12_priority_buckets",
     oracle="""
-    SELECT year(l_shipdate)                                   AS ship_year,
+    SELECT CAST(year(l_shipdate) AS INTEGER)                  AS ship_year,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT)        AS high_line_count,
            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')

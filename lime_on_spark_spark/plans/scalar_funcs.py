@@ -29,11 +29,11 @@ from lime_on_spark_spark.sources.catalog import load_table
            lower(c_name)                                    AS name_lc,
            upper(c_mktsegment)                              AS seg_uc,
            substring(c_name, 1, 8)                          AS name_prefix,
-           length(c_name)                                   AS name_len,
+           CAST(length(c_name) AS INTEGER)                  AS name_len,
            concat_ws('|', c_mktsegment, c_name)             AS tagged,
            regexp_replace(c_name, '0', '', 'g')             AS no_zeros,
-           levenshtein(c_mktsegment, 'BUILDING')            AS seg_dist,
-           len(string_split(c_name, '#'))                   AS n_parts
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist,
+           CAST(len(string_split(c_name, '#')) AS INTEGER)  AS n_parts
     FROM customer
     WHERE c_custkey < 500
     """,
@@ -59,12 +59,12 @@ def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f2_datetime_funcs",
     oracle="""
-    SELECT year(o_orderdate)                                          AS yr,
-           quarter(o_orderdate)                                       AS qtr,
-           month(o_orderdate)                                         AS mth,
-           dayofweek(o_orderdate) + 1                                 AS dow,
+    SELECT CAST(year(o_orderdate) AS INTEGER)                         AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER)                      AS qtr,
+           CAST(month(o_orderdate) AS INTEGER)                        AS mth,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER)                AS dow,
            date_trunc('month', o_orderdate)                           AS month_start,
-           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
            CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)          AS due_date,
            COUNT(*)                                                   AS n
     FROM orders

@@ -35,9 +35,9 @@ from lime_on_spark_spark.sources.catalog import load_table
            ROUND(AVG(n_distinct_tokens * 1.0 / n_tokens), 4)  AS avg_ttr,
            ROUND(AVG((n_chars - n_tokens + 1) * 1.0 / n_tokens), 4)
                                                               AS avg_word_len,
-           SUM(CASE WHEN n_tokens BETWEEN 5 AND 1000
-                     AND n_distinct_tokens * 1.0 / n_tokens > 0.2
-                    THEN 1 ELSE 0 END)                        AS n_quality_pass
+           CAST(SUM(CASE WHEN n_tokens BETWEEN 5 AND 1000
+                          AND n_distinct_tokens * 1.0 / n_tokens > 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT)        AS n_quality_pass
     FROM scored
     GROUP BY lang
     """,

@@ -48,8 +48,8 @@ def cosine(a: Column, b: Column) -> Column:
     "f4_array_hofs",
     oracle="""
     SELECT vec_id,
-           len(embedding)                                     AS dim,
-           len(list_filter(embedding, x -> x > 0))            AS n_pos,
+           CAST(len(embedding) AS INTEGER)                    AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
            ROUND(list_sum(list_transform(embedding,
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)
                                                               AS sum_sq,

@@ -29,9 +29,9 @@ from lime_on_spark_spark.sources.catalog import load_table
         SELECT o_custkey,
                o_orderkey,
                ROUND(o_totalprice, 2)                        AS price,
-               rank()       OVER w                           AS rk,
-               dense_rank() OVER w                           AS drk,
-               row_number() OVER w                           AS rn
+               CAST(rank()       OVER w AS INTEGER)          AS rk,
+               CAST(dense_rank() OVER w AS INTEGER)          AS drk,
+               CAST(row_number() OVER w AS INTEGER)          AS rn
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_totalprice DESC, o_orderkey)
@@ -62,7 +62,7 @@ def w1_order_rank_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ntile_bucket, COUNT(*) AS n, ROUND(MIN(pr), 6) AS min_pr,
            ROUND(MAX(pr), 6) AS max_pr
     FROM (
-        SELECT ntile(4)       OVER w AS ntile_bucket,
+        SELECT CAST(ntile(4) OVER w AS INTEGER) AS ntile_bucket,
                percent_rank() OVER w AS pr
         FROM customer
         WINDOW w AS (ORDER BY c_acctbal, c_custkey)
@@ -101,9 +101,9 @@ def w1_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(lag(o_totalprice)  OVER w, 2)                AS prev_price,
            ROUND(lead(o_totalprice) OVER w, 2)                AS next_price,
            ROUND(first_value(o_totalprice) OVER w, 2)         AS first_price,
-           datediff('day',
-                    CAST(lag(o_orderdate) OVER w AS DATE),
-                    CAST(o_orderdate AS DATE))                AS days_since_prev
+           CAST(datediff('day',
+                         CAST(lag(o_orderdate) OVER w AS DATE),
+                         CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -183,8 +183,8 @@ def w3_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_nationkey,
                c_custkey,
                ROUND(c_acctbal, 2)                            AS acctbal,
-               row_number() OVER (PARTITION BY c_nationkey
-                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+               CAST(row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
         FROM customer
     ) WHERE rn <= 5
     """,
