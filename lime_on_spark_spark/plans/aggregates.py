@@ -76,8 +76,9 @@ def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(stddev_samp(l_quantity), 4)                 AS sd_qty,
            ROUND(var_samp(l_quantity), 4)                    AS var_qty,
            ROUND(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
-           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                          v -> round(v, 4))                  AS price_quartiles
+           array_to_string(
+               list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                              v -> printf('%.4f', v)), ',') AS price_quartiles
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -89,7 +90,9 @@ def a4_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.transform(quartiles, lambda v: F.round(v, 4)).alias("price_quartiles"),
+        F.array_join(
+            F.transform(quartiles, lambda v: F.format_string("%.4f", v)), ","
+        ).alias("price_quartiles"),
     )
 
 
@@ -166,7 +169,7 @@ def a6_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_collect_list",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name))                           AS nations
+           array_to_string(list_sort(list(n_name)), ',')     AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
@@ -174,7 +177,7 @@ def a6_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a7_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
 
 
@@ -182,7 +185,8 @@ def a7_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_collect_set",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment))            AS segments
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                                                             AS segments
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -190,5 +194,7 @@ def a7_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a7_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments")
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        )
     )

@@ -53,10 +53,10 @@ def cosine(a: Column, b: Column) -> Column:
            ROUND(list_sum(list_transform(embedding,
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4)
                                                               AS sum_sq,
-           list_transform(
+           array_to_string(list_transform(
                list_slice(list_sort(list_transform(embedding,
                                     x -> CAST(x AS DOUBLE))), 1, 4),
-               x -> round(x, 3))                              AS smallest4,
+               x -> printf('%.3f', x)), ',')                  AS smallest4,
            list_contains(list_transform(embedding, x -> x > 1.0), true)
                                                               AS has_gt1
     FROM embeddings
@@ -77,8 +77,12 @@ def f4_array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("sum_sq"),
-        F.transform(
-            F.slice(F.array_sort(as_double), 1, 4), lambda x: F.round(x, 3)
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(as_double), 1, 4),
+                lambda x: F.format_string("%.3f", x),
+            ),
+            ",",
         ).alias("smallest4"),
         F.array_contains(
             F.transform("embedding", lambda x: x > 1.0), True
