@@ -94,3 +94,69 @@ def extract_features(blobs: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, out_h int, out_w int, n_px int, px_checksum bigint"
+FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_bytes int, frame_checksum bigint"
+)
+
+
+def resize_images(blobs: DataFrame, out_h: int = 4, out_w: int = 4) -> DataFrame:
+    """Map-only image resize over Arrow batches. The 'raw' format interprets
+    the payload as a 1×N grayscale strip; resize = nearest-neighbor index
+    sampling into an out_h×out_w grid — the real-codec path would decode to
+    H×W×3 first (NotImplementedError via decode_blob for real formats)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"], pdf["meta"]):
+                arr = decode_blob(meta["fmt"], blob)
+                n = max(arr.size, 1)
+                idx = (np.arange(out_h * out_w) * n) // (out_h * out_w)
+                px = arr[np.minimum(idx, n - 1)] if arr.size else np.zeros(
+                    out_h * out_w, dtype=np.uint8
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "out_h": out_h,
+                        "out_w": out_w,
+                        "n_px": int(px.size),
+                        "px_checksum": int(px.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(blobs: DataFrame, frame_size: int = 64, every_k: int = 4) -> DataFrame:
+    """Map-only frame sampling: treat the payload as consecutive fixed-size
+    frames (a stand-in for video GOPs), emit every k-th frame's stats. One
+    input row fans out to ceil(n_frames / k) output rows — the Arrow batch
+    shape a real video sampler produces."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"], pdf["meta"]):
+                arr = decode_blob(meta["fmt"], blob)
+                n_frames = max((arr.size + frame_size - 1) // frame_size, 0)
+                for fi in range(0, n_frames, every_k):
+                    frame = arr[fi * frame_size : (fi + 1) * frame_size]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": fi,
+                            "frame_bytes": int(frame.size),
+                            "frame_checksum": int(frame.astype(np.int64).sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_bytes", "frame_checksum"],
+            )
+
+    return blobs.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -55,3 +55,32 @@ def m2_multimodal_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.element_at("feat", 1)), 6).alias("avg_feat0"),
         )
     )
+
+
+@register("m3_resize_and_frames")
+def m3_resize_and_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + frame-sample stubs over the blob column: two map-only
+    Pandas stages joined on doc_id, then summarized."""
+    from lime_on_spark_spark.operators.multimodal import (
+        attach_fake_blobs,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_fake_blobs(docs)
+    resized = resize_images(blobs)
+    frames = sample_frames(blobs)
+    frame_stats = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.sum("frame_bytes").alias("sampled_bytes"),
+    )
+    return (
+        resized.join(frame_stats, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("px_checksum").alias("total_px_checksum"),
+            F.sum("n_sampled_frames").alias("total_frames"),
+            F.sum("sampled_bytes").alias("total_sampled_bytes"),
+        )
+    )

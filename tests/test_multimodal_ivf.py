@@ -95,3 +95,34 @@ def test_ivf_partial_probe_values_correct(spark, sf_dir):
     # descending order
     sims = [r["cos_sim"] for r in partial]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_resize_deterministic_sampling(spark):
+    from lime_on_spark_spark.operators.multimodal import (
+        attach_fake_blobs,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnop")], "doc_id bigint, text string"
+    )
+    out = resize_images(attach_fake_blobs(docs), out_h=2, out_w=2).head()
+    # 16 bytes sampled at indices (i*16)//4 = 0,4,8,12 -> 'a','e','i','m'
+    assert out["n_px"] == 4
+    assert out["px_checksum"] == ord("a") + ord("e") + ord("i") + ord("m")
+
+
+def test_frame_sampling_every_k(spark):
+    from lime_on_spark_spark.operators.multimodal import (
+        attach_fake_blobs,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame([(1, "x" * 300)], "doc_id bigint, text string")
+    rows = sample_frames(
+        attach_fake_blobs(docs), frame_size=64, every_k=2
+    ).collect()
+    # 300 bytes -> 5 frames (64,64,64,64,44); every 2nd -> frames 0,2,4
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    sizes = {r["frame_idx"]: r["frame_bytes"] for r in rows}
+    assert sizes == {0: 64, 2: 64, 4: 44}
