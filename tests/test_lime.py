@@ -180,3 +180,62 @@ def test_submodular_pick_covers_features():
     picked = submodular_pick(W, k=3)
     assert picked[:2] == [2, 0]
     assert len(set(picked)) == 3
+
+
+# --------------------------------------------------------------------------
+# End-to-end faithfulness: explaining a model whose decision is driven by
+# one known feature must surface that feature with the largest |weight|.
+# --------------------------------------------------------------------------
+def test_explanation_faithful_to_dominant_feature(spark):
+    import numpy as np
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from lime_on_spark_spark.lime.explain import TABULAR_SCHEMA, _fit_group
+    from lime_on_spark_spark.lime.kernel import (
+        default_kernel_width,
+        euclidean_distance,
+        exponential_kernel,
+    )
+    from lime_on_spark_spark.lime.models import score_tabular
+    from lime_on_spark_spark.lime.perturb import perturb_tabular
+    from pyspark.sql import functions as F
+
+    d = 6
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((300, d))
+    y = (X[:, 2] > 0).astype(float)  # feature 2 fully determines the label
+    train = spark.createDataFrame(
+        [(x.tolist(), float(lbl)) for x, lbl in zip(X, y)],
+        "embedding array<double>, label double",
+    )
+    model = LogisticRegression(maxIter=50, regParam=0.01).fit(
+        train.select(array_to_vector("embedding").alias("features"), "label")
+    )
+
+    inst = spark.createDataFrame(
+        [(0, [0.5, -0.3, 2.0, 0.1, -0.2, 0.4])],
+        "instance_id bigint, x array<double>",
+    )
+    samples = perturb_tabular(inst, mu=[0.0] * d, num_samples=400, seed=7)
+    scored = score_tabular(model, samples)
+    scored = scored.withColumn("y", F.element_at("probs", 2))  # P(class 1)
+    weighted = scored.withColumn(
+        "weight",
+        exponential_kernel(
+            euclidean_distance(F.col("raw"), F.col("x")), default_kernel_width(d)
+        ),
+    )
+    expl = (
+        weighted.select("instance_id", "sample_id", "z", "y", "weight")
+        .groupBy("instance_id")
+        .applyInPandas(
+            lambda pdf: _fit_group(pdf, k=3, alpha=1.0, with_words=False),
+            schema=TABULAR_SCHEMA,
+        )
+        .toPandas()
+    )
+    top = expl.loc[expl["weight"].abs().idxmax()]
+    assert top["feature_idx"] == 2, expl
+    # masking x2=2.0 to 0 flips P(class 1) down => positive weight on z2
+    assert top["weight"] > 0
