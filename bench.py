@@ -30,6 +30,16 @@ HEADLINE = (
     "d3_knn_cosine_topk",
 )
 
+#: Heaviest non-headline operators — timed so a perf regression in the
+#: expensive paths is observable round-over-round (no baseline row exists
+#: for these; they are tracked against their own prior values).
+EXTENDED = (
+    "j7_asof_join",
+    "t3_session_window",
+    "d2_minhash_near_dup",
+    "l8_batch_explain_tabular",
+)
+
 
 def _run_once(df) -> float:
     t0 = time.perf_counter()
@@ -49,21 +59,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        df = fn(spark, sf_dir)
-        _run_once(df)  # untimed warm-up (parquet footer/OS cache, codegen)
-        best = min(_run_once(fn(spark, sf_dir)) for _ in range(2))
-        timings[name] = round(best, 4)
+
+    def time_block(names) -> dict[str, float]:
+        block: dict[str, float] = {}
+        for name in names:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            df = fn(spark, sf_dir)
+            _run_once(df)  # untimed warm-up (parquet footer/OS cache, codegen)
+            best = min(_run_once(fn(spark, sf_dir)) for _ in range(2))
+            block[name] = round(best, 4)
+        return block
+
+    timings = time_block(HEADLINE)
+    extended = time_block(EXTENDED)
 
     out = {
         "metric": "headline_total_latency",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "sf": sf,
     }
     print(json.dumps(out))

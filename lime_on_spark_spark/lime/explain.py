@@ -161,8 +161,11 @@ def explain_text(
     model, _labels = train_text_model(spark, sf_dir)
     scored = _with_label_prob(score_text(model, samples))
     # Cosine distance between binary z and the all-ones original:
-    # 1 - sum(z) / (sqrt(sum(z)) * sqrt(d')) = 1 - sqrt(n_kept / d').
-    dist = 1 - F.sqrt(F.col("n_kept") / F.size("z"))
+    # 1 - sum(z) / (sqrt(sum(z)) * sqrt(d')) = 1 - sqrt(n_kept / d'),
+    # scaled by 100 as upstream lime_text does before its width-25 kernel —
+    # without the scaling the kernel is ~1 everywhere and weighting is a
+    # no-op.
+    dist = (1 - F.sqrt(F.col("n_kept") / F.size("z"))) * 100
     weighted = scored.withColumn(
         "weight", exponential_kernel(dist, TEXT_KERNEL_WIDTH)
     )

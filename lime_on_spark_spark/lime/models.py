@@ -14,12 +14,19 @@ from pyspark.sql import functions as F
 
 from lime_on_spark_spark.sources.catalog import load_table
 
-_CACHE: dict[tuple[int, str, str], object] = {}
+_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str, kind: str) -> tuple[str, str, str]:
+    """Key on applicationId, not id(spark): a new session after a stop can
+    reuse the same id() and would silently receive a model bound to the dead
+    session's JVM. applicationId is unique per SparkContext."""
+    return (spark.sparkContext.applicationId, sf_dir, kind)
 
 
 def train_tabular_model(spark: SparkSession, sf_dir: str):
     """LogisticRegression on embeddings -> label (10 classes)."""
-    key = (id(spark), sf_dir, "tabular")
+    key = _cache_key(spark, sf_dir, "tabular")
     if key not in _CACHE:
         from pyspark.ml.classification import LogisticRegression
         from pyspark.ml.functions import array_to_vector
@@ -40,7 +47,7 @@ def train_text_model(spark: SparkSession, sf_dir: str):
     Returns (pipeline_model, labels) where labels[i] is the lang string for
     model class i (StringIndexer order).
     """
-    key = (id(spark), sf_dir, "text")
+    key = _cache_key(spark, sf_dir, "text")
     if key not in _CACHE:
         from pyspark.ml import Pipeline
         from pyspark.ml.classification import LogisticRegression

@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lime_on_spark_spark.plans.vectors import cosine
+from lime_on_spark_spark.functions.vector import cosine
 from lime_on_spark_spark.sources.catalog import load_table
 
 

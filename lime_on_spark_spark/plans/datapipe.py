@@ -17,6 +17,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,7 +158,13 @@ def d7_lang_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.environ.get(
         "LIME_ON_SPARK_SCRATCH", os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
     )
-    sink = os.path.join(os.path.abspath(scratch), "d7_routing.parquet")
+    # Unique per-invocation sink: a fixed path would let concurrent runs
+    # (parallel test workers, bench + driver) overwrite each other's output
+    # mid-read. applicationId + uuid keeps every writer isolated.
+    unique = f"{spark.sparkContext.applicationId}-{uuid.uuid4().hex[:12]}"
+    sink = os.path.join(
+        os.path.abspath(scratch), f"d7_routing-{unique}.parquet"
+    )
     docs.write.mode("overwrite").partitionBy("lang").parquet(sink)
     routed = spark.read.parquet(sink)
     return routed.groupBy("lang").agg(

@@ -97,7 +97,7 @@ def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t3_session_window",
     oracle="""
     WITH g AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id)
                          >= INTERVAL 30 MINUTE
@@ -108,7 +108,7 @@ def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
         SELECT user_id, ts, value,
                SUM(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY ts
+                                      ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                                AND CURRENT ROW) AS session_id
         FROM g

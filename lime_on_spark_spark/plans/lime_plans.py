@@ -53,9 +53,9 @@ def l1_discretizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.vec_id,
            ROUND(list_distance(CAST(e.embedding AS DOUBLE[]),
                                CAST(q.embedding AS DOUBLE[])), 6)      AS dist,
-           ROUND(exp(-pow(list_distance(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.embedding AS DOUBLE[])), 2)
-                     / 36.0), 6)                                       AS kernel_weight
+           ROUND(sqrt(exp(-pow(list_distance(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])), 2)
+                          / 36.0)), 6)                                 AS kernel_weight
     FROM embeddings e
     CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
     """,

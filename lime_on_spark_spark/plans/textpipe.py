@@ -81,21 +81,27 @@ def d7_langid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax language.
 
     Shape at scale: profile build is one agg over (lang, token); scoring is
-    explode → broadcast-join the profile (bounded by vocabulary) → sum per
-    doc. No Python in the loop.
+    explode → broadcast-join the profile → sum per doc. No Python in the
+    loop. The broadcast is bounded by PROFILE_TOP_K tokens per language —
+    a raw web-corpus vocabulary can exceed broadcast limits, so the profile
+    keeps only each language's most frequent tokens (rank ties broken by
+    token for determinism); rare tokens carry little language signal anyway.
     """
+    PROFILE_TOP_K = 50_000  # per-language broadcast bound
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     )
+    counts = tokens.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    rk = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
     profile = (
-        tokens.groupBy("lang", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
+        counts.withColumn(
             "score",
             F.log(F.col("n") + 1)
             - F.log(F.sum("n").over(Window.partitionBy("lang")) + 1),
         )
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= PROFILE_TOP_K)
         .select(F.col("lang").alias("p_lang"), "token", "score")
     )
     doc_scores = (

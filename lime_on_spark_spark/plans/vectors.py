@@ -17,28 +17,12 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lime_on_spark_spark.functions.vector import cosine, dot, l2_norm
 from lime_on_spark_spark.plans.registry import register
 from lime_on_spark_spark.sources.catalog import load_table
-
-
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double precision, left-to-right (matches DuckDB list_dot_product)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda s, v: s + v,
-    )
-
-
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 # --------------------------------------------------------------------------

@@ -114,7 +114,9 @@ def test_kernel_matches_numpy(spark):
     ).head()
     d_np = float(np.linalg.norm(np.array(a) - np.array(b)))
     assert row["d"] == pytest.approx(d_np, rel=1e-12)
-    assert row["k"] == pytest.approx(math.exp(-(d_np**2) / 36.0), rel=1e-12)
+    assert row["k"] == pytest.approx(
+        math.sqrt(math.exp(-(d_np**2) / 36.0)), rel=1e-12
+    )
 
 
 # --------------------------------------------------------------------------
