@@ -28,6 +28,7 @@ _LOADED = False
 #: Plan modules imported for their registration side effects.
 _PLAN_MODULES = (
     "lime_on_spark_spark.plans.relational",
+    "lime_on_spark_spark.plans.classic",
     "lime_on_spark_spark.plans.basic",
     "lime_on_spark_spark.plans.joins",
     "lime_on_spark_spark.plans.aggregates",

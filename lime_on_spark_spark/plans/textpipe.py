@@ -214,3 +214,80 @@ def d5_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bpe).alias("regex_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# D2 — exact n-gram Jaccard near-dup pairs (SQL oracle)
+# --------------------------------------------------------------------------
+@register(
+    "d2_ngram_jaccard",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for near-dup pairs above 0.5.
+
+    Shape at scale: shingle -> inverted-index self-join (candidates come
+    from shared-shingle equi-joins, never an all-pairs cross join), then
+    exact |A∩B| / |A∪B| from per-pair intersection counts + per-doc set
+    sizes. At web scale, prepend the MinHash prefilter (d2_minhash_near_dup)
+    and drop stop-shingles above a document-frequency cutoff — a shingle
+    shared by millions of docs creates a hot join key and contributes
+    nothing to a >=0.5 pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+    sh = (
+        docs.filter(F.size(w) >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
