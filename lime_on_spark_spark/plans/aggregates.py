@@ -198,3 +198,36 @@ def a7_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segments"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A5c — explicit GROUPING SETS with grouping() flags
+# --------------------------------------------------------------------------
+@register(
+    "a5_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*)                                   AS n,
+           ROUND(SUM(o_totalprice), 2)                AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — neither a rollup nor a cube: per-status,
+    per-priority, and grand-total rows in ONE pass (one shuffle, Spark
+    expands the sets map-side), with grouping() flags disambiguating
+    real NULLs from subtotal NULLs."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("a5_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*)                               AS n,
+               ROUND(SUM(o_totalprice), 2)            AS total
+        FROM a5_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)

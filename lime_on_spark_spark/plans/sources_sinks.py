@@ -1,0 +1,94 @@
+"""Extra source/sink formats beyond SURVEY.md §2a's parquet rows: CSV, JSON
+(lines), and ORC round-trips.
+
+Each query writes a table to the format under test, reads it back, and
+aggregates the READ-BACK copy; the DuckDB oracle aggregates the original
+parquet. A hash match therefore proves the sink+source pair is lossless —
+schema, values, and row multiplicity all survive the round trip.
+
+Scale notes: the writes are distributed (`df.write`, one file per task, no
+driver collect); the read-backs use explicit schemas (no inference scan).
+Paths are unique per invocation (applicationId + uuid) so concurrent runs
+never collide — the same isolation rule as d7_lang_routing.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+def _scratch(spark: SparkSession, tag: str) -> str:
+    base = os.environ.get(
+        "LIME_ON_SPARK_SCRATCH",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".scratch"),
+    )
+    unique = f"{spark.sparkContext.applicationId}-{uuid.uuid4().hex[:12]}"
+    return os.path.join(os.path.abspath(base), f"{tag}-{unique}")
+
+
+_CUSTOMER_AGG_ORACLE = """
+    SELECT c_mktsegment,
+           COUNT(*)                    AS n_customers,
+           ROUND(SUM(c_acctbal), 2)    AS total_bal,
+           ROUND(AVG(c_acctbal), 4)    AS avg_bal,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer
+    GROUP BY c_mktsegment
+"""
+
+
+def _customer_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.min("c_custkey").cast("bigint").alias("min_key"),
+        F.max("c_custkey").cast("bigint").alias("max_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S4b — CSV sink + source round-trip (header, explicit read schema)
+# --------------------------------------------------------------------------
+@register("s4_csv_roundtrip", oracle=_CUSTOMER_AGG_ORACLE)
+def s4_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip must survive doubles (Java shortest-round-trip
+    formatting) and strings; the read uses the writer's schema, never
+    inference (an inference pass is an extra full scan at 100 TB)."""
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch(spark, "s4_csv")
+    cust.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(cust.schema).option("header", True).csv(path)
+    return _customer_agg(back)
+
+
+# --------------------------------------------------------------------------
+# S4c — JSON-lines sink + source round-trip
+# --------------------------------------------------------------------------
+@register("s4_json_roundtrip", oracle=_CUSTOMER_AGG_ORACLE)
+def s4_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch(spark, "s4_json")
+    cust.write.mode("overwrite").json(path)
+    back = spark.read.schema(cust.schema).json(path)
+    return _customer_agg(back)
+
+
+# --------------------------------------------------------------------------
+# S4d — ORC sink + source round-trip (columnar alternative to parquet)
+# --------------------------------------------------------------------------
+@register("s4_orc_roundtrip", oracle=_CUSTOMER_AGG_ORACLE)
+def s4_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch(spark, "s4_orc")
+    cust.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return _customer_agg(back)

@@ -203,3 +203,41 @@ def w4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# W5 — first_value / last_value / nth_value over an explicit full frame
+# --------------------------------------------------------------------------
+@register(
+    "w5_value_funcs",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w5_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth order value per customer. The frame is explicitly
+    UNBOUNDED..UNBOUNDED — last_value under the default frame (..CURRENT
+    ROW) is a footgun both engines share; the explicit frame plus the
+    (o_orderdate, o_orderkey) total order makes the result deterministic.
+    Partitioned by high-cardinality custkey: no global window anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    ).distinct()
