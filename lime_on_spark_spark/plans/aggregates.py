@@ -231,3 +231,40 @@ def a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM a5_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+# --------------------------------------------------------------------------
+# A5d — UNPIVOT (melt): wide measures -> long (measure, val) rows
+# --------------------------------------------------------------------------
+@register(
+    "a5_unpivot",
+    oracle="""
+    SELECT l_returnflag, measure,
+           ROUND(SUM(val), 2) AS total,
+           COUNT(*)           AS n
+    FROM (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    ) long
+    GROUP BY l_returnflag, measure
+    """,
+)
+def a5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape with the native UNPIVOT operator (the inverse of
+    a5_pivot): map-side row expansion, no shuffle until the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("val"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -305,3 +305,67 @@ def j2_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J7b — FORWARD as-of join: for each click, the next purchase at-or-after.
+# Same union+window formulation as j7_asof_join, frame reversed; ties at
+# equal ts sort purchases after clicks so an equal-ts purchase is eligible.
+# --------------------------------------------------------------------------
+@register(
+    "j7_asof_forward",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, value, 0 AS side
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, value, 1 AS side
+        FROM events WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT user_id, ts, event_id, value, side,
+               first_value(CASE WHEN side = 1 THEN ts END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_purchase_ts,
+               first_value(CASE WHEN side = 1 THEN value END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_purchase_value
+        FROM u
+    )
+    SELECT event_id AS click_id, user_id, ts,
+           next_purchase_ts,
+           ROUND(next_purchase_value, 2) AS next_purchase_value
+    FROM w WHERE side = 0
+    """,
+)
+def j7_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value", F.lit(0).alias("side")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("side") == 1, F.col("ts"))
+    p_val = F.when(F.col("side") == 1, F.col("value"))
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("next_purchase_ts", F.first(p_ts, ignorenulls=True).over(w))
+        .withColumn(
+            "next_purchase_value", F.first(p_val, ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 0)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "ts",
+            "next_purchase_ts",
+            F.round("next_purchase_value", 2).alias("next_purchase_value"),
+        )
+    )

@@ -190,3 +190,52 @@ def t3_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# T7 — stream-stream inner join (watermarked, time-range condition)
+# --------------------------------------------------------------------------
+@register("t7_stream_stream_join")
+def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the click stream to the purchase stream: same user, purchase
+    within 1 hour AFTER the click (attribution-window semantics).
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both sides, so Spark can evict join state — state is bounded by (events
+    in the watermark horizon), not stream length: the invariant that keeps
+    a stream-stream join alive on an unbounded feed. The raw joined rows go
+    to the sink; the bounded aggregate below is batch post-processing.
+    tests/test_streaming.py pins equality against the batch-join twin.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    sink = run_to_memory(joined, output_mode="append")
+    return sink.groupBy("c_user").agg(
+        F.count(F.lit(1)).alias("n_attributed_pairs"),
+        F.round(F.sum("p_value"), 2).alias("attributed_value"),
+    ).withColumnRenamed("c_user", "user_id")

@@ -73,3 +73,36 @@ def test_t6_stateful_matches_batch_aggregate(spark, sf_dir):
         )
     )
     assert _canon(stream) == _canon(batch)
+
+
+def test_t7_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    qs = registry.queries()
+    stream = qs["t7_stream_stream_join"](spark, sf_dir)
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed_pairs"),
+            F.round(F.sum("p_value"), 2).alias("attributed_value"),
+        )
+    )
+    assert _canon(stream) == _canon(batch)
