@@ -553,3 +553,292 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# q2 — minimum-cost supplier (adapted: no partsupp table, so the per-
+# (part, supplier) supply cost is derived from lineitem as the observed
+# avg unit price; the correlated MIN subquery keeps its shape).
+# --------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               ROUND(AVG(l_extendedprice / l_quantity), 4) AS supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           ps.supplycost
+    FROM part p
+    JOIN ps         ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15
+      AND r.r_name = 'ASIA'
+      AND ps.supplycost = (
+          SELECT MIN(ps2.supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    # Rounding supplycost BEFORE the min-equality compare keeps the float
+    # equality stable across engines (q15 pattern).
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+        .alias("supplycost")
+    )
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    # Region-restricted (part, supplier, cost) triples: suppliers joined to
+    # the bounded geography dim; AQE may broadcast the filtered supplier side.
+    asia_ps = (
+        ps.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    # Correlated MIN -> per-part aggregate + equality join (one keyed
+    # shuffle on partkey, no per-row probe).
+    min_cost = asia_ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        asia_ps.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(part.filter(F.col("p_size") == 15), F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q9 — product-type profit by nation and year (adapted: supply cost proxied
+# as 0.6 * p_retailprice since there is no partsupp.ps_supplycost).
+# --------------------------------------------------------------------------
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity AS amount
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            part.filter(F.col("p_name").like("%red%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — important stock (adapted: per-part inventory value derived from
+# shipped quantity x retail price for one nation's suppliers; the global
+# scalar-subquery threshold keeps its shape).
+# --------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH supplied AS (
+        SELECT l.l_partkey AS partkey,
+               ROUND(SUM(l.l_quantity * p.p_retailprice), 2) AS value
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_1'
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, value
+    FROM supplied
+    WHERE value > (SELECT 0.001 * SUM(value) FROM supplied)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    n1_suppliers = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    supplied = (
+        li.join(n1_suppliers, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(F.sum(F.col("l_quantity") * F.col("p_retailprice")), 2)
+            .alias("value")
+        )
+    )
+    threshold = F.broadcast(
+        supplied.agg((0.001 * F.sum("value")).alias("cut"))
+    )
+    return (
+        supplied.crossJoin(threshold)  # single-row scalar subquery
+        .filter(F.col("value") > F.col("cut"))
+        .select("partkey", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — supplier count per part attribute (adapted: the part<->supplier
+# relation comes from lineitem; NOT IN complainers -> anti join).
+# --------------------------------------------------------------------------
+@register(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'STANDARD'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    fparts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "STANDARD")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    # NOT IN over a non-null key column == anti join (no null-semantics trap:
+    # s_suppkey is the PK). The excluded set is tiny -> broadcast anti.
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(fparts, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — dominant suppliers for promoted parts (adapted: "has excess stock"
+# becomes "shipped more than half of a part's 1996 volume" — the nested
+# aggregate + IN-subquery -> semi-join structure is preserved).
+# --------------------------------------------------------------------------
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH part_qty AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS ps_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+        SELECT l_partkey AS t_partkey, SUM(ps_qty) AS total_qty
+        FROM part_qty GROUP BY l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT pq.l_suppkey
+        FROM part_qty pq
+        JOIN tot  ON tot.t_partkey = pq.l_partkey
+        JOIN part p ON p.p_partkey = pq.l_partkey
+        WHERE pq.ps_qty > 0.5 * tot.total_qty
+          AND p.p_name LIKE '%red%'
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    part_qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("ps_qty"))
+    )
+    tot = part_qty.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("ps_qty").alias("total_qty")
+    )
+    dominant = (
+        part_qty.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("ps_qty") > 0.5 * F.col("total_qty"))
+        .join(
+            part.filter(F.col("p_name").like("%red%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
