@@ -35,6 +35,7 @@ HEADLINE = (
 #: for these; they are tracked against their own prior values).
 EXTENDED = (
     "j7_asof_join",
+    "j7_asof_pandas",
     "t3_session_window",
     "d2_minhash_near_dup",
     "l8_batch_explain_tabular",

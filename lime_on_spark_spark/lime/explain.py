@@ -51,12 +51,20 @@ TEXT_SCHEMA = (
 TEXT_KERNEL_WIDTH = 25.0
 
 
-def _fit_group(pdf: pd.DataFrame, k: int, alpha: float, with_words: bool) -> pd.DataFrame:
+def _fit_group(
+    pdf: pd.DataFrame,
+    k: int,
+    alpha: float,
+    with_words: bool,
+    method: str = "highest_weights",
+) -> pd.DataFrame:
     pdf = pdf.sort_values("sample_id").reset_index(drop=True)
     Z = np.stack(pdf["z"].to_numpy())
     y = pdf["y"].to_numpy(dtype=np.float64)
     w = pdf["weight"].to_numpy(dtype=np.float64)
-    idx, beta, intercept, r2, local_pred = explain_with_data(Z, y, w, k, alpha)
+    idx, beta, intercept, r2, local_pred = explain_with_data(
+        Z, y, w, k, alpha, method=method
+    )
     out = {
         "instance_id": np.repeat(pdf["instance_id"].iloc[0], len(idx)),
         "feature_idx": idx.astype(np.int32),
@@ -101,6 +109,7 @@ def explain_tabular(
     k: int = 6,
     seed: int = 7,
     alpha: float = 1.0,
+    feature_selection: str = "highest_weights",
 ) -> DataFrame:
     """L8 tabular: one explanation row per (instance, selected feature)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -133,7 +142,7 @@ def explain_tabular(
         weighted.select("instance_id", "sample_id", "z", "y", "weight")
         .groupBy("instance_id")
         .applyInPandas(
-            lambda pdf: _fit_group(pdf, k, alpha, with_words=False),
+            lambda pdf: _fit_group(pdf, k, alpha, with_words=False, method=feature_selection),
             schema=TABULAR_SCHEMA,
         )
     )
@@ -148,6 +157,7 @@ def explain_text(
     k: int = 5,
     seed: int = 7,
     alpha: float = 1.0,
+    feature_selection: str = "highest_weights",
 ) -> DataFrame:
     """L8 text: word-level explanation of the lang classifier's prediction."""
     docs = load_table(spark, sf_dir, "documents")
@@ -176,7 +186,7 @@ def explain_text(
         )
         .groupBy("instance_id")
         .applyInPandas(
-            lambda pdf: _fit_group(pdf, k, alpha, with_words=True),
+            lambda pdf: _fit_group(pdf, k, alpha, with_words=True, method=feature_selection),
             schema=TEXT_SCHEMA,
         )
     )

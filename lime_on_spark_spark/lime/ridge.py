@@ -53,20 +53,52 @@ def select_highest_weights(
     return np.sort(top)
 
 
+def select_forward(
+    Z: np.ndarray, y: np.ndarray, w: np.ndarray, k: int
+) -> np.ndarray:
+    """Upstream 'forward_selection': greedily add the feature that most
+    improves the weighted R^2 of an (effectively) OLS fit, k rounds.
+
+    Upstream uses Ridge(alpha=0); a 1e-8 ridge keeps the normal equations
+    solvable when candidate columns are collinear (duplicate mask columns
+    happen at small num_samples), which is numerically the same fit.
+    """
+    k = min(k, Z.shape[1])
+    used: list[int] = []
+    for _ in range(k):
+        best_feat, best_score = -1, -np.inf
+        for feat in range(Z.shape[1]):
+            if feat in used:
+                continue
+            cols = used + [feat]
+            _, _, r2 = weighted_ridge(Z[:, cols], y, w, alpha=1e-8)
+            if r2 > best_score:
+                best_feat, best_score = feat, r2
+        used.append(best_feat)
+    return np.sort(np.array(used, dtype=np.int64))
+
+
 def explain_with_data(
     Z: np.ndarray,
     y: np.ndarray,
     w: np.ndarray,
     k: int,
     alpha: float = 1.0,
+    method: str = "highest_weights",
 ) -> tuple[np.ndarray, np.ndarray, float, float, float]:
     """Full L6+L7: select top-k features, refit on them.
 
-    Returns (feature_idx, weights, intercept, r2, local_pred) where
-    local_pred is the surrogate's prediction for the unperturbed instance
-    (all-ones interpretable row, i.e. sample 0's representation).
+    ``method`` is upstream's ``feature_selection``: 'highest_weights'
+    (default) or 'forward_selection' (upstream picks the latter under its
+    'auto' mode when k <= 6). Returns (feature_idx, weights, intercept, r2,
+    local_pred) where local_pred is the surrogate's prediction for the
+    unperturbed instance (all-ones interpretable row, i.e. sample 0's
+    representation).
     """
-    idx = select_highest_weights(Z, y, w, k, alpha)
+    if method == "forward_selection":
+        idx = select_forward(Z, y, w, k)
+    else:
+        idx = select_highest_weights(Z, y, w, k, alpha)
     beta, intercept, r2 = weighted_ridge(Z[:, idx], y, w, alpha)
     local_pred = float(intercept + Z[0, idx] @ beta)
     return idx, beta, intercept, r2, local_pred

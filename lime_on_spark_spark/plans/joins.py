@@ -369,3 +369,102 @@ def j7_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("next_purchase_value", 2).alias("next_purchase_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J7c — as-of join, cogrouped-pandas formulation. Same semantics and oracle
+# as j7_asof_join; instead of the union+window plan, both sides shuffle once
+# on user_id and pandas.merge_asof runs per Arrow cogroup. At scale the
+# state per group is one user's events (bounded); the window formulation
+# sorts inside the JVM while this one sorts inside Arrow batches — bench.py
+# times both so the tradeoff stays measured.
+# --------------------------------------------------------------------------
+_ASOF_SCHEMA = (
+    "purchase_id bigint, user_id bigint, ts timestamp, "
+    "last_click_ts timestamp, last_click_value double"
+)
+
+
+def _merge_asof_group(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    import pandas as _pd
+
+    if purchases.empty:
+        return _pd.DataFrame(
+            {
+                "purchase_id": _pd.Series(dtype="int64"),
+                "user_id": _pd.Series(dtype="int64"),
+                "ts": _pd.Series(dtype="datetime64[ns]"),
+                "last_click_ts": _pd.Series(dtype="datetime64[ns]"),
+                "last_click_value": _pd.Series(dtype="float64"),
+            }
+        )
+    left = purchases.sort_values(["ts", "event_id"], kind="stable")
+    right = (
+        clicks.sort_values(["ts", "event_id"], kind="stable")
+        .rename(columns={"ts": "last_click_ts", "value": "last_click_value"})
+        [["last_click_ts", "last_click_value"]]
+    )
+    # merge_asof backward keeps the LAST right row at-or-before each left ts;
+    # the (ts, event_id) sort makes the equal-ts winner the highest event_id,
+    # matching the window formulation's ORDER BY ts, side, event_id.
+    merged = _pd.merge_asof(
+        left,
+        right,
+        left_on="ts",
+        right_on="last_click_ts",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    return _pd.DataFrame(
+        {
+            "purchase_id": merged["event_id"].astype("int64"),
+            "user_id": merged["user_id"].astype("int64"),
+            "ts": merged["ts"],
+            "last_click_ts": merged["last_click_ts"],
+            "last_click_value": merged["last_click_value"].round(2),
+        }
+    )
+
+
+@register(
+    "j7_asof_pandas",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, value, 1 AS side
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, event_id, value, 0 AS side
+        FROM events WHERE event_type = 'click'
+    ), w AS (
+        SELECT user_id, ts, event_id, value, side,
+               max(CASE WHEN side = 0 THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_ts,
+               last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_value
+        FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, ts,
+           last_click_ts,
+           ROUND(last_click_value, 2) AS last_click_value
+    FROM w WHERE side = 1
+    """,
+)
+def j7_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            lambda left, right: _merge_asof_group(left, right), _ASOF_SCHEMA
+        )
+    )

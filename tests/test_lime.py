@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from lime_on_spark_spark.lime.pick import submodular_pick
 from lime_on_spark_spark.lime.ridge import (
     explain_with_data,
+    select_forward,
     select_highest_weights,
     weighted_ridge,
 )
@@ -79,6 +80,27 @@ def test_select_highest_weights_picks_strongest_features():
     y = 0.9 * Z[:, 1] - 0.7 * Z[:, 4] + 0.01 * rng.standard_normal(200)
     idx = select_highest_weights(Z, y, np.ones(200), k=2)
     assert list(idx) == [1, 4]
+
+
+def test_select_forward_recovers_informative_features():
+    rng = np.random.default_rng(3)
+    Z = rng.integers(0, 2, size=(200, 6)).astype(float)
+    # Only features 2 and 5 matter; forward selection must find both even
+    # though neither alone explains y fully.
+    y = 0.8 * Z[:, 2] + 0.6 * Z[:, 5] + 0.01 * rng.standard_normal(200)
+    idx = select_forward(Z, y, np.ones(200), k=2)
+    assert list(idx) == [2, 5]
+
+
+def test_explain_with_data_forward_matches_highest_on_clean_signal():
+    rng = np.random.default_rng(4)
+    Z = rng.integers(0, 2, size=(150, 5)).astype(float)
+    Z[0] = 1.0
+    y = 0.5 * Z[:, 1] - 0.4 * Z[:, 4]
+    fwd = explain_with_data(Z, y, np.ones(150), k=2, method="forward_selection")
+    hw = explain_with_data(Z, y, np.ones(150), k=2, method="highest_weights")
+    assert list(fwd[0]) == list(hw[0]) == [1, 4]
+    np.testing.assert_allclose(fwd[1], hw[1], atol=1e-3)
 
 
 def test_explain_with_data_local_pred_consistent():
