@@ -268,3 +268,29 @@ def a5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("val"), 2).alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# A8 — exact percentiles / median. Spark's `percentile` is the exact
+# interpolated quantile (a full sort within each group at scale — the
+# approx_percentile sketch in A3's family is the 100-TB path; this is the
+# correctness anchor), matching DuckDB's quantile_cont.
+# --------------------------------------------------------------------------
+@register(
+    "a8_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           ROUND(median(l_quantity), 4)                  AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )

@@ -172,3 +172,68 @@ def d7_lang_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+# D8 — deterministic hash-based train/val/test split. Assignment is a pure
+# function of the stable document key (md5 of doc_id), so the split is
+# reproducible across runs, engines, and cluster sizes — no RNG state, no
+# seed coordination, and adding executors can never reshuffle membership.
+# This is the split primitive a 100-TB training pipeline needs: a map-only
+# expression, verified exactly against DuckDB's md5.
+# --------------------------------------------------------------------------
+@register(
+    "d8_hash_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               n_chars, lang
+        FROM documents
+    ) assigned
+    GROUP BY split
+    """,
+)
+def d8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # First hex nibble: 0-b (12/16 = 75%) train, c-d (12.5%) val, e-f test.
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D8b — stratified sample: per-language sampling fractions via sampleBy.
+# Bernoulli per-row draw (seeded) — no shuffle, each task filters its own
+# partition, so it scales as a pure scan. Stochastic output -> rows-only;
+# tests/test_properties.py pins determinism and per-stratum rate bounds.
+# --------------------------------------------------------------------------
+@register("d8_stratified_sample")
+def d8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    # Downsample the majority class, keep the rest: the class-rebalancing
+    # shape of a training-data pipeline. (The distinct() above is a bounded
+    # label-vocabulary scan, not data-sized.)
+    fractions = {lang: (0.2 if lang == "en" else 0.8) for lang in langs}
+    sample = docs.sampleBy("lang", fractions, seed=42)
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )

@@ -148,3 +148,48 @@ def f5_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.min(k).alias("min_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# F7 — map construction / concat / explode. The metrics map is built from
+# aggregate columns (create_map + map_concat, all JVM expressions) and
+# exploded back to long form; the oracle reconstructs the same long rows
+# with a UNION ALL. Map columns never shuffle here — the explode is
+# map-side over the 5-row aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "f7_map_funcs",
+    oracle="""
+    SELECT event_type, metric, val
+    FROM (
+        SELECT event_type, 'cnt' AS metric, CAST(COUNT(*) AS DOUBLE) AS val
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 'sum_val', ROUND(SUM(value), 2)
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 'avg_val', ROUND(AVG(value), 4)
+        FROM events GROUP BY event_type
+    ) long
+    """,
+)
+def f7_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_val"),
+        F.round(F.avg("value"), 4).alias("avg_val"),
+    )
+    with_map = agg.select(
+        "event_type",
+        F.map_concat(
+            F.create_map(F.lit("cnt"), F.col("cnt")),
+            F.create_map(
+                F.lit("sum_val"), F.col("sum_val"),
+                F.lit("avg_val"), F.col("avg_val"),
+            ),
+        ).alias("metrics"),
+    )
+    return with_map.select(
+        "event_type", F.explode("metrics").alias("metric", "val")
+    )

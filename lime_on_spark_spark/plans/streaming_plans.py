@@ -239,3 +239,36 @@ def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_attributed_pairs"),
         F.round(F.sum("p_value"), 2).alias("attributed_value"),
     ).withColumnRenamed("c_user", "user_id")
+
+
+# --------------------------------------------------------------------------
+# T8 — foreachBatch sink: per-user totals written epoch-by-epoch to parquet
+# --------------------------------------------------------------------------
+@register("t8_foreach_batch_sink")
+def t8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked per-user-per-hour purchase totals, delivered through a
+    foreachBatch parquet sink (the production shape for destinations with no
+    native streaming writer). Append mode: each finalized window is emitted
+    exactly once across the epochs (the final watermark horizon is withheld,
+    as append semantics require) — tests/test_streaming.py pins that every
+    emitted row equals its batch-aggregate twin."""
+    from lime_on_spark_spark.streaming.sources import run_foreach_batch_to_parquet
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("win"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = agg.select(
+        F.col("win.start").alias("hour_start"),
+        "user_id",
+        "n_purchases",
+        "total_value",
+    )
+    return run_foreach_batch_to_parquet(out, output_mode="append")

@@ -16,6 +16,7 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lime_on_spark_spark.sources.catalog import repair_event_ts
 
@@ -52,3 +53,50 @@ def run_to_memory(df: DataFrame, *, output_mode: str) -> DataFrame:
     finally:
         query.stop()
     return spark.table(name)
+
+
+def run_foreach_batch_to_parquet(df: DataFrame, *, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame via a foreachBatch parquet sink and
+    return the written rows as a batch DataFrame.
+
+    foreachBatch is the production sink shape for destinations without a
+    native streaming writer (JDBC upserts, external indexes, multi-table
+    fan-out): each micro-batch arrives as a *batch* DataFrame with an
+    epoch id for idempotent retries. Here every epoch appends to a unique
+    scratch directory (partitioned by epoch so a retried epoch could be
+    overwritten idempotently with dynamic partition overwrite on a real
+    pipeline), then the caller reads the directory back.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"lime_fb_sink_{spark.sparkContext.applicationId}_{next(_SINK_IDS)}",
+    )
+
+    def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+
+    query = (
+        df.writeStream.foreachBatch(_write_epoch)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    result = spark.read.parquet(out_dir).drop("epoch_id")
+    # Materialize before the scratch dir disappears.
+    rows = result.collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

@@ -263,3 +263,35 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+# --------------------------------------------------------------------------
+# D8b — stratified sampling: deterministic under a fixed seed, and each
+# stratum's realized rate is within a binomial-tail bound of its target.
+# --------------------------------------------------------------------------
+def test_stratified_sample_deterministic_and_in_bounds(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.plans import registry
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    fn = registry.queries()["d8_stratified_sample"]
+    a = {r["lang"]: r["n_sampled"] for r in fn(spark, sf_dir).collect()}
+    b = {r["lang"]: r["n_sampled"] for r in fn(spark, sf_dir).collect()}
+    assert a == b, "same seed must produce the identical sample"
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, n in totals.items():
+        frac = 0.2 if lang == "en" else 0.8
+        got = a.get(lang, 0)
+        # 5-sigma binomial bound: Bernoulli sampling, not exact-count.
+        tol = 5 * math.sqrt(n * frac * (1 - frac)) + 1
+        assert abs(got - n * frac) <= tol, (lang, got, n, frac)

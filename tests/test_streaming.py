@@ -106,3 +106,32 @@ def test_t7_stream_stream_join_matches_batch_twin(spark, sf_dir):
         )
     )
     assert _canon(stream) == _canon(batch)
+
+
+def test_t8_foreach_batch_matches_batch_aggregate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    stream = registry.queries()["t8_foreach_batch_sink"](spark, sf_dir).toPandas()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .toPandas()
+    )
+    # append withholds the final watermark horizon -> emitted ⊆ batch …
+    assert 0 < len(stream) <= len(batch)
+    merged = stream.merge(batch, on=["hour_start", "user_id"], suffixes=("_s", "_b"))
+    # … every emitted row was written exactly once across the epochs and
+    # agrees with the batch aggregate.
+    assert len(merged) == len(stream)
+    assert (merged["n_purchases_s"] == merged["n_purchases_b"]).all()
+    assert (merged["total_value_s"] == merged["total_value_b"]).all()
