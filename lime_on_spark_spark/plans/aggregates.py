@@ -294,3 +294,39 @@ def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# A9 — bivariate statistics: correlation, covariance, and the regr_* family
+# (least-squares slope/intercept per group in one pass, no window, no UDF).
+# --------------------------------------------------------------------------
+@register(
+    "a9_corr_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4)  AS qty_price_covar_pop,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS price_at_zero
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a9_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar_pop"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "price_at_zero"
+        ),
+    )

@@ -193,3 +193,39 @@ def f7_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_map.select(
         "event_type", F.explode("metrics").alias("metric", "val")
     )
+
+
+# --------------------------------------------------------------------------
+# F8 — regex extraction / token-set functions over the documents corpus.
+# regexp_extract_all / array_distinct / regexp_replace are all JVM
+# expressions — the doc-level features compute inside the scan stage and
+# only the per-source aggregate shuffles.
+# --------------------------------------------------------------------------
+@register(
+    "f8_regex_token_funcs",
+    oracle="""
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '[0-9]+')))            AS n_numbers,
+           ROUND(AVG(len(list_distinct(string_split(lower(text), ' ')))), 4)
+                                                                   AS avg_unique_tokens,
+           SUM(length(regexp_replace(text, '[^a-z ]', '', 'g')))   AS clean_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def f8_regex_token_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).alias(
+            "n_num"
+        ),
+        F.size(F.array_distinct(F.split(F.lower("text"), " "))).alias("n_uniq"),
+        # Spark regexp_replace replaces all matches (DuckDB needs the 'g' flag).
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).alias("n_clean"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_num").alias("n_numbers"),
+        F.round(F.avg("n_uniq"), 4).alias("avg_unique_tokens"),
+        F.sum("n_clean").alias("clean_chars"),
+    )

@@ -92,3 +92,68 @@ def s4_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return _customer_agg(back)
+
+
+# --------------------------------------------------------------------------
+# O3 — bucketed tables + shuffle-free co-located join. At 100 TB, bucketing
+# the two biggest fact tables on their join key at write time removes the
+# per-query shuffle entirely: both scans come up hash-partitioned the same
+# way and the SortMergeJoin runs in place. The helper exposes the raw
+# bucketed join so tests/test_bucketing.py can assert the physical plan has
+# NO Exchange; the registered query returns the (oracle-checked) aggregate.
+# --------------------------------------------------------------------------
+_BUCKETED_JOIN_ORACLE = """
+    SELECT c_mktsegment,
+           COUNT(*)                      AS n_orders,
+           ROUND(SUM(o_totalprice), 2)   AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+def bucketed_join_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[str]]:
+    """Write orders/customer bucketed by the join key, return (joined_df,
+    table_names). Caller drops the tables after materializing."""
+    unique = uuid.uuid4().hex[:12]
+    t_orders = f"o3_orders_b_{unique}"
+    t_cust = f"o3_cust_b_{unique}"
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t_orders)
+    )
+    (
+        load_table(spark, sf_dir, "customer")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t_cust)
+    )
+    # MERGE hint pins SortMergeJoin so the no-Exchange claim tests the
+    # bucketing, not an AQE broadcast that would also skip the shuffle.
+    joined = (
+        spark.table(t_orders)
+        .hint("MERGE")
+        .join(spark.table(t_cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return joined, [t_orders, t_cust]
+
+
+@register("o3_bucketed_join", oracle=_BUCKETED_JOIN_ORACLE)
+def o3_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined, tables = bucketed_join_frames(spark, sf_dir)
+    result = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    rows = result.collect()  # materialize before dropping the tables
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return spark.createDataFrame(rows, result.schema)

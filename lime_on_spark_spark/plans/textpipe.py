@@ -291,3 +291,42 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# D9 — corpus n-gram (bigram) frequency table: the counting primitive under
+# n-gram language models and contamination checks. Token pairing is a pure
+# JVM zip_with over adjacent slices (no UDF); the single shuffle is the
+# count aggregation, keyed by bigram — at 100 TB this is a straight
+# map-side-combine word-count at bigram granularity.
+# --------------------------------------------------------------------------
+@register(
+    "d9_bigram_counts",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+        SELECT arr[i] || ' ' || arr[i+1] AS bigram
+        FROM (SELECT string_split(text, ' ') AS arr FROM documents) d,
+             UNNEST(generate_series(1, greatest(len(arr)-1, 0))) AS t(i)
+    ) pairs
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def d9_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(arr, 1, n_pairs),
+        F.slice(arr, 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )

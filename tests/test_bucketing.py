@@ -64,3 +64,18 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_o3_bucketed_join_helper_plan_is_shuffle_free(spark, sf_dir):
+    from lime_on_spark_spark.plans.sources_sinks import bucketed_join_frames
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined, tables = bucketed_join_frames(spark, sf_dir)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
