@@ -113,3 +113,43 @@ def u3_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _keys(spark, sf_dir, "customer", "c_nationkey")
     s = _keys(spark, sf_dir, "supplier", "s_nationkey")
     return s.exceptAll(c)
+
+
+# --------------------------------------------------------------------------
+# U4 — union across schema drift: unionByName(allowMissingColumns=True).
+# The schema-evolution primitive for training corpora collected over time:
+# v1 rows lack columns added in v2 and surface them as NULLs, position
+# never matters. The oracle reconstructs the same fill with typed NULLs.
+# --------------------------------------------------------------------------
+@register(
+    "u4_union_schema_drift",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                                   AS n_rows,
+           COUNT(source)                              AS n_with_source,
+           SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_missing_chars
+    FROM (
+        SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+               CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars
+        FROM documents WHERE doc_id % 2 = 1
+    ) drifted
+    GROUP BY lang
+    """,
+)
+def u4_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    drifted = v1.unionByName(v2, allowMissingColumns=True)
+    return drifted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("source").alias("n_with_source"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias(
+            "n_missing_chars"
+        ),
+    )

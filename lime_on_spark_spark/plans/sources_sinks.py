@@ -157,3 +157,91 @@ def o3_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return spark.createDataFrame(rows, result.schema)
+
+
+# --------------------------------------------------------------------------
+# S4e — parquet schema evolution: two writer generations land files with
+# different schemas in the same dataset; mergeSchema=true reconciles them
+# at read time (missing columns -> NULL). The other half of the U4 story:
+# drift handled at the storage layer instead of the union operator.
+# --------------------------------------------------------------------------
+@register(
+    "s4_merge_schema",
+    oracle="""
+    SELECT lang,
+           COUNT(*)     AS n_rows,
+           SUM(n_chars) AS total_chars
+    FROM (
+        SELECT lang, CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    ) merged
+    GROUP BY lang
+    """,
+)
+def s4_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _scratch(spark, "s4-mergeschema")
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang")
+        .write.parquet(f"{base}/gen=1")
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "n_chars")
+        .write.parquet(f"{base}/gen=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    result = merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    rows = result.collect()  # materialize before the scratch dir disappears
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+# --------------------------------------------------------------------------
+# S4f — hive-partitioned write + partition-pruned read. partitionBy at
+# write time is what makes 100-TB scans affordable: a reader filtering on
+# the partition column touches only matching directories (PartitionFilters
+# in the scan, asserted by tests/test_bucketing.py).
+# --------------------------------------------------------------------------
+def partition_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    """Write events partitioned by event_type, return (pruned_df, base_dir).
+    Caller cleans up base_dir after materializing."""
+    events = load_table(spark, sf_dir, "events")
+    base = _scratch(spark, "s4-partitioned")
+    events.write.partitionBy("event_type").parquet(base)
+    pruned = spark.read.parquet(base).filter(F.col("event_type") == "purchase")
+    return pruned, base
+
+
+@register(
+    "s4_partition_pruning",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*)              AS n_purchases,
+           ROUND(SUM(value), 2)  AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY day
+    """,
+)
+def s4_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    pruned, base = partition_pruned_scan(spark, sf_dir)
+    result = pruned.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

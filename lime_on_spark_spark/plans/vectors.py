@@ -272,3 +272,38 @@ def d4_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
         exclude_ids=(0,),
     )
+
+
+# --------------------------------------------------------------------------
+# D11 — per-label embedding centroids (long form). posexplode keeps the
+# whole computation in JVM expressions; the one shuffle is the (label, pos)
+# aggregate with map-side combine — the centroid primitive under IVF cell
+# assignment and class-prototype similarity checks.
+# --------------------------------------------------------------------------
+@register(
+    "d11_label_centroids",
+    oracle="""
+    SELECT label, pos, ROUND(AVG(v), 6) AS centroid_val
+    FROM (
+        SELECT label,
+               unnest(embedding)                  AS v,
+               generate_subscripts(embedding, 1)  AS pos
+        FROM embeddings
+    ) unpacked
+    GROUP BY label, pos
+    """,
+)
+def d11_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+                "pos0", "v"
+            ),
+        )
+        # DuckDB's generate_subscripts is 1-based; match it.
+        .select("label", (F.col("pos0") + 1).alias("pos"), "v")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+    )

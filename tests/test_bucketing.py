@@ -79,3 +79,20 @@ def test_o3_bucketed_join_helper_plan_is_shuffle_free(spark, sf_dir):
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_partitioned_write_scan_is_pruned(spark, sf_dir):
+    import shutil
+
+    from lime_on_spark_spark.plans.sources_sinks import partition_pruned_scan
+
+    pruned, base = partition_pruned_scan(spark, sf_dir)
+    try:
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "event_type" in plan, plan
+        # The pruned scan must touch only the purchase partition.
+        n_pruned = pruned.count()
+        n_all = spark.read.parquet(base).count()
+        assert 0 < n_pruned < n_all
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
