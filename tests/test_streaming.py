@@ -135,3 +135,57 @@ def test_t8_foreach_batch_matches_batch_aggregate(spark, sf_dir):
     assert len(merged) == len(stream)
     assert (merged["n_purchases_s"] == merged["n_purchases_b"]).all()
     assert (merged["total_value_s"] == merged["total_value_b"]).all()
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: a checkpointed file-stream stopped after
+    batch 1 and restarted after new files arrive must process ONLY the new
+    files — the readback holds every source row exactly once. This is the
+    recovery contract a production pipeline leans on when executors die
+    mid-run."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    n_total = events.count()
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = events.schema
+
+    # Generation 1: first half of the events.
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "gen1")
+    )
+
+    def run_available(tag):
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    run_available("gen1")
+    n_after_gen1 = spark.read.parquet(out).count()
+    assert 0 < n_after_gen1 < n_total
+
+    # Generation 2 arrives; restart from the SAME checkpoint.
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "gen2")
+    )
+    run_available("gen2")
+
+    back = spark.read.parquet(out)
+    assert back.count() == n_total, "restart must not duplicate or drop rows"
+    assert back.select("event_id").distinct().count() == n_total
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
