@@ -468,3 +468,62 @@ def j7_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda left, right: _merge_asof_group(left, right), _ASOF_SCHEMA
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J8 — skew-salted join + two-phase salted aggregate, registered against the
+# PLAIN SQL oracle: salting must be semantically invisible (identical rows),
+# only the shuffle layout changes. Orders per customer are the "hot key"
+# stand-in; at 100 TB the same pattern splits a pathological key across
+# n_salts reducers where AQE's skew splitting can't (skewed aggregations).
+# --------------------------------------------------------------------------
+@register(
+    "j8_salted_skew_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j8_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.salting import salted_join_small_build
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join_small_build(orders, cust, key="o_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "a10_salted_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a10_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (key, salt) -> key aggregation over a LOW-cardinality key
+    (5 priorities): exactly the shape where one reducer per key melts down
+    at scale and salting restores parallelism."""
+    from lime_on_spark_spark.operators.salting import salted_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_sum(
+        orders.select("o_orderpriority", "o_totalprice"),
+        key="o_orderpriority",
+        value="o_totalprice",
+        n_salts=16,
+        alias="_total",
+    ).select(
+        "o_orderpriority", F.round("_total", 2).alias("total_price")
+    )
