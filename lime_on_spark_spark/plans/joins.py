@@ -374,10 +374,13 @@ def j7_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # J7c — as-of join, cogrouped-pandas formulation. Same semantics and oracle
 # as j7_asof_join; instead of the union+window plan, both sides shuffle once
-# on user_id and pandas.merge_asof runs per Arrow cogroup. At scale the
-# state per group is one user's events (bounded); the window formulation
-# sorts inside the JVM while this one sorts inside Arrow batches — bench.py
-# times both so the tradeoff stays measured.
+# on user_id and pandas.merge_asof runs per Arrow cogroup. bench.py times
+# both: at sf0.1 (10k users, tiny groups) the window formulation wins 40x
+# (0.24s vs 9.97s) because per-group Python invocation overhead dominates —
+# so the window plan is the DEFAULT as-of join; this variant is the shape
+# to reach for only when per-group logic outgrows window expressions
+# (multi-column nearest, custom tolerance semantics), and then only with
+# group sizes large enough to amortize the Arrow round-trip.
 # --------------------------------------------------------------------------
 _ASOF_SCHEMA = (
     "purchase_id bigint, user_id bigint, ts timestamp, "

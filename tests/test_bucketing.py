@@ -96,3 +96,63 @@ def test_partitioned_write_scan_is_pruned(spark, sf_dir):
         assert 0 < n_pruned < n_all
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_output_file_count_and_size_control(spark, sf_dir, tmp_path):
+    """Small-files control: repartition(n) + maxRecordsPerFile bound both
+    the file count and the per-file row count — the two knobs that keep a
+    100-TB dataset from becoming millions of tiny files (or one giant one)."""
+    import glob
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    out = str(tmp_path / "sized")
+    (
+        li.repartition(4)
+        .write.option("maxRecordsPerFile", n // 8 + 1)
+        .parquet(out)
+    )
+    files = glob.glob(f"{out}/*.parquet")
+    # 4 tasks x (ceil over maxRecordsPerFile) -> between 4 and 12 files
+    assert 4 <= len(files) <= 12, files
+    import pyarrow.parquet as pq
+
+    counts = [pq.read_metadata(f).num_rows for f in files]
+    assert sum(counts) == n
+    assert max(counts) <= n // 8 + 1
+
+
+def test_sorted_write_clusters_for_minmax_pruning(spark, sf_dir, tmp_path):
+    """Sort-clustering: sortWithinPartitions('ts') before writing gives each
+    file a narrow ts min/max span, so a time-filtered scan can skip files on
+    footer stats alone. Proof: total per-file span is far smaller than with
+    the unsorted layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    events = load_table(spark, sf_dir, "events")
+
+    def total_span(path):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index("ts")
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append((hi - lo))
+        return sum(spans, start=spans[0] - spans[0])
+
+    unsorted_out = str(tmp_path / "unsorted")
+    sorted_out = str(tmp_path / "sorted")
+    # Spark's default INT96 timestamp encoding carries NO min/max stats —
+    # stats-based skipping needs TIMESTAMP_MICROS (a real 100-TB gotcha).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        events.repartition(8).write.parquet(unsorted_out)
+        events.repartitionByRange(8, "ts").sortWithinPartitions(
+            "ts"
+        ).write.parquet(sorted_out)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    assert total_span(sorted_out) < total_span(unsorted_out) / 4
