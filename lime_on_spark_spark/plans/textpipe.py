@@ -330,3 +330,93 @@ def d9_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# D10 — duplicate-CLUSTER formation: connected components over the near-dup
+# pair graph (iterative min-label propagation). Pair detection (d2_*) gives
+# edges; real dedup needs the transitive closure — A~B, B~C => {A,B,C} is
+# one cluster with one survivor. The loop is O(graph diameter) rounds of
+# keyed join + min-aggregate (the standard large-graph CC shape — each
+# round is two shuffles on node id, no driver-side data); dup-graph
+# diameters are tiny in practice (chains of near-identical docs), and
+# localCheckpoint truncates the growing lineage each round. The oracle is
+# DuckDB's recursive-CTE transitive closure over the identical edge set.
+# --------------------------------------------------------------------------
+@register(
+    "d10_dup_clusters",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+        SELECT doc_a, doc_b
+        FROM dpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ), nodes AS (
+        SELECT DISTINCT a AS node FROM sym
+    ), reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS component
+    FROM reach
+    GROUP BY node
+    """,
+)
+def d10_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.registry import queries
+
+    pairs = queries()["d2_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.selectExpr("doc_a AS a", "doc_b AS b").union(
+        pairs.selectExpr("doc_b AS a", "doc_a AS b")
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    # Edge list is reused every round — materialize it once.
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(25):  # >= any plausible dup-graph diameter; breaks early
+        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
