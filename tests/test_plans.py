@@ -1,0 +1,103 @@
+"""Physical-plan regression tests: pin the scale-critical plan shapes.
+
+Correctness is the oracle mirror's job; these tests pin HOW the engine
+executes — the properties that decide whether a query survives a 100x
+scale-up. A refactor that silently turns a broadcast dim chain into a
+shuffle, or a windowed top-k into a global sort, passes every oracle check
+but dies on a cluster; these assertions catch that class of regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lime_on_spark_spark.plans import registry
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _q(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)
+
+
+def test_q5_dim_chain_broadcasts(spark, sf_dir):
+    """q5's nation/region dims are geography-bounded: they must come in as
+    broadcast joins, never a shuffle on the fact side's full width."""
+    plan = _plan(_q(spark, sf_dir, "q5_region_revenue"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q3_has_no_forced_broadcast_on_unbounded_side(spark, sf_dir):
+    """customer is unbounded at scale: the logical plan must carry NO forced
+    broadcast hint on it (AQE may still convert at runtime — that's fine and
+    not asserted either way)."""
+    df = _q(spark, sf_dir, "q3_shipping_priority")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in analyzed.lower(), analyzed
+
+
+def test_w1_rank_filter_uses_window_group_limit(spark, sf_dir):
+    """The rank<=k filter must push into the window operator
+    (WindowGroupLimit) so each group stops after k rows instead of fully
+    materializing and post-filtering."""
+    plan = _plan(_q(spark, sf_dir, "w1_order_rank_per_customer"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_d3_knn_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """Brute-force kNN must end in TakeOrderedAndProject (per-partition
+    top-k + merge), never a full global Sort of all similarities."""
+    plan = _plan(_q(spark, sf_dir, "d3_knn_cosine_topk"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_d1_dedup_shuffles_digest_not_body(spark, sf_dir):
+    """Exact dedup groups on sha2(text) — the shuffle must carry the 32-byte
+    digest, not the document body."""
+    plan = _formatted(_q(spark, sf_dir, "d1_dedup_keep_first"))
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys, plan
+    # the text column must never be an exchange partitioning key — the
+    # digest lands in a _groupingexpression alias
+    for key in keys:
+        assert "text#" not in key, plan
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    """q1 touches 7 of lineitem's 11 columns; the parquet scan's ReadSchema
+    must not include the untouched ones (column pruning reached the scan)."""
+    plan = _formatted(_q(spark, sf_dir, "q1_pricing_summary"))
+    m = re.search(r"ReadSchema: struct<([^>\n]*)", plan)
+    assert m is not None, plan
+    read_cols = m.group(1)
+    assert "l_partkey" not in read_cols and "l_suppkey" not in read_cols, read_cols
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    """q6's date/discount/quantity predicates are sargable: they must appear
+    in PushedFilters on the lineitem scan."""
+    plan = _formatted(_q(spark, sf_dir, "q6_forecast_revenue"))
+    m = re.search(r"PushedFilters: \[([^\]\n]*)", plan)
+    assert m is not None and m.group(1).strip(), plan
+    assert "l_shipdate" in m.group(1), plan
+
+
+def test_no_cartesian_product_on_unbounded_sides(spark, sf_dir):
+    """Every registered relational query must avoid CartesianProduct nodes —
+    the only sanctioned cross joins are single-row scalar-subquery
+    broadcasts (BroadcastNestedLoopJoin with a 1-row side)."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q15_top_supplier",
+        "q22_dormant_customers",
+    ):
+        plan = _plan(_q(spark, sf_dir, name))
+        assert "CartesianProduct" not in plan, (name, plan)
