@@ -241,3 +241,36 @@ def w5_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.count(F.lit(1)).over(w).alias("n_orders"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# W6 — time-interval RANGE frame: per-user trailing-hour activity. The frame
+# is value-based (all rows within 1h of the current row's ts), not
+# row-count-based — the window shape behind trailing-window features in a
+# feature-engineering pipeline. Both engines order on epoch MICROseconds so
+# frame membership is exact (a seconds cast would truncate sub-second ts
+# and disagree at the boundary).
+# --------------------------------------------------------------------------
+@register(
+    "w6_time_range_frame",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w                 AS n_last_hour,
+           ROUND(SUM(value) OVER w, 2)     AS val_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w6_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("val_last_hour"),
+    )

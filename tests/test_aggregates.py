@@ -25,3 +25,26 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
             f"group {r['o_orderstatus']}: approx={approx} exact={exact} "
             f"rel_err={rel_err:.4f} > {3 * rsd}"
         )
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """`approx_percentile(x, p, accuracy)` (Greenwald-Khanna) guarantees the
+    returned value's RANK is within accuracy^-1 of p·n; check the value lies
+    between the exact quantiles at p ± 1/accuracy."""
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    accuracy = 1000
+    # 2/accuracy: 1/accuracy for the GK rank guarantee plus headroom for
+    # percentile() interpolating between elements while approx returns an
+    # actual element.
+    eps = 2.0 / accuracy
+    for p in (0.5, 0.9, 0.99):
+        row = li.agg(
+            F.percentile_approx("l_extendedprice", p, accuracy).alias("approx"),
+            F.percentile("l_extendedprice", F.lit(max(p - eps, 0.0))).alias("lo"),
+            F.percentile("l_extendedprice", F.lit(min(p + eps, 1.0))).alias("hi"),
+        ).collect()[0]
+        assert row["lo"] <= row["approx"] <= row["hi"], (p, dict(row.asDict()))

@@ -250,16 +250,20 @@ def test_explanation_faithful_to_dominant_feature(spark):
             euclidean_distance(F.col("raw"), F.col("x")), default_kernel_width(d)
         ),
     )
-    expl = (
-        weighted.select("instance_id", "sample_id", "z", "y", "weight")
-        .groupBy("instance_id")
-        .applyInPandas(
-            lambda pdf: _fit_group(pdf, k=3, alpha=1.0, with_words=False),
-            schema=TABULAR_SCHEMA,
+    # both L7 selection methods must surface the dominant feature
+    for method in ("highest_weights", "forward_selection"):
+        expl = (
+            weighted.select("instance_id", "sample_id", "z", "y", "weight")
+            .groupBy("instance_id")
+            .applyInPandas(
+                lambda pdf: _fit_group(
+                    pdf, k=3, alpha=1.0, with_words=False, method=method
+                ),
+                schema=TABULAR_SCHEMA,
+            )
+            .toPandas()
         )
-        .toPandas()
-    )
-    top = expl.loc[expl["weight"].abs().idxmax()]
-    assert top["feature_idx"] == 2, expl
-    # masking x2=2.0 to 0 flips P(class 1) down => positive weight on z2
-    assert top["weight"] > 0
+        top = expl.loc[expl["weight"].abs().idxmax()]
+        assert top["feature_idx"] == 2, (method, expl)
+        # masking x2=2.0 to 0 flips P(class 1) down => positive weight on z2
+        assert top["weight"] > 0, method
