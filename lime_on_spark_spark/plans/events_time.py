@@ -180,3 +180,62 @@ def t1_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("total_value"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# T9 — gap filling: dense hourly spine per event_type with zero-filled
+# missing hours. F.sequence builds the spine from the observed [min, max]
+# range (two scalar aggregates, broadcast single-row), the type dimension
+# is bounded, and the fill is a left join from spine to the hourly counts —
+# the standard shape for regularizing a sparse time series before feature
+# extraction. No driver-side loop: the spine explodes JVM-side.
+# --------------------------------------------------------------------------
+@register(
+    "t9_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT t.h AS hour_start, et.event_type
+        FROM bounds,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h),
+             (SELECT DISTINCT event_type FROM events) et
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT s.hour_start, s.event_type,
+           COALESCE(h.n, 0) AS n_events
+    FROM spine s
+    LEFT JOIN hourly h
+      ON s.hour_start = h.hour_start AND s.event_type = h.event_type
+    """,
+)
+def t9_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    types = events.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))  # bounded: hours x 5 types
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(hourly, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
