@@ -17,7 +17,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lime_on_spark_spark.functions.vector import cosine, dot, l2_norm
@@ -306,4 +306,56 @@ def d11_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", (F.col("pos0") + 1).alias("pos"), "v")
         .groupBy("label", "pos")
         .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D3b — BATCH exact kNN: k nearest corpus vectors for EACH of a set of
+# query vectors in one pass. The query block broadcasts (bounded batch),
+# the corpus streams through once, and the per-query top-k is a windowed
+# rank partitioned on query_id (WindowGroupLimit pushdown: each partition
+# stops at k). This is the exact baseline the ANN paths (d4_*) are
+# measured against at batch granularity; at web-scale query counts, route
+# to IVF/LSH instead of broadcasting the query block.
+# --------------------------------------------------------------------------
+@register(
+    "d3_batch_knn",
+    oracle="""
+    SELECT q.vec_id  AS query_id,
+           e.vec_id  AS neighbor_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6)
+                                                               AS cos_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+    WHERE e.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                 e.vec_id
+    ) <= 5
+    """,
+)
+def d3_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_blk = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(queries_blk))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
     )
