@@ -330,3 +330,38 @@ def a9_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_at_zero"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# A3b — mergeable HLL sketches (DataSketches): per-group sketches union
+# into a global estimate WITHOUT rescanning — the sketch property that
+# matters at 100 TB (partial sketches merge across partitions, days, or
+# tables; approx_count_distinct gives only a final number). Rows-only:
+# sketch estimates carry no SQL oracle; tests/test_aggregates.py bounds
+# both estimates against exact counts.
+# --------------------------------------------------------------------------
+@register("a3_hll_sketch_merge")
+def a3_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type user sketches plus an 'ALL' row whose estimate comes
+    from hll_union_agg over the per-type sketches — never from rescanning
+    the events."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    by_type = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+        "exact_users",
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("approx_users"),
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        "approx_users",
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return by_type.unionByName(merged)

@@ -229,3 +229,36 @@ def f8_regex_token_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_uniq"), 4).alias("avg_unique_tokens"),
         F.sum("n_clean").alias("clean_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# F9 — VARIANT semi-structured handling (Spark 4): parse_json once into a
+# binary-encoded variant, then cheap typed path extraction — the modern
+# replacement for repeated get_json_object string re-parsing when a column
+# holds heterogeneous JSON. Extraction is JVM-side; the oracle reads the
+# same paths with DuckDB's JSON extraction.
+# --------------------------------------------------------------------------
+@register(
+    "f9_variant_json",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS INTEGER))  AS sum_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER))
+                                                             AS n_distinct_k,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER))  AS min_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f9_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+        )
+    )
