@@ -181,3 +181,52 @@ def s3_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# P7 — ANSI-safe arithmetic: Spark 4 runs ANSI mode ON, so raw division by
+# zero THROWS mid-job — at 100 TB one bad row kills a 6-hour run. The try_*
+# family returns NULL instead, making bad denominators a data-quality
+# metric rather than a crash. Oracle reconstructs with CASE WHEN.
+# --------------------------------------------------------------------------
+@register(
+    "p7_try_arithmetic",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN ship_days IS NULL THEN 1 ELSE 0 END) AS n_same_day,
+           ROUND(AVG(price_per_day), 2) AS avg_price_per_day
+    FROM (
+        SELECT o.o_orderpriority,
+               CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) = 0
+                    THEN NULL
+                    ELSE datediff('day', o.o_orderdate, l.l_shipdate) END
+                   AS ship_days,
+               CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) = 0
+                    THEN NULL
+                    ELSE l.l_extendedprice
+                         / datediff('day', o.o_orderdate, l.l_shipdate) END
+                   AS price_per_day
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ) t
+    GROUP BY o_orderpriority
+    """,
+)
+def p7_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    joined = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        F.nullif(days, F.lit(0)).alias("ship_days"),
+        F.try_divide("l_extendedprice", F.nullif(days, F.lit(0))).alias(
+            "price_per_day"
+        ),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("ship_days").isNull(), 1).otherwise(0)).alias(
+            "n_same_day"
+        ),
+        F.round(F.avg("price_per_day"), 2).alias("avg_price_per_day"),
+    )

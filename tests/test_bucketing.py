@@ -156,3 +156,28 @@ def test_sorted_write_clusters_for_minmax_pruning(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     assert total_span(sorted_out) < total_span(unsorted_out) / 4
+
+
+def test_permissive_ingest_quarantines_corrupt_records(spark, tmp_path):
+    """Ingest robustness: PERMISSIVE mode with columnNameOfCorruptRecord
+    routes malformed JSON lines into a quarantine column instead of failing
+    the job — at 100 TB a crawler always emits some garbage, and the
+    pipeline must count/route it, not die."""
+    src = tmp_path / "lines.json"
+    good = ['{"id": %d, "v": %d}' % (i, i * 10) for i in range(8)]
+    bad = ['{"id": 8, "v": ', "not json at all", '{"id": }']
+    src.write_text("\n".join(good + bad) + "\n")
+
+    df = (
+        spark.read.schema("id bigint, v bigint, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(str(src))
+    )
+    rows = df.collect()
+    n_bad = sum(1 for r in rows if r["_bad"] is not None)
+    n_good = sum(1 for r in rows if r["_bad"] is None and r["id"] is not None)
+    assert n_good == len(good)
+    assert n_bad == len(bad)
+    # and the good rows parsed correctly
+    assert sum(r["v"] or 0 for r in rows) == sum(i * 10 for i in range(8))
