@@ -6,7 +6,6 @@ drives the data); LSH recall is bounded against brute force on the corpus.
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
