@@ -274,3 +274,43 @@ def l6_ridge_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# L1b — decile discretizer (upstream lime.discretize.DecileDiscretizer):
+# same exact-percentile edges + chained-CASE assignment, 9 edges / 10 bins.
+# --------------------------------------------------------------------------
+@register(
+    "l1_discretizer_deciles",
+    oracle="""
+    WITH q AS (SELECT quantile_cont(c_acctbal,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+               FROM customer)
+    SELECT CASE WHEN c_acctbal < e[1] THEN 0
+                WHEN c_acctbal < e[2] THEN 1
+                WHEN c_acctbal < e[3] THEN 2
+                WHEN c_acctbal < e[4] THEN 3
+                WHEN c_acctbal < e[5] THEN 4
+                WHEN c_acctbal < e[6] THEN 5
+                WHEN c_acctbal < e[7] THEN 6
+                WHEN c_acctbal < e[8] THEN 7
+                WHEN c_acctbal < e[9] THEN 8
+                ELSE 9 END                                    AS bin,
+           COUNT(*)                                           AS n,
+           ROUND(MIN(c_acctbal), 2)                           AS lo,
+           ROUND(MAX(c_acctbal), 2)                           AS hi
+    FROM customer, q
+    GROUP BY bin
+    """,
+)
+def l1_discretizer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.discretize import discretize
+
+    cust = load_table(spark, sf_dir, "customer")
+    probs = tuple(i / 10 for i in range(1, 10))
+    binned, _edges = discretize(cust, "c_acctbal", out="bin", probs=probs)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )
