@@ -237,3 +237,98 @@ def d8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_chars").alias("sampled_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# D12 — exact-quota deterministic sampling per source ("data mixing"): take
+# exactly ceil(q·n_src) docs from each source, chosen by md5 rank — a
+# seedless, engine-reproducible stand-in for per-stratum random sampling
+# when the mix ratio must be EXACT (sampleBy is Bernoulli: right rate,
+# wrong count). Window ranks within source partitions (high-cardinality
+# enough at corpus scale; a hot source falls back to the salted pattern).
+# --------------------------------------------------------------------------
+@register(
+    "d12_quota_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*)      AS n_sampled,
+           SUM(n_chars)  AS sampled_chars
+    FROM ranked
+    WHERE rk <= CAST(ceil(0.3 * n_src) AS BIGINT)
+    GROUP BY source
+    """,
+)
+def d12_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= F.ceil(0.3 * F.col("n_src")).cast("bigint"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D1c — priority-based dedup survivor: among exact duplicates (same text
+# digest), keep the BEST copy (longest, tie-break smallest doc_id) rather
+# than the first seen — the canonical-selection rule real corpora need when
+# duplicates differ in metadata quality. Same digest-keyed shuffle as
+# d1_dedup_keep_first; survivorship is max_by over the group.
+# --------------------------------------------------------------------------
+@register(
+    "d1_dedup_keep_best",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*)     AS n_survivors,
+           SUM(n_chars) AS survivor_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM ranked
+    WHERE rk = 1
+    GROUP BY lang
+    """,
+)
+def d1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    survivors = docs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").alias("survivor_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
