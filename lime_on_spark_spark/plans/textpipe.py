@@ -386,37 +386,12 @@ def d9_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d10_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.connected_components import (
+        connected_components,
+    )
     from lime_on_spark_spark.plans.registry import queries
 
     pairs = queries()["d2_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.selectExpr("doc_a AS a", "doc_b AS b").union(
-        pairs.selectExpr("doc_b AS a", "doc_a AS b")
-    )
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-    )
-    # Edge list is reused every round — materialize it once.
-    sym = sym.localCheckpoint(eager=True)
-    for _ in range(25):  # >= any plausible dup-graph diameter; breaks early
-        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), "label"
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # truncate per-round lineage
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
     )

@@ -294,3 +294,46 @@ def test_stratified_sample_deterministic_and_in_bounds(spark, sf_dir):
         # 5-sigma binomial bound: Bernoulli sampling, not exact-count.
         tol = 5 * math.sqrt(n * frac * (1 - frac)) + 1
         assert abs(got - n * frac) <= tol, (lang, got, n, frac)
+
+
+# --------------------------------------------------------------------------
+# Connected components vs an independent union-find on random graphs
+# --------------------------------------------------------------------------
+@_SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from lime_on_spark_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "a int, b int")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_rounds=30).collect()
+    }
+
+    # independent reference: classic union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want, (edges, got, want)
