@@ -365,3 +365,76 @@ def a3_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_users"),
     )
     return by_type.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# A11 — equi-width histogram via width_bucket: the one-pass profiling
+# primitive (distribution sketch for a numeric column). Bounds come from a
+# scalar min/max aggregate (broadcast single row), bucketing is a pure
+# expression — the whole histogram is two scans' worth of work, no UDF.
+# --------------------------------------------------------------------------
+@register(
+    "a11_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    -- DuckDB has no width_bucket; this is Spark's exact formula with the
+    -- same IEEE operation order: floor((x - lo) / ((hi - lo) / n)) + 1
+    SELECT CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) + 1 AS INTEGER)
+               AS bucket,
+           COUNT(*)                    AS n,
+           ROUND(MIN(o_totalprice), 2) AS bucket_lo,
+           ROUND(MAX(o_totalprice), 2) AS bucket_hi
+    FROM orders, bounds
+    GROUP BY bucket
+    """,
+)
+def a11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        orders.agg(
+            F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+        )
+    )
+    return (
+        orders.crossJoin(bounds)  # single-row scalar subquery
+        .select(
+            F.width_bucket("o_totalprice", "lo", "hi", F.lit(20))
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_lo"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A12 — boolean aggregates: bool_and / bool_or per group (constraint-check
+# aggregates — "does EVERY row satisfy X" as a one-pass agg).
+# --------------------------------------------------------------------------
+@register(
+    "a12_bool_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 0)          AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bool_and(o_orderdate >= TIMESTAMP '1995-01-01') AS all_after_1995
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a12_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(
+            F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+        ).alias("all_after_1995"),
+    )
