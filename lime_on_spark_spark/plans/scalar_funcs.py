@@ -262,3 +262,71 @@ def f9_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# F2b — calendar function extras: last_day / dayofyear / weekofyear /
+# quarter / make_date, all scan-stage expressions. weekofyear is ISO-8601
+# in both engines; results cast to Spark's INT width.
+# --------------------------------------------------------------------------
+@register(
+    "f2_date_extras",
+    oracle="""
+    SELECT CAST(quarter(o_orderdate) AS INTEGER)            AS q,
+           COUNT(*)                                         AS n_orders,
+           CAST(MIN(dayofyear(o_orderdate)) AS INTEGER)     AS first_doy,
+           CAST(MAX(weekofyear(o_orderdate)) AS INTEGER)    AS last_week,
+           CAST(MAX(last_day(CAST(o_orderdate AS DATE))) AS TIMESTAMP)
+                                                            AS latest_month_end,
+           CAST(MIN(make_date(CAST(year(o_orderdate) AS INTEGER), 1, 1))
+                AS TIMESTAMP)                               AS earliest_year_start
+    FROM orders
+    GROUP BY q
+    """,
+)
+def f2_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.quarter("o_orderdate").alias("q"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.dayofyear("o_orderdate")).alias("first_doy"),
+            F.max(F.weekofyear("o_orderdate")).alias("last_week"),
+            F.max(F.last_day("o_orderdate")).cast("timestamp").alias(
+                "latest_month_end"
+            ),
+            F.min(F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)))
+            .cast("timestamp")
+            .alias("earliest_year_start"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F1b — string function extras: pad / translate / repeat / reverse (initcap
+# is Spark-only — DuckDB has no twin, so it stays out of the oracle row).
+# --------------------------------------------------------------------------
+@register(
+    "f1_string_extras",
+    oracle="""
+    SELECT c_mktsegment,
+           MIN(lpad(CAST(c_custkey AS VARCHAR), 10, '0'))  AS min_padded_key,
+           MAX(rpad(c_mktsegment, 12, '.'))                AS padded_seg,
+           MIN(translate(c_name, '#', '-'))                AS translated,
+           MAX(repeat(substr(c_mktsegment, 1, 2), 3))      AS repeated,
+           MIN(reverse(c_mktsegment))                      AS reversed
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def f1_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.min(F.lpad(F.col("c_custkey").cast("string"), 10, "0")).alias(
+            "min_padded_key"
+        ),
+        F.max(F.rpad("c_mktsegment", 12, ".")).alias("padded_seg"),
+        F.min(F.translate("c_name", "#", "-")).alias("translated"),
+        F.max(F.repeat(F.substring("c_mktsegment", 1, 2), 3)).alias("repeated"),
+        F.min(F.reverse("c_mktsegment")).alias("reversed"),
+    )

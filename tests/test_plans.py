@@ -101,3 +101,15 @@ def test_no_cartesian_product_on_unbounded_sides(spark, sf_dir):
     ):
         plan = _plan(_q(spark, sf_dir, name))
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_aqe_converts_small_filtered_side_to_broadcast(spark, sf_dir):
+    """q3 carries NO forced broadcast hint on customer (unbounded at scale);
+    the claim is that AQE converts it at RUNTIME when the filtered side is
+    actually small. Execute the query, then check the final adaptive plan
+    did use a broadcast join — the runtime half of the q3 design argument."""
+    df = _q(spark, sf_dir, "q3_shipping_priority")
+    df.collect()  # finalize THIS QueryExecution's adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, final
+    assert "BroadcastHashJoin" in final, final
