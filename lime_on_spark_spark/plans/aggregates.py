@@ -438,3 +438,40 @@ def a12_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
         ).alias("all_after_1995"),
     )
+
+
+# --------------------------------------------------------------------------
+# A2b — EXACT distinct counting via mergeable bitmaps: partition user ids
+# into 32k-bit buckets (bitmap_bucket_number), build per-bucket bitmaps
+# with bitmap_construct_agg, and sum bitmap_count. Unlike COUNT(DISTINCT)
+# this is re-aggregable — per-(type, bucket) bitmaps OR together across
+# partitions/days (the 'ALL' row below never rescans events) — and unlike
+# HLL (a3_*) it is EXACT, so the plain COUNT(DISTINCT) SQL is the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "a2_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+    """,
+)
+def a2_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_bucket = events.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    by_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))  # merge bitmaps, no rescan
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return by_type.unionByName(merged)
