@@ -330,3 +330,51 @@ def f1_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.repeat(F.substring("c_mktsegment", 1, 2), 3)).alias("repeated"),
         F.min(F.reverse("c_mktsegment")).alias("reversed"),
     )
+
+
+# --------------------------------------------------------------------------
+# F4b — array predicate / structural HOFs: exists, forall, flatten,
+# array_position — the remaining higher-order surface beyond
+# transform/filter/aggregate/zip_with (plans/vectors.py f4_array_hofs).
+# DuckDB twins are list_filter-based (no native exists/forall).
+# --------------------------------------------------------------------------
+@register(
+    "f4_array_predicates",
+    oracle="""
+    SELECT label,
+           SUM(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                         v -> v > 0.3)) > 0
+                    THEN 1 ELSE 0 END)                        AS n_has_large,
+           SUM(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                         v -> NOT (v >= -0.5))) = 0
+                    THEN 1 ELSE 0 END)                        AS n_all_bounded,
+           CAST(MAX(list_position(CAST(embedding AS DOUBLE[]),
+                                  list_max(CAST(embedding AS DOUBLE[]))))
+                AS INTEGER)                                   AS max_argmax_pos,
+           SUM(len(flatten([CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])])))   AS flat_len
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def f4_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform("embedding", lambda v: v.cast("double"))
+    return (
+        emb.select(
+            "label",
+            F.exists(arr, lambda v: v > 0.3).alias("has_large"),
+            F.forall(arr, lambda v: v >= -0.5).alias("all_bounded"),
+            F.array_position(arr, F.array_max(arr)).cast("int").alias("argmax_pos"),
+            F.size(F.flatten(F.array(arr, arr))).alias("flat_len"),
+        )
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("has_large"), 1).otherwise(0)).alias("n_has_large"),
+            F.sum(F.when(F.col("all_bounded"), 1).otherwise(0)).alias(
+                "n_all_bounded"
+            ),
+            F.max("argmax_pos").alias("max_argmax_pos"),
+            F.sum("flat_len").alias("flat_len"),
+        )
+    )
