@@ -39,6 +39,7 @@ EXTENDED = (
     "t3_session_window",
     "d2_minhash_near_dup",
     "l8_batch_explain_tabular",
+    "l8_batch_explain_text",
 )
 
 
