@@ -395,3 +395,40 @@ def d10_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+# --------------------------------------------------------------------------
+# D13 — context-window chunking: split each document into overlapping
+# token windows (size 40, stride 30 -> 25% overlap), the preprocessing
+# step that turns raw documents into training-context rows. Start offsets
+# come from F.sequence, windows from F.slice — all JVM expressions, so
+# chunking happens inside the scan stage and only the exploded chunk rows
+# ever exist; no UDF, no shuffle until whatever consumes the chunks.
+# --------------------------------------------------------------------------
+@register(
+    "d13_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST((s - 1) / 30 AS BIGINT)                        AS chunk_id,
+           len(list_slice(toks, s, s + 39))                    AS n_tokens,
+           array_to_string(list_slice(toks, s, s + 39), ' ')   AS chunk_text
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+         UNNEST(generate_series(1, len(toks), 30)) AS t(s)
+    """,
+)
+def d13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    CHUNK, STRIDE = 40, 30
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(STRIDE))
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(F.slice("toks", F.col("s"), F.lit(CHUNK))).alias("n_tokens"),
+            F.concat_ws(" ", F.slice("toks", F.col("s"), F.lit(CHUNK))).alias(
+                "chunk_text"
+            ),
+        )
+    )
