@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.plans.registry import queries, register
 from lime_on_spark_spark.sources.catalog import load_table
 
 
@@ -431,4 +431,62 @@ def d13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "chunk_text"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# D14 — sequence packing: assign each context chunk to a training batch so
+# batches respect a token budget (greedy in chunk order). Packing is
+# DOCUMENT-LOCAL (window partitioned by doc_id) so the cumsum never needs
+# a global order — the scale-safe form; cross-document packing would be a
+# single-reducer sort at 100 TB. The greedy rule (batch = floor(tokens
+# before this chunk / budget)) can overflow a batch by at most one chunk,
+# the standard streaming-packing tradeoff.
+# --------------------------------------------------------------------------
+@register(
+    "d14_pack_sequences",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / 30 AS BIGINT)     AS chunk_id,
+               len(list_slice(toks, s, s + 39)) AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+             UNNEST(generate_series(1, len(toks), 30)) AS t(s)
+    ), packed AS (
+        SELECT doc_id, chunk_id, n_tokens,
+               CAST(floor(
+                   (SUM(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - n_tokens) / 128.0
+               ) AS BIGINT) AS batch_id
+        FROM chunks
+    )
+    SELECT doc_id, batch_id,
+           COUNT(*)     AS n_chunks,
+           SUM(n_tokens) AS batch_tokens
+    FROM packed
+    GROUP BY doc_id, batch_id
+    """,
+)
+def d14_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    BUDGET = 128
+    chunks = queries()["d13_chunk_documents"](spark, sf_dir).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = chunks.withColumn(
+        "batch_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("doc_id", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("batch_tokens"),
     )
