@@ -14,6 +14,8 @@ the large-star/small-star alternation — same per-round shape.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,14 +25,20 @@ def connected_components(
 ) -> DataFrame:
     """Return (node, component) for every node in `edges`; component is the
     minimum node id in the connected component. Edges are undirected."""
-    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").union(
-        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    # Checkpoint the DIRECTED edge list first, then build the symmetric
+    # view from the checkpoint: both union branches and everything the loop
+    # derives (labels, per-round messages) must descend from the
+    # materialized edges, or the (possibly very expensive) upstream pair
+    # generation re-runs once per union branch and again on labels' first
+    # use.
+    e = edges.selectExpr(f"{src} AS a", f"{dst} AS b").localCheckpoint(
+        eager=True
     )
+    sym = e.union(e.selectExpr("b AS a", "a AS b"))
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
-    sym = sym.localCheckpoint(eager=True)  # edge list reused every round
     for _ in range(max_rounds):
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
@@ -50,4 +58,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausted max_rounds without converging: labels are an upper
+        # bound on the true components (some may still merge). Silent
+        # wrong answers are worse than noise — warn so callers can raise
+        # max_rounds (diameter exceeded it) or switch to star-contraction.
+        warnings.warn(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds ({changed} labels still changing); component ids may "
+            "be split too fine. Increase max_rounds or use "
+            "large-star/small-star contraction for high-diameter graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("component"))

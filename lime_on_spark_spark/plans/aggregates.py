@@ -54,15 +54,38 @@ def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A3 — approximate count-distinct (HLL). Rows-only: approx != oracle hash;
-# tests/test_aggregates.py bounds it against the exact count instead.
+# A3 — approximate count-distinct (HLL). The raw HLL estimate is
+# engine-specific, so the query emits the EXACT count plus a Spark-computed
+# tolerance verdict (|approx-exact|/exact < 3·rsd); the oracle emits the
+# same exact count and literal TRUE. The sketch is thus oracle-CHECKED
+# (a broken HLL flips within_tol to false and fails the hash) without the
+# oracle needing to reproduce Spark's HLL++ bias correction bit-for-bit.
 # --------------------------------------------------------------------------
-@register("a3_approx_count_distinct")
+@register(
+    "a3_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE                      AS within_tol
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    RSD = 0.02
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", RSD).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            < 3 * RSD
+        ).alias("within_tol"),
     )
 
 

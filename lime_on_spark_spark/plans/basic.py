@@ -194,8 +194,9 @@ def s3_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN ship_days IS NULL THEN 1 ELSE 0 END) AS n_same_day,
-           ROUND(AVG(price_per_day), 2) AS avg_price_per_day
+           CAST(SUM(CASE WHEN ship_days IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_day,
+           ROUND(ROUND(AVG(price_per_day), 6), 2) AS avg_price_per_day
     FROM (
         SELECT o.o_orderpriority,
                CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) = 0
@@ -228,5 +229,10 @@ def p7_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ship_days").isNull(), 1).otherwise(0)).alias(
             "n_same_day"
         ),
-        F.round(F.avg("price_per_day"), 2).alias("avg_price_per_day"),
+        # Double-round (6dp then 2dp) on BOTH sides: the raw double AVG can
+        # differ between engines by ~1 ulp from summation order; a direct
+        # 2dp round one ulp from a .xx5 boundary then flips between them.
+        # Snapping to 6dp first makes a 2dp tie require the average to sit
+        # within 1 ulp of an exact .xx5000 value — 10^4× less likely.
+        F.round(F.round(F.avg("price_per_day"), 6), 2).alias("avg_price_per_day"),
     )

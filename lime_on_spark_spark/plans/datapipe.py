@@ -186,7 +186,7 @@ def d7_lang_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8_hash_split",
     oracle="""
     SELECT split, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs
     FROM (
         SELECT CASE
@@ -261,7 +261,7 @@ def d8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*)      AS n_sampled,
-           SUM(n_chars)  AS sampled_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM ranked
     WHERE rk <= CAST(ceil(0.3 * n_src) AS BIGINT)
     GROUP BY source
@@ -310,7 +310,7 @@ def d12_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*)     AS n_survivors,
-           SUM(n_chars) AS survivor_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS survivor_chars,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
     FROM ranked
     WHERE rk = 1

@@ -21,6 +21,11 @@ Scale notes per row:
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # type hints only — pandas is imported lazily inside UDFs
+    import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

@@ -205,10 +205,12 @@ def f7_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f8_regex_token_funcs",
     oracle="""
     SELECT source,
-           SUM(len(regexp_extract_all(text, '[0-9]+')))            AS n_numbers,
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]+')))
+                AS BIGINT)                                         AS n_numbers,
            ROUND(AVG(len(list_distinct(string_split(lower(text), ' ')))), 4)
                                                                    AS avg_unique_tokens,
-           SUM(length(regexp_replace(text, '[^a-z ]', '', 'g')))   AS clean_chars
+           CAST(SUM(length(regexp_replace(text, '[^a-z ]', '', 'g')))
+                AS BIGINT)                                         AS clean_chars
     FROM documents
     GROUP BY source
     """,
@@ -242,7 +244,8 @@ def f8_regex_token_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f9_variant_json",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS INTEGER))  AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS BIGINT)                                   AS sum_k,
            COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER))
                                                              AS n_distinct_k,
            MIN(CAST(json_extract(props, '$.k') AS INTEGER))  AS min_k
@@ -342,17 +345,18 @@ def f1_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f4_array_predicates",
     oracle="""
     SELECT label,
-           SUM(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
-                                         v -> v > 0.3)) > 0
-                    THEN 1 ELSE 0 END)                        AS n_has_large,
-           SUM(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
-                                         v -> NOT (v >= -0.5))) = 0
-                    THEN 1 ELSE 0 END)                        AS n_all_bounded,
+           CAST(SUM(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                              v -> v > 0.3)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT)        AS n_has_large,
+           CAST(SUM(CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                              v -> NOT (v >= -0.5))) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)        AS n_all_bounded,
            CAST(MAX(list_position(CAST(embedding AS DOUBLE[]),
                                   list_max(CAST(embedding AS DOUBLE[]))))
                 AS INTEGER)                                   AS max_argmax_pos,
-           SUM(len(flatten([CAST(embedding AS DOUBLE[]),
-                            CAST(embedding AS DOUBLE[])])))   AS flat_len
+           CAST(SUM(len(flatten([CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])])))
+                AS BIGINT)                                    AS flat_len
     FROM embeddings
     GROUP BY label
     """,

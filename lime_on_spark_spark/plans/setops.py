@@ -127,7 +127,8 @@ def u3_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*)                                   AS n_rows,
            COUNT(source)                              AS n_with_source,
-           SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_missing_chars
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                            AS n_missing_chars
     FROM (
         SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
                CAST(NULL AS BIGINT) AS n_chars

@@ -170,7 +170,7 @@ def o3_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*)     AS n_rows,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
         SELECT lang, CAST(NULL AS BIGINT) AS n_chars
         FROM documents WHERE doc_id % 2 = 0

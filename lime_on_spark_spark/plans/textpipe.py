@@ -251,14 +251,18 @@ def d5_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for near-dup pairs above 0.5.
 
-    Shape at scale: shingle -> inverted-index self-join (candidates come
-    from shared-shingle equi-joins, never an all-pairs cross join), then
-    exact |A∩B| / |A∪B| from per-pair intersection counts + per-doc set
-    sizes. At web scale, prepend the MinHash prefilter (d2_minhash_near_dup)
-    and drop stop-shingles above a document-frequency cutoff — a shingle
-    shared by millions of docs creates a hot join key and contributes
-    nothing to a >=0.5 pair.
+    Shape at scale (operators/jaccard.py): shingle -> inverted-index
+    self-join on xxhash64'd shingles (8-byte join keys, one materialization
+    of the explode), with a stop-shingle document-frequency cutoff: hot
+    shingles are dropped from candidate generation (they quadratically
+    inflate the join) and their contribution to |A∩B| is restored from
+    small per-doc hot-shingle arrays, so the reported Jaccard stays EXACT
+    — see the module docstring for the hot-heavy-doc soundness argument.
+    At web scale, additionally prepend the MinHash prefilter
+    (d2_minhash_near_dup).
     """
+    from lime_on_spark_spark.operators.jaccard import exact_jaccard_pairs
+
     docs = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     shingles = F.array_distinct(
@@ -273,23 +277,9 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.size(w) >= 3)
         .select("doc_id", F.explode(shingles).alias("shingle"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    pairs = exact_jaccard_pairs(sh, threshold=0.5, df_cutoff=100)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -463,7 +453,7 @@ def d13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, batch_id,
            COUNT(*)     AS n_chunks,
-           SUM(n_tokens) AS batch_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
     FROM packed
     GROUP BY doc_id, batch_id
     """,

@@ -95,6 +95,18 @@ def run_foreach_batch_to_parquet(df: DataFrame, *, output_mode: str) -> DataFram
         query.awaitTermination()
     finally:
         query.stop()
+    # Append mode can withhold EVERY row inside the watermark horizon, so
+    # the scratch dir may contain no part files; spark.read.parquet would
+    # then fail schema inference. Return an empty frame with the input
+    # schema instead (epoch_id is synthetic, so it never appears here).
+    has_data = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(out_dir)
+        for f in files
+    )
+    if not has_data:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return spark.createDataFrame([], df.schema)
     result = spark.read.parquet(out_dir).drop("epoch_id")
     # Materialize before the scratch dir disappears.
     rows = result.collect()

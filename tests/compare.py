@@ -5,6 +5,14 @@ order-insensitive value-hash): canonicalize both result sets to sorted
 tuples of normalized values and compare. Floats are rounded to 6 decimals
 — registered queries already round their own aggregates harder than that,
 so any mismatch surfacing here is a real semantic difference, not repr noise.
+
+Values are TYPE-TAGGED: the driver's value-hash distinguishes int 3 from
+float 3.0 (DuckDB hugeint aggregates arrive as float64 while Spark emits
+bigint — the r4 `p7_try_arithmetic` failure class), so `canon_value`
+returns `(tag, value)` pairs and equality compares the tag too. The row
+SORT key remains type-insensitive (floats and ints with equal value sort
+together) so equal-valued rows still align pairwise before the strict
+equality runs.
 """
 
 from __future__ import annotations
@@ -17,32 +25,36 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
-
-def canon_value(v: Any) -> Any:
+# Tags: z=null  b=bool  i=int  f=float(Decimal folds here)  s=string-like
+# (str / bytes-hex / timestamps-as-iso)  a=array/tuple
+def canon_value(v: Any) -> tuple:
     if v is None:
-        return None
+        return ("z", None)
     if isinstance(v, (bool, np.bool_)):
-        return bool(v)
+        return ("b", bool(v))
     if isinstance(v, (int, np.integer)):
-        return int(v)
+        return ("i", int(v))
     if isinstance(v, decimal.Decimal):
         v = float(v)
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
-            return None
-        return round(f, 6)
+            # NaN is how pandas spells NULL in numeric columns — collapse to
+            # the null tag so a nullable bigint (object None on one side,
+            # float64 NaN on the other) doesn't false-fail on the tag.
+            return ("z", None)
+        return ("f", round(f, 6))
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime().replace(tzinfo=None).isoformat()
+        return ("s", v.to_pydatetime().replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("s", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("s", v.isoformat())
     if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(canon_value(x) for x in v)
+        return ("a", tuple(canon_value(x) for x in v))
     if isinstance(v, bytes):
-        return v.hex()
-    return v
+        return ("s", v.hex())
+    return ("s", str(v))
 
 
 def canon_frame(pdf: pd.DataFrame) -> list[tuple]:
@@ -52,16 +64,18 @@ def canon_frame(pdf: pd.DataFrame) -> list[tuple]:
         tuple(canon_value(v) for v in row)
         for row in pdf.itertuples(index=False, name=None)
     ]
+
     # Type-insensitive sort key: 100 (int) and 100.0 (float) must sort
-    # identically on both sides or equal rows can misalign pairwise. repr as
-    # final tiebreak keeps >2^53 ints deterministic; recurse into tuples so
-    # array columns holding ints on one side / floats on the other align too.
-    def _kv(v: Any) -> tuple:
-        if isinstance(v, tuple):
+    # identically on both sides or equal rows can misalign pairwise — the
+    # tag is excluded from the numeric sort key and only used as the final
+    # tiebreak. repr keeps >2^53 ints deterministic; recurse into tuples.
+    def _kv(tv: tuple) -> tuple:
+        tag, v = tv
+        if tag == "a":
             return (2, tuple(_kv(x) for x in v), "")
-        if isinstance(v, (int, float)) and not isinstance(v, bool):
-            return (1, float(v), repr(v))
-        return (0, repr(v), "")
+        if tag in ("i", "f") and v is not None:
+            return (1, float(v), repr(v) + tag)
+        return (0, repr(v), tag)
 
     return sorted(rows, key=lambda row: tuple(_kv(v) for v in row))
 
@@ -74,6 +88,22 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
+    # Column-level dtype guard: an integer column on one side vs a float
+    # column on the other is the hugeint/float64 driver-hash failure class
+    # even when the frame is EMPTY (value-level tags can't see 0 rows).
+    # Only hard numeric-kind conflicts fail here — object columns defer to
+    # the per-value tags below.
+    for col in sorted(spark_pdf.columns):
+        sk = spark_pdf[col].dtype.kind
+        ok = oracle_pdf[col].dtype.kind
+        int_vs_float = {"i", "u"} & {sk} and ok == "f" or sk == "f" and ok in "iu"
+        bool_vs_num = ("b" in (sk, ok)) and ({sk, ok} & set("iuf"))
+        assert not (int_vs_float or bool_vs_num), (
+            f"{name}: column {col!r} dtype-kind mismatch: "
+            f"spark={spark_pdf[col].dtype} oracle={oracle_pdf[col].dtype} "
+            "(driver value-hash distinguishes int from float — cast the "
+            "oracle, e.g. CAST(SUM(...) AS BIGINT))"
+        )
     s_rows = canon_frame(spark_pdf)
     o_rows = canon_frame(oracle_pdf)
     for i, (s, o) in enumerate(zip(s_rows, o_rows)):
