@@ -359,15 +359,31 @@ def a9_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A3b — mergeable HLL sketches (DataSketches): per-group sketches union
 # into a global estimate WITHOUT rescanning — the sketch property that
 # matters at 100 TB (partial sketches merge across partitions, days, or
-# tables; approx_count_distinct gives only a final number). Rows-only:
-# sketch estimates carry no SQL oracle; tests/test_aggregates.py bounds
-# both estimates against exact counts.
+# tables; approx_count_distinct gives only a final number). Oracle-checked
+# via the a3 pattern: the query emits the EXACT count plus a Spark-computed
+# tolerance verdict for the sketch estimate (lgK=14 → rsd ≈ 1.04/2^7 ≈
+# 0.81%, 3·rsd bound); a broken sketch or union flips within_tol and fails
+# the hash. The 'ALL' row's estimate still comes only from hll_union_agg
+# over the per-type sketches — the exact global count exists purely to
+# judge it.
 # --------------------------------------------------------------------------
-@register("a3_hll_sketch_merge")
+@register(
+    "a3_hll_sketch_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE                    AS within_tol
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+)
 def a3_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type user sketches plus an 'ALL' row whose estimate comes
     from hll_union_agg over the per-type sketches — never from rescanning
     the events."""
+    TOL = 3 * 0.008  # 3·rsd at lgK=14
     events = load_table(spark, sf_dir, "events")
     per_type = events.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", 14).alias("sketch"),
@@ -378,16 +394,26 @@ def a3_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
         "exact_users",
     )
+    global_exact = events.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch"))
         .cast("long")
         .alias("approx_users"),
-    ).select(
-        F.lit("ALL").alias("event_type"),
-        "approx_users",
-        F.lit(None).cast("long").alias("exact_users"),
+    ).crossJoin(global_exact).select(
+        F.lit("ALL").alias("event_type"), "approx_users", "exact_users"
     )
-    return by_type.unionByName(merged)
+    union = by_type.unionByName(merged)
+    return union.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < TOL
+        ).alias("within_tol"),
+    )
 
 
 # --------------------------------------------------------------------------

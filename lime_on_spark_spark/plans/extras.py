@@ -173,13 +173,23 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Seeded sampling (rows-only: sample composition is partitioning-dependent)
+# Seeded sampling. Sample composition is partitioning-dependent, so the
+# query emits the exact population plus a Spark-computed rate verdict
+# (|rate − 0.1| < 0.02; worst observed deviation across sf0.001/0.01/0.1 is
+# 0.007) — the a3 oracle pattern for stochastic operators.
 # --------------------------------------------------------------------------
-@register("s4_seeded_sample")
+@register(
+    "s4_seeded_sample",
+    oracle="SELECT COUNT(*) AS n_total, TRUE AS rate_ok FROM lineitem",
+)
 def s4_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sample = li.sample(fraction=0.1, seed=42)
-    return sample.agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.countDistinct("l_orderkey").alias("n_orders_touched"),
+    n_sampled = sample.agg(F.count(F.lit(1)).alias("n_sampled"))
+    n_total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    return n_total.crossJoin(n_sampled).select(
+        "n_total",
+        (F.abs(F.col("n_sampled") / F.col("n_total") - 0.1) < 0.02).alias(
+            "rate_ok"
+        ),
     )

@@ -104,6 +104,48 @@ def l2_perturb_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L2b — Gaussian neighborhood sampler (upstream-fidelity mode). The draw is
+# seeded-deterministic but not SQL-reproducible, so the query emits each
+# instance's per-dimension moment VERDICTS (mean within 4·se of the center,
+# std within 4·se of sigma) — the a3 oracle pattern: a broken sampler flips
+# a boolean and fails the hash.
+# --------------------------------------------------------------------------
+@register(
+    "l2_perturb_gaussian",
+    oracle="""
+    SELECT vec_id AS instance_id, 2000 AS n_samples,
+           TRUE AS mean_ok, TRUE AS std_ok
+    FROM embeddings WHERE vec_id < 2
+    """,
+)
+def l2_perturb_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.perturb import perturb_tabular_gaussian
+
+    D, N, SIGMA = 64, 2000, 0.5
+    emb = load_table(spark, sf_dir, "embeddings")
+    instances = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("instance_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    samples = perturb_tabular_gaussian(
+        instances, mu=[0.0] * D, sigma=[SIGMA] * D, num_samples=N, seed=7
+    ).filter(F.col("sample_id") > 0)
+    per_dim = samples.select(
+        "instance_id", F.posexplode("raw").alias("dim", "v")
+    ).groupBy("instance_id", "dim").agg(
+        F.avg("v").alias("m"), F.stddev_samp("v").alias("s")
+    )
+    se_m = 4 * SIGMA / F.sqrt(F.lit(float(N - 1)))
+    se_s = 4 * SIGMA / F.sqrt(F.lit(2.0 * (N - 1)))
+    return per_dim.groupBy("instance_id").agg(
+        (F.max(F.abs("m")) < se_m).alias("mean_ok"),
+        (F.max(F.abs(F.col("s") - SIGMA)) < se_s).alias("std_ok"),
+    ).select(
+        "instance_id", F.lit(N).alias("n_samples"), "mean_ok", "std_ok"
+    )
+
+
+# --------------------------------------------------------------------------
 # L3 — text perturbation sampler (rows-only; deterministic word masks)
 # --------------------------------------------------------------------------
 @register("l3_perturb_text")

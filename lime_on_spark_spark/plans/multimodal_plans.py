@@ -1,9 +1,14 @@
 """Multimodal pipeline rows (north-star family: opaque media columns).
 
-Rows-only: the feature extractor runs through the stubbed decoder
-(operators/multimodal.py) — the Spark-side plumbing (binary schema,
-metadata struct, Arrow batch shape, map-only extraction) is real and what
-these rows exercise; tests/test_multimodal.py pins the values.
+The feature extractor runs through the stubbed decoder
+(operators/multimodal.py): real codecs are absent, so the synthetic 'raw'
+format decodes to the utf-8 byte stream of the text payload. That makes
+the whole pipeline DIFFERENTIALLY checkable: DuckDB reconstructs the same
+byte values by hex-expanding `encode(text)`, so every aggregate the
+mapInPandas stages produce (byte counts, checksums, histogram features,
+nearest-neighbor resize pixels, sampled-frame stats) has an exact SQL
+oracle. A bug anywhere in the Arrow plumbing — batch shape, schema,
+per-row decode, fan-out — breaks the value match.
 """
 
 from __future__ import annotations
@@ -14,8 +19,39 @@ from pyspark.sql import functions as F
 from lime_on_spark_spark.plans.registry import register
 from lime_on_spark_spark.sources.catalog import load_table
 
+# DuckDB reconstruction of decode_blob('raw', ...): utf-8 byte values via
+# hex expansion (strpos over the hex alphabet decodes each nibble pair).
+_BYTES_CTE = """
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ), bytes AS (
+        SELECT doc_id, nb,
+               list_transform(
+                   range(1, nb + 1),
+                   i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+                        * 16
+                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+               ) AS vals
+        FROM b
+    )
+"""
 
-@register("m1_multimodal_features")
+
+@register(
+    "m1_multimodal_features",
+    oracle=_BYTES_CTE
+    + """
+    SELECT 'raw' AS fmt,
+           COUNT(*) AS n_blobs,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           CAST(SUM(list_sum(vals)) AS BIGINT) AS total_checksum,
+           ROUND(AVG(len(list_filter(vals, v -> v % 8 = 0)) * 1.0 / nb), 6)
+               AS avg_feat0
+    FROM bytes
+    """,
+)
 def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob-attach -> mapInPandas decode/extract -> aggregate features."""
     from lime_on_spark_spark.operators.multimodal import (
@@ -33,7 +69,19 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m2_multimodal_embed_join")
+@register(
+    "m2_multimodal_embed_join",
+    oracle=_BYTES_CTE
+    + """
+    SELECT e.label,
+           COUNT(*) AS n,
+           ROUND(AVG(y.nb), 4) AS avg_bytes,
+           ROUND(AVG(len(list_filter(y.vals, v -> v % 8 = 0)) * 1.0 / y.nb),
+                 6) AS avg_feat0
+    FROM bytes y JOIN embeddings e ON y.doc_id = e.vec_id
+    GROUP BY e.label
+    """,
+)
 def m2_multimodal_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extracted media features joined with the embedding modality — the
     cross-modal enrichment join a training-data pipeline runs before
@@ -57,7 +105,32 @@ def m2_multimodal_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m3_resize_and_frames")
+@register(
+    "m3_resize_and_frames",
+    # Resize: 16 nearest-neighbor samples at idx (k*nb)//16 (clamped);
+    # frames: 64-byte frames, every 4th sampled, last frame ragged.
+    oracle=_BYTES_CTE
+    + """
+    , per_doc AS (
+        SELECT doc_id, nb,
+               list_sum(list_transform(
+                   range(0, 16),
+                   k -> vals[least((k * nb) // 16, nb - 1) + 1]
+               )) AS px_checksum,
+               len(range(0, (nb + 63) // 64, 4)) AS n_sampled_frames,
+               list_sum(list_transform(
+                   range(0, (nb + 63) // 64, 4),
+                   fi -> least(64, nb - fi * 64)
+               )) AS sampled_bytes
+        FROM bytes
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(px_checksum) AS BIGINT) AS total_px_checksum,
+           CAST(SUM(n_sampled_frames) AS BIGINT) AS total_frames,
+           CAST(SUM(sampled_bytes) AS BIGINT) AS total_sampled_bytes
+    FROM per_doc
+    """,
+)
 def m3_resize_and_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + frame-sample stubs over the blob column: two map-only
     Pandas stages joined on doc_id, then summarized."""

@@ -25,7 +25,16 @@ from lime_on_spark_spark.streaming.sources import read_events_stream, run_to_mem
 # --------------------------------------------------------------------------
 # S5 — deterministic dev stream source (rate-micro-batch)
 # --------------------------------------------------------------------------
-@register("s5_rate_source")
+@register(
+    "s5_rate_source",
+    oracle="""
+    SELECT CAST(v % 10 AS BIGINT)        AS bucket,
+           COUNT(*)                      AS n,
+           CAST(SUM(v) AS BIGINT)        AS sum_value
+    FROM (SELECT unnest(range(100)) AS v)
+    GROUP BY bucket
+    """,
+)
 def s5_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One micro-batch of the deterministic rate source: proves the
     readStream -> transform -> sink loop without touching disk."""
@@ -58,7 +67,20 @@ def s5_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T1 streaming — tumbling 1-hour aggregation over the event stream
 # --------------------------------------------------------------------------
-@register("t1_streaming_tumbling")
+@register(
+    "t1_streaming_tumbling",
+    # complete-mode availableNow replay == the batch twin, so the oracle is
+    # t1_tumbling_hour's SQL verbatim — the driver now checks the streaming
+    # path end-to-end (state store, micro-batch planning) against DuckDB.
+    oracle="""
+    SELECT date_trunc('hour', ts)                             AS hour_start,
+           event_type,
+           COUNT(*)                                           AS n_events,
+           ROUND(SUM(value), 2)                               AS total_value
+    FROM events
+    GROUP BY hour_start, event_type
+    """,
+)
 def t1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     agg = (
@@ -100,7 +122,17 @@ def t4_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T5 — streaming dedup within the watermark horizon
 # --------------------------------------------------------------------------
-@register("t5_streaming_dedup")
+@register(
+    "t5_streaming_dedup",
+    # event_id is globally unique in the corpus, so dedup-then-count equals
+    # the plain per-type count; a dedup that wrongly drops or duplicates
+    # rows breaks the match.
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def t5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     deduped = events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
@@ -113,7 +145,16 @@ def t5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T6 — arbitrary stateful op: per-user session stats via applyInPandasWithState
 # --------------------------------------------------------------------------
-@register("t6_stateful_user_stats")
+@register(
+    "t6_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)              AS n_events,
+           ROUND(MAX(value), 2)  AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def t6_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom keyed state: running event count + max value per user,
     emitted at state timeout — the minimal template for bespoke stateful
@@ -149,7 +190,18 @@ def t6_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T2 streaming — sliding 1-hour / 15-minute windows over the stream
 # --------------------------------------------------------------------------
-@register("t2_streaming_sliding")
+@register(
+    "t2_streaming_sliding",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + (CAST(floor(epoch(ts) / 900) AS BIGINT) - k.k) * 900
+               * INTERVAL '1 second'                          AS window_start,
+           COUNT(*)                                           AS n_events,
+           ROUND(SUM(value), 2)                               AS total_value
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY window_start
+    """,
+)
 def t2_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     agg = (
@@ -171,7 +223,35 @@ def t2_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T3 streaming — session windows (30-minute gap) per user over the stream
 # --------------------------------------------------------------------------
-@register("t3_streaming_session")
+@register(
+    "t3_streaming_session",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END                         AS new_session
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS session_id
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts)                                            AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE                       AS session_end,
+           COUNT(*)                                           AS n_events,
+           ROUND(SUM(value), 2)                               AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
 def t3_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     agg = (
@@ -195,7 +275,25 @@ def t3_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T7 — stream-stream inner join (watermarked, time-range condition)
 # --------------------------------------------------------------------------
-@register("t7_stream_stream_join")
+@register(
+    "t7_stream_stream_join",
+    # inner stream-stream joins emit each matched pair in the micro-batch
+    # that matches it, so a full availableNow replay materializes exactly
+    # the batch time-range join.
+    oracle="""
+    SELECT c.user_id                       AS user_id,
+           COUNT(*)                        AS n_attributed_pairs,
+           ROUND(SUM(p.value), 2)          AS attributed_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+)
 def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join the click stream to the purchase stream: same user, purchase
     within 1 hour AFTER the click (attribution-window semantics).

@@ -74,7 +74,40 @@ def d5_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Language-ID: corpus-profile n-gram scoring (rows-only — argmax routing)
 # --------------------------------------------------------------------------
-@register("d7_langid_routing")
+@register(
+    "d7_langid_routing",
+    # Full SQL twin of the profile-score-argmax pipeline. The argmax is
+    # float-sum-ordered on both engines; verified equal at sf0.001/0.01/0.1
+    # — inter-language score gaps are orders of magnitude above float
+    # summation noise, and ties break on (total DESC, p_lang) identically.
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT lang, token, COUNT(*) AS n FROM tokens GROUP BY lang, token
+    ), profile AS (
+        SELECT lang AS p_lang, token,
+               ln(n + 1) - ln(SUM(n) OVER (PARTITION BY lang) + 1) AS score,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, token) AS rk
+        FROM counts
+    ), prof AS (SELECT p_lang, token, score FROM profile WHERE rk <= 50000),
+    doc_scores AS (
+        SELECT t.doc_id, t.lang, p.p_lang, SUM(p.score) AS total
+        FROM tokens t JOIN prof p ON t.token = p.token
+        GROUP BY t.doc_id, t.lang, p.p_lang
+    ), routed AS (
+        SELECT doc_id, lang, p_lang AS predicted_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY total DESC, p_lang) AS rn
+        FROM doc_scores
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM routed WHERE rn = 1
+    GROUP BY lang, predicted_lang
+    """,
+)
 def d7_langid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed language-ID: learn per-language token log-frequencies from
     the corpus, score each document by summing its tokens' scores, route to
@@ -123,7 +156,21 @@ def d7_langid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Document fingerprinting: order-sensitive rolling hash (rows-only: xxhash64)
 # --------------------------------------------------------------------------
-@register("d1_fingerprint")
+@register(
+    "d1_fingerprint",
+    # The fingerprint values are xxhash64-derived (not SQL-portable), but
+    # their SEPARATION property is: distinct texts map 1:1 to distinct
+    # token streams (splitting on the join char is invertible), so a
+    # collision-free fingerprint has exactly COUNT(DISTINCT text) distinct
+    # values — which DuckDB can count. A hash regression (collisions,
+    # order-insensitivity) breaks n_distinct_fp and/or flips fp_injective.
+    oracle="""
+    SELECT COUNT(*)              AS n_docs,
+           COUNT(DISTINCT text)  AS n_distinct_fp,
+           TRUE                  AS fp_injective
+    FROM documents
+    """,
+)
 def d1_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the token stream — an order-sensitive
     fingerprint (unlike bag-of-shingles MinHash):
@@ -139,12 +186,13 @@ def d1_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), m), m),
     )
-    with_fp = docs.select("doc_id", fp.alias("fingerprint"))
+    with_fp = docs.select("doc_id", "text", fp.alias("fingerprint"))
     return with_fp.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fingerprint").alias("n_distinct_fp"),
-        F.min("fingerprint").alias("min_fp"),
-        F.max("fingerprint").alias("max_fp"),
+        (
+            F.countDistinct("fingerprint") == F.countDistinct("text")
+        ).alias("fp_injective"),
     )
 
 

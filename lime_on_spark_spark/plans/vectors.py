@@ -224,7 +224,24 @@ def d4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # D2b — embedding-cosine near-dup via BRP-LSH (rows-only)
 # --------------------------------------------------------------------------
-@register("d2_embedding_near_dup")
+@register(
+    "d2_embedding_near_dup",
+    # Exact brute-force twin. The LSH join's candidate set is seed-dependent
+    # but its OUTPUT is exact-filtered by true distance, so false positives
+    # are impossible; recall verified 100% against this oracle at
+    # sf0.001/0.01/0.1 (this corpus's embeddings are near-orthogonal — the
+    # >0.95 pair set is empty, which the oracle confirms differentially:
+    # a bug that fabricates pairs fails the match).
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) > 0.95
+    """,
+)
 def d2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, found with euclidean LSH:
     for L2-normalized vectors ||a-b||^2 = 2 - 2cos(a,b), so cos > 0.95 is

@@ -167,6 +167,55 @@ def test_perturb_tabular_deterministic(spark):
     assert sorted(map(tuple, r3.select("instance_id", "sample_id", "z", "raw").collect())) != rows1
 
 
+def test_perturb_gaussian_moments_and_determinism(spark):
+    """Gaussian L2 mode: per-dimension sample moments match the analytic
+    N(center, sigma) within 4-sigma-of-the-mean bounds, the stream is
+    reproducible across runs AND partitionings, and sample 0 is the
+    unperturbed instance."""
+    import numpy as np
+
+    from lime_on_spark_spark.lime.perturb import perturb_tabular_gaussian
+
+    inst = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [5.0, 6.0])],
+        "instance_id bigint, x array<double>",
+    )
+    kwargs = dict(
+        mu=[10.0, -4.0], sigma=[2.0, 0.5], num_samples=4000, seed=11
+    )
+    out = perturb_tabular_gaussian(inst, **kwargs)
+    rows1 = sorted(map(tuple, out.collect()))
+    rows2 = sorted(
+        map(tuple, perturb_tabular_gaussian(inst.repartition(7), **kwargs).collect())
+    )
+    assert rows1 == rows2, "not partitioning-independent"
+
+    by_inst = {0: [], 1: []}
+    for iid, sid, raw in rows1:
+        if sid == 0:
+            assert list(raw) == ([1.0, 2.0] if iid == 0 else [5.0, 6.0])
+        else:
+            by_inst[iid].append(list(raw))
+    n = kwargs["num_samples"] - 1
+    for iid, mat in by_inst.items():
+        mat = np.asarray(mat)
+        assert mat.shape == (n, 2)
+        for dim, (m, s) in enumerate(zip(kwargs["mu"], kwargs["sigma"])):
+            se = s / np.sqrt(n)
+            assert abs(mat[:, dim].mean() - m) < 4 * se, (iid, dim)
+            # sample std: se(std) ≈ s/sqrt(2n)
+            assert abs(mat[:, dim].std(ddof=1) - s) < 4 * s / np.sqrt(2 * n)
+
+    around = perturb_tabular_gaussian(
+        inst, mu=[10.0, -4.0], sigma=[1.0, 1.0], num_samples=2000, seed=3,
+        sample_around_instance=True,
+    ).collect()
+    m0 = np.asarray(
+        [list(r["raw"]) for r in around if r["instance_id"] == 0 and r["sample_id"] > 0]
+    )
+    assert abs(m0[:, 0].mean() - 1.0) < 4 / np.sqrt(len(m0))
+
+
 def test_perturb_text_masks_words(spark):
     from lime_on_spark_spark.lime.perturb import perturb_text
 
