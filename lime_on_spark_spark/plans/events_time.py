@@ -239,3 +239,67 @@ def t9_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T9 — conversion funnel: per calendar day, users whose FIRST click that day
+# was followed by a purchase within 1 hour. The event-sequence primitive
+# (match first step, bounded lookahead to the next step) expressed as two
+# aggregates + one keyed join — no per-user collect, no session state; at
+# 100 TB both sides shuffle on (user_id, day) once.
+# --------------------------------------------------------------------------
+@register(
+    "t9_conversion_funnel",
+    oracle="""
+    WITH first_clicks AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               MIN(ts) AS fc_ts
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, day
+    ), converted AS (
+        SELECT DISTINCT f.user_id, f.day
+        FROM first_clicks f
+        JOIN events p
+          ON p.user_id = f.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= f.fc_ts
+         AND p.ts <= f.fc_ts + INTERVAL 1 HOUR
+    )
+    SELECT f.day,
+           COUNT(*) AS n_clickers,
+           CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM first_clicks f
+    LEFT JOIN converted c ON f.user_id = c.user_id AND f.day = c.day
+    GROUP BY f.day
+    """,
+)
+def t9_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("fc_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("fc_ts"))
+            & (F.col("p_ts") <= F.col("fc_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", "day")
+        .distinct()
+        .withColumn("conv", F.lit(True))
+    )
+    return (
+        first_clicks.join(converted, ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clickers"),
+            F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("n_converted"),
+        )
+    )

@@ -112,12 +112,26 @@ def a4_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "p2_scalar_subquery",
+    # Exact-cents formulation, twice over: (1) `price > AVG(price)` becomes
+    # the integer comparison cents·n > Σcents — no float threshold for a
+    # borderline row to flip on; (2) the emitted average is integer cents
+    # rounded at scale 0, where the only tie point (.5) is binary-exact so
+    # Spark's HALF_UP and DuckDB's half-away agree. ROUND(AVG(double), 4)
+    # here failed at sf0.1: true avg 974.15925 is a 4dp tie, and Spark
+    # rounds the shortest decimal repr while DuckDB rounds the binary value.
     oracle="""
+    WITH cents AS (
+        SELECT p_brand,
+               CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS c
+        FROM part
+    )
     SELECT p_brand,
-           COUNT(*)                                          AS n_premium,
-           ROUND(AVG(p_retailprice), 4)                      AS avg_premium_price
-    FROM part
-    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+           COUNT(*)                                     AS n_premium,
+           CAST(ROUND(SUM(c) * 1.0 / COUNT(*), 0) AS BIGINT)
+                                                        AS avg_premium_cents
+    FROM cents
+    WHERE c * (SELECT COUNT(*) FROM cents)
+          > (SELECT SUM(c) FROM cents)
     GROUP BY p_brand
     """,
 )
@@ -125,14 +139,21 @@ def p2_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalar-subquery pattern as a broadcast singleton join: the
     aggregate is one row, so the comparison distributes for free."""
     part = load_table(spark, sf_dir, "part")
-    avg_price = part.agg(F.avg("p_retailprice").alias("threshold"))
+    cents = part.select(
+        "p_brand", F.round(F.col("p_retailprice") * 100).cast("long").alias("c")
+    )
+    totals = cents.agg(
+        F.sum("c").alias("sum_c"), F.count(F.lit(1)).alias("n_c")
+    )
     return (
-        part.crossJoin(F.broadcast(avg_price))
-        .filter(F.col("p_retailprice") > F.col("threshold"))
+        cents.crossJoin(F.broadcast(totals))
+        .filter(F.col("c") * F.col("n_c") > F.col("sum_c"))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_premium"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_premium_price"),
+            F.round(F.sum("c") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_premium_cents"),
         )
     )
 

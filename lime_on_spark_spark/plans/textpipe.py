@@ -528,3 +528,329 @@ def d14_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("batch_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# D15 — benchmark decontamination: drop training documents that share ANY
+# word-3-gram with the benchmark set (here: doc_id % 50 == 0 stands in for
+# the held-out benchmark). The canonical pre-training hygiene op: a single
+# shingle-keyed LEFT SEMI join from train docs to benchmark shingles — the
+# inverse of near-dup pair generation, same inverted-index shape, so it
+# scales identically (shingle join keys, never document bodies).
+# --------------------------------------------------------------------------
+@register(
+    "d15_decontaminate",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), bench_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN bench_sh b ON s.shingle = b.shingle
+        WHERE s.doc_id % 50 != 0
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 50 != 0
+    GROUP BY d.lang
+    """,
+)
+def d15_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    bench_sh = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    train_sh = sh.filter(F.col("doc_id") % 50 != 0)
+    contaminated = (
+        train_sh.join(bench_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(
+                F.when(F.col("is_contam"), 1).otherwise(0)
+            ).alias("n_contaminated"),
+            F.sum(
+                F.when(F.col("is_contam").isNull(), 1).otherwise(0)
+            ).alias("n_clean"),
+        )
+    )
+
+
+def _word_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with per-doc-distinct word 3-grams (shared by
+    d2_ngram_jaccard's candidate generation and the D15/D17 consumers)."""
+    w = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+    return docs.filter(F.size(w) >= 3).select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+
+
+# --------------------------------------------------------------------------
+# D16 — TF-IDF top terms per document: tf·ln(N/df) with deterministic
+# (score DESC, token ASC) ranking, top 3 for a bounded probe set. The
+# corpus-wide df table is the only extra shuffle; scoring is a shingle-free
+# token join. At 100 TB the df table is vocabulary-sized — join, don't
+# assume broadcast (same reasoning as d7's profile cap).
+# --------------------------------------------------------------------------
+@register(
+    "d16_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tokens GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rk
+        FROM scored
+    )
+    SELECT doc_id, rk, token, ROUND(score, 6) AS tfidf
+    FROM ranked
+    WHERE rk <= 3 AND doc_id < 20
+    """,
+)
+def d16_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar corpus size (metadata-sized action)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 20))
+        .select("doc_id", "rk", "token", F.round("score", 6).alias("tfidf"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D17 — triangle count over the near-dup graph: the density diagnostic for
+# dup clusters (triangle-heavy components are true dup families; sparse
+# chains are often transitive-threshold artifacts). One ordered edge list
+# (a<b), two self-joins on the smaller endpoint — the standard distributed
+# triangle enumeration; edges are the OUTPUT of pair generation, so the
+# join input is small relative to the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "d17_dup_triangles",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b
+        FROM dpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    )
+    SELECT COUNT(*) AS n_edges,
+           (SELECT COUNT(*)
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.b
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    FROM edges
+    """,
+)
+def d17_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        queries()["d2_ngram_jaccard"](spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)  # tiny; reused by three join branches
+    )
+    e1 = edges.select(F.col("a"), F.col("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D18 — per-source token entropy + divergence from the corpus distribution:
+# the distribution-shift diagnostic run before mixing sources. Shannon
+# entropy from per-source term frequencies; KL(source ‖ corpus) over the
+# source's support. Two aggs over (source, token) — map-side combinable.
+# --------------------------------------------------------------------------
+@register(
+    "d18_source_entropy",
+    oracle="""
+    WITH tokens AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), per_src AS (
+        SELECT source, token, COUNT(*) AS n FROM tokens GROUP BY source, token
+    ), corpus AS (
+        SELECT token, CAST(SUM(n) AS DOUBLE) AS cn FROM per_src GROUP BY token
+    ), corpus_tot AS (SELECT SUM(cn) AS ct FROM corpus),
+    src_tot AS (
+        SELECT source, CAST(SUM(n) AS DOUBLE) AS st FROM per_src GROUP BY source
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT)                       AS n_terms,
+           ROUND(-SUM((p.n / t.st) * ln(p.n / t.st)), 6)  AS entropy,
+           ROUND(SUM((p.n / t.st)
+                     * ln((p.n / t.st) / (c.cn / ct.ct))), 6) AS kl_from_corpus
+    FROM per_src p
+    JOIN src_tot t ON p.source = t.source
+    JOIN corpus c ON p.token = c.token
+    CROSS JOIN corpus_tot ct
+    GROUP BY p.source
+    """,
+)
+def d18_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_src = tokens.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    corpus = per_src.groupBy("token").agg(
+        F.sum("n").cast("double").alias("cn")
+    )
+    corpus_tot = corpus.agg(F.sum("cn").alias("ct"))
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("n").cast("double").alias("st")
+    )
+    p = F.col("n") / F.col("st")
+    q = F.col("cn") / F.col("ct")
+    return (
+        per_src.join(src_tot, "source")
+        .join(corpus, "token")
+        .crossJoin(corpus_tot)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_from_corpus"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D19 — repetition filter (Gopher-style quality gate): fraction of a doc's
+# word-3-grams occupied by its single most frequent 3-gram. High ratios
+# mark boilerplate/degenerate text. Per-doc agg over the exploded 3-gram
+# stream (duplicates KEPT — repetition is the signal), then a corpus
+# summary; everything stays in the scan+two-agg shape.
+# --------------------------------------------------------------------------
+@register(
+    "d19_repetition_filter",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+        SELECT doc_id, lang,
+               toks[s] || ' ' || toks[s+1] || ' ' || toks[s+2] AS gram
+        FROM words, UNNEST(generate_series(1, len(toks) - 2)) AS t(s)
+        WHERE len(toks) >= 3
+    ), per_gram AS (
+        SELECT doc_id, lang, gram, COUNT(*) AS n
+        FROM grams GROUP BY doc_id, lang, gram
+    ), per_doc AS (
+        SELECT doc_id, lang,
+               MAX(n) * 1.0 / SUM(n) AS top_gram_ratio
+        FROM per_gram GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(top_gram_ratio), 6) AS avg_top_gram_ratio,
+           CAST(SUM(CASE WHEN top_gram_ratio > 0.18 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def d19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    exploded = docs.filter(F.size(w) >= 3).select(
+        "doc_id", "lang", F.explode(grams).alias("gram")
+    )
+    per_gram = exploded.groupBy("doc_id", "lang", "gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_doc = per_gram.groupBy("doc_id", "lang").agg(
+        (F.max("n") / F.sum("n")).alias("top_gram_ratio")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("top_gram_ratio"), 6).alias("avg_top_gram_ratio"),
+        F.sum(
+            F.when(F.col("top_gram_ratio") > 0.18, 1).otherwise(0)
+        ).cast("bigint").alias("n_repetitive"),
+    )

@@ -274,3 +274,113 @@ def w6_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 2).alias("val_last_hour"),
     )
+
+
+# --------------------------------------------------------------------------
+# W7 — cumulative distinct users per day. Window COUNT(DISTINCT) doesn't
+# exist in Spark (or ANSI) window frames; the scalable formulation is
+# first-seen attribution: each user contributes once at their first day
+# (one agg on user_id), then a small per-day series takes a running sum.
+# The window runs over DAYS (bounded), never over users — no global
+# user-ordered sort at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "w7_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS day
+        FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT a.day, a.n_active, COALESCE(n.n_new, 0) AS n_new
+        FROM (SELECT date_trunc('day', ts) AS day,
+                     COUNT(DISTINCT user_id) AS n_active
+              FROM events GROUP BY day) a
+        LEFT JOIN (SELECT day, COUNT(*) AS n_new FROM first_seen
+                   GROUP BY day) n ON a.day = n.day
+    )
+    SELECT day, n_active, CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+               AS cum_distinct_users
+    FROM daily
+    """,
+)
+def w7_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    active = events.groupBy(day).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    first_seen = events.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("day"))
+    new_per_day = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    joined = active.join(new_per_day, "day", "left").select(
+        "day",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.withColumn("cum_distinct_users", F.sum("n_new").over(w))
+
+
+# --------------------------------------------------------------------------
+# W8 — exponentially weighted moving average of daily revenue per customer
+# segment. EWMA's recursion unrolls to a window sum of a^(n-i)·x_i /
+# Σ a^(n-i): two running sums over the SAME (segment-partitioned,
+# day-ordered) frame — one shuffle, no iteration, no state. pow() keeps it
+# a pure column expression; the frame is bounded by the day count per
+# segment, not data volume.
+# --------------------------------------------------------------------------
+@register(
+    "w8_ewma_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT c.c_mktsegment AS segment,
+               date_trunc('day', CAST(o.o_orderdate AS TIMESTAMP)) AS day,
+               SUM(o.o_totalprice) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY segment, day
+    ), numbered AS (
+        SELECT segment, day, revenue,
+               row_number() OVER (PARTITION BY segment ORDER BY day) AS rn
+        FROM daily
+    )
+    SELECT segment, day,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(
+               SUM(revenue * pow(0.8, -rn)) OVER w
+               / SUM(pow(0.8, -rn)) OVER w, 2) AS ewma_revenue
+    FROM numbered
+    WINDOW w AS (PARTITION BY segment ORDER BY rn
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w8_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias(
+                "day"
+            ),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    rn = F.row_number().over(Window.partitionBy("segment").orderBy("day"))
+    numbered = daily.withColumn("rn", rn)
+    # a^(n-i) x_i = a^n · (x_i a^(-i)): both sums share one 10-row frame.
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("rn")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    wsum = F.sum(F.col("revenue") * F.pow(F.lit(0.8), -F.col("rn"))).over(w)
+    wnorm = F.sum(F.pow(F.lit(0.8), -F.col("rn"))).over(w)
+    return numbered.select(
+        "segment",
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(wsum / wnorm, 2).alias("ewma_revenue"),
+    )

