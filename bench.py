@@ -40,12 +40,31 @@ EXTENDED = (
     "d2_minhash_near_dup",
     "l8_batch_explain_tabular",
     "l8_batch_explain_text",
+    # round-5 additions: the exact-Jaccard family became bench-viable after
+    # hashed shingle keys + pre-projected token arrays (d10 was 27.9 s in
+    # r4, ~5 s now) — timed so the win is visible round-over-round.
+    "d2_ngram_jaccard",
+    "d10_dup_clusters",
+    "d15_decontaminate",
+    "d16_tfidf_top_terms",
 )
 
 
 def _run_once(df) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _run_once_constructed(make_df) -> float:
+    """Time plan CONSTRUCTION + execution. Iterative operators (connected
+    components) run eager actions while the query function builds its
+    result, so timing only the final write under-reports them; used for the
+    extended block. The headline block keeps the write-only protocol that
+    BASELINE.md and all prior BENCH_r{N} rounds used, so those numbers stay
+    comparable."""
+    t0 = time.perf_counter()
+    make_df().write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -62,20 +81,24 @@ def main() -> None:
 
     qs = registry.queries()
 
-    def time_block(names) -> dict[str, float]:
+    def time_block(names, constructed: bool = False) -> dict[str, float]:
         block: dict[str, float] = {}
         for name in names:
             fn = qs.get(name)
             if fn is None:
                 continue
-            df = fn(spark, sf_dir)
-            _run_once(df)  # untimed warm-up (parquet footer/OS cache, codegen)
-            best = min(_run_once(fn(spark, sf_dir)) for _ in range(2))
+            if constructed:
+                make = lambda: fn(spark, sf_dir)  # noqa: B023
+                _run_once_constructed(make)  # untimed warm-up
+                best = min(_run_once_constructed(make) for _ in range(2))
+            else:
+                _run_once(fn(spark, sf_dir))  # untimed warm-up
+                best = min(_run_once(fn(spark, sf_dir)) for _ in range(2))
             block[name] = round(best, 4)
         return block
 
     timings = time_block(HEADLINE)
-    extended = time_block(EXTENDED)
+    extended = time_block(EXTENDED, constructed=True)
 
     out = {
         "metric": "headline_total_latency",

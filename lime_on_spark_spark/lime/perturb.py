@@ -156,8 +156,13 @@ def perturb_text(
     Output adds: sample_id, z (array<int> over word positions), perturbed
     (string), n_kept.
     """
-    samples = with_samples(docs, num_samples)
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array as a column BEFORE indexing it inside
+    # transform lambdas: element_at over an inline split() re-evaluates the
+    # split per element access — O(words²) per sample row.
+    samples = with_samples(docs, num_samples).withColumn(
+        "_toks", F.split(F.col(text_col), " ")
+    )
+    toks = F.col("_toks")
     keep = lambda i: _bernoulli_keep(  # noqa: E731
         seed, F.col(id_col), F.col("sample_id"), i
     )
@@ -179,6 +184,8 @@ def perturb_text(
             ),
         )
     )
-    return samples.withColumn("perturbed", F.concat_ws(" ", kept_words)).withColumn(
-        "n_kept", F.aggregate("z", F.lit(0), lambda s, v: s + v)
+    return (
+        samples.withColumn("perturbed", F.concat_ws(" ", kept_words))
+        .withColumn("n_kept", F.aggregate("z", F.lit(0), lambda s, v: s + v))
+        .drop("_toks")
     )

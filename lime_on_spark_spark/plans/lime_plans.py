@@ -82,24 +82,36 @@ def l5_kernel_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# L2 — tabular perturbation sampler (rows-only; deterministic xxhash64 masks)
+# L2 — tabular perturbation sampler. The xxhash64 masks are deterministic
+# but not SQL-reproducible; the a3 verdict pattern makes the entry
+# oracle-checkable: exact sample count (structural, SQL-knowable) plus a
+# Spark-computed binomial bound on the total kept-dimension count
+# (49 perturbed samples × 64 fair coins + 64 always-kept dims of sample 0;
+# 4σ band, and the draw is seed-deterministic so the verdict can't flip).
 # --------------------------------------------------------------------------
-@register("l2_perturb_tabular")
+@register(
+    "l2_perturb_tabular",
+    oracle="""
+    SELECT vec_id AS instance_id, 50 AS n_samples, TRUE AS kept_rate_ok
+    FROM embeddings WHERE vec_id < 2
+    """,
+)
 def l2_perturb_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.lime.perturb import perturb_tabular
 
+    N, D = 50, 64
+    mean = (N - 1) * D * 0.5 + D  # perturbed Bernoulli mass + sample 0
+    band = 4 * ((N - 1) * D * 0.25) ** 0.5
     emb = load_table(spark, sf_dir, "embeddings")
     instances = emb.filter(F.col("vec_id") < 2).select(
         F.col("vec_id").alias("instance_id"),
         F.transform("embedding", lambda v: v.cast("double")).alias("x"),
     )
-    samples = perturb_tabular(instances, mu=[0.0] * 64, num_samples=50, seed=7)
+    samples = perturb_tabular(instances, mu=[0.0] * D, num_samples=N, seed=7)
     n_kept = F.aggregate("z", F.lit(0), lambda s, v: s + v)
-    raw_sum = F.aggregate("raw", F.lit(0.0), lambda s, v: s + v)
     return samples.groupBy("instance_id").agg(
         F.count(F.lit(1)).alias("n_samples"),
-        F.sum(n_kept).alias("total_kept_dims"),
-        F.round(F.sum(raw_sum), 4).alias("total_raw_mass"),
+        (F.abs(F.sum(n_kept) - F.lit(mean)) < band).alias("kept_rate_ok"),
     )
 
 
@@ -146,19 +158,32 @@ def l2_perturb_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# L3 — text perturbation sampler (rows-only; deterministic word masks)
+# L3 — text perturbation sampler: same verdict pattern as L2, with the
+# binomial bound scaled by each document's own word count (known to the
+# oracle from the text itself).
 # --------------------------------------------------------------------------
-@register("l3_perturb_text")
+@register(
+    "l3_perturb_text",
+    oracle="""
+    SELECT doc_id, 20 AS n_samples, TRUE AS kept_rate_ok
+    FROM documents WHERE doc_id < 3
+    """,
+)
 def l3_perturb_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.lime.perturb import perturb_text
 
+    N = 20
     docs = load_table(spark, sf_dir, "documents")
     instances = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
-    samples = perturb_text(instances, num_samples=20, seed=7)
+    samples = perturb_text(instances, num_samples=N, seed=7)
+    n_words = F.size(F.split("text", " "))
+    mean = (N - 1) * n_words * 0.5 + n_words
+    band = 4 * F.sqrt((N - 1) * n_words * 0.25)
     return samples.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_samples"),
-        F.sum("n_kept").alias("total_kept_words"),
-        F.countDistinct("perturbed").alias("n_distinct_texts"),
+        (F.abs(F.sum("n_kept") - F.max(mean)) < F.max(band)).alias(
+            "kept_rate_ok"
+        ),
     )
 
 

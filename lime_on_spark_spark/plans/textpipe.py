@@ -312,20 +312,9 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.operators.jaccard import exact_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-            ),
-        )
+    pairs = exact_jaccard_pairs(
+        _word_shingles(docs), threshold=0.5, df_cutoff=100
     )
-    sh = (
-        docs.filter(F.size(w) >= 3)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
-    )
-    pairs = exact_jaccard_pairs(sh, threshold=0.5, df_cutoff=100)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -598,19 +587,28 @@ def d15_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _word_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) with per-doc-distinct word 3-grams (shared by
-    d2_ngram_jaccard's candidate generation and the D15/D17 consumers)."""
-    w = F.split("text", " ")
+    d2_ngram_jaccard's candidate generation and the D15/D17 consumers).
+
+    The token array is PROJECTED into a column before the transform that
+    indexes it: `element_at(split(text), i)` inside a lambda re-evaluates
+    the split per element access (O(tokens²) per doc — measured 10x slower
+    at sf0.1); against a materialized array column each access is O(1).
+    """
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= 3
+    )
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
+            F.sequence(F.lit(1), F.size("tk") - 2),
             lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+                " ",
+                F.element_at("tk", i),
+                F.element_at("tk", i + 1),
+                F.element_at("tk", i + 2),
             ),
         )
     )
-    return docs.filter(F.size(w) >= 3).select(
-        "doc_id", F.explode(shingles).alias("shingle")
-    )
+    return tk.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 # --------------------------------------------------------------------------
@@ -831,16 +829,21 @@ def d18_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # Pre-project the token array (see _word_shingles: inline split inside
+    # an indexing lambda is O(tokens²) per doc). Duplicates kept here.
+    tk = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("tk")
+    ).filter(F.size("tk") >= 3)
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
+        F.sequence(F.lit(1), F.size("tk") - 2),
         lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            " ",
+            F.element_at("tk", i),
+            F.element_at("tk", i + 1),
+            F.element_at("tk", i + 2),
         ),
     )
-    exploded = docs.filter(F.size(w) >= 3).select(
-        "doc_id", "lang", F.explode(grams).alias("gram")
-    )
+    exploded = tk.select("doc_id", "lang", F.explode(grams).alias("gram"))
     per_gram = exploded.groupBy("doc_id", "lang", "gram").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -853,4 +856,72 @@ def d19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("top_gram_ratio") > 0.18, 1).otherwise(0)
         ).cast("bigint").alias("n_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D2c — SimHash quality verdict: every TRUE near-dup pair (exact Jaccard
+# >= 0.5, the d2 oracle set) must land within Hamming distance 7 on the
+# 16-bit SimHash (observed max 5 across sf0.001/0.01/0.1; random pairs
+# average 8). This is the property that makes SimHash banding usable as a
+# candidate filter — and it is oracle-checkable: the pair COUNT comes from
+# the exact-Jaccard SQL, the Hamming verdict from Spark, both deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "d2_simhash_consistency",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT COUNT(*) AS n_neardup_pairs, TRUE AS hamming_ok
+    FROM dpairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+)
+def d2_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    bit = lambda b: (  # noqa: E731
+        F.aggregate(
+            F.col("tk"),
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1),
+        )
+        > 0
+    ).cast("long")
+    simhash = None
+    for b in range(16):
+        term = bit(b) * F.lit(1 << b)
+        simhash = term if simhash is None else simhash + term
+    sigs = tk.select("doc_id", simhash.alias("sh"))
+    pairs = queries()["d2_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_neardup_pairs"),
+            (F.max(ham) <= 7).alias("hamming_ok"),
+        )
     )

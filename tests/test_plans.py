@@ -113,3 +113,33 @@ def test_aqe_converts_small_filtered_side_to_broadcast(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final, final
     assert "BroadcastHashJoin" in final, final
+
+
+def test_d15_decontaminate_semi_joins_on_shingle(spark, sf_dir):
+    """Decontamination must probe the benchmark set with a LEFT SEMI join
+    keyed on the shingle — a full inner join would duplicate train docs per
+    matching shingle and explode the row count at scale."""
+    plan = _plan(_q(spark, sf_dir, "d15_decontaminate"))
+    assert "LeftSemi" in plan, plan
+
+
+def test_w8_ewma_partitions_by_segment(spark, sf_dir):
+    """The EWMA window must be partitioned (by segment) — an unpartitioned
+    running frame is a single-task sort at scale."""
+    plan = _plan(_q(spark, sf_dir, "w8_ewma_daily_revenue"))
+    assert re.search(r"hashpartitioning\(segment", plan), plan
+
+
+def test_t9_funnel_no_cartesian(spark, sf_dir):
+    """The click->purchase sequence match must stay an equi-join on user_id
+    with the time bounds as residuals — never a cartesian/nested-loop over
+    unbounded sides."""
+    plan = _plan(_q(spark, sf_dir, "t9_conversion_funnel"))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_d2_jaccard_joins_on_hashed_shingles(spark, sf_dir):
+    """The near-dup candidate self-join must shuffle 8-byte hashed keys,
+    not raw shingle strings (shuffle width is the whole cost at scale)."""
+    plan = _plan(_q(spark, sf_dir, "d2_ngram_jaccard"))
+    assert re.search(r"hashpartitioning\(h#", plan), plan
