@@ -1,6 +1,10 @@
 """Structured Streaming operators (SURVEY.md §2a row S5, §2i rows T1/T4/T5/T6
-streaming variants — rows-only; their oracle-checked batch twins live in
-plans/events_time.py).
+streaming variants; their batch twins live in plans/events_time.py).
+
+Every entry here is oracle-checked: complete-mode / full-replay queries
+reuse their batch twin's SQL verbatim, and the append-mode rows (t4/t8)
+carry the closed-form single-micro-batch watermark twin (emit exactly the
+windows at or before the final watermark).
 
 Every query replays the events parquet as a file stream, runs to completion
 with `availableNow`, and returns the materialized sink — so the driver's
@@ -105,7 +109,22 @@ def t1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T4 — watermark + late-data drop (append mode: only finalized windows)
 # --------------------------------------------------------------------------
-@register("t4_watermark_append")
+@register(
+    "t4_watermark_append",
+    # The replay is a single micro-batch (one parquet file,
+    # maxFilesPerTrigger=1), so no window is finalized before all its rows
+    # arrive and append mode emits exactly the windows whose end is at or
+    # before the FINAL watermark (max event time - 10 min). That makes the
+    # late-drop semantics SQL-expressible; a change to multi-batch replay
+    # (which can genuinely drop late rows) breaks this match loudly.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events
+    FROM events
+    GROUP BY hour_start
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+           (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
 def t4_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     agg = (
@@ -342,7 +361,20 @@ def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T8 — foreachBatch sink: per-user totals written epoch-by-epoch to parquet
 # --------------------------------------------------------------------------
-@register("t8_foreach_batch_sink")
+@register(
+    "t8_foreach_batch_sink",
+    # Same single-micro-batch watermark argument as t4, over the purchase
+    # substream (the watermark tracks max PURCHASE time - 1 hour).
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT date_trunc('hour', ts) AS hour_start, user_id,
+           COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS total_value
+    FROM p
+    GROUP BY hour_start, user_id
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+           (SELECT MAX(ts) - INTERVAL 1 HOUR FROM p)
+    """,
+)
 def t8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked per-user-per-hour purchase totals, delivered through a
     foreachBatch parquet sink (the production shape for destinations with no
