@@ -352,3 +352,115 @@ def d1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("survivor_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# D20 — winsorization: clip n_chars to each language's exact [p05, p95]
+# band — the standard outlier treatment before computing corpus statistics
+# that feed sampling weights. Percentiles come from one per-lang aggregate
+# (tiny result, broadcast back onto the scan); the clip itself is a pure
+# column expression.
+# --------------------------------------------------------------------------
+@register(
+    "d20_winsorize",
+    oracle="""
+    WITH bounds AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(d.n_chars), 4) AS avg_raw,
+           ROUND(AVG(least(greatest(d.n_chars * 1.0, b.lo), b.hi)), 4)
+               AS avg_winsorized,
+           CAST(SUM(CASE WHEN d.n_chars < b.lo OR d.n_chars > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM documents d JOIN bounds b ON d.lang = b.lang
+    GROUP BY d.lang
+    """,
+)
+def d20_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_raw"),
+            F.round(F.avg(clipped), 4).alias("avg_winsorized"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") < F.col("lo"))
+                    | (F.col("n_chars") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_clipped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D21 — MERGE/upsert (SCD-style dimension refresh): a base dimension
+# (customers with account balance) merged with a change feed (each
+# customer's order activity): matched rows get updated facts, unmatched
+# feed rows would insert, unmatched base rows persist. Expressed as a FULL
+# OUTER join + coalesce — the engine-agnostic MERGE plan (Delta/Iceberg
+# MERGE INTO lowers to exactly this shape: one keyed shuffle of each side).
+# --------------------------------------------------------------------------
+@register(
+    "d21_merge_upsert",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey AS custkey,
+               COUNT(*)  AS n_orders,
+               CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)
+                   AS order_cents
+        FROM orders GROUP BY o_custkey
+    ), merged AS (
+        SELECT COALESCE(c.c_custkey, f.custkey) AS custkey,
+               CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                    WHEN f.custkey IS NULL THEN 'keep'
+                    ELSE 'update' END AS action,
+               COALESCE(f.n_orders, 0) AS n_orders,
+               COALESCE(f.order_cents, 0) AS order_cents
+        FROM customer c FULL OUTER JOIN feed f ON c.c_custkey = f.custkey
+    )
+    SELECT action,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(order_cents) AS BIGINT) AS total_order_cents
+    FROM merged
+    GROUP BY action
+    """,
+)
+def d21_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    feed = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("order_cents"),
+    )
+    merged = cust.join(feed, cust.c_custkey == feed.custkey, "full_outer").select(
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("order_cents", F.lit(0)).alias("order_cents"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_orders").alias("total_orders"),
+        F.sum("order_cents").alias("total_order_cents"),
+    )

@@ -925,3 +925,85 @@ def d2_simhash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(ham) <= 7).alias("hamming_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D22 — CROSS-document sequence packing (the production training-batch op;
+# d14 is the document-local form). Chunks are routed to a fixed number of
+# packing groups by hashed doc_id, and each group packs its chunks
+# greedily (sequential first-fit in (doc_id, chunk_id) order) via
+# applyInPandas — bin packing is inherently sequential, but only WITHIN a
+# group: groups pack in parallel and nothing crosses the driver, so the
+# shape scales by adding groups. Batch composition depends on the grouping
+# only through the deterministic hash, so the op is reproducible; the
+# driver-checkable contract is conservation + feasibility + efficiency:
+# every chunk packed exactly once (SQL-checkable totals), no batch over
+# budget, and batch count within the any-fit bound
+# (<= ceil(2·total/budget) + n_groups; each group leaves at most one
+# under-half-full batch).
+# --------------------------------------------------------------------------
+@register(
+    "d22_pack_cross_doc",
+    oracle="""
+    WITH chunks AS (
+        SELECT len(list_slice(toks, s, s + 39)) AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+             UNNEST(generate_series(1, len(toks), 30)) AS t(s)
+    )
+    SELECT COUNT(*)                         AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT)    AS total_tokens,
+           TRUE                             AS no_overflow,
+           TRUE                             AS n_batches_ok
+    FROM chunks
+    """,
+)
+def d22_pack_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    BUDGET, N_GROUPS = 128, 32
+    chunks = queries()["d13_chunk_documents"](spark, sf_dir).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    grouped = chunks.withColumn(
+        "grp", F.pmod(F.xxhash64("doc_id"), F.lit(N_GROUPS))
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_id"])
+        batches = []
+        cur_tokens, cur_chunks, batch_id = 0, 0, 0
+        for n in pdf["n_tokens"]:
+            if cur_tokens + n > BUDGET and cur_tokens > 0:
+                batches.append((batch_id, cur_chunks, cur_tokens))
+                batch_id += 1
+                cur_tokens, cur_chunks = 0, 0
+            cur_tokens += int(n)
+            cur_chunks += 1
+        if cur_chunks:
+            batches.append((batch_id, cur_chunks, cur_tokens))
+        grp = int(pdf["grp"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            [(grp, b, c, t) for b, c, t in batches],
+            columns=["grp", "batch_id", "n_chunks", "batch_tokens"],
+        )
+
+    packed = grouped.groupBy("grp").applyInPandas(
+        pack, schema="grp int, batch_id long, n_chunks long, batch_tokens long"
+    )
+    totals = packed.agg(
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("batch_tokens").alias("total_tokens"),
+        F.max(F.col("batch_tokens") > BUDGET).alias("any_overflow"),
+        F.count(F.lit(1)).alias("n_batches"),
+    )
+    bound = lambda total: (  # noqa: E731
+        F.ceil(2 * total / F.lit(float(BUDGET))) + N_GROUPS
+    )
+    return totals.select(
+        "n_chunks",
+        "total_tokens",
+        (~F.col("any_overflow")).alias("no_overflow"),
+        (F.col("n_batches") <= bound(F.col("total_tokens"))).alias(
+            "n_batches_ok"
+        ),
+    )
