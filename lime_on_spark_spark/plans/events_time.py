@@ -303,3 +303,81 @@ def t9_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("n_converted"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T10 — weekly cohort retention: users grouped by first-seen week, counted
+# as active in each later week (offset in weeks). Two aggregates and one
+# keyed join — the cohort table is (weeks × users-per-week) small relative
+# to events, and nothing needs a window over the full stream.
+# --------------------------------------------------------------------------
+@register(
+    "t10_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.week) AS BIGINT)
+               AS week_offset,
+           COUNT(*) AS n_active
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def t10_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    active = events.select("user_id", week.alias("week")).distinct()
+    offset = F.floor(
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+        / (7 * 86400)
+    ).cast("bigint")
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# T11 — event-transition matrix (first-order Markov counts): per user,
+# consecutive event-type pairs in time order. One window shuffle on
+# user_id; the transition matrix itself is (types²) tiny. The per-user
+# event-sequence analogue of d9's corpus bigram counts.
+# --------------------------------------------------------------------------
+@register(
+    "t11_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n_transitions
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def t11_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
