@@ -524,3 +524,44 @@ def a2_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "n_users")
     )
     return by_type.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# A13 — equi-DEPTH histogram via ntile: quartile buckets each holding ~25%
+# of rows, with their realized value ranges — the complement of A11's
+# equi-width form. NOTE the global ntile is a single-task sort: correct
+# for pinning exact equi-depth semantics at test scale, but at 100 TB the
+# equi-depth path is L1's discretizer (percentile_approx bounds broadcast
+# onto the scan — no global sort); this entry exists to differential-test
+# the exact semantics that the approximate path approximates.
+# --------------------------------------------------------------------------
+@register(
+    "a13_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM ranked
+    GROUP BY bucket
+    """,
+)
+def a13_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

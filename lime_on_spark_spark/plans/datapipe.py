@@ -464,3 +464,65 @@ def d21_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("total_orders"),
         F.sum("order_cents").alias("total_order_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# D23 — blocked edit-distance matching: near-identical part names within a
+# blocking key (first token + length band), the classic entity-resolution
+# shape for SHORT strings where shingle Jaccard is too coarse. Blocking
+# turns the quadratic all-pairs into per-block equi-join candidates — the
+# same inverted-index discipline as D2, keyed on the block instead of a
+# shingle. Levenshtein runs only on candidates, JVM-side on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "d23_blocked_edit_distance",
+    oracle="""
+    WITH parts AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[1] AS block,
+               length(p_name) AS len
+        FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM parts a
+    JOIN parts b
+      ON a.block = b.block
+     AND a.p_partkey < b.p_partkey
+     AND abs(a.len - b.len) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def d23_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    parts = part.select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("block"),
+        F.length("p_name").alias("len"),
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "block",
+        F.col("len").alias("len_a"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "block",
+        F.col("len").alias("len_b"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )

@@ -49,7 +49,7 @@ PORTABLE = [
     "t1_streaming_tumbling", "t5_streaming_dedup", "t6_stateful_user_stats",
     "t7_stream_stream_join", "t9_conversion_funnel",
     "w7_cumulative_distinct_users", "w8_ewma_daily_revenue",
-    "t11_event_transitions",
+    "t11_event_transitions", "a13_equidepth_histogram",
 ]
 
 
