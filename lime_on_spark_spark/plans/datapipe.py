@@ -526,3 +526,49 @@ def d23_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# D24 — quality-WEIGHTED deterministic sampling: keep each document with
+# probability equal to its quality weight (type-token ratio, clipped to
+# [0,1]), decided by comparing an md5-derived uniform against the weight.
+# Unlike Bernoulli sample()/sampleBy() this is a pure function of the
+# stable document key — reproducible across engines, runs, and cluster
+# sizes (the D8 hash-split discipline extended to non-uniform rates), so
+# the oracle reproduces the EXACT sampled set, not just rate bounds.
+# --------------------------------------------------------------------------
+@register(
+    "d24_weighted_sample",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+           len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS weight,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           ROUND(AVG(weight), 6) AS avg_weight
+    FROM scored
+    WHERE u < weight
+    GROUP BY lang
+    """,
+)
+def d24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    weight = F.size(F.array_distinct(toks)) / F.size(toks)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+    kept = docs.select(
+        "lang", "n_chars", weight.alias("weight"), u.alias("u")
+    ).filter(F.col("u") < F.col("weight"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.round(F.avg("weight"), 6).alias("avg_weight"),
+    )
