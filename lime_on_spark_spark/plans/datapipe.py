@@ -572,3 +572,161 @@ def d24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("kept_chars"),
         F.round(F.avg("weight"), 6).alias("avg_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# D25 — PII redaction (regex scrub: emails / IPv4 / phone numbers)
+# --------------------------------------------------------------------------
+# The synthetic corpus contains no PII (no digits or '@' at all), so the
+# query first injects deterministic PII derived from doc_id — same trick as
+# the multimodal fake-decode — and then runs the real redaction machinery:
+# JVM-side regexp_count / regexp_replace, no Python in the hot path. The
+# patterns are written in the common Java-regex/RE2 subset so the DuckDB
+# oracle applies the *same* pattern text.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b555-\d{4}\b"
+
+
+@register(
+    "d25_pii_redaction",
+    oracle=f"""
+    WITH pii AS (
+        SELECT lang,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.'
+                    || CAST(doc_id % 200 + 1 AS VARCHAR) || '.'
+                    || CAST(doc_id % 250 + 1 AS VARCHAR)
+                    || '.7 call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS text_pii
+        FROM documents
+    ), counted AS (
+        SELECT lang,
+               len(regexp_extract_all(text_pii, '{_PII_EMAIL}')) AS n_email,
+               len(regexp_extract_all(text_pii, '{_PII_IPV4}')) AS n_ip,
+               len(regexp_extract_all(text_pii, '{_PII_PHONE}')) AS n_phone,
+               length(regexp_replace(regexp_replace(regexp_replace(
+                   text_pii, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_len
+        FROM pii
+    )
+    SELECT lang,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_ip) AS BIGINT) AS ips,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
+    FROM counted
+    GROUP BY lang
+    """,
+)
+def d25_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: count and redact emails, IPv4s, phones.
+
+    Scale shape: pure scan-stage narrow transforms (regexp_count /
+    regexp_replace are whole-stage-codegen'd JVM expressions), then one
+    low-cardinality groupBy — the only shuffle carries 5 small columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 200 + 1).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250 + 1).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text_pii"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    counted = docs.select("lang", text_pii.alias("text_pii")).select(
+        "lang",
+        F.regexp_count(F.col("text_pii"), F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(F.col("text_pii"), F.lit(_PII_IPV4)).alias("n_ip"),
+        F.regexp_count(F.col("text_pii"), F.lit(_PII_PHONE)).alias("n_phone"),
+        F.length(redacted).alias("redacted_len"),
+    )
+    return counted.groupBy("lang").agg(
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ip").alias("ips"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("redacted_len").alias("redacted_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D26 — token-budget data mixing (quality-ordered selection per source)
+# --------------------------------------------------------------------------
+@register(
+    "d26_token_budget_mix",
+    oracle="""
+    WITH scored AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS quality
+        FROM documents
+    ), ranked AS (
+        SELECT *,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(MAX(cum_tokens) AS BIGINT) AS budget_used,
+           ROUND(MIN(quality), 6) AS worst_quality_kept
+    FROM ranked
+    WHERE cum_tokens <= 2500
+    GROUP BY source
+    """,
+)
+def d26_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: per source, keep the highest-quality documents
+    until a fixed token budget is exhausted.
+
+    This is the standard "data mixture under a token budget" primitive:
+    score -> per-source descending-quality order -> running token sum ->
+    cut at the budget. One shuffle, partitioned by source (the window and
+    the final groupBy share the `source` partitioning, so the agg is
+    shuffle-free after the sort). Budget is a constant here; at 100 TB the
+    same plan runs with per-source budgets joined in from a small dim.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ranked.filter(F.col("cum_tokens") <= 2500)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("cum_tokens").alias("budget_used"),
+            F.round(F.min("quality"), 6).alias("worst_quality_kept"),
+        )
+    )

@@ -535,3 +535,125 @@ def a10_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderpriority", F.round("_total", 2).alias("total_price")
     )
+
+
+# --------------------------------------------------------------------------
+# J9 — interval-overlap join (sessions x incident windows), bucketed
+# --------------------------------------------------------------------------
+@register(
+    "j9_interval_overlap_join",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    seq AS (
+        SELECT user_id, us,
+               CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                        IS NULL
+                    OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev),
+    sid AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM seq),
+    sessions AS (
+        SELECT user_id, sid, MIN(us) AS s, MAX(us) AS e
+        FROM sid GROUP BY user_id, sid),
+    buckets AS (
+        SELECT us - us % 900000000 AS bs, COUNT(*) AS n FROM ev GROUP BY 1),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM ev) AS t,
+               (SELECT COUNT(*) FROM buckets) AS nb),
+    incidents AS (
+        SELECT bs, bs + 900000000 AS be
+        FROM buckets, tot WHERE 2 * n * nb > 3 * t),
+    pairs AS (
+        SELECT s.user_id,
+               LEAST(s.e, i.be) - GREATEST(s.s, i.bs) AS ov
+        FROM sessions s JOIN incidents i
+          ON s.s < i.be AND i.bs < s.e)
+    SELECT user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(ov) AS BIGINT) AS overlap_us
+    FROM pairs GROUP BY user_id
+    """,
+)
+def j9_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user activity sessions vs global
+    "incident" windows (15-min buckets with event volume > 1.5x average,
+    the comparison done in exact integers: 2*n*n_buckets > 3*total).
+
+    Scale shape: sessions are gaps-and-islands (one user-keyed window
+    sort); the overlap join never runs the naive theta join — each session
+    explodes into the hour buckets it spans and each 15-min incident lands
+    in exactly one hour bucket, so candidates come from a hash equi-join
+    on the bucket and the exact overlap predicate filters residuals.
+    Each (session, incident) pair meets in exactly one hour bucket, so no
+    dedup pass is needed. Incident table is broadcast (it is tiny by
+    construction: volume outliers only).
+    """
+    b15 = 900_000_000  # 15 min in microseconds
+    hour = 3_600_000_000
+    gap = 1_800_000_000  # 30-min session gap
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    sess = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull() | (F.col("us") - F.col("prev") > gap), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sessions = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s"), F.max("us").alias("e")
+    )
+
+    buckets = (
+        ev.select((F.col("us") - F.col("us") % b15).alias("bs"))
+        .groupBy("bs")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+        buckets.agg(F.count(F.lit(1)).alias("nb"))
+    )
+    incidents = (
+        buckets.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("n") * F.col("nb") > 3 * F.col("t"))
+        .select("bs", (F.col("bs") + b15).alias("be"))
+    )
+
+    # Bucketed candidate generation: sessions span [s//H .. e//H]; a 15-min
+    # incident lives in exactly one hour bucket.
+    sess_hours = sessions.withColumn(
+        "hb",
+        F.explode(
+            F.sequence(
+                ((F.col("s") - F.col("s") % hour) / hour).cast("long"),
+                ((F.col("e") - F.col("e") % hour) / hour).cast("long"),
+            )
+        ),
+    )
+    inc_hours = incidents.withColumn(
+        "hb", ((F.col("bs") - F.col("bs") % hour) / hour).cast("long")
+    )
+    pairs = sess_hours.join(F.broadcast(inc_hours), "hb").filter(
+        (F.col("s") < F.col("be")) & (F.col("bs") < F.col("e"))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("e", "be") - F.greatest("s", "bs")
+        ).alias("overlap_us"),
+    )
