@@ -651,3 +651,56 @@ def a14_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("est_n") - F.col("exact_n")) <= F.lit(eps * total)
         ).alias("eps_bound_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# A15 — deterministic mode (most-frequent value, exact tie-break)
+# --------------------------------------------------------------------------
+@register(
+    "a15_deterministic_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY n DESC, o_orderpriority
+               ) AS rk
+        FROM counts
+    )
+    SELECT c_mktsegment,
+           o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+)
+def a15_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode per group with a total tie-break (count desc, value asc)
+    — unlike the built-in `mode()` whose tie choice is engine-dependent,
+    this formulation is reproducible across engines and runs. Two narrow
+    shuffles: the (group, value) count, then the tiny per-group top-1
+    window (WindowGroupLimit pushes the rank-1 filter into the sort)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    counts = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -382,3 +382,37 @@ def f4_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("flat_len").alias("flat_len"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# F10 — bitwise scalar + aggregate functions
+# --------------------------------------------------------------------------
+@register(
+    "f10_bitwise_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bit_and(o_custkey) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(o_custkey) AS BIGINT) AS key_bit_or,
+           CAST(bit_xor(o_custkey) AS BIGINT) AS key_bit_xor,
+           CAST(SUM(bit_count(CAST(o_custkey AS BIGINT))) AS BIGINT)
+               AS total_popcount,
+           CAST(MAX(o_custkey & 255) AS BIGINT) AS max_low_byte,
+           CAST(MAX((o_custkey << 2) | 3) AS BIGINT) AS max_shifted
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def f10_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar ops (&, |, <<, popcount) and the bit_and/or/xor
+    aggregates — all JVM whole-stage-codegen expressions; the single
+    shuffle is the low-cardinality groupBy with map-side partials."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_custkey")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bit_and(key).alias("key_bit_and"),
+        F.bit_or(key).alias("key_bit_or"),
+        F.bit_xor(key).alias("key_bit_xor"),
+        F.sum(F.bit_count(key.cast("long"))).alias("total_popcount"),
+        F.max(key.bitwiseAND(F.lit(255))).alias("max_low_byte"),
+        F.max(F.shiftleft(key, 2).bitwiseOR(F.lit(3))).alias("max_shifted"),
+    )

@@ -402,3 +402,59 @@ def t8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     return run_foreach_batch_to_parquet(out, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# T12 — streaming windowed top-k: complete-mode streaming aggregation, then
+# the standard downstream batch rank over the sink table (streams cannot
+# host a row_number window; the sink-side post-pass is the production shape)
+# --------------------------------------------------------------------------
+@register(
+    "t12_streaming_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY hour_start, event_type
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY hour_start
+                   ORDER BY n_events DESC, event_type
+               ) AS rk
+        FROM counts
+    )
+    SELECT hour_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def t12_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour, computed as a streaming
+    aggregation (complete-mode availableNow replay) followed by a batch
+    row_number over the materialized sink — ranking is not a supported
+    streaming operator, and sink-side post-ranking is the idiomatic
+    decomposition. The streaming half equals the batch twin exactly, so
+    the whole pipeline is oracle-checkable."""
+    from pyspark.sql import Window
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour_start"), "event_type", "n_events"
+        )
+    )
+    sink = run_to_memory(agg, output_mode="complete")
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        sink.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("hour_start", "event_type", "n_events", "rk")
+    )

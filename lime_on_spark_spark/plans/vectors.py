@@ -423,3 +423,58 @@ def d3_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# D2c — MinHash-LSH recall verdict vs exact Jaccard (oracle-checkable twin
+# of the rows-only d2_minhash_near_dup, same pattern as d4_ann_recall)
+# --------------------------------------------------------------------------
+@register(
+    "d2_minhash_recall",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
+    """,
+)
+def d2_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict twin for the rows-only MinHash-LSH near-dup join: the banded
+    LSH candidate pairs must recall >= 80% of the EXACT word-3-gram Jaccard
+    pairs at similarity >= 0.7. The oracle recomputes the exact pair count
+    in SQL and pins recall_ok TRUE; both sides are deterministic (seeded
+    MinHash, exact ground truth)."""
+    from lime_on_spark_spark.plans.registry import queries
+
+    qs = queries()
+    lsh = qs["d2_minhash_near_dup"](spark, sf_dir).select("doc_a", "doc_b")
+    exact = (
+        qs["d2_ngram_jaccard"](spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    n_exact = exact.count()
+    hits = lsh.join(exact, ["doc_a", "doc_b"]).count()
+    ok = n_exact == 0 or hits / n_exact >= 0.8
+    return spark.createDataFrame(
+        [(n_exact, ok)], "n_exact_pairs bigint, recall_ok boolean"
+    )
