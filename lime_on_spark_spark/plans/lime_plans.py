@@ -381,3 +381,39 @@ def l1_discretizer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c_acctbal"), 2).alias("lo"),
         F.round(F.max("c_acctbal"), 2).alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# L6b — ridge-surrogate verdict twin (oracle-checkable): on the known
+# linear neighborhood (y = 0.3*z0 + 0.2*z1 + 0.1, zero noise), the fitted
+# surrogate must recover the generating coefficients within ridge-shrinkage
+# tolerance and fit near-perfectly. Oracle pins the deterministic instance
+# list + TRUE (a3-verdict pattern), making the applyInPandas ridge path
+# driver-checkable instead of rows-only.
+# --------------------------------------------------------------------------
+@register(
+    "l6_ridge_verdict",
+    oracle="""
+    SELECT vec_id AS instance_id, TRUE AS surrogate_ok
+    FROM embeddings WHERE vec_id < 4
+    """,
+)
+def l6_ridge_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.registry import queries
+
+    fit = queries()["l6_ridge_surrogate"](spark, sf_dir)
+    # feature_idx 0/1 must carry ~0.3/~0.2 (ridge alpha=1.0 over 100
+    # samples shrinks them slightly); r2 ~ 1 on the noiseless target.
+    per_feat = fit.groupBy("instance_id").agg(
+        F.max(F.when(F.col("feature_idx") == 0, F.col("weight"))).alias("w0"),
+        F.max(F.when(F.col("feature_idx") == 1, F.col("weight"))).alias("w1"),
+        F.max("r2").alias("r2"),
+    )
+    return per_feat.select(
+        "instance_id",
+        (
+            (F.abs(F.col("w0") - 0.3) < 0.05)
+            & (F.abs(F.col("w1") - 0.2) < 0.05)
+            & (F.col("r2") > 0.9)
+        ).alias("surrogate_ok"),
+    )

@@ -50,6 +50,7 @@ PORTABLE = [
     "t7_stream_stream_join", "t9_conversion_funnel",
     "w7_cumulative_distinct_users", "w8_ewma_daily_revenue",
     "t11_event_transitions", "a13_equidepth_histogram",
+    "a15_deterministic_mode", "t12_streaming_topk", "f10_bitwise_funcs",
 ]
 
 
