@@ -50,6 +50,27 @@ TEXT_SCHEMA = (
 #: Upstream default kernel width for text explanations.
 TEXT_KERNEL_WIDTH = 25.0
 
+#: Corpus per-dimension means, cached per (applicationId, sf_dir) like the
+#: trained models: the corpus is immutable for a session, the agg is
+#: deterministic, and recomputing it per explain call puts a full
+#: posexplode-aggregate job in every invocation's wall-time.
+_MU_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def _corpus_means(spark: SparkSession, sf_dir: str) -> list[float]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MU_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        as_double = F.transform("embedding", lambda v: v.cast("double"))
+        mu_rows = (
+            emb.select(F.posexplode(as_double).alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.avg("v").alias("mu"))
+            .collect()
+        )
+        _MU_CACHE[key] = [r["mu"] for r in sorted(mu_rows, key=lambda r: r["pos"])]
+    return _MU_CACHE[key]
+
 
 def _fit_group(
     pdf: pd.DataFrame,
@@ -114,14 +135,9 @@ def explain_tabular(
     """L8 tabular: one explanation row per (instance, selected feature)."""
     emb = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda v: v.cast("double"))
-    # Corpus per-dimension means (distributed agg; d rows to the driver).
-    mu_rows = (
-        emb.select(F.posexplode(as_double).alias("pos", "v"))
-        .groupBy("pos")
-        .agg(F.avg("v").alias("mu"))
-        .collect()
-    )
-    mu = [r["mu"] for r in sorted(mu_rows, key=lambda r: r["pos"])]
+    # Corpus per-dimension means (distributed agg; d rows to the driver,
+    # cached per session × sf_dir).
+    mu = _corpus_means(spark, sf_dir)
     d = len(mu)
 
     instances = emb.filter(F.col("vec_id").isin(instance_ids)).select(

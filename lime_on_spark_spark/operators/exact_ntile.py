@@ -1,0 +1,122 @@
+"""Distributed exact ntile: global sort-rank buckets without the
+single-task window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels the ENTIRE input
+through one task (Spark warns ``WindowExec: No Partition Defined``) — the
+classic scale-killer for exact quantile assignment. This operator computes
+the identical ntile result in fully-parallel steps:
+
+1. Collect P-1 approximate-quantile cut points of the leading order key
+   ONCE on the driver (``percentile_approx``: a mergeable sketch agg, one
+   O(P) collect). The cuts need not be exact quantiles — they only define
+   contiguous key ranges; accuracy just balances range sizes.
+2. Assign each row a range id as a PURE EXPRESSION of its key vs the
+   broadcast cut literals. Deterministic by construction, so every
+   downstream branch of the lineage agrees on the assignment —
+   ``repartitionByRange`` + ``spark_partition_id`` would NOT be (its
+   reservoir sample reseeds per job, so a counts pass and a rank pass
+   can disagree on boundaries).
+3. Per-range counts → cumulative offsets (a P-row driver collect) +
+   per-range local ``row_number`` (window partitioned by range id: each
+   task sorts only its range) → global rank = local rank + offset.
+4. The ntile bucket is a closed-form expression of (rank, N, n) matching
+   SQL semantics exactly: the first ``N % n`` buckets hold ``ceil(N/n)``
+   rows, the rest ``floor(N/n)``.
+
+At 100 TB this is one sketch agg + one hash shuffle + two O(P) collects
+instead of a full-table single-task sort. Heavy duplicate leading-key
+values all land in one range (assignment must stay monotone in the total
+order), so a pathological constant column degrades toward the single-task
+case — pick a high-cardinality leading key, or pre-combine key columns.
+For APPROXIMATE equi-depth at scale prefer percentile_approx bounds
+broadcast straight onto the scan (the L1 discretizer shape).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_exact_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list[str],
+    *,
+    out_col: str = "bucket",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Return ``df`` plus ``out_col`` = ``ntile(n) OVER (ORDER BY
+    order_cols)``, computed with deterministic range partitioning instead
+    of a single-task global window. Pass a unique tie-breaker as the last
+    order column (SQL ntile over a non-unique key is nondeterministic
+    anyway); ranges split on the FIRST order column only.
+    """
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+
+    lead = order_cols[0]
+    fracs = [i / num_ranges for i in range(1, num_ranges)]
+    cuts_row = df.select(
+        F.percentile_approx(F.col(lead).cast("double"), fracs, 10_000).alias("c")
+    ).first()
+    cuts = sorted(set(cuts_row["c"] or []))
+
+    # Monotone range id: number of cut points strictly below the key. Rows
+    # tied on the leading key share a range, keeping ranges contiguous in
+    # the total order.
+    if cuts:
+        rid = functools.reduce(
+            operator.add,
+            [(F.col(lead).cast("double") > F.lit(c)).cast("int") for c in cuts],
+        )
+    else:
+        rid = F.lit(0)
+    order_exprs = [F.col(c) for c in order_cols]
+    with_rid = df.withColumn("_range_id", rid)
+
+    # O(#ranges) rows to the driver: one count per key range.
+    counts = sorted(
+        (r["_range_id"], r["cnt"])
+        for r in with_rid.groupBy("_range_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    total = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for rng, cnt in counts:
+        offsets.append((rng, acc))
+        acc += cnt
+    offset_df = F.broadcast(
+        spark.createDataFrame(offsets, "_range_id int, _rank_offset long")
+    )
+
+    # Parallel local rank: each window group is exactly one key range.
+    local_w = Window.partitionBy("_range_id").orderBy(*order_exprs)
+    ranked = (
+        with_rid.withColumn("_local_rank", F.row_number().over(local_w))
+        .join(offset_df, "_range_id")
+        .withColumn("_rank", F.col("_local_rank") + F.col("_rank_offset"))
+    )
+    return ranked.withColumn(
+        out_col, _ntile_bucket(F.col("_rank"), total, n)
+    ).drop("_range_id", "_local_rank", "_rank_offset", "_rank")
+
+
+def _ntile_bucket(rank: Column, total: int, n: int) -> Column:
+    """SQL ntile bucket for a 1-based global ``rank`` out of ``total`` rows:
+    the first ``total % n`` buckets hold ``total // n + 1`` rows each."""
+    q, rem = divmod(total, n)
+    if q == 0:
+        # Fewer rows than buckets: bucket i gets row i.
+        return rank.cast("int")
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return (
+        F.when(rank <= big, F.ceil(rank / (q + 1)))
+        .otherwise(rem + F.ceil((rank - big) / q))
+        .cast("int")
+    )

@@ -529,11 +529,12 @@ def a2_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A13 — equi-DEPTH histogram via ntile: quartile buckets each holding ~25%
 # of rows, with their realized value ranges — the complement of A11's
-# equi-width form. NOTE the global ntile is a single-task sort: correct
-# for pinning exact equi-depth semantics at test scale, but at 100 TB the
-# equi-depth path is L1's discretizer (percentile_approx bounds broadcast
-# onto the scan — no global sort); this entry exists to differential-test
-# the exact semantics that the approximate path approximates.
+# equi-width form. Exact ntile runs through the range-partitioned operator
+# (operators/exact_ntile.py): 2 parallel shuffles + an O(P) offset collect,
+# never a single-task global window. For APPROXIMATE equi-depth at scale
+# prefer L1's discretizer (percentile_approx bounds broadcast onto the
+# scan); this entry differential-tests the exact semantics the
+# approximate path approximates.
 # --------------------------------------------------------------------------
 @register(
     "a13_equidepth_histogram",
@@ -552,13 +553,17 @@ def a2_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a13_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
 
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = with_exact_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        4,
+        ["o_totalprice", "o_orderkey"],
+        out_col="bucket",
+    )
     return (
-        orders.select("o_totalprice", F.ntile(4).over(w).alias("bucket"))
-        .groupBy("bucket")
+        ranked.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),

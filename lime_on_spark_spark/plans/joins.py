@@ -462,6 +462,12 @@ def _merge_asof_group(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataF
     """,
 )
 def j7_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FALLBACK as-of path — ~30x slower than the window formulation at
+    sf0.1 (14.2 s vs 0.47 s, BENCH_r05); use ``j7_asof_join`` as the
+    default. This variant exists for pandas ``merge_asof`` fidelity and to
+    demonstrate the per-key cogroup shape (architecturally scale-safe:
+    state per task is one user's events, but the constant factor is Python
+    + Arrow transfer, so it loses whenever the window plan applies)."""
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"

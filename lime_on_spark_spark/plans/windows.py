@@ -319,6 +319,11 @@ def w7_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
+    # The unpartitioned window here runs over POST-AGGREGATION day rows
+    # (~30 at any SF — one row per calendar day of the corpus), so the
+    # single-task sort it implies is bounded by the calendar, not by data
+    # volume. The raw-row equivalents of this pattern must instead use
+    # operators/exact_ntile.py-style range partitioning.
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return joined.withColumn("cum_distinct_users", F.sum("n_new").over(w))
 

@@ -30,16 +30,27 @@ TABLES: tuple[str, ...] = (
 
 
 def repair_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts arrives as long nanos under ``nanosAsLong=true``.
+    """Normalize events.ts to plain ``TimestampType`` (LTZ) whatever the
+    parquet file encodes.
 
-    Convert to micros TimestampType with exact integer division (``div``,
-    not ``/`` — float division loses precision above 2^53 and epoch-nanos
-    are ~1.7e18). The corpus has no sub-microsecond precision (verified:
-    every ts % 1000ns == 0) so this matches DuckDB's native ns read exactly.
+    Two corpus generations exist:
+
+    * ts as int64 epoch-nanos (read under ``nanosAsLong=true``): convert to
+      micros TimestampType with exact integer division (``div``, not ``/`` —
+      float division loses precision above 2^53 and epoch-nanos are ~1.7e18).
+      The corpus has no sub-microsecond precision so this matches DuckDB's
+      native ns read exactly.
+    * ts as timestamp[us] without timezone (Spark 4 infers TIMESTAMP_NTZ):
+      cast to TIMESTAMP. The session timezone is pinned to UTC
+      (session.RUNTIME_CONFS) so the wall-clock value is unchanged and
+      matches DuckDB's naive read. NTZ would otherwise break
+      ``withWatermark`` (requires TIMESTAMP) and ``cast(ts as long)``.
     """
     dtypes = dict(df.dtypes)
     if dtypes.get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtypes.get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -8,6 +8,8 @@ approximately normal with that std-dev, so 3·rsd is a ~99.7% bound.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from lime_on_spark_spark.plans import registry
 
 
@@ -59,3 +61,42 @@ def test_hll_sketch_merge_within_tolerance(spark, sf_dir):
     for et, r in by_type.items():
         assert r["exact_users"] > 0
         assert r["within_tol"] is True, dict(r.asDict())
+
+
+def test_exact_ntile_matches_global_window(spark):
+    """The range-partitioned exact-ntile operator must equal SQL ntile for
+    ragged sizes (N % n != 0), tiny N < n, and a constant leading key."""
+    from pyspark.sql import Window
+
+    from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
+
+    cases = [(1, 4), (3, 4), (10, 3), (101, 8), (1000, 7)]
+    for N, n in cases:
+        df = spark.range(N).select((F.col("id") * 37 % 97).alias("v"), "id")
+        mine = (
+            with_exact_ntile(df, n, ["v", "id"])
+            .toPandas()
+            .sort_values(["v", "id"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            df.select(
+                "v", "id", F.ntile(n).over(Window.orderBy("v", "id")).alias("bucket")
+            )
+            .toPandas()
+            .sort_values(["v", "id"])
+            .reset_index(drop=True)
+        )
+        assert (mine["bucket"] == ref["bucket"]).all(), (N, n)
+    # Constant leading key: every row in one range — degrades to the
+    # single-task case but stays CORRECT.
+    df = spark.range(20).select(F.lit(5).alias("v"), "id")
+    mine = (
+        with_exact_ntile(df, 4, ["v", "id"])
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    ref = (
+        df.select("v", "id", F.ntile(4).over(Window.orderBy("v", "id")).alias("bucket"))
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    assert (mine["bucket"] == ref["bucket"]).all()
