@@ -417,3 +417,55 @@ def l6_ridge_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("r2") > 0.9)
         ).alias("surrogate_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# L8b — batch-explain verdict (oracle-checkable): structural invariants of
+# the full L8 pipeline (model in the loop, so weights are not hand-pinnable
+# like l6_ridge_verdict) — R^2 in [0, 1], exactly k features per instance,
+# finite weights, and bit-for-bit determinism across two independent runs
+# with the same seed (the perturbation masks are xxhash64-derived and the
+# model fit is cached + seed-fixed, so a second DAG must reproduce the
+# first exactly).
+# --------------------------------------------------------------------------
+@register(
+    "l8_explain_verdict",
+    oracle="""
+    SELECT vec_id AS instance_id, TRUE AS explain_ok
+    FROM embeddings WHERE vec_id < 4
+    """,
+)
+def l8_explain_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.explain import explain_tabular
+
+    k = 6
+    run1 = explain_tabular(spark, sf_dir, [0, 1, 2, 3], num_samples=200, k=k, seed=7)
+    run2 = explain_tabular(spark, sf_dir, [0, 1, 2, 3], num_samples=200, k=k, seed=7)
+    pair = run1.alias("a").join(
+        run2.alias("b"),
+        (F.col("a.instance_id") == F.col("b.instance_id"))
+        & (F.col("a.feature_idx") == F.col("b.feature_idx")),
+    )
+    per_instance = pair.groupBy(F.col("a.instance_id").alias("instance_id")).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.max(F.abs(F.col("a.weight") - F.col("b.weight"))).alias("max_dw"),
+        F.min("a.r2").alias("r2_lo"),
+        F.max("a.r2").alias("r2_hi"),
+        F.max(
+            (
+                F.isnan("a.weight")
+                | F.isnan("a.r2")
+                | F.isnan("a.local_pred")
+            ).cast("int")
+        ).alias("any_nan"),
+    )
+    return per_instance.select(
+        "instance_id",
+        (
+            (F.col("n_features") == k)
+            & (F.col("max_dw") < 1e-9)
+            & (F.col("r2_lo") >= 0.0)
+            & (F.col("r2_hi") <= 1.0)
+            & (F.col("any_nan") == 0)
+        ).alias("explain_ok"),
+    )

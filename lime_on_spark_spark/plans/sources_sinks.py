@@ -245,3 +245,62 @@ def s4_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+# --------------------------------------------------------------------------
+# S4g — small-file compaction: the lakehouse maintenance pass. Streaming /
+# per-task writers fragment a table into thousands of tiny files; at 100 TB
+# the resulting per-file open/footer overhead dominates scan time (the
+# "small files problem"). The compactor rewrites the table to max(1,
+# bytes/target) evenly-sized files via repartition — a single shuffle whose
+# output is the ONLY state; no driver materialization. The query fragments
+# documents into 64 shards, compacts to 4, and aggregates the compacted
+# copy: the oracle aggregating the ORIGINAL parquet proves row/value
+# conservation end-to-end, and the in-query verdict pins the file-count
+# drop (the part SQL can't see).
+# --------------------------------------------------------------------------
+@register(
+    "s4_compaction",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                      AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT)   AS min_id,
+           CAST(MAX(doc_id) AS BIGINT)   AS max_id,
+           TRUE                          AS compacted_ok
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def s4_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _n_files(path: str) -> int:
+        return sum(
+            1
+            for _, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag_path = _scratch(spark, "s4_frag")
+    docs.repartition(64).write.mode("overwrite").parquet(frag_path)
+    n_before = _n_files(frag_path)
+
+    compact_path = _scratch(spark, "s4_compact")
+    # repartition (not coalesce): coalesce(4) would chain 16 source files
+    # per task WITHOUT rebalancing bytes, so one straggler file skews the
+    # output; the shuffle buys evenly-sized target files — what you want
+    # when the compacted table is read thousands of times afterwards.
+    spark.read.parquet(frag_path).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compact_path)
+    n_after = _n_files(compact_path)
+
+    back = spark.read.parquet(compact_path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.lit(n_after < n_before and n_after <= 4).alias("compacted_ok"),
+    )

@@ -1007,3 +1007,180 @@ def d22_pack_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_batches_ok"
         ),
     )
+
+
+#: Shared oracle CTE: the exact word-3-gram Jaccard >= 0.5 near-dup edge
+#: set (identical to d2_ngram_jaccard's pair computation).
+_NEARDUP_EDGES_CTE = """
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+        SELECT doc_a, doc_b
+        FROM dpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# D27 — train/test split leakage audit: near-dup pairs that STRADDLE the
+# hash split. Deduplicating before splitting is not enough if the split is
+# assigned upstream (or data arrives pre-split): any Jaccard>=0.5 pair with
+# one endpoint in train and the other in test leaks evaluation data into
+# training. The audit classifies every near-dup edge by its endpoints'
+# splits — the cross-split categories are the leaks. Composition of two
+# already-scale-safe pieces (inverted-index Jaccard pairs + broadcastable
+# md5 split assignment); the classify-and-count adds one map-side-combine
+# aggregate over the PAIR table (tiny relative to the corpus).
+# --------------------------------------------------------------------------
+@register(
+    "d27_split_leakage",
+    oracle=f"""
+    WITH {_NEARDUP_EDGES_CTE},
+    assigned AS (
+        SELECT doc_id,
+               CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    ), classified AS (
+        SELECT CASE WHEN sa.split <= sb.split
+                    THEN sa.split || '|' || sb.split
+                    ELSE sb.split || '|' || sa.split END AS category
+        FROM edges
+        JOIN assigned sa ON doc_a = sa.doc_id
+        JOIN assigned sb ON doc_b = sb.doc_id
+    )
+    SELECT category,
+           COUNT(*)                                 AS n_pairs,
+           split_part(category, '|', 1)
+             = split_part(category, '|', 2)         AS within_split
+    FROM classified
+    GROUP BY category
+    """,
+)
+def d27_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.registry import queries
+
+    pairs = queries()["d2_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    assigned = docs.select(
+        "doc_id",
+        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    a = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    cat = F.when(
+        F.col("sa") <= F.col("sb"), F.concat_ws("|", "sa", "sb")
+    ).otherwise(F.concat_ws("|", "sb", "sa"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(cat.alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "category",
+            "n_pairs",
+            (
+                F.element_at(F.split("category", "\\|"), 1)
+                == F.element_at(F.split("category", "\\|"), 2)
+            ).alias("within_split"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D28 — PageRank over the near-dup graph (3 power iterations, damping
+# 0.85): centrality in the duplicate graph surfaces "template" documents —
+# the hub a whole family of near-copies derives from — which is the right
+# SURVIVOR choice for cluster dedup (keep the template, drop satellites).
+# Each iteration is one hash join (edges × current ranks) + one
+# map-side-combinable aggregate on dst — the canonical distributed-graph
+# step; 3 fixed iterations keep it SQL-unrollable so DuckDB can mirror the
+# exact computation CTE-by-CTE. Undirected graph: every edge contributes
+# both directions; N is the node count of the GRAPH (docs with >= 1 edge).
+# --------------------------------------------------------------------------
+@register(
+    "d28_pagerank",
+    oracle=f"""
+    WITH {_NEARDUP_EDGES_CTE},
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ), deg AS (
+        SELECT src, COUNT(*) AS g FROM sym GROUP BY src
+    ), nn AS (
+        SELECT COUNT(*) AS c FROM deg
+    ), pr0 AS (
+        SELECT src AS node, 1.0 / c AS pr FROM deg, nn
+    ), pr1 AS (
+        SELECT s.dst AS node, 0.15 / ANY_VALUE(nn.c) + 0.85 * SUM(p.pr / d.g) AS pr
+        FROM sym s
+        JOIN pr0 p ON s.src = p.node
+        JOIN deg d ON s.src = d.src, nn
+        GROUP BY s.dst
+    ), pr2 AS (
+        SELECT s.dst AS node, 0.15 / ANY_VALUE(nn.c) + 0.85 * SUM(p.pr / d.g) AS pr
+        FROM sym s
+        JOIN pr1 p ON s.src = p.node
+        JOIN deg d ON s.src = d.src, nn
+        GROUP BY s.dst
+    ), pr3 AS (
+        SELECT s.dst AS node, 0.15 / ANY_VALUE(nn.c) + 0.85 * SUM(p.pr / d.g) AS pr
+        FROM sym s
+        JOIN pr2 p ON s.src = p.node
+        JOIN deg d ON s.src = d.src, nn
+        GROUP BY s.dst
+    )
+    SELECT node AS doc_id, ROUND(pr, 6) AS pagerank
+    FROM pr3
+    """,
+)
+def d28_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.registry import queries
+
+    edges = queries()["d2_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # The edge set feeds 1 (deg) + 3 (iterations) consumers; materialize the
+    # Jaccard pipeline once instead of four times.
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("g"))
+    n_nodes = deg.count()  # O(1) to the driver: the graph's node count
+    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
+    contrib_src = sym.join(deg, "src")
+    for _ in range(3):
+        ranks = (
+            contrib_src.join(ranks, "src")
+            .groupBy("dst")
+            .agg((0.15 / n_nodes + 0.85 * F.sum(F.col("pr") / F.col("g"))).alias("pr"))
+            .withColumnRenamed("dst", "src")
+        )
+    return ranks.select(
+        F.col("src").alias("doc_id"), F.round("pr", 6).alias("pagerank")
+    )

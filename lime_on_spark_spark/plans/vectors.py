@@ -478,3 +478,56 @@ def d2_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_exact, ok)], "n_exact_pairs bigint, recall_ok boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# D4c — IVF recall verdict vs the exact cosine top-10 (d3_knn_cosine_topk)
+# computed in Spark on the same data. This corpus's embeddings are
+# near-orthogonal random vectors — the WORST case for IVF (no cluster
+# structure, so partial-probe recall is bounded by cell coverage and
+# SF-dependent: 0.4 at sf0.001, 1.0 at sf0.01+ with 4/16 cells). An
+# absolute recall bound would therefore encode the corpus, not the
+# operator. The verdict pins the two properties that hold at EVERY scale
+# by construction: full probe (all 16 cells) is EXACT, and recall is
+# monotone in n_probe (4 <= 8 <= 16 cells probed can only add candidates;
+# the in-cell ranking is exact cosine). KMeans is seed-fixed; one index
+# build serves all three probe levels. Same driver-checkable shape as
+# d4_ann_recall.
+# --------------------------------------------------------------------------
+@register(
+    "d4_ivf_recall",
+    oracle="""
+    SELECT 10 AS k, TRUE AS full_probe_exact, TRUE AS probe_monotone
+    FROM (SELECT 1)
+    """,
+)
+def d4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.ivf import build_ivf_index, ivf_topk
+    from lime_on_spark_spark.plans.registry import queries
+
+    k = 10
+    exact_ids = {
+        r["vec_id"]
+        for r in queries()["d3_knn_cosine_topk"](spark, sf_dir).collect()
+    }
+    assigned, centroids = build_ivf_index(spark, sf_dir, n_cells=16, seed=42)
+    assigned = assigned.localCheckpoint(eager=True)  # one build, three probes
+    qv = [
+        float(v)
+        for v in assigned.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+
+    def recall(n_probe: int) -> float:
+        ids = {
+            r["vec_id"]
+            for r in ivf_topk(
+                assigned, centroids, qv, k=k, n_probe=n_probe, exclude_ids=(0,)
+            ).collect()
+        }
+        return len(ids & exact_ids) / k
+
+    r4, r8, r16 = recall(4), recall(8), recall(16)
+    return spark.createDataFrame(
+        [(k, r16 == 1.0, 0.0 < r4 <= r8 <= r16)],
+        "k int, full_probe_exact boolean, probe_monotone boolean",
+    )

@@ -13,9 +13,11 @@ from pyspark.sql import functions as F
 
 from lime_on_spark_spark.lime.pick import submodular_pick
 from lime_on_spark_spark.lime.ridge import (
+    _lars_lasso_path,
     explain_with_data,
     select_forward,
     select_highest_weights,
+    select_lasso_path,
     weighted_ridge,
 )
 
@@ -90,6 +92,73 @@ def test_select_forward_recovers_informative_features():
     y = 0.8 * Z[:, 2] + 0.6 * Z[:, 5] + 0.01 * rng.standard_normal(200)
     idx = select_forward(Z, y, np.ones(200), k=2)
     assert list(idx) == [2, 5]
+
+
+def test_lars_path_orthogonal_entry_order_and_ols_endpoint():
+    """On an orthogonal design LARS admits features in |correlation| order
+    and ends at the OLS solution — both are textbook LARS facts checkable
+    by hand. 4 orthogonal columns (scaled Hadamard), y built so feature
+    correlations rank 2 > 0 > 3 (feature 1 unused)."""
+    H = np.array(
+        [[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]],
+        dtype=float,
+    )
+    X = np.vstack([H, -H])  # 8x4, columns orthogonal, zero-mean
+    beta_true = np.array([0.5, 0.0, 1.0, 0.25])
+    y = X @ beta_true
+    coefs = _lars_lasso_path(X, y)
+    entry = []
+    for coef in coefs:
+        for j in np.flatnonzero(coef):
+            if j not in entry:
+                entry.append(j)
+    assert entry[:3] == [2, 0, 3]
+    np.testing.assert_allclose(coefs[-1], beta_true, atol=1e-8)
+
+
+def test_select_lasso_path_picks_informative_features():
+    rng = np.random.default_rng(7)
+    Z = rng.integers(0, 2, size=(200, 6)).astype(float)
+    y = 0.9 * Z[:, 1] - 0.7 * Z[:, 4] + 0.01 * rng.standard_normal(200)
+    idx = select_lasso_path(Z, y, np.ones(200), k=2)
+    assert list(idx) == [1, 4]
+    # k=1 keeps the single strongest feature
+    idx1 = select_lasso_path(Z, y, np.ones(200), k=1)
+    assert list(idx1) == [1]
+
+
+def test_select_lasso_path_weighted_hand_case():
+    """3-feature hand case: with weights zeroing out the rows where feature
+    2 varies, the weighted path must rank features 0 then 1 and never
+    select 2."""
+    Z = np.array(
+        [
+            [1.0, 0.0, 1.0],
+            [1.0, 1.0, 0.0],
+            [0.0, 1.0, 1.0],
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+        ]
+    )
+    y = np.array([1.0, 1.4, 0.5, 0.0, 1.0, 0.4])  # y = z0 + 0.4*z1 exactly
+    w = np.ones(6)
+    assert list(select_lasso_path(Z, y, w, k=2)) == [0, 1]
+    assert list(select_lasso_path(Z, y, w, k=1)) == [0]
+
+
+def test_explain_with_data_lasso_path_green():
+    rng = np.random.default_rng(11)
+    Z = rng.integers(0, 2, size=(150, 5)).astype(float)
+    Z[0] = 1.0
+    y = 0.5 * Z[:, 1] - 0.4 * Z[:, 4] + 0.01 * rng.standard_normal(150)
+    idx, beta, intercept, r2, local_pred = explain_with_data(
+        Z, y, np.ones(150), k=2, method="lasso_path"
+    )
+    assert list(idx) == [1, 4]
+    assert 0.0 <= r2 <= 1.0
+    assert np.isfinite(local_pred) and np.isfinite(intercept)
+    np.testing.assert_allclose(beta, [0.5, -0.4], atol=0.05)
 
 
 def test_explain_with_data_forward_matches_highest_on_clean_signal():
