@@ -381,3 +381,123 @@ def t11_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+# --------------------------------------------------------------------------
+# T14 — gap filling with LINEAR INTERPOLATION (t9's zero-fill upgraded to
+# the time-series resample primitive): hourly average of high-value
+# purchases, with missing hours reconstructed from the straight line
+# between the surrounding observed hours (edges clamp to the nearest
+# observation). The interpolation windows run over the POST-AGGREGATION
+# hourly spine (~720 calendar rows at any SF — bounded by the corpus's
+# time span, not data volume), the same justification as
+# w7_cumulative_distinct_users; raw-row variants must range-partition.
+# --------------------------------------------------------------------------
+@register(
+    "t14_interpolate",
+    oracle="""
+    WITH src AS (
+        SELECT * FROM events WHERE event_type = 'purchase' AND value >= 99
+    ), bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM src
+    ), spine AS (
+        SELECT t.h AS hour_start
+        FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(h)
+    ), hourly AS (
+        -- AVG pre-rounded to 6 on BOTH sides: the interpolation then
+        -- runs on identical doubles, so the final round(4) can't straddle
+        -- a rounding midpoint from last-ulp AVG differences.
+        SELECT date_trunc('hour', ts) AS h, ROUND(AVG(value), 6) AS v
+        FROM src GROUP BY 1
+    ), j AS (
+        SELECT s.hour_start, hourly.v,
+               CAST(epoch(s.hour_start) AS BIGINT) / 3600 AS hh
+        FROM spine s LEFT JOIN hourly ON s.hour_start = hourly.h
+    ), w AS (
+        SELECT hour_start, v, hh,
+               last_value(v IGNORE NULLS) OVER
+                   (ORDER BY hour_start ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS)
+                   OVER (ORDER BY hour_start ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND CURRENT ROW) AS ph,
+               first_value(v IGNORE NULLS) OVER
+                   (ORDER BY hour_start ROWS BETWEEN CURRENT ROW
+                                                 AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hh END IGNORE NULLS)
+                   OVER (ORDER BY hour_start ROWS BETWEEN CURRENT ROW
+                                                      AND UNBOUNDED FOLLOWING) AS nh
+        FROM j
+    )
+    -- +1e-9 before ROUND on BOTH sides: interpolation can land exactly
+    -- on a 4-decimal midpoint (e.g. x.79625) where Spark's BigDecimal
+    -- HALF_UP and DuckDB's rounding disagree; the nudge moves midpoints
+    -- off the boundary identically in both engines.
+    SELECT hour_start,
+           ROUND(1e-9 + CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (hh - ph) * 1.0 / (nh - ph)
+                 END, 4)          AS value_interp,
+           (v IS NULL)            AS was_gap
+    FROM w
+    """,
+)
+def t14_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    src = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 99)
+    )
+    bounds = src.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    hourly = src.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.round(F.avg("value"), 6).alias("v")  # pre-round: see oracle comment
+    )
+    hh = (F.unix_timestamp("hour_start") / 3600).cast("bigint")
+    j = spine.join(hourly, "hour_start", "left").select(
+        "hour_start", "v", hh.alias("hh")
+    )
+    # Calendar-bounded spine (see header comment): unpartitioned windows OK.
+    w_prev = Window.orderBy("hour_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("hour_start").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_hh = F.when(F.col("v").isNotNull(), F.col("hh"))
+    marked = j.select(
+        "hour_start",
+        "v",
+        "hh",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_hh, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_hh, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hh") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return marked.select(
+        "hour_start",
+        # midpoint nudge — see the oracle's comment
+        F.round(interp + F.lit(1e-9), 4).alias("value_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )

@@ -416,3 +416,84 @@ def f10_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(key.bitwiseAND(F.lit(255))).alias("max_low_byte"),
         F.max(F.shiftleft(key, 2).bitwiseOR(F.lit(3))).alias("max_shifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# F11 — cryptographic / hashing functions: content hashes (sha2/md5 — the
+# dedup-fingerprint and cache-key primitives) plus an AES encrypt/decrypt
+# round-trip (column-level encryption for PII columns at rest). Hash parity
+# is oracle-checked byte-for-byte against DuckDB; the AES ciphertext is
+# IV-randomized (GCM) so the verdict pins what IS deterministic: decrypting
+# the ciphertext with the same key recovers the plaintext exactly. All
+# JVM-side expressions — at 100 TB these run inside the scan stage.
+# --------------------------------------------------------------------------
+@register(
+    "f11_crypto_funcs",
+    oracle="""
+    SELECT doc_id,
+           sha256(text)  AS sha256_hex,
+           md5(text)     AS md5_hex,
+           TRUE          AS aes_roundtrip_ok
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def f11_crypto_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    return docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.md5("text").alias("md5_hex"),
+        (
+            F.expr(
+                "cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef'),"
+                " '0123456789abcdef') AS STRING)"
+            )
+            == F.col("text")
+        ).alias("aes_roundtrip_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F12 — Python UDTF (Spark 3.5+ user-defined TABLE function): one input row
+# fans out to a variable number of output rows with their own schema — the
+# API surface for Python tokenizers/parsers that genuinely need imperative
+# logic. This one emits a document's word bigrams with positions via a
+# LATERAL join; the DuckDB twin reproduces it with pure SQL, proving the
+# Python path drops/duplicates nothing. Kept OFF the hot path by design:
+# bigrams at corpus scale belong in JVM zip_with (d9) — a UDTF earns its
+# place only when the per-row expansion logic can't be expressed as
+# column functions.
+# --------------------------------------------------------------------------
+@register(
+    "f12_udtf_bigrams",
+    oracle="""
+    SELECT doc_id, pos, bigram
+    FROM (
+        SELECT doc_id,
+               CAST(i - 1 AS INT)            AS pos,
+               arr[i] || ' ' || arr[i + 1]   AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr
+              FROM documents WHERE doc_id < 30) d,
+             UNNEST(generate_series(1, greatest(len(arr) - 1, 0))) AS t(i)
+    ) b
+    """,
+)
+def f12_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("f12_bigrams", Bigrams)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    docs.createOrReplaceTempView("f12_docs")
+    return spark.sql(
+        "SELECT doc_id, b.pos, b.bigram "
+        "FROM f12_docs, LATERAL f12_bigrams(text) AS b"
+    )

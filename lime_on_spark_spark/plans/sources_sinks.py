@@ -304,3 +304,44 @@ def s4_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("bigint").alias("max_id"),
         F.lit(n_after < n_before and n_after <= 4).alias("compacted_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# S6 — custom Python DataSource (Spark 4 pyspark.sql.datasource): a
+# connector written in Python whose scan still fans out across executors
+# (one task per InputPartition). The registered source generates a
+# deterministic closed-form series, so DuckDB reproduces it from range()
+# exactly — proving rows arrive complete and partition slicing drops or
+# duplicates nothing (the classic custom-connector bug class).
+# --------------------------------------------------------------------------
+@register(
+    "s6_python_datasource",
+    oracle="""
+    SELECT CAST(i % 8 AS INT)                          AS bucket,
+           COUNT(*)                                    AS n,
+           ROUND(SUM((i * i % 97) / 10.0), 4)          AS sum_v,
+           CAST(MIN(i) AS BIGINT)                      AS min_i,
+           CAST(MAX(i) AS BIGINT)                      AS max_i
+    FROM (SELECT unnest(range(5000)) AS i)
+    GROUP BY bucket
+    """,
+)
+def s6_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import SyntheticSeriesSource
+
+    try:
+        spark.dataSource.register(SyntheticSeriesSource)
+    except Exception:
+        pass  # already registered in this session
+    series = (
+        spark.read.format("synthetic_series")
+        .option("n", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    return series.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 4).alias("sum_v"),
+        F.min("i").cast("bigint").alias("min_i"),
+        F.max("i").cast("bigint").alias("max_i"),
+    )

@@ -458,3 +458,159 @@ def t12_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("hour_start", "event_type", "n_events", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# T13 — stream-static join: enrich the event stream with a broadcastable
+# dimension table (customer), then aggregate. THE production enrichment
+# shape: the stream side stays unbounded while the static side is re-read
+# per micro-batch (picking up dim updates) and broadcast — no stream state
+# at all, unlike stream-stream joins, so this scales to any stream rate.
+# Full availableNow replay ⇒ the batch join SQL is the exact oracle.
+# --------------------------------------------------------------------------
+@register(
+    "t13_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment                  AS segment,
+           COUNT(*)                        AS n_purchases,
+           ROUND(SUM(e.value), 2)          AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY segment
+    """,
+)
+def t13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = purchases.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# T5b — dropDuplicatesWithinWatermark: dedup whose STATE is TTL'd by the
+# watermark (plain streaming dropDuplicates keeps every seen key forever —
+# unbounded state on an unbounded stream; the WithinWatermark variant is
+# the production form when duplicates only arrive within a bounded delay).
+# Single-batch availableNow replay dedups exactly like batch DISTINCT on
+# the unique event_id, so t5's SQL oracle applies verbatim.
+# --------------------------------------------------------------------------
+@register(
+    "t5_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def t5_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = run_to_memory(deduped, output_mode="append")
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# T15 — transformWithStateInPandas (Spark 4 arbitrary-stateful API v2):
+# the forward-looking replacement for applyInPandasWithState (t6) with
+# composable typed state (ValueState/ListState/MapState) and timers.
+# Same per-user running stats as t6 so the SQL oracle carries over; state
+# lives in the RocksDB provider (required by this API — also the provider
+# you want at 100 TB: state spills to disk instead of executor heap).
+# GATED on python protobuf: the TransformWithState runner speaks protobuf
+# to the JVM and this sandbox does not ship the package — the query
+# registers only where the dependency exists (t6 covers the semantics
+# here; tests/test_streaming.py asserts the gate itself).
+# --------------------------------------------------------------------------
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+HAS_TWS_DEPS = _has_protobuf()
+
+_T15_ORACLE = """
+    SELECT user_id,
+           COUNT(*)              AS n_events,
+           ROUND(MAX(value), 2)  AS max_value
+    FROM events
+    GROUP BY user_id
+    """
+
+
+def _register_t15(fn):
+    if HAS_TWS_DEPS:
+        return register("t15_transform_with_state", oracle=_T15_ORACLE)(fn)
+    return fn
+
+
+@_register_t15
+def t15_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("st", "n BIGINT, vmax DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._st.exists():
+                n, vmax = self._st.get()
+            else:
+                n, vmax = 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._st.update((n, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [round(vmax, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = read_events_stream(spark, sf_dir).select("user_id", "value")
+        stats = events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType="user_id bigint, n_events bigint, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = run_to_memory(stats, output_mode="update")
+    finally:
+        if prev is not None:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
+    # update mode may emit a key once per micro-batch; final state = max-n.
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )

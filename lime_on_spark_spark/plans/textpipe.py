@@ -1164,11 +1164,17 @@ def d28_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.plans.registry import queries
 
     edges = queries()["d2_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+    # Symmetrize in ONE pass (explode, not union: each union branch would
+    # re-run the whole Jaccard pipeline — measured 19 s vs 8 s at sf0.1),
+    # then materialize once for the 1 (deg) + 3 (iteration) consumers.
     sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    # The edge set feeds 1 (deg) + 3 (iterations) consumers; materialize the
-    # Jaccard pipeline once instead of four times.
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("g"))
     n_nodes = deg.count()  # O(1) to the driver: the graph's node count
@@ -1183,4 +1189,45 @@ def d28_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("src").alias("doc_id"), F.round("pr", 6).alias("pagerank")
+    )
+
+
+# --------------------------------------------------------------------------
+# D29 — text normalization: the canonicalization pass that runs BEFORE
+# hashing/dedup in a training pipeline (a dedup keyed on raw bytes misses
+# trivially-reformatted copies). lowercase → collapse runs of whitespace →
+# strip non-alphanumerics → trim; pure regexp/scalar JVM expressions in the
+# scan stage, zero shuffles before the final doc-level projection. Emits
+# before/after lengths so the oracle pins both the transform and how much
+# it removed.
+# --------------------------------------------------------------------------
+@register(
+    "d29_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           length(text)                        AS raw_chars,
+           length(norm)                        AS norm_chars,
+           substr(norm, 1, 40)                 AS norm_prefix,
+           md5(norm)                           AS norm_fingerprint
+    FROM (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                                   '[^a-z0-9 ]', '', 'g')) AS norm
+        FROM documents
+    ) n
+    """,
+)
+def d29_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"\s+", " "), "[^a-z0-9 ]", ""
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_chars"),
+        F.length(norm).alias("norm_chars"),
+        F.substring(norm, 1, 40).alias("norm_prefix"),
+        F.md5(norm).alias("norm_fingerprint"),
     )

@@ -189,3 +189,15 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
     assert back.count() == n_total, "restart must not duplicate or drop rows"
     assert back.select("event_id").distinct().count() == n_total
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_transform_with_state_gate_matches_environment():
+    """t15 (transformWithStateInPandas) must register exactly when python
+    protobuf — the TransformWithState runner's wire dependency — exists.
+    Guards both failure modes: registering a query that would crash at
+    runtime here, and silently losing the operator where it COULD run."""
+    from lime_on_spark_spark.plans import streaming_plans
+    from lime_on_spark_spark.plans import registry
+
+    registered = "t15_transform_with_state" in registry.queries()
+    assert registered == streaming_plans.HAS_TWS_DEPS
