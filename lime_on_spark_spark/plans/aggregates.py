@@ -709,3 +709,36 @@ def a15_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A16 — mode / count_if / any_value: the profiling trio. mode() is taken
+# over lineitem's l_linenumber per return flag, where the distribution is
+# strictly decreasing in linenumber (every order has a line 1, only some
+# have line 2+), so the mode is UNIQUE and engine tie-breaking never
+# matters; any_value() is applied to an expression constant within its
+# group, the only shape where its nondeterminism is harmless (and the
+# shape that lets Spark drop a whole aggregate buffer).
+# --------------------------------------------------------------------------
+@register(
+    "a16_mode_countif",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(mode(l_linenumber) AS INT)                  AS modal_line,
+           CAST(count_if(l_quantity > 25) AS BIGINT)        AS n_bulk_lines,
+           any_value(l_returnflag || '-flag')               AS flag_tag,
+           COUNT(*)                                         AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a16_mode_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_linenumber").cast("int").alias("modal_line"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk_lines"),
+        F.any_value(F.concat_ws("-", "l_returnflag", F.lit("flag"))).alias(
+            "flag_tag"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

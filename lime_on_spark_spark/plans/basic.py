@@ -236,3 +236,56 @@ def p7_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # within 1 ulp of an exact .xx5000 value — 10^4× less likely.
         F.round(F.round(F.avg("price_per_day"), 6), 2).alias("avg_price_per_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# P8 — three-valued-logic semantics: the NULL edge cases every engine must
+# agree on (and where hand-rolled predicate pushdown usually breaks).
+# x = NULLIF(o_custkey % 3, 0) injects NULLs; the summary pins COUNT vs
+# COUNT(col), IN/NOT IN with a NULL in the list (NOT IN is famously
+# never-true when the list contains NULL and x isn't matched), null-safe
+# equality, and DISTINCT-FROM arithmetic — one row, all engine-portable.
+# --------------------------------------------------------------------------
+@register(
+    "p8_null_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT NULLIF(o_custkey % 3, 0) AS x, o_totalprice AS v
+        FROM orders
+    )
+    SELECT COUNT(*)                                          AS n_rows,
+           COUNT(x)                                          AS n_nonnull,
+           CAST(SUM(CASE WHEN x IN (1, NULL) THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_in_with_null,
+           CAST(SUM(CASE WHEN x NOT IN (1, NULL) THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_notin_with_null,
+           CAST(SUM(CASE WHEN x IS DISTINCT FROM 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_distinct_from_1,
+           CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_null,
+           ROUND(SUM(CASE WHEN x = 1 THEN v END), 2)         AS v_eq_1
+    FROM t
+    """,
+)
+def p8_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.nullif(F.col("o_custkey") % 3, F.lit(0))
+    t = orders.select(x.alias("x"), F.col("o_totalprice").alias("v"))
+    in_with_null = F.col("x").isin(1, None)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("x").alias("n_nonnull"),
+        F.sum(F.when(in_with_null, 1).otherwise(0)).cast("bigint").alias(
+            "n_in_with_null"
+        ),
+        F.sum(F.when(~in_with_null, 1).otherwise(0)).cast("bigint").alias(
+            "n_notin_with_null"
+        ),
+        F.sum(
+            F.when(~F.col("x").eqNullSafe(F.lit(1)), 1).otherwise(0)
+        ).cast("bigint").alias("n_distinct_from_1"),
+        F.sum(F.when(F.col("x").isNull(), 1).otherwise(0)).cast("bigint").alias(
+            "n_null"
+        ),
+        F.round(F.sum(F.when(F.col("x") == 1, F.col("v"))), 2).alias("v_eq_1"),
+    )

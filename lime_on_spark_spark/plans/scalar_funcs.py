@@ -497,3 +497,49 @@ def f12_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, b.pos, b.bigram "
         "FROM f12_docs, LATERAL f12_bigrams(text) AS b"
     )
+
+
+# --------------------------------------------------------------------------
+# F13 — URL functions: parse_url host/path/query extraction plus
+# url_encode/url_decode round-trip — the routing/grouping primitives for
+# web-corpus pipelines (group by domain, strip tracking params). URLs are
+# synthesized deterministically from (lang, doc_id) so the oracle can
+# rebuild them; the DuckDB twin extracts the same components with regexps,
+# proving Spark's parser agrees with the plain-string reading.
+# --------------------------------------------------------------------------
+@register(
+    "f13_url_funcs",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || lang || '.example.com/docs/' || doc_id
+                 || '?page=' || (doc_id % 7) || '&ref=r+d' AS url
+        FROM documents WHERE doc_id < 25
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/]+)', 1)        AS host,
+           regexp_extract(url, 'https://[^/]+([^?]+)', 1)   AS path,
+           regexp_extract(url, '\\?(.*)$', 1)               AS query,
+           regexp_extract(url, 'page=([0-9]+)', 1)          AS page_param,
+           'r+d'                                            AS ref_encoded,
+           'r d'                                            AS ref_roundtrip
+    FROM urls
+    """,
+)
+def f13_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    url = F.concat(
+        F.lit("https://"), F.col("lang"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?page="), F.col("doc_id") % 7,
+        F.lit("&ref=r+d"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.url_encode(F.lit("r d")).alias("ref_encoded"),
+        F.url_decode(F.url_encode(F.lit("r d"))).alias("ref_roundtrip"),
+    )
