@@ -100,23 +100,26 @@ def _fit_group(
     return pd.DataFrame(out)
 
 
-def _argmax_target(scored: DataFrame) -> DataFrame:
-    """Target class per instance = black-box argmax on the unperturbed row."""
-    return (
-        scored.filter(F.col("sample_id") == 0)
-        .select(
-            "instance_id",
-            (F.array_position(F.col("probs"), F.array_max("probs")) - 1)
-            .cast("int")
-            .alias("target"),
-        )
-    )
-
-
 def _with_label_prob(scored: DataFrame) -> DataFrame:
-    """y = P(target class) for every sample, target joined per instance."""
-    targets = _argmax_target(scored)
-    return scored.join(F.broadcast(targets), "instance_id").withColumn(
+    """y = P(target class) for every sample, where the target class is the
+    black-box argmax on the instance's UNPERTURBED row (sample_id == 0).
+
+    Computed with a window over instance_id, not a filter-aggregate-join:
+    the join form branches the scoring lineage and re-executes the whole
+    perturb→model.transform pipeline for BOTH branches (~2x the pipeline
+    cost). The window is one hash shuffle on instance_id — the exact
+    distribution the downstream groupBy(instance_id).applyInPandas needs,
+    so Catalyst inserts no second Exchange and the pipeline stays
+    single-pass.
+    """
+    from pyspark.sql import Window
+
+    argmax = (F.array_position(F.col("probs"), F.array_max("probs")) - 1).cast(
+        "int"
+    )
+    w = Window.partitionBy("instance_id")
+    target = F.max(F.when(F.col("sample_id") == 0, argmax)).over(w)
+    return scored.withColumn("target", target).withColumn(
         "y", F.element_at("probs", F.col("target") + 1)
     )
 
