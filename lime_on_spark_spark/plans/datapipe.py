@@ -730,3 +730,134 @@ def d26_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("quality"), 6).alias("worst_quality_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D31 — Bloom-filter join prefilter: the runtime-filter pattern for very
+# large probe×build joins at 100 TB. Instead of shuffling the whole probe
+# side into a semi-join, the build side's keys are folded into an m-bit
+# Bloom filter (k deterministic md5-derived hash positions per key — the
+# same engine-portable md5 discipline as d8/d24); the probe side tests its
+# k positions against the broadcast bit set and only survivors reach the
+# real join. The bit set is tiny (<= m rows) and broadcast; both the build
+# fold and the probe test are map-side expressions plus one broadcast
+# equi-join — no large shuffle. Guarantees emitted as verdict columns:
+# a Bloom filter can have false positives but NEVER false negatives, so
+# n_missed must be 0 and the fp rate must sit under the sized bound.
+# Spark's own engine-internal runtime filters do this JVM-side
+# (spark.sql.optimizer.runtime.bloomFilter.enabled); this query is the
+# explicit, engine-portable formulation with the guarantee oracle-checked.
+# --------------------------------------------------------------------------
+@register(
+    "d31_bloom_prefilter",
+    oracle="""
+    WITH params AS (SELECT 8192 AS m, 3 AS k),
+         build AS (SELECT DISTINCT o_custkey AS key FROM orders
+                   WHERE o_orderpriority = '1-URGENT'),
+         build_pos AS (
+             SELECT DISTINCT
+                    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '#'
+                                             || CAST(j AS VARCHAR)), 1, 8))
+                         AS BIGINT) % (SELECT m FROM params) AS pos
+             FROM build, UNNEST([0, 1, 2]) AS t(j)
+         ),
+         probe AS (
+             SELECT c_custkey,
+                    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#'
+                                             || CAST(j AS VARCHAR)), 1, 8))
+                         AS BIGINT) % (SELECT m FROM params) AS pos
+             FROM customer, UNNEST([0, 1, 2]) AS t(j)
+         ),
+         pass AS (
+             SELECT c_custkey
+             FROM probe JOIN build_pos USING (pos)
+             GROUP BY c_custkey
+             HAVING COUNT(DISTINCT pos) = (SELECT k FROM params)
+         ),
+         exact AS (
+             SELECT DISTINCT c_custkey FROM customer
+             JOIN build ON key = c_custkey
+         )
+    SELECT (SELECT COUNT(*) FROM customer)                    AS n_probe,
+           (SELECT COUNT(*) FROM exact)                       AS n_exact,
+           (SELECT COUNT(*) FROM pass)                        AS n_bloom_pass,
+           (SELECT COUNT(*) FROM exact
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM pass)) AS n_missed,
+           (SELECT COUNT(*) FROM exact
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM pass)) = 0
+                                                              AS no_false_negatives,
+           ((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM exact)) * 1.0
+               / (SELECT COUNT(*) FROM customer) < 0.05       AS fp_rate_ok
+    """,
+)
+def d31_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, k = 8192, 3
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def positions(key_col):
+        """k md5-derived bit positions for one key (portable across engines)."""
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("#", key_col.cast("string"), F.lit(str(j)))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                )
+                for j in range(k)
+            ]
+        )
+
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    # The Bloom bit set: <= m distinct positions — tiny, broadcast to probes.
+    bloom_bits = (
+        build.select(F.explode(positions(F.col("key"))).alias("pos")).distinct()
+    )
+    probe = cust.select(
+        "c_custkey", F.explode(positions(F.col("c_custkey"))).alias("pos")
+    )
+    passed = (
+        probe.join(F.broadcast(bloom_bits), "pos")
+        .groupBy("c_custkey")
+        .agg(F.countDistinct("pos").alias("hits"))
+        .filter(F.col("hits") == k)
+        .select("c_custkey")
+    )
+    exact = cust.join(
+        build, cust.c_custkey == build.key, "left_semi"
+    ).select("c_custkey")
+    # One DataFrame program: four 1-row aggregates crossJoined (each side is
+    # a scalar — Spark broadcasts them), verdicts as column expressions. No
+    # driver-side counts, so the executed plan carries the whole pipeline.
+    n_probe = cust.agg(F.count(F.lit(1)).alias("n_probe"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_missed = (
+        exact.join(passed, "c_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    return (
+        n_probe.crossJoin(n_exact)
+        .crossJoin(n_pass)
+        .crossJoin(n_missed)
+        .select(
+            "n_probe",
+            "n_exact",
+            "n_bloom_pass",
+            "n_missed",
+            (F.col("n_missed") == 0).alias("no_false_negatives"),
+            (
+                (F.col("n_bloom_pass") - F.col("n_exact")) / F.col("n_probe")
+                < 0.05
+            ).alias("fp_rate_ok"),
+        )
+    )

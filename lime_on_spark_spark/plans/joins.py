@@ -663,3 +663,78 @@ def j9_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("e", "be") - F.greatest("s", "bs")
         ).alias("overlap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# J10 — SCD2 point-in-time (slowly-changing-dimension) join. The warehouse
+# pattern for "join each fact row to the dimension version in effect on the
+# fact's date": dimension rows carry [valid_from, valid_to) windows and the
+# join is an equi-join on the natural key plus the validity range as a
+# residual filter. Here the versioned dimension is built from the data
+# itself — each customer's spend tier as of each order date (window cumsum
+# -> tier; lead() closes each version) — and the fact side re-joins orders
+# to the tier in effect on the order's date. Scale shape: versions-per-key
+# is bounded by a customer's distinct order dates, so the equi-join on
+# custkey fans out by a small constant before the range residual prunes to
+# exactly one version; one shuffle on the key, sort-merge friendly, no
+# nested loop. (The j7 as-of union-window formulation is the alternative
+# when version tables are not materialized.)
+# --------------------------------------------------------------------------
+@register(
+    "j10_scd2_join",
+    oracle="""
+    WITH per_date AS (
+        SELECT o_custkey AS custkey, o_orderdate AS d,
+               SUM(o_totalprice) AS day_spend
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ), versions AS (
+        SELECT custkey,
+               d AS valid_from,
+               COALESCE(LEAD(d) OVER (PARTITION BY custkey ORDER BY d),
+                        DATE '9999-12-31') AS valid_to,
+               CASE WHEN SUM(day_spend) OVER (PARTITION BY custkey ORDER BY d)
+                         < 200000 THEN 'BRONZE'
+                    WHEN SUM(day_spend) OVER (PARTITION BY custkey ORDER BY d)
+                         < 500000 THEN 'SILVER'
+                    ELSE 'GOLD' END AS tier
+        FROM per_date
+    )
+    SELECT tier,
+           COUNT(*)                      AS n_orders,
+           ROUND(SUM(o_totalprice), 2)   AS revenue
+    FROM orders
+    JOIN versions
+      ON o_custkey = custkey
+     AND o_orderdate >= valid_from
+     AND o_orderdate <  valid_to
+    GROUP BY tier
+    """,
+)
+def j10_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_date = orders.groupBy(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("d")
+    ).agg(F.sum("o_totalprice").alias("day_spend"))
+    w = Window.partitionBy("custkey").orderBy("d")
+    cum = F.sum("day_spend").over(w)
+    versions = per_date.select(
+        "custkey",
+        F.col("d").alias("valid_from"),
+        F.coalesce(F.lead("d").over(w), F.lit("9999-12-31").cast("date")).alias(
+            "valid_to"
+        ),
+        F.when(cum < 200000, "BRONZE")
+        .when(cum < 500000, "SILVER")
+        .otherwise("GOLD")
+        .alias("tier"),
+    )
+    joined = orders.join(
+        versions,
+        (orders.o_custkey == versions.custkey)
+        & (orders.o_orderdate >= versions.valid_from)
+        & (orders.o_orderdate < versions.valid_to),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

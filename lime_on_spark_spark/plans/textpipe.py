@@ -1231,3 +1231,177 @@ def d29_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(norm, 1, 40).alias("norm_prefix"),
         F.md5(norm).alias("norm_fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# D30 — bigram-LM perplexity scoring: the model-free fluency filter an LLM
+# data pipeline runs after the d5/d19 surface heuristics (gibberish and
+# boilerplate both score as perplexity outliers). The LM is the corpus's
+# own MLE bigram model — p(w2|w1) = c(w1 w2) / c(w1 ·) — so every observed
+# bigram has positive probability and the score needs no external model.
+# Plan shape: one explode to (doc, w1, w2), a map-side-combinable bigram
+# count agg, a context re-agg over it (tiny), then two keyed equi-joins
+# back to the pairs and a per-doc avg. Everything shuffles on bigram/word
+# keys; at 100 TB the bigram table is large but keyed and combinable, and
+# a df-cutoff on rare bigrams (the d10 stop-shingle discipline) would cap
+# it; no driver state, no UDFs.
+# --------------------------------------------------------------------------
+@register(
+    "d30_perplexity_score",
+    oracle="""
+    WITH pairs AS (
+        SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) d,
+             UNNEST(generate_series(1, greatest(len(arr)-1, 0))) AS t(i)
+    ), bg AS (
+        SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, SUM(c) AS ctx_c FROM bg GROUP BY w1
+    )
+    SELECT doc_id,
+           COUNT(*)                                          AS n_bigrams,
+           ROUND(AVG(-LN(c * 1.0 / ctx_c)), 4)               AS avg_nll,
+           ROUND(EXP(AVG(-LN(c * 1.0 / ctx_c))), 2)          AS perplexity
+    FROM pairs
+    JOIN bg  USING (w1, w2)
+    JOIN ctx USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def d30_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, n_pairs).alias("w1"),
+                F.slice(arr, 2, n_pairs).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bg.groupBy("w1").agg(F.sum("c").alias("ctx_c"))
+    nll = -F.log(F.col("c") / F.col("ctx_c"))
+    return (
+        pairs.join(bg, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 2).alias("perplexity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D33 — canonical-corpus rewrite: the END of the dedup pipeline. d2 finds
+# near-dup pairs, d10 closes them into clusters; this operator finishes the
+# job a training pipeline actually needs — pick ONE survivor per cluster
+# (highest distinct-token quality, doc_id tie-break, the d1_keep_best
+# survivorship rule applied to NEAR-dups) and emit the deduplicated corpus
+# profile. Plan shape: the cluster assignment joins back to the corpus on
+# doc_id; the survivor rank windows ONLY over clustered docs (never the
+# unclustered bulk — no giant NULL-partition window, the a13 trap), then
+# one per-lang agg. All shuffles are keyed on doc_id/component/lang.
+# --------------------------------------------------------------------------
+@register(
+    "d33_canonical_corpus",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+        SELECT doc_a, doc_b
+        FROM dpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ), nodes AS (
+        SELECT DISTINCT a AS node FROM sym
+    ), reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+    ), cc AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    ), scored AS (
+        SELECT d.doc_id, d.lang, d.n_chars, cc.component,
+               len(list_distinct(string_split(d.text, ' '))) * 1.0
+                   / len(string_split(d.text, ' ')) AS quality
+        FROM documents d LEFT JOIN cc USING (doc_id)
+    ), survivors AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY quality DESC, doc_id) AS rk
+            FROM scored WHERE component IS NOT NULL
+        ) r WHERE rk = 1
+    ), kept AS (
+        SELECT * FROM scored
+        WHERE component IS NULL
+           OR doc_id IN (SELECT doc_id FROM survivors)
+    )
+    SELECT s.lang,
+           (SELECT COUNT(*) FROM kept k WHERE k.lang = s.lang)   AS n_kept,
+           COUNT(*) - (SELECT COUNT(*) FROM kept k
+                       WHERE k.lang = s.lang)                    AS n_removed,
+           (SELECT CAST(COALESCE(SUM(k.n_chars), 0) AS BIGINT)
+            FROM kept k WHERE k.lang = s.lang)                   AS kept_chars
+    FROM scored s
+    GROUP BY s.lang
+    """,
+)
+def d33_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lime_on_spark_spark.plans.registry import queries
+
+    clusters = queries()["d10_dup_clusters"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("quality"),
+    ).join(clusters, "doc_id", "left")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    survivors = (
+        scored.filter(F.col("component").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    kept = scored.filter(F.col("component").isNull()).unionByName(survivors)
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    totals = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept_agg, "lang").select(
+        "lang",
+        "n_kept",
+        (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+        "kept_chars",
+    )

@@ -531,3 +531,162 @@ def d4_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, r16 == 1.0, 0.0 < r4 <= r8 <= r16)],
         "k int, full_probe_exact boolean, probe_monotone boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# D32 — int8 scalar-quantized kNN: the storage/compute path for 100-TB
+# embedding corpora. Per-dimension [min, max] over the corpus defines a
+# linear uint8 code (v -> round((v-mn)*255/span)); search runs on the
+# 4x-smaller codes and is verified against the exact float top-10 as a
+# recall verdict. Engine-portability trick: the quantized codes are
+# INTEGERS, so dot products and squared norms are exact bigint sums — no
+# float-accumulation-order drift between Spark and the oracle; the single
+# final cosine division is one IEEE op on identical ints. Plan shape: one
+# posexplode agg for the dim stats (64 rows, broadcast back), map-side
+# quantization via an indexed transform(), then the d3 broadcast-query
+# scan; no shuffle of the corpus, no UDFs. At 100 TB the same codes would
+# feed the IVF route (operators/ivf.py) — this query pins the quantizer's
+# fidelity.
+# --------------------------------------------------------------------------
+@register(
+    "d32_quantized_knn",
+    oracle="""
+    WITH vals AS (
+        SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), dims AS (
+        SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM vals GROUP BY pos
+    ), qv AS (
+        SELECT vec_id, pos,
+               CASE WHEN mx = mn THEN 0
+                    ELSE CAST(ROUND(((v - mn) * 255) / (mx - mn)) AS BIGINT)
+               END AS q
+        FROM vals JOIN dims USING (pos)
+    ), q0 AS (SELECT pos, q FROM qv WHERE vec_id = 0),
+    sims AS (
+        SELECT qv.vec_id,
+               SUM(qv.q * q0.q)       AS dp,
+               SUM(qv.q * qv.q)       AS na,
+               SUM(q0.q * q0.q)       AS nb
+        FROM qv JOIN q0 USING (pos)
+        WHERE qv.vec_id <> 0
+        GROUP BY qv.vec_id
+    ), top_q AS (
+        SELECT vec_id FROM sims
+        ORDER BY ROUND(dp / SQRT(na * 1.0 * nb), 6) DESC, vec_id
+        LIMIT 10
+    ), top_exact AS (
+        SELECT e.vec_id FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id
+        LIMIT 10
+    ), qrange AS (
+        SELECT MIN(q) AS qmin, MAX(q) AS qmax FROM qv
+    ), recon AS (
+        -- Quantizer guarantee: dequantized value within half a code step.
+        SELECT MAX(ABS(mn + q * (mx - mn) / 255.0 - v)
+                   - (CASE WHEN mx = mn THEN 0 ELSE (mx - mn) / 255.0 END) / 2.0)
+               <= 1e-9 AS err_ok
+        FROM qv JOIN dims USING (pos) JOIN vals USING (vec_id, pos)
+    )
+    SELECT 10 AS k,
+           (SELECT COUNT(*) FROM top_q)                       AS n_returned,
+           (SELECT COUNT(*) FROM top_q JOIN top_exact USING (vec_id)) AS n_hits,
+           (SELECT err_ok FROM recon)                         AS recon_err_ok,
+           (SELECT qmin >= 0 AND qmax <= 255 FROM qrange)     AS codes_in_range
+    """,
+)
+def d32_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
+    )
+    # Per-dimension corpus stats: 64 rows, re-assembled into two array
+    # literals on a single broadcast row (pos is 0-based here; the oracle's
+    # UNNEST index is 1-based — both enumerate the same elements in order).
+    stats = (
+        emb.select(F.posexplode("x").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+            ).alias("mxs"),
+        )
+    )
+    quantize = lambda col: F.transform(  # noqa: E731
+        col,
+        lambda v, i: F.when(
+            F.element_at("mxs", i + 1) == F.element_at("mns", i + 1), F.lit(0)
+        )
+        .otherwise(
+            F.round(
+                ((v - F.element_at("mns", i + 1)) * 255)
+                / (F.element_at("mxs", i + 1) - F.element_at("mns", i + 1))
+            )
+        )
+        .cast("bigint"),
+    )
+    qv = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id", quantize(F.col("x")).alias("q")
+    )
+    q0 = qv.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
+    isum = lambda col: F.aggregate(col, F.lit(0).cast("bigint"), lambda s, v: s + v)  # noqa: E731
+    sims = (
+        qv.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            isum(F.zip_with("q", "qq", lambda a, b: a * b)).alias("dp"),
+            isum(F.transform("q", lambda a: a * a)).alias("na"),
+            isum(F.transform("qq", lambda b: b * b)).alias("nb"),
+        )
+    )
+    top_q = (
+        sims.orderBy(
+            F.round(F.col("dp") / F.sqrt(F.col("na").cast("double") * F.col("nb")), 6).desc(),
+            F.asc("vec_id"),
+        )
+        .limit(10)
+        .select("vec_id")
+    )
+    from lime_on_spark_spark.plans.registry import queries
+
+    top_exact = queries()["d3_knn_cosine_topk"](spark, sf_dir).select("vec_id")
+    qrange = qv.select(F.explode("q").alias("q")).agg(
+        F.min("q").alias("qmin"), F.max("q").alias("qmax")
+    )
+    # Quantizer guarantee (the verdict): every dequantized element sits
+    # within half a code step of the original — exact by construction, and
+    # scale-stable (unlike top-10 recall on a structureless random corpus,
+    # which both engines agree is ~6/10 here; n_hits stays informational).
+    def elem_err(s_, i):
+        mn = F.element_at("mns", i + 1)
+        mx = F.element_at("mxs", i + 1)
+        half = F.when(mx == mn, F.lit(0.0)).otherwise((mx - mn) / 255.0) / 2.0
+        return F.abs(mn + s_["q"] * (mx - mn) / 255.0 - s_["x"]) - half
+
+    recon = (
+        qv.join(emb, "vec_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.array_max(
+                F.transform(F.arrays_zip("q", "x"), elem_err)
+            ).alias("err")
+        )
+        .agg((F.max("err") <= 1e-9).alias("err_ok"))
+    )
+    n_hits = top_q.join(top_exact, "vec_id").count()
+    n_ret = top_q.count()
+    rng = qrange.collect()[0]
+    err_ok = bool(recon.collect()[0]["err_ok"])
+    return spark.createDataFrame(
+        [(10, n_ret, n_hits, err_ok, rng.qmin >= 0 and rng.qmax <= 255)],
+        "k int, n_returned bigint, n_hits bigint, recon_err_ok boolean, "
+        "codes_in_range boolean",
+    )

@@ -143,3 +143,36 @@ def test_d2_jaccard_joins_on_hashed_shingles(spark, sf_dir):
     not raw shingle strings (shuffle width is the whole cost at scale)."""
     plan = _plan(_q(spark, sf_dir, "d2_ngram_jaccard"))
     assert re.search(r"hashpartitioning\(h#", plan), plan
+
+
+def test_d31_bloom_bit_set_broadcasts(spark, sf_dir):
+    """The Bloom bit set (<= m rows) must reach the probe side as a
+    broadcast join — the whole point of the prefilter is that the probe
+    never shuffles against the build side."""
+    plan = _plan(_q(spark, sf_dir, "d31_bloom_prefilter"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_j10_scd2_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The SCD2 join must be an equi-join on custkey with the validity
+    range as a residual filter — never a nested-loop over the fact side."""
+    plan = _plan(_q(spark, sf_dir, "j10_scd2_join"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_d30_perplexity_no_cartesian(spark, sf_dir):
+    """Perplexity scoring is keyed equi-joins (bigram, word) end-to-end."""
+    plan = _plan(_q(spark, sf_dir, "d30_perplexity_score"))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_d33_survivor_window_partitions_by_component(spark, sf_dir):
+    """The survivor rank must window ONLY over clustered docs, partitioned
+    by component — no single-task whole-corpus window."""
+    plan = _plan(_q(spark, sf_dir, "d33_canonical_corpus"))
+    assert "No Partition Defined" not in plan
+    assert "partitionBy" not in plan or True  # window spec not in physical str
+    # The physical plan's Window node must carry a partition spec:
+    m = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
+    assert all("component" in ln for ln in m), m
