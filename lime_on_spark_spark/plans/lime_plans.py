@@ -247,9 +247,77 @@ def l9_sp_lime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L9v — SP-LIME coverage verdict (r6): driver-checkable twin of l9_sp_lime.
+# The picked IDs are seed-deterministic but ridge-weight-dependent (no SQL
+# derivation), so the oracle pins the INVARIANTS of greedy max-coverage
+# instead: exactly k distinct picks, and — because greedy's first pick is
+# argmax single-instance coverage and coverage is monotone — the picked
+# set's coverage dominates the best single instance's. A greedy that
+# degenerated (repeat picks, argmin bug, coverage not accumulating) fails
+# one of these booleans.
+# --------------------------------------------------------------------------
+@register(
+    "l9_sp_lime_verdict",
+    oracle="""
+    SELECT 3 AS k, 3 AS n_picked, TRUE AS picks_distinct,
+           TRUE AS coverage_ge_best_single
+    FROM (SELECT 1)
+    """,
+)
+def l9_sp_lime_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from lime_on_spark_spark.lime.explain import explain_tabular
+    from lime_on_spark_spark.lime.pick import submodular_pick
+
+    expl = explain_tabular(
+        spark, sf_dir, list(range(8)), num_samples=100, k=4, seed=7
+    ).toPandas()
+    ids = sorted(expl["instance_id"].unique())
+    d = 64
+    W = np.zeros((len(ids), d))
+    for row in expl.itertuples(index=False):
+        W[ids.index(row.instance_id), row.feature_idx] = row.weight
+    picked = submodular_pick(W, k=3)
+
+    A = np.abs(W)
+    importance = np.sqrt(A.sum(axis=0))
+
+    def coverage(rows: list[int]) -> float:
+        covered = (A[rows] > 0).any(axis=0)
+        return float(importance[covered].sum())
+
+    best_single = max(coverage([i]) for i in range(A.shape[0]))
+    return spark.createDataFrame(
+        [
+            (
+                3,
+                len(picked),
+                len(set(picked)) == len(picked),
+                coverage(picked) >= best_single - 1e-9,
+            )
+        ],
+        "k int, n_picked int, picks_distinct boolean, "
+        "coverage_ge_best_single boolean",
+    )
+
+
+# --------------------------------------------------------------------------
 # L10 — model-to-explain training quality (rows-only; deterministic fit)
 # --------------------------------------------------------------------------
-@register("l10_model_quality")
+@register(
+    "l10_model_quality",
+    # Verdict conversion (r6): per-label populations are SQL-exact; the
+    # model-dependent part is a single boolean — overall train accuracy
+    # must clear 1.5x chance (observed 0.215-0.45 across sf0.001/0.01/0.1
+    # vs the 0.10 10-class chance floor; LBFGS fit is seed-fixed and
+    # deterministic, so the margin cannot drift run-to-run). Exact
+    # per-label accuracy stays pinned by tests/test_lime.py fixtures.
+    oracle="""
+    SELECT label, COUNT(*) AS n, TRUE AS acc_above_chance
+    FROM embeddings GROUP BY label
+    """,
+)
 def l10_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
@@ -262,22 +330,39 @@ def l10_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", array_to_vector("embedding").alias("features")
         )
     )
-    return preds.groupBy("label").agg(
+    per_label = preds.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             (F.col("prediction") == F.col("label").cast("double")).cast("int")
         ).cast("bigint").alias("n_correct"),
+    )
+    overall = per_label.agg(
+        (F.sum("n_correct") / F.sum("n") >= 0.15).alias("acc_above_chance")
+    )
+    return per_label.crossJoin(F.broadcast(overall)).select(
+        "label", "n", "acc_above_chance"
     )
 
 
 # --------------------------------------------------------------------------
 # L4 — black-box scoring of perturbations (rows-only; deterministic model)
 # --------------------------------------------------------------------------
-@register("l4_score_perturbations")
+@register(
+    "l4_score_perturbations",
+    # Verdict conversion (r6): the probability VALUES are model-dependent,
+    # but their invariants are mathematical — softmax rows sum to 1 and the
+    # max of a 10-class distribution is >= 1/10 — and the sample count per
+    # instance is exact (num_samples=50). The driver hash-checks all three.
+    oracle="""
+    SELECT vec_id AS instance_id, 50 AS n_scored,
+           TRUE AS probs_sum_ok, TRUE AS top_prob_ge_uniform
+    FROM embeddings WHERE vec_id < 2
+    """,
+)
 def l4_score_perturbations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone L4: perturb two instances, score every perturbation with
-    the broadcast MLlib model, summarize the probability mass per instance.
-    (Inside L8 this stage is fused with L5/L6.)"""
+    the broadcast MLlib model, verdict-summarize the probability mass per
+    instance. (Inside L8 this stage is fused with L5/L6.)"""
     from lime_on_spark_spark.lime.models import score_tabular, train_tabular_model
     from lime_on_spark_spark.lime.perturb import perturb_tabular
 
@@ -290,11 +375,16 @@ def l4_score_perturbations(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_tabular_model(spark, sf_dir)
     scored = score_tabular(model, samples)
     p_max = F.array_max("probs")
+    p_sum = F.aggregate("probs", F.lit(0.0), lambda s_, v: s_ + v)
     return scored.groupBy("instance_id").agg(
         F.count(F.lit(1)).alias("n_scored"),
-        F.round(F.avg(p_max), 6).alias("avg_top_prob"),
-        F.round(F.min(p_max), 6).alias("min_top_prob"),
-        F.round(F.max(p_max), 6).alias("max_top_prob"),
+        F.max(F.abs(p_sum - 1.0)).alias("_sum_err"),
+        F.min(p_max).alias("_min_top"),
+    ).select(
+        "instance_id",
+        "n_scored",
+        (F.col("_sum_err") < 1e-6).alias("probs_sum_ok"),
+        (F.col("_min_top") >= 0.1 - 1e-9).alias("top_prob_ge_uniform"),
     )
 
 
