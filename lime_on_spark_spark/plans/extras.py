@@ -214,3 +214,129 @@ def s4_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_ok"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# O4 — Z-order layout for multi-column data skipping. At 100 TB, file-level
+# min/max statistics are what turn a point/range predicate into pruned I/O;
+# sorting by ONE column gives perfect stats on it and useless stats on
+# every other. Interleaving the bits of two (normalized) key columns and
+# range-bucketing on the interleave gives each file a small bounding BOX in
+# (custkey, orderdate) space, so predicates on EITHER column prune.
+# Everything is closed-form column arithmetic: 4-bit normalize per dim,
+# bit-interleave to an 8-bit z-value, then the range-partitioned exact
+# ntile (operators/exact_ntile.py — no single-task window) assigns "files".
+# The query emits both layouts' average normalized bounding-box areas and
+# the verdict that z-order's is smaller than the single-column layout's.
+# --------------------------------------------------------------------------
+@register(
+    "o4_zorder_layout",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', DATE '1992-01-01', o_orderdate) AS day
+        FROM orders
+    ), bounds AS (
+        SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+               MIN(day) AS dmin, MAX(day) AS dmax
+        FROM base
+    ), coded AS (
+        SELECT o_orderkey, o_custkey, day,
+               CAST(FLOOR((o_custkey - cmin) * 16.0 / (cmax - cmin + 1))
+                    AS BIGINT) AS bx,
+               CAST(FLOOR((day - dmin) * 16.0 / (dmax - dmin + 1))
+                    AS BIGINT) AS by
+        FROM base, bounds
+    ), z AS (
+        SELECT o_orderkey, o_custkey, day,
+               (((bx >> 0) & 1) << 1) | (((by >> 0) & 1) << 0)
+             | (((bx >> 1) & 1) << 3) | (((by >> 1) & 1) << 2)
+             | (((bx >> 2) & 1) << 5) | (((by >> 2) & 1) << 4)
+             | (((bx >> 3) & 1) << 7) | (((by >> 3) & 1) << 6) AS zval
+        FROM coded
+    ), zfiles AS (
+        SELECT o_custkey, day,
+               NTILE(16) OVER (ORDER BY zval, o_orderkey) AS file_id
+        FROM z
+    ), dfiles AS (
+        SELECT o_custkey, day,
+               NTILE(16) OVER (ORDER BY day, o_orderkey) AS file_id
+        FROM base
+    ), zstats AS (
+        SELECT AVG((MAX(o_custkey) - MIN(o_custkey))
+                   * (MAX(day) - MIN(day))) OVER () AS area
+        FROM zfiles GROUP BY file_id LIMIT 1
+    ), dstats AS (
+        SELECT AVG((MAX(o_custkey) - MIN(o_custkey))
+                   * (MAX(day) - MIN(day))) OVER () AS area
+        FROM dfiles GROUP BY file_id LIMIT 1
+    )
+    SELECT 16 AS n_files,
+           ROUND((SELECT area FROM zstats), 1)              AS z_avg_bbox_area,
+           ROUND((SELECT area FROM dstats), 1)              AS single_avg_bbox_area,
+           (SELECT area FROM zstats) < (SELECT area FROM dstats)
+                                                            AS zorder_prunes_better
+    """,
+)
+def o4_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias("day"),
+    )
+    bounds = base.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    )
+    coded = base.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.floor(
+            (F.col("o_custkey") - F.col("cmin"))
+            * 16.0
+            / (F.col("cmax") - F.col("cmin") + 1)
+        ).alias("bx"),
+        F.floor(
+            (F.col("day") - F.col("dmin")) * 16.0 / (F.col("dmax") - F.col("dmin") + 1)
+        ).alias("by"),
+    )
+    bit = lambda c, i: F.shiftright(F.col(c), i).bitwiseAND(F.lit(1))  # noqa: E731
+    zval = None
+    for i in range(4):
+        term = F.shiftleft(bit("bx", i), 2 * i + 1).bitwiseOR(
+            F.shiftleft(bit("by", i), 2 * i)
+        )
+        zval = term if zval is None else zval.bitwiseOR(term)
+    z = coded.select("o_orderkey", "o_custkey", "day", zval.alias("zval"))
+
+    def avg_area(df, order_cols):
+        files = with_exact_ntile(df, 16, order_cols, out_col="file_id")
+        return (
+            files.groupBy("file_id")
+            .agg(
+                (
+                    (F.max("o_custkey") - F.min("o_custkey"))
+                    * (F.max("day") - F.min("day"))
+                ).alias("bbox")
+            )
+            .agg(F.avg("bbox").alias("area"))
+        )
+
+    zarea = avg_area(z, ["zval", "o_orderkey"])
+    darea = avg_area(base, ["day", "o_orderkey"])
+    return (
+        zarea.select(F.col("area").alias("z_area"))
+        .crossJoin(darea.select(F.col("area").alias("d_area")))
+        .select(
+            F.lit(16).alias("n_files"),
+            F.round("z_area", 1).alias("z_avg_bbox_area"),
+            F.round("d_area", 1).alias("single_avg_bbox_area"),
+            (F.col("z_area") < F.col("d_area")).alias("zorder_prunes_better"),
+        )
+    )
