@@ -614,3 +614,95 @@ def t15_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
     )
+
+
+# --------------------------------------------------------------------------
+# T16 — stream-stream LEFT OUTER join: the attribution join that must ALSO
+# answer "which clicks never converted". Unlike the inner join (t7), the
+# unmatched-left results can only be emitted once the watermark proves no
+# future purchase can match — i.e. when the click's 1-hour window falls
+# wholly behind the global watermark and its join state is evicted. State
+# stays bounded by the watermark horizon on an unbounded feed (the same
+# invariant as t7); the outer rows ride the state-cleanup batch. Oracle
+# (calibrated empirically at sf0.001, matches Spark's eviction rule): the
+# batch time-range left join, with unmatched clicks kept only when
+# c_ts + 1h < min(max click ts, max purchase ts) - 2h — clicks nearer the
+# end of the replayed stream are correctly withheld, exactly as a live
+# query would withhold them until more data arrives.
+# --------------------------------------------------------------------------
+@register(
+    "t16_stream_stream_left_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS c_ts, event_id AS click_id
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id, value
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT MAX(c_ts) FROM c),
+                             (SELECT MAX(p_ts) FROM p))
+                       - INTERVAL 2 HOUR AS w),
+         matched AS (
+             SELECT c.user_id, c.click_id, p.value
+             FROM c JOIN p
+               ON c.user_id = p.user_id
+              AND p.p_ts >= c.c_ts
+              AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+         ),
+         expired_unmatched AS (
+             SELECT c.user_id, NULL AS value
+             FROM c, wm
+             WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+               AND c.c_ts + INTERVAL 1 HOUR < wm.w
+         )
+    SELECT user_id,
+           COUNT(value)                                   AS n_pairs,
+           COUNT(*) FILTER (value IS NULL)                AS n_unconverted,
+           ROUND(COALESCE(SUM(value), 0), 2)              AS attributed_value
+    FROM (SELECT user_id, value FROM matched
+          UNION ALL
+          SELECT user_id, value FROM expired_unmatched)
+    GROUP BY user_id
+    """,
+)
+def t16_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    sink = run_to_memory(joined, output_mode="append")
+    return (
+        sink.groupBy("c_user")
+        .agg(
+            F.count("p_value").alias("n_pairs"),
+            F.sum(F.col("purchase_id").isNull().cast("int")).cast("bigint").alias(
+                "n_unconverted"
+            ),
+            F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 2).alias(
+                "attributed_value"
+            ),
+        )
+        .withColumnRenamed("c_user", "user_id")
+    )
