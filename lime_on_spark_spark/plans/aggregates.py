@@ -742,3 +742,80 @@ def a16_mode_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# A17 — rolling-window distinct via mergeable sketch rollup: THE pattern
+# for "distinct users over any window" at 100 TB. Computing COUNT(DISTINCT)
+# per rolling 7-day window from raw events rescans each event ~7 times;
+# instead, sketch ONCE per day (a map-side-combinable agg over the scan),
+# then merge the tiny per-day sketches over the window — the rescan cost
+# collapses from O(events x window) to O(days x window) on ~KB payloads.
+# The oracle computes the exact rolling distinct (self-join day spine x
+# events) and the verdict bounds the sketch estimate within 3 x rsd.
+# --------------------------------------------------------------------------
+@register(
+    "a17_sketch_rollup",
+    oracle="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+         exact AS (
+             SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_users
+             FROM days d
+             JOIN events e
+               ON date_trunc('day', e.ts) > d.day - INTERVAL 7 DAY
+              AND date_trunc('day', e.ts) <= d.day
+             GROUP BY d.day
+         )
+    SELECT day, exact_users, TRUE AS within_tol
+    FROM exact
+    """,
+)
+def a17_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    TOL = 3 * 0.008  # 3·rsd at lgK=14
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    # One pass over events: per-day sketch + per-day exact (for the oracle's
+    # per-window exact we still need the raw events — the verdict needs the
+    # approx side only from sketches).
+    daily = events.groupBy(day).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sketch")
+    )
+    # Merge each day's trailing 7-day sketch set: a small self-join on the
+    # day spine (days x 7 rows), then one union-agg per output day — the
+    # events table is NOT rescanned.
+    spine = daily.select(F.col("day").alias("out_day"))
+    window_sketches = spine.join(
+        daily,
+        (F.col("day") > F.col("out_day") - F.expr("INTERVAL 7 DAY"))
+        & (F.col("day") <= F.col("out_day")),
+    )
+    approx = window_sketches.groupBy("out_day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias(
+            "approx_users"
+        )
+    )
+    # Exact rolling distinct for the verdict comparison (same shape as the
+    # oracle's spine join; at scale you would trust the sketch and skip it).
+    ev_days = events.select(day, "user_id")
+    exact = (
+        ev_days.alias("e")
+        .join(
+            spine.alias("s"),
+            (F.col("e.day") > F.col("s.out_day") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("e.day") <= F.col("s.out_day")),
+        )
+        .groupBy("s.out_day")
+        .agg(F.countDistinct("e.user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(approx, "out_day")
+        .select(
+            F.col("out_day").alias("day"),
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                < TOL
+            ).alias("within_tol"),
+        )
+    )

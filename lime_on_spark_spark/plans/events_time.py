@@ -501,3 +501,74 @@ def t14_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp + F.lit(1e-9), 4).alias("value_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# T17 — DYNAMIC-gap session window: each event extends the session by its
+# own event-type-dependent inactivity gap (clicks cool off in 30 min,
+# anything else holds the session 45 min) — the Spark-4 native
+# session_window(ts, <gap expression>) form. Semantics pinned by the
+# oracle: a session's end is the running MAX of (ts + gap(event)) — a
+# single lag() is NOT enough, an earlier long-gap event can outlast its
+# successors — and a new session starts exactly when ts >= that max.
+# Same one-shuffle-per-key scale shape as t3.
+# --------------------------------------------------------------------------
+@register(
+    "t17_dynamic_session_window",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN event_type = 'click' THEN INTERVAL 30 MINUTE
+                    ELSE INTERVAL 45 MINUTE END AS gap
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, value, event_id, gap,
+               CASE WHEN MAX(ts + gap) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND 1 PRECEDING) IS NULL
+                      OR ts >= MAX(ts + gap) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id
+                                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                                            AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+    ), s AS (
+        SELECT user_id, ts, value, gap,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)                       AS session_start,
+           MAX(ts + gap)                 AS session_end,
+           COUNT(*)                      AS n_events,
+           ROUND(SUM(value), 2)          AS total_value
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def t17_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # session_window's gap expression takes duration STRINGS (Spark parses
+    # them to CalendarIntervalType; INTERVAL literals arrive as
+    # DayTimeIntervalType and are rejected).
+    gap = F.when(F.col("event_type") == "click", F.lit("30 minutes")).otherwise(
+        F.lit("45 minutes")
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
