@@ -543,3 +543,55 @@ def f13_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.url_encode(F.lit("r d")).alias("ref_encoded"),
         F.url_decode(F.url_encode(F.lit("r d"))).alias("ref_roundtrip"),
     )
+
+
+# --------------------------------------------------------------------------
+# F14 — nested struct construction & access: the denormalized document
+# shape (order header + array<struct> of its lines) that columnar formats
+# store natively and pipelines pass between stages instead of re-joining.
+# Spark side: struct() -> collect_list -> array_sort (lexicographic over
+# ALL struct fields — this corpus has duplicate line numbers within an
+# order, so the full-struct order is the deterministic one) -> element_at
+# field access -> aggregate over the nested array. Oracle recomputes the
+# same scalars with identically-ordered list aggs.
+# All JVM expressions in one keyed agg; the nested array stays columnar
+# (no shredding shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "f14_nested_structs",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*)                                          AS n_items,
+           (list(l_partkey ORDER BY l_linenumber, l_partkey,
+                 l_extendedprice))[1]                        AS first_part,
+           (list(l_extendedprice ORDER BY l_linenumber, l_partkey,
+                 l_extendedprice))[-1]                       AS last_price,
+           ROUND(SUM(l_extendedprice), 2)                    AS total_price
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def f14_nested_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_partkey", "l_extendedprice")
+            )
+        ).alias("items")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.element_at("items", 1)["l_partkey"].alias("first_part"),
+        F.element_at("items", -1)["l_extendedprice"].alias("last_price"),
+        F.round(
+            F.aggregate(
+                "items", F.lit(0.0), lambda acc, it: acc + it["l_extendedprice"]
+            ),
+            2,
+        ).alias("total_price"),
+    )

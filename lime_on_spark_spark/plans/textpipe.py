@@ -1405,3 +1405,83 @@ def d33_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
         "kept_chars",
     )
+
+
+# --------------------------------------------------------------------------
+# D34 — soft decontamination: overlap FRACTION per training doc, not the
+# binary any-shingle-hit of d15. Real pipelines tier on the fraction —
+# a doc sharing one boilerplate 3-gram with a benchmark is fine; one
+# sharing 40% of its shingles is leaked eval data. Plan shape: the d15
+# shingle semi-join becomes an inner join + per-doc count, divided by the
+# doc's own distinct-shingle count; both sides shuffle on the shingle key,
+# then one keyed agg — the same scale discipline as d15 with one extra
+# combinable count.
+# --------------------------------------------------------------------------
+@register(
+    "d34_contamination_fraction",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), bench_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ), doc_tot AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+        WHERE doc_id % 50 != 0 GROUP BY doc_id
+    ), hits AS (
+        SELECT s.doc_id, COUNT(*) AS n_hit
+        FROM sh s JOIN bench_sh b ON s.shingle = b.shingle
+        WHERE s.doc_id % 50 != 0
+        GROUP BY s.doc_id
+    ), frac AS (
+        SELECT t.doc_id,
+               COALESCE(h.n_hit, 0) * 1.0 / t.n_shingles AS overlap
+        FROM doc_tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    )
+    SELECT CASE WHEN overlap = 0       THEN 'clean'
+                WHEN overlap < 0.2     THEN 'low'
+                WHEN overlap < 0.6     THEN 'high'
+                ELSE 'leaked' END      AS tier,
+           COUNT(*)                    AS n_docs,
+           ROUND(AVG(overlap), 6)      AS avg_overlap
+    FROM frac
+    GROUP BY tier
+    """,
+)
+def d34_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    bench_sh = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    train_sh = sh.filter(F.col("doc_id") % 50 != 0)
+    doc_tot = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        train_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    frac = doc_tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce("n_hit", F.lit(0)) / F.col("n_shingles")).alias("overlap"),
+    )
+    tier = (
+        F.when(F.col("overlap") == 0, "clean")
+        .when(F.col("overlap") < 0.2, "low")
+        .when(F.col("overlap") < 0.6, "high")
+        .otherwise("leaked")
+    )
+    return (
+        frac.groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("overlap"), 6).alias("avg_overlap"),
+        )
+    )
