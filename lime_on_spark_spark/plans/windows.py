@@ -389,3 +389,64 @@ def w8_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 2).alias("revenue"),
         F.round(wsum / wnorm, 2).alias("ewma_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# W9 — running aggregate with conditional RESET (gaps-and-islands): the
+# running spend per customer resets whenever 60+ days of dormancy separate
+# consecutive orders. The reset is not expressible as a frame bound; the
+# standard lowering is lag() -> reset flag -> cumsum of flags = streak id
+# -> running sum partitioned by (customer, streak). Two window passes over
+# the same (custkey, orderdate) sort order — Spark executes them in one
+# shuffle + one per-partition sort, which is the optimal plan for this
+# operator at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "w9_reset_running_sum",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               CASE WHEN lag(o_orderdate) OVER w IS NULL
+                      OR date_diff('day', lag(o_orderdate) OVER w, o_orderdate) >= 60
+                    THEN 1 ELSE 0 END AS new_streak
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), streaks AS (
+        SELECT o_custkey, o_totalprice,
+               SUM(new_streak) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS streak_id
+        FROM flagged
+    )
+    SELECT o_custkey                            AS custkey,
+           CAST(MAX(streak_id) AS BIGINT)       AS n_streaks,
+           ROUND(MAX(streak_spend), 2)          AS max_streak_spend
+    FROM (
+        SELECT o_custkey, streak_id, SUM(o_totalprice) AS streak_spend
+        FROM streaks GROUP BY o_custkey, streak_id
+    ) s
+    GROUP BY o_custkey
+    """,
+)
+def w9_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap_days = F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+    new_streak = F.when(
+        F.lag("o_orderdate").over(w).isNull() | (gap_days >= 60), 1
+    ).otherwise(0)
+    streaks = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        F.sum(new_streak).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("streak_id"),
+    )
+    per_streak = streaks.groupBy("o_custkey", "streak_id").agg(
+        F.sum("o_totalprice").alias("streak_spend")
+    )
+    return per_streak.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("streak_id").cast("bigint").alias("n_streaks"),
+        F.round(F.max("streak_spend"), 2).alias("max_streak_spend"),
+    )
