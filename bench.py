@@ -50,6 +50,10 @@ EXTENDED = (
     "d10_dup_clusters",
     "d15_decontaminate",
     "d16_tfidf_top_terms",
+    # round-6 additions: representative new hot paths (perplexity = the
+    # bigram-join family; quantized kNN = the embedding-code family).
+    "d30_perplexity_score",
+    "d32_quantized_knn",
 )
 
 
