@@ -165,14 +165,20 @@ def d2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Word 3-gram shingles: robust to single-word edits, cheap in JVM exprs.
-    toks = F.split("text", " ")
-    shingled = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
-            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
-        ).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    # The token array is PROJECTED first — `slice(split(text), ...)` inside
+    # the lambda would re-split the text per element (O(tokens²) per doc,
+    # the d15 lesson); against a materialized column each slice is O(1).
+    shingled = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, greatest(size(toks) - 3, 0)),"
+                " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+            ).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(shingled)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
