@@ -819,3 +819,78 @@ def a17_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A18 — join-cardinality estimation via count-min inner product: the
+# optimizer technique for sizing a join BEFORE running it. |A ⋈_k B| =
+# Σ_k c_A(k)·c_B(k) exactly; the CM estimate is min over hash rows of the
+# row-wise cell inner product — computable from two O(d·w) sketches that
+# each side builds map-side-combinably in one pass (here: the orders
+# self-join on custkey, the classic fan-out blowup a planner must see
+# coming). Guarantees emitted as verdicts: the inner product NEVER
+# underestimates (colliding keys only add mass) and obeys
+# est <= exact + eps·N_A·N_B with eps = e/w. At 100 TB the sketches are
+# the only thing that moves — the join itself is never executed.
+# --------------------------------------------------------------------------
+@register(
+    "a18_join_cardinality",
+    oracle="""
+    SELECT CAST((SELECT SUM(c * c) FROM (
+               SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey)) AS BIGINT)
+                                                 AS exact_join_rows,
+           TRUE                                  AS no_underestimate,
+           TRUE                                  AS eps_bound_ok
+    """,
+)
+def a18_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d_rows, width = 4, 64
+    orders = load_table(spark, sf_dir, "orders")
+    coords = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h"),
+                        F.pmod(F.xxhash64("o_custkey", F.lit(i)), F.lit(width)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(d_rows)
+                ]
+            )
+        ).alias("c")
+    ).select("c.h", "c.bucket")
+    cells = coords.groupBy("h", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+    # Inner product per hash row (self-join: the sketch with itself), then
+    # the CM estimate = min over rows. d*w rows total — trivially small.
+    est = (
+        cells.groupBy("h")
+        .agg(F.sum(F.col("cell_count") * F.col("cell_count")).alias("ip"))
+        .agg(F.min("ip").alias("est_rows"))
+    )
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_join_rows"))
+    )
+    n_total = orders.agg(F.count(F.lit(1)).alias("n"))
+    eps = math.e / width
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "exact_join_rows",
+            (F.col("est_rows") >= F.col("exact_join_rows")).alias(
+                "no_underestimate"
+            ),
+            (
+                F.col("est_rows")
+                <= F.col("exact_join_rows") + eps * F.col("n") * F.col("n")
+            ).alias("eps_bound_ok"),
+        )
+    )

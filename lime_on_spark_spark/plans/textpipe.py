@@ -1485,3 +1485,68 @@ def d34_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("overlap"), 6).alias("avg_overlap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D35 — vocabulary coverage / OOV rate: before committing to a tokenizer
+# vocabulary, a training pipeline measures what fraction of each document
+# falls outside the top-V terms (high OOV => the vocab or the corpus slice
+# is wrong). Top-V selection is one combinable count agg + a deterministic
+# top-V (count desc, term asc); the per-doc rate is a broadcast semi-join
+# of tokens against the tiny vocab. Everything shuffles on the token key;
+# the vocab (V rows) broadcasts.
+# --------------------------------------------------------------------------
+@register(
+    "d35_oov_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+            ORDER BY n DESC, w LIMIT 100
+        ) v
+    ), per_doc AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tok,
+               SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           COUNT(*)                                   AS n_docs,
+           ROUND(AVG(n_oov * 1.0 / n_tok), 6)         AS avg_oov_rate,
+           ROUND(MAX(n_oov * 1.0 / n_tok), 6)         AS max_oov_rate
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def d35_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(100)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    rate = F.col("n_oov") / F.col("n_tok")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(rate), 6).alias("avg_oov_rate"),
+        F.round(F.max(rate), 6).alias("max_oov_rate"),
+    )
