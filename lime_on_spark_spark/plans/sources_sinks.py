@@ -345,3 +345,68 @@ def s6_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("i").cast("bigint").alias("min_i"),
         F.max("i").cast("bigint").alias("max_i"),
     )
+
+
+# --------------------------------------------------------------------------
+# S7 — corrupt-record tolerance: at 100 TB some fraction of every JSON feed
+# is malformed, and a scan that throws on the first bad byte is useless.
+# The pipeline contract is: parse what parses, quarantine what doesn't,
+# count both. Corruption is injected deterministically (every 97th event's
+# props gets a leading junk byte — LEADING, because Jackson and most
+# streaming parsers accept trailing garbage after a complete object) so
+# the oracle can replicate the rule; the
+# Spark side parses with from_json (malformed -> NULL struct, the
+# PERMISSIVE contract) and splits the feed into parsed/quarantined counts
+# per event type — one scan, no driver involvement.
+# --------------------------------------------------------------------------
+@register(
+    "s7_corrupt_json_handling",
+    oracle="""
+    WITH feed AS (
+        SELECT event_type,
+               CASE WHEN event_id % 97 = 0 THEN 'x' || props
+                    ELSE props END AS raw
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*)                                           AS n_rows,
+           CAST(SUM(CASE WHEN json_valid(raw) THEN 1 ELSE 0 END)
+                AS BIGINT)                                    AS n_parsed,
+           CAST(SUM(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END)
+                AS BIGINT)                                    AS n_quarantined,
+           CAST(SUM(CASE WHEN json_valid(raw)
+                    THEN CAST(raw ->> '$.k' AS BIGINT) ELSE 0 END)
+                AS BIGINT)                                    AS sum_k
+    FROM feed
+    GROUP BY event_type
+    """,
+)
+def s7_corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 97 == 0, F.concat(F.lit("x"), "props")
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json returns an all-null struct (not NULL) for bad
+    # input; the quarantine signal is the declared corrupt-record column,
+    # which carries the raw bytes iff the parse failed.
+    parsed = F.from_json(
+        raw,
+        "k bigint, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return (
+        events.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("p._corrupt").isNull().cast("int")).cast("bigint").alias(
+                "n_parsed"
+            ),
+            F.sum(F.col("p._corrupt").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_quarantined"),
+            F.sum(F.coalesce(F.col("p.k"), F.lit(0))).cast("bigint").alias(
+                "sum_k"
+            ),
+        )
+    )

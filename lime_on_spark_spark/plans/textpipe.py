@@ -1550,3 +1550,81 @@ def d35_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(rate), 6).alias("avg_oov_rate"),
         F.round(F.max(rate), 6).alias("max_oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# D36 — two-stage dedup funnel: the production ORDER of dedup passes.
+# Exact dedup first (a cheap hash-shuffle that typically removes the bulk),
+# THEN the expensive near-dup machinery over the survivors only — never the
+# reverse. Stage 2 here uses the deterministic pairwise rule "drop the
+# larger doc_id of any >=0.5-Jaccard survivor pair" (the non-transitive
+# complement of d33's full cluster treatment, cheap enough to stay
+# recursion-free in both engines). Emits the funnel: input -> after-exact
+# -> after-near counts, per stage removals.
+# --------------------------------------------------------------------------
+@register(
+    "d36_dedup_funnel",
+    oracle="""
+    WITH survivors1 AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents GROUP BY md5(text)
+    ), s1_docs AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN survivors1 s ON d.doc_id = s.doc_id
+    ), words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM s1_docs
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), near AS (
+        SELECT DISTINCT doc_b
+        FROM dpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    )
+    SELECT (SELECT COUNT(*) FROM documents)                   AS n_input,
+           (SELECT COUNT(*) FROM survivors1)                  AS n_after_exact,
+           (SELECT COUNT(*) FROM survivors1)
+             - (SELECT COUNT(*) FROM near)                    AS n_after_near,
+           (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(*) FROM survivors1)              AS removed_exact,
+           (SELECT COUNT(*) FROM near)                        AS removed_near
+    """,
+)
+def d36_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.jaccard import exact_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors1 = docs.groupBy(F.md5("text").alias("_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s1_docs = docs.join(survivors1.select("doc_id"), "doc_id", "left_semi")
+    pairs = exact_jaccard_pairs(_word_shingles(s1_docs), threshold=0.5)
+    near_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    n_input = docs.agg(F.count(F.lit(1)).alias("n_input"))
+    n_s1 = survivors1.agg(F.count(F.lit(1)).alias("n_after_exact"))
+    n_near = near_b.agg(F.count(F.lit(1)).alias("removed_near"))
+    return (
+        n_input.crossJoin(n_s1)
+        .crossJoin(n_near)
+        .select(
+            "n_input",
+            "n_after_exact",
+            (F.col("n_after_exact") - F.col("removed_near")).alias("n_after_near"),
+            (F.col("n_input") - F.col("n_after_exact")).alias("removed_exact"),
+            "removed_near",
+        )
+    )
