@@ -176,3 +176,35 @@ def test_d33_survivor_window_partitions_by_component(spark, sf_dir):
     # The physical plan's Window node must carry a partition spec:
     m = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
     assert all("component" in ln for ln in m), m
+
+
+def test_d35_vocab_broadcasts_to_token_join(spark, sf_dir):
+    """The top-V vocab is tiny and must broadcast; the token stream must
+    never shuffle against it."""
+    plan = _plan(_q(spark, sf_dir, "d35_oov_rate"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_a17_rollup_joins_day_spine_not_events(spark, sf_dir):
+    """The rolling merge joins the per-day sketch spine with itself; the
+    events scan must appear exactly twice (daily sketches + the exact
+    verdict side), never once per window."""
+    plan = _plan(_q(spark, sf_dir, "a17_sketch_rollup"))
+    assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_a19_sums_are_decimal_not_double(spark, sf_dir):
+    df = _q(spark, sf_dir, "a19_decimal_money")
+    kinds = dict(df.dtypes)
+    assert kinds["gross"].startswith("decimal"), kinds
+    assert kinds["net"].startswith("decimal"), kinds
+
+
+def test_w9_single_shuffle_for_both_window_passes(spark, sf_dir):
+    """lag-flag and cumsum share the same (custkey, date) ordering; Spark
+    must plan ONE exchange for the window stage, not two."""
+    plan = _plan(_q(spark, sf_dir, "w9_reset_running_sum"))
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"Exchange hashpartitioning\(o_custkey", plan))
+    assert n_exchanges <= 1, plan
