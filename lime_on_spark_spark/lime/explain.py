@@ -209,3 +209,47 @@ def explain_text(
             schema=TEXT_SCHEMA,
         )
     )
+
+
+def explain_tabular_regression(
+    spark: SparkSession,
+    sf_dir: str,
+    instance_ids: list[int],
+    *,
+    num_samples: int = 200,
+    k: int = 6,
+    seed: int = 7,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """L8 in upstream mode='regression': identical pipeline to
+    explain_tabular except y is the regressor's raw prediction (no
+    target-class selection, no softmax)."""
+    from lime_on_spark_spark.lime.models import (
+        score_regression,
+        train_regression_model,
+    )
+
+    mu = _corpus_means(spark, sf_dir)
+    d = len(mu)
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda v: v.cast("double"))
+    instances = emb.filter(F.col("vec_id").isin(instance_ids)).select(
+        F.col("vec_id").alias("instance_id"), as_double.alias("x")
+    )
+    samples = perturb_tabular(instances, mu=mu, num_samples=num_samples, seed=seed)
+    model = train_regression_model(spark, sf_dir)
+    scored = score_regression(model, samples)
+    weighted = scored.withColumn(
+        "weight",
+        exponential_kernel(
+            euclidean_distance(F.col("raw"), F.col("x")), default_kernel_width(d)
+        ),
+    )
+    return (
+        weighted.select("instance_id", "sample_id", "z", "y", "weight")
+        .groupBy("instance_id")
+        .applyInPandas(
+            lambda pdf: _fit_group(pdf, k, alpha, with_words=False),
+            schema=TABULAR_SCHEMA,
+        )
+    )

@@ -87,3 +87,40 @@ def score_text(model, df: DataFrame, text_col: str = "perturbed") -> DataFrame:
         .drop("words", "features", "rawPrediction", "probability", "prediction", "label")
         .withColumnRenamed("text", text_col)
     )
+
+
+def train_regression_model(spark: SparkSession, sf_dir: str):
+    """LinearRegression on embeddings -> a deterministic near-linear target
+    (y = 3·x0 − 2·x1 + x2 + 0.1·label). Upstream LIME's mode='regression'
+    needs a regressor to explain; this one is constructed so the local
+    surrogate's fit quality is provable (the black box is globally linear
+    in the features LIME perturbs), which the l11 verdict exploits."""
+    key = _cache_key(spark, sf_dir, "regression")
+    if key not in _CACHE:
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.regression import LinearRegression
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        x = F.transform("embedding", lambda v: v.cast("double"))
+        target = (
+            3.0 * F.element_at(x, 1)
+            - 2.0 * F.element_at(x, 2)
+            + F.element_at(x, 3)
+            + 0.1 * F.col("label").cast("double")
+        )
+        train = emb.select(
+            array_to_vector("embedding").alias("features"),
+            target.alias("label"),
+        )
+        lr = LinearRegression(maxIter=50, regParam=0.0)
+        _CACHE[key] = lr.fit(train)
+    return _CACHE[key]
+
+
+def score_regression(model, df: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """L4 for the regression path: black-box predicted VALUE per raw vector
+    (upstream mode='regression': the ridge fits raw outputs, no softmax)."""
+    from pyspark.ml.functions import array_to_vector
+
+    scored = model.transform(df.withColumn("features", array_to_vector(raw_col)))
+    return scored.withColumnRenamed("prediction", "y").drop("features")

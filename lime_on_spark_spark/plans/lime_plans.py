@@ -559,3 +559,38 @@ def l8_explain_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("any_nan") == 0)
         ).alias("explain_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# L11 — regression-mode LIME (upstream mode='regression'): the surrogate
+# fits the regressor's raw predictions, no target class, no softmax. The
+# black box here is a LinearRegression trained on a deterministic
+# near-linear target, which makes the verdict STRONG: mask-perturbation is
+# linear in z and the model is linear in x, so y(z) is exactly linear in z
+# and the FULL-WIDTH surrogate (k = d = 64 — no selection residual; with
+# k<d the unselected features' linear terms become irreducible residual
+# and R² legitimately drops) must fit it almost perfectly. Each instance
+# must also emit exactly d features with finite weights.
+# --------------------------------------------------------------------------
+@register(
+    "l11_regression_explain",
+    oracle="""
+    SELECT vec_id AS instance_id, 64 AS n_features,
+           TRUE AS r2_ok, TRUE AS weights_finite
+    FROM embeddings WHERE vec_id < 4
+    """,
+)
+def l11_regression_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.explain import explain_tabular_regression
+
+    expl = explain_tabular_regression(
+        spark, sf_dir, [0, 1, 2, 3], num_samples=200, k=64, seed=7
+    )
+    return expl.groupBy("instance_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_features"),
+        (F.min("r2") >= 0.9).alias("r2_ok"),
+        (
+            F.max(F.abs("weight")).isNotNull()
+            & ~F.max(F.isnan("weight").cast("int")).cast("boolean")
+        ).alias("weights_finite"),
+    )
