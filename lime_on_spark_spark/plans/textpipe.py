@@ -1628,3 +1628,85 @@ def d36_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removed_near",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D37 — INCREMENTAL dedup: today's delta against the standing corpus. A
+# daily 100-TB ingest must not recompute all-pairs; only pairs touching a
+# NEW doc can be new. The inverted index therefore joins delta-shingles
+# against all-shingles (delta x all, never base x base — the quadratic
+# bulk), normalizes each candidate to an unordered (lo, hi) pair, and
+# restores exact Jaccard from intersection + sizes. Cost scales with
+# |delta| x avg-posting-length, not |corpus|²: the property that makes
+# daily dedup affordable. Delta membership is deterministic (doc_id % 10
+# = 7 stands in for "arrived today").
+# --------------------------------------------------------------------------
+@register(
+    "d37_incremental_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), cand AS (
+        SELECT DISTINCT least(d.doc_id, o.doc_id)    AS doc_a,
+                        greatest(d.doc_id, o.doc_id) AS doc_b,
+                        d.shingle                    AS shingle
+        FROM (SELECT * FROM sh WHERE doc_id % 10 = 7) d
+        JOIN sh o ON d.shingle = o.shingle AND d.doc_id <> o.doc_id
+    ), pairs AS (
+        SELECT doc_a, doc_b, COUNT(*) AS inter FROM cand
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard,
+           (doc_a % 10 = 7 AND doc_b % 10 = 7)           AS both_new
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+)
+def d37_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    delta = sh.filter(F.col("doc_id") % 10 == 7)
+    cand = (
+        delta.alias("d")
+        .join(sh.alias("o"), "h")
+        .filter(F.col("d.doc_id") != F.col("o.doc_id"))
+        .select(
+            F.least("d.doc_id", "o.doc_id").alias("doc_a"),
+            F.greatest("d.doc_id", "o.doc_id").alias("doc_b"),
+            "h",
+        )
+        .distinct()
+    )
+    pairs = cand.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+            ((F.col("doc_a") % 10 == 7) & (F.col("doc_b") % 10 == 7)).alias(
+                "both_new"
+            ),
+        )
+    )
