@@ -594,3 +594,70 @@ def l11_regression_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.max(F.isnan("weight").cast("int")).cast("boolean")
         ).alias("weights_finite"),
     )
+
+
+# --------------------------------------------------------------------------
+# L1c — entropy (MDL) discretizer: the third upstream discretizer mode
+# (EntropyDiscretizer — supervised cuts accepted by the Fayyad-Irani MDL
+# criterion). Spark reduces each feature to a bounded sufficient statistic
+# (per-(feature, equi-width-bin) class histograms, one combinable groupBy;
+# driver payload <= 64 x 32 x 10 cells regardless of corpus size) and the
+# recursion runs on histograms in lime/mdl.py. The MDL recursion has no
+# SQL form, so the oracle pins the frame (one row per feature) and the
+# in-query validity verdicts: cuts strictly ascending and inside the
+# feature's [min, max]. tests/test_lime.py pins the recursion itself on
+# hand-built separable/noise histograms.
+# --------------------------------------------------------------------------
+@register(
+    "l1_discretizer_entropy",
+    oracle="""
+    SELECT i - 1 AS feature_idx, TRUE AS cuts_ascending, TRUE AS cuts_in_range
+    FROM UNNEST(generate_series(1, 64)) AS t(i)
+    """,
+)
+def l1_discretizer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from lime_on_spark_spark.lime.mdl import mdl_cuts
+
+    n_bins = 32
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("pos", "v"),
+    )
+    bounds = vals.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    binned = vals.join(F.broadcast(bounds), "pos").select(
+        "pos",
+        "label",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * n_bins),
+        ).cast("int").alias("bin"),
+    )
+    hist_rows = (
+        binned.groupBy("pos", "bin", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    bound_rows = {r["pos"]: (r["mn"], r["mx"]) for r in bounds.collect()}
+    n_classes = 10
+    out = []
+    for pos in sorted(bound_rows):
+        mn, mx = bound_rows[pos]
+        hist = np.zeros((n_bins, n_classes), dtype=np.int64)
+        for r in hist_rows:
+            if r["pos"] == pos:
+                hist[r["bin"], r["label"]] = r["n"]
+        edges = np.linspace(mn, mx, n_bins + 1)
+        cuts = mdl_cuts(hist, edges)
+        ascending = all(a < b for a, b in zip(cuts, cuts[1:]))
+        in_range = all(mn <= c <= mx for c in cuts)
+        out.append((pos, ascending, in_range))
+    return spark.createDataFrame(
+        out, "feature_idx int, cuts_ascending boolean, cuts_in_range boolean"
+    )

@@ -385,3 +385,23 @@ def test_explanation_faithful_to_dominant_feature(spark):
         assert top["feature_idx"] == 2, (method, expl)
         # masking x2=2.0 to 0 flips P(class 1) down => positive weight on z2
         assert top["weight"] > 0, method
+
+
+def test_mdl_cuts_separable_and_noise():
+    """Fayyad-Irani MDL: a cleanly separable histogram yields the boundary
+    cut; a label-independent (noise) histogram yields no cut."""
+    import numpy as np
+
+    from lime_on_spark_spark.lime.mdl import mdl_cuts
+
+    # Two classes, perfectly separated at bin 4 of 8 (edge value 0.5).
+    hist = np.zeros((8, 2), dtype=np.int64)
+    hist[:4, 0] = 25
+    hist[4:, 1] = 25
+    edges = np.linspace(0.0, 1.0, 9)
+    cuts = mdl_cuts(hist, edges)
+    assert cuts == [0.5], cuts
+
+    # Same marginals but labels independent of the bin: MDL must refuse.
+    noise = np.full((8, 2), 25, dtype=np.int64)
+    assert mdl_cuts(noise, edges) == []
