@@ -595,3 +595,61 @@ def f14_nested_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# F15 — array SET operations: array_union / array_intersect / array_except
+# over per-group collected sets (here: the part sets an order ships early
+# vs late). The arrays are built with collect_set (one keyed agg), the set
+# algebra is pure JVM expressions; the oracle recomputes the same set
+# sizes relationally (DISTINCT + joins), proving the array-op semantics
+# match their relational definitions — including the empty-side edges.
+# --------------------------------------------------------------------------
+@register(
+    "f15_array_set_ops",
+    oracle="""
+    WITH tagged AS (
+        SELECT DISTINCT l_orderkey, l_partkey,
+               l_shipdate < TIMESTAMP '1997-01-01' AS early
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ), e AS (SELECT l_orderkey, l_partkey FROM tagged WHERE early),
+       l AS (SELECT l_orderkey, l_partkey FROM tagged WHERE NOT early),
+       keys AS (SELECT DISTINCT l_orderkey FROM tagged)
+    SELECT k.l_orderkey,
+           (SELECT COUNT(*) FROM (
+               SELECT l_partkey FROM e WHERE e.l_orderkey = k.l_orderkey
+               UNION
+               SELECT l_partkey FROM l WHERE l.l_orderkey = k.l_orderkey) u)
+                                                       AS n_union,
+           (SELECT COUNT(*) FROM (
+               SELECT l_partkey FROM e WHERE e.l_orderkey = k.l_orderkey
+               INTERSECT
+               SELECT l_partkey FROM l WHERE l.l_orderkey = k.l_orderkey) i)
+                                                       AS n_intersect,
+           (SELECT COUNT(*) FROM (
+               SELECT l_partkey FROM e WHERE e.l_orderkey = k.l_orderkey
+               EXCEPT
+               SELECT l_partkey FROM l WHERE l.l_orderkey = k.l_orderkey) x)
+                                                       AS n_early_only
+    FROM keys k
+    """,
+)
+def f15_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    early = F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set(F.when(early, F.col("l_partkey"))).alias("early_parts"),
+        F.collect_set(F.when(~early, F.col("l_partkey"))).alias("late_parts"),
+    )
+    return sets.select(
+        "l_orderkey",
+        F.size(F.array_union("early_parts", "late_parts")).cast("long").alias(
+            "n_union"
+        ),
+        F.size(F.array_intersect("early_parts", "late_parts"))
+        .cast("long")
+        .alias("n_intersect"),
+        F.size(F.array_except("early_parts", "late_parts")).cast("long").alias(
+            "n_early_only"
+        ),
+    )
