@@ -638,8 +638,13 @@ def d32_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint"),
     )
-    qv = emb.crossJoin(F.broadcast(stats)).select(
-        "vec_id", quantize(F.col("x")).alias("q")
+    # Materialize the codes ONCE (the d2_minhash signature-cache pattern):
+    # this query runs several actions (top-k, range check, recon verdict,
+    # hit counts) and each would otherwise recompute stats + quantization.
+    qv = (
+        emb.crossJoin(F.broadcast(stats))
+        .select("vec_id", quantize(F.col("x")).alias("q"))
+        .localCheckpoint(eager=True)
     )
     q0 = qv.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
     isum = lambda col: F.aggregate(col, F.lit(0).cast("bigint"), lambda s, v: s + v)  # noqa: E731
@@ -687,12 +692,24 @@ def d32_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.max("err") <= 1e-9).alias("err_ok"))
     )
-    n_hits = top_q.join(top_exact, "vec_id").count()
-    n_ret = top_q.count()
-    rng = qrange.collect()[0]
-    err_ok = bool(recon.collect()[0]["err_ok"])
-    return spark.createDataFrame(
-        [(10, n_ret, n_hits, err_ok, rng.qmin >= 0 and rng.qmax <= 255)],
-        "k int, n_returned bigint, n_hits bigint, recon_err_ok boolean, "
-        "codes_in_range boolean",
+    # Single DataFrame program (one action): the four verdict scalars are
+    # 1-row aggregates crossJoined together — no driver collects, and the
+    # whole pipeline runs as one job instead of five.
+    n_hits = top_q.join(top_exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_ret = top_q.agg(F.count(F.lit(1)).alias("n_returned"))
+    return (
+        n_ret.crossJoin(n_hits)
+        .crossJoin(recon)
+        .crossJoin(qrange)
+        .select(
+            F.lit(10).alias("k"),
+            "n_returned",
+            "n_hits",
+            F.col("err_ok").alias("recon_err_ok"),
+            ((F.col("qmin") >= 0) & (F.col("qmax") <= 255)).alias(
+                "codes_in_range"
+            ),
+        )
     )
