@@ -157,3 +157,62 @@ def m3_resize_and_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sampled_bytes").alias("total_sampled_bytes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M4 — size-band skew repartitioning: the multimodal-specific scale
+# problem. Media blobs are wildly non-uniform (a 4 KB thumbnail and a 4 GB
+# video in the same column), so hash-partitioning by key gives decode
+# stages straggler tasks. The fix is banding by payload size (log2 bands)
+# and repartitioning so each band's blobs spread evenly; the decode stage
+# then runs near-uniform tasks. Emits the band profile (count, bytes,
+# bounds) plus the verdicts a planner needs: bands are size-monotone and
+# every blob's band matches its size. All scan-stage expressions + one
+# keyed agg; the repartition-by-band is asserted in the plan test.
+# --------------------------------------------------------------------------
+@register(
+    "m4_size_band_repartition",
+    oracle="""
+    WITH blobs AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+    ), banded AS (
+        SELECT doc_id, nb,
+               CAST(FLOOR(LOG2(GREATEST(nb, 1))) AS INTEGER) AS band
+        FROM blobs
+    )
+    SELECT band,
+           COUNT(*)                          AS n_blobs,
+           CAST(SUM(nb) AS BIGINT)           AS band_bytes,
+           CAST(MIN(nb) AS BIGINT)           AS min_bytes,
+           CAST(MAX(nb) AS BIGINT)           AS max_bytes,
+           BOOL_AND(nb >= POWER(2, band) AND nb < POWER(2, band + 1))
+                                             AS band_matches_size
+    FROM banded
+    GROUP BY band
+    """,
+)
+def m4_size_band_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.multimodal import attach_fake_blobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_fake_blobs(docs).select(
+        "doc_id", F.octet_length("blob").alias("nb")
+    )
+    banded = blobs.select(
+        "doc_id",
+        "nb",
+        F.floor(F.log2(F.greatest("nb", F.lit(1)))).cast("int").alias("band"),
+    )
+    # Spread each band across tasks: partition on (band, doc_id) so one hot
+    # band cannot collapse into a single decode task.
+    spread = banded.repartition(F.col("band"), F.col("doc_id"))
+    return spread.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("nb").cast("bigint").alias("band_bytes"),
+        F.min("nb").cast("bigint").alias("min_bytes"),
+        F.max("nb").cast("bigint").alias("max_bytes"),
+        F.bool_and(
+            (F.col("nb") >= F.pow(F.lit(2.0), F.col("band")))
+            & (F.col("nb") < F.pow(F.lit(2.0), F.col("band") + 1))
+        ).alias("band_matches_size"),
+    )

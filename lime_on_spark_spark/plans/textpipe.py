@@ -1710,3 +1710,77 @@ def d37_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D38 — inter-source duplication matrix: WHERE the near-dups come from.
+# Dedup QA at corpus scale is not just "how many pairs" but which source
+# pairs copy from each other (wire-service syndication, mirror domains) —
+# that decides which source to down-weight or drop entirely. One join of
+# the d2 exact-Jaccard pair set against the doc→source map on each
+# endpoint, then a keyed count per unordered source pair. The pair set is
+# already skew-capped (operators/jaccard.py); this adds two broadcast-able
+# dimension joins and one agg.
+# --------------------------------------------------------------------------
+@register(
+    "d38_source_dup_matrix",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+        SELECT doc_a, doc_b FROM dpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    )
+    SELECT least(da.source, db.source)    AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*)                       AS n_dup_pairs,
+           CAST(SUM(CASE WHEN da.source = db.source THEN 1 ELSE 0 END)
+                AS BIGINT)                AS n_within_source
+    FROM edges
+    JOIN documents da ON doc_a = da.doc_id
+    JOIN documents db ON doc_b = db.doc_id
+    GROUP BY source_a, source_b
+    """,
+)
+def d38_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.registry import queries
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = queries()["d2_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.sum((F.col("sa") == F.col("sb")).cast("int"))
+            .cast("bigint")
+            .alias("n_within_source"),
+        )
+    )
