@@ -51,6 +51,9 @@ PORTABLE = [
     "w7_cumulative_distinct_users", "w8_ewma_daily_revenue",
     "t11_event_transitions", "a13_equidepth_histogram",
     "a15_deterministic_mode", "t12_streaming_topk", "f10_bitwise_funcs",
+    # round-6 additions
+    "j10_scd2_join", "a17_sketch_rollup", "t17_dynamic_session_window",
+    "a19_decimal_money", "a18_join_cardinality", "f15_array_set_ops",
 ]
 
 
