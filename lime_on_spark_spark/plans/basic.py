@@ -289,3 +289,42 @@ def p8_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(F.when(F.col("x") == 1, F.col("v"))), 2).alias("v_eq_1"),
     )
+
+
+# --------------------------------------------------------------------------
+# P9 — try_cast family: ANSI mode makes bad casts FAIL THE JOB (the right
+# default at scale — silent NULLs hide data bugs), so ingest paths that
+# expect dirty values must opt into tolerance explicitly. Here the JSON
+# props field (and a deliberately mangled variant of it) goes through
+# try_cast to bigint/date: parseable values survive, garbage becomes NULL,
+# the job never dies. DuckDB's TRY_CAST has identical semantics, so every
+# branch is oracle-pinned.
+# --------------------------------------------------------------------------
+@register(
+    "p9_try_cast",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                          AS n_rows,
+           CAST(SUM(CASE WHEN TRY_CAST(props ->> '$.k' AS BIGINT)
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_numeric,
+           CAST(SUM(COALESCE(TRY_CAST(props ->> '$.k' AS BIGINT), 0))
+                AS BIGINT)                                   AS sum_k,
+           CAST(SUM(CASE WHEN TRY_CAST('x' || CAST(event_id AS VARCHAR)
+                                       AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)       AS n_unparseable
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def p9_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # Column.try_cast (Spark 4) — functions module has no free try_cast.
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    bad = F.concat(F.lit("x"), F.col("event_id").cast("string")).try_cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(k.isNotNull().cast("int")).cast("bigint").alias("n_numeric"),
+        F.sum(F.coalesce(k, F.lit(0))).cast("bigint").alias("sum_k"),
+        F.sum(bad.isNull().cast("int")).cast("bigint").alias("n_unparseable"),
+    )
