@@ -28,3 +28,17 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² in double precision, left-to-right — the k-means assignment
+    metric. Same fold order as DuckDB's list_sum over list_zip, so rounded
+    distances agree across engines."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )

@@ -39,6 +39,7 @@ _PLAN_MODULES = (
     "lime_on_spark_spark.plans.datapipe",
     "lime_on_spark_spark.plans.textpipe",
     "lime_on_spark_spark.plans.vectors",
+    "lime_on_spark_spark.plans.clustering",
     "lime_on_spark_spark.plans.multimodal_plans",
     "lime_on_spark_spark.plans.lime_plans",
     "lime_on_spark_spark.plans.streaming_plans",

@@ -1,0 +1,68 @@
+"""Unit/property tests for D39 Lloyd's k-means + D40 SemDeDup
+(plans/clustering.py, operators/kmeans.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.operators.kmeans import lloyd_kmeans
+
+
+def _toy_emb(spark):
+    # Two tight blobs far apart; the deterministic seeds (vec_id 0 and 1)
+    # land one per blob, so Lloyd's must separate them exactly.
+    rows = [
+        (0, [0.0, 0.1]),
+        (1, [10.1, 10.0]),
+        (2, [0.05, 0.05]),
+        (3, [10.0, 10.1]),
+        (4, [0.1, 0.0]),
+        (5, [10.05, 10.05]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_separates_obvious_blobs(spark):
+    assigned = lloyd_kmeans(_toy_emb(spark), k=2, iters=3)
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    assert got[0] == got[2] == got[4] == 0
+    assert got[1] == got[3] == got[5] == 1
+
+
+def test_kmeans_inertia_nonincreasing_over_iterations(spark, sf_dir):
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inertias = []
+    for iters in (1, 2, 3):
+        a = lloyd_kmeans(emb, k=8, iters=iters)
+        inertias.append(a.agg(F.sum("dist")).collect()[0][0])
+    # Lloyd's is monotone up to the 6-dp rounding at iteration boundaries.
+    assert inertias[1] <= inertias[0] + 1e-3
+    assert inertias[2] <= inertias[1] + 1e-3
+
+
+def test_kmeans_assignment_is_total_and_deterministic(spark, sf_dir):
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1 = lloyd_kmeans(emb, k=8, iters=2)
+    a2 = lloyd_kmeans(emb, k=8, iters=2)
+    n = emb.count()
+    assert a1.count() == n  # every vector assigned exactly once
+    assert a1.select("vec_id").distinct().count() == n
+    assert a1.exceptAll(a2).count() == 0  # bit-for-bit rerun determinism
+
+
+def test_semdedup_drops_only_duplicates_with_smaller_neighbor(spark, sf_dir):
+    from lime_on_spark_spark.plans.registry import queries
+
+    out = queries()["d40_semantic_dedup"](spark, sf_dir).collect()
+    total = sum(r["n_members"] for r in out)
+    dropped = sum(r["n_dropped"] for r in out)
+    assert total == 500 or total > 0  # all vectors accounted for
+    for r in out:
+        assert 0 <= r["n_dropped"] < r["n_members"] or r["n_members"] == 0
+    # The lowest-id member of any cluster can never be dropped, so at least
+    # one survivor exists per cluster.
+    assert dropped < total
