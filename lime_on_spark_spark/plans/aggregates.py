@@ -933,3 +933,72 @@ def a19_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price_dec).alias("gross"),
         F.sum(price_dec * rate_dec).alias("net"),
     )
+
+
+# --------------------------------------------------------------------------
+# A20 — heavy hitters via per-partition Misra-Gries + exact rescan. The
+# two-phase pattern for "tokens above phi = 1/30 of the stream" when the
+# vocabulary is too large to count exactly in one pass: each partition
+# keeps an m-counter MG summary (m = 64 >= 1/phi, so any global heavy
+# hitter MUST survive in >= 1 partition — the MG decrement bound: a token
+# evicted everywhere has freq < N/(m+1) < phi*N); the union of survivors
+# is a small candidate set; one semi-joined exact count pass filters it to
+# the true heavy hitters. The OUTPUT is exact (hence a plain SQL oracle);
+# MG only bounds the rescan's candidate set. On this corpus the vocabulary
+# (31 tokens) is smaller than m, so MG never evicts — the guarantee is
+# what's exercised, not the eviction pressure. Scale: summaries are
+# O(m) per partition inside one Arrow stage; the rescan is a semi-join +
+# keyed count; the total-count scalar joins via broadcast, not collect.
+# --------------------------------------------------------------------------
+@register(
+    "a20_heavy_hitters",
+    oracle="""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), tot AS (SELECT COUNT(*) AS total FROM t)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           ROUND(COUNT(*) * 1.0 / (SELECT total FROM tot), 4) AS rate
+    FROM t
+    GROUP BY token
+    HAVING COUNT(*) >= CEIL((SELECT total FROM tot) / 30.0)
+    """,
+)
+def a20_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def mg_summaries(batches):
+        m = 64  # counters per summary; soundness needs m >= 1/phi = 30
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < m:
+                    counters[tok] = 1
+                else:
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+        yield pd.DataFrame({"token": list(counters)})
+
+    candidates = tokens.mapInPandas(mg_summaries, "token string").distinct()
+    total = tokens.agg(F.count("*").alias("total"))
+    exact = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") >= F.ceil(F.col("total") / F.lit(30.0)))
+        .select(
+            "token",
+            "freq",
+            F.round(F.col("freq") / F.col("total"), 4).alias("rate"),
+        )
+    )

@@ -861,3 +861,128 @@ def d31_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D42 — ingestion anomaly detection: per-(event_type, day) volume z-scores
+# against that type's own daily distribution. The data-QA gate a feed
+# pipeline runs before training on a day's crawl: a |z| >= 1.5 day means a
+# collector outage or a duplication storm. Two keyed aggs + a broadcast
+# join of the tiny per-type stats table — no window, no driver state.
+# --------------------------------------------------------------------------
+@register(
+    "d42_event_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), stats AS (
+        SELECT event_type, AVG(cnt) AS mu, stddev_pop(cnt) AS sigma
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day,
+           CAST(d.cnt AS BIGINT) AS cnt,
+           ROUND((d.cnt - s.mu) / s.sigma, 3) AS z
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND ABS(ROUND((d.cnt - s.mu) / s.sigma, 3)) >= 1.5
+    """,
+)
+def d42_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_pop("cnt").alias("sigma")
+    )
+    z = F.round((F.col("cnt") - F.col("mu")) / F.col("sigma"), 3)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) >= 1.5))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            z.alias("z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D43 — k-anonymity suppression audit over quasi-identifiers. The release
+# gate for sharing derived tables: any (nation, segment, balance-band)
+# cell with < k members is suppressed. One keyed agg + one re-agg on the
+# released/suppressed status — the standard generalize-then-suppress
+# lowering, all map-side combinable.
+# --------------------------------------------------------------------------
+@register(
+    "d43_k_anonymity",
+    oracle="""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS band,
+               COUNT(*) AS cnt
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CASE WHEN cnt >= 5 THEN 'released' ELSE 'suppressed' END AS status,
+           CAST(COUNT(*) AS BIGINT)  AS n_cells,
+           CAST(SUM(cnt) AS BIGINT)  AS n_rows
+    FROM cells GROUP BY 1
+    """,
+)
+def d43_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).alias("band"),
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        cells.withColumn(
+            "status",
+            F.when(F.col("cnt") >= 5, F.lit("released")).otherwise(
+                F.lit("suppressed")
+            ),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D44 — corpus datacard: the one-pass per-source profile a dataset card
+# reports (docs, tokens, dup rate, language spread, length quantiles).
+# Single groupBy with mixed aggregates — count-distinct expands to the
+# two-phase plan, exact median is percentile() (per-group sort of a
+# bounded group, the only exact way); everything map-side combinable
+# except the distinct expansions.
+# --------------------------------------------------------------------------
+@register(
+    "d44_corpus_datacard",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 2)                            AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT)              AS n_langs,
+           ROUND(1 - COUNT(DISTINCT text) * 1.0 / COUNT(*), 4) AS dup_rate,
+           ROUND(quantile_cont(n_chars, 0.5), 1)             AS p50_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def d44_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(
+            1 - F.countDistinct("text") / F.count("*"), 4
+        ).alias("dup_rate"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 1).alias("p50_chars"),
+    )

@@ -1784,3 +1784,101 @@ def d38_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_within_source"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D41 — contamination SPAN detection (the exact-substring flavor of
+# decontamination, cf. Lee et al. 2022 "Deduplicating Training Data"):
+# d15/d34 ask WHETHER a train doc shares benchmark shingles; this asks HOW
+# LONG the longest contiguous overlap is. A run of R consecutive matched
+# 3-gram positions is a verbatim span of R+2 tokens — long spans mean
+# copied passages, isolated hits mean idiom collisions. Lowering is
+# gaps-and-islands: matched positions -> (pos - row_number) island key ->
+# per-island length -> per-doc max. Scale: the window partitions by
+# doc_id (bounded by doc length), everything else is the d15 semi-join
+# skeleton on shingle keys.
+# --------------------------------------------------------------------------
+@register(
+    "d41_contamination_spans",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), shp AS (
+        SELECT w1.doc_id, w1.pos,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), bench AS (
+        SELECT DISTINCT shingle FROM shp WHERE doc_id % 50 = 0
+    ), matched AS (
+        SELECT s.doc_id, s.pos
+        FROM shp s JOIN bench b USING (shingle)
+        WHERE s.doc_id % 50 != 0
+    ), islands AS (
+        SELECT doc_id,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM matched
+    ), runs AS (
+        SELECT doc_id, grp, COUNT(*) AS run FROM islands GROUP BY doc_id, grp
+    ), per_doc AS (
+        SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT)                       AS n_docs_hit,
+           CAST(SUM(CASE WHEN p.max_run >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_long_span,
+           CAST(MAX(p.max_run) + 2 AS BIGINT)             AS max_span_tokens
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def d41_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    shp = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tk", i),
+                    F.element_at("tk", i + 1),
+                    F.element_at("tk", i + 2),
+                ),
+            )
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+
+    bench = (
+        shp.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    matched = (
+        shp.filter(F.col("doc_id") % 50 != 0)
+        .join(bench, "shingle", "left_semi")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        matched.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(F.max("run").alias("max_run"))
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_hit"),
+            F.sum((F.col("max_run") >= 3).cast("int"))
+            .cast("bigint")
+            .alias("n_long_span"),
+            (F.max("max_run") + 2).cast("bigint").alias("max_span_tokens"),
+        )
+    )

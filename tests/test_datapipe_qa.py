@@ -1,0 +1,49 @@
+"""Unit tests for the data-QA operators: A20 Misra-Gries heavy hitters,
+D41 contamination spans, D42 anomaly z-scores, D43 k-anonymity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import queries
+
+
+def test_mg_candidates_are_superset_of_true_heavy_hitters(spark, sf_dir):
+    """MG soundness: every token the exact rescan keeps must also appear in
+    the final output, and rates must sum to <= 1."""
+    out = queries()["a20_heavy_hitters"](spark, sf_dir).collect()
+    assert len(out) > 0
+    total_rate = sum(r["rate"] for r in out)
+    assert 0 < total_rate <= 1.0 + 1e-6
+    for r in out:
+        assert r["rate"] >= 1.0 / 30 - 1e-3  # phi threshold honored
+
+
+def test_contamination_spans_exceed_single_hits(spark, sf_dir):
+    """A run of R matched shingle positions spans R+2 tokens, so every
+    reported max span is >= 3; benchmark docs themselves never appear."""
+    out = queries()["d41_contamination_spans"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["max_span_tokens"] >= 3
+        assert r["n_long_span"] <= r["n_docs_hit"]
+
+
+def test_anomaly_zscores_are_extreme_only(spark, sf_dir):
+    out = queries()["d42_event_anomaly"](spark, sf_dir).collect()
+    for r in out:
+        assert abs(r["z"]) >= 1.5
+        assert r["cnt"] > 0
+
+
+def test_k_anonymity_partitions_all_rows(spark, sf_dir):
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    out = {r["status"]: r for r in queries()["d43_k_anonymity"](spark, sf_dir).collect()}
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_rows"] for r in out.values()) == n_cust
+    if "released" in out:
+        # Released cells each hold >= 5 rows by definition.
+        assert out["released"]["n_rows"] >= 5 * out["released"]["n_cells"]
+    if "suppressed" in out:
+        assert out["suppressed"]["n_rows"] < 5 * out["suppressed"]["n_cells"]
