@@ -661,3 +661,108 @@ def l1_discretizer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "feature_idx int, cuts_ascending boolean, cuts_in_range boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# L12 — image-LIME over the multimodal blob column (lime/image.py).
+# Segmentation = 8 contiguous byte blocks (stub superpixels; no skimage in
+# sandbox), black box = planted linear scorer over scaled block means —
+# which makes the surrogate provable and the features byte-exactly
+# SQL-checkable via the hex-expansion oracle.
+# --------------------------------------------------------------------------
+@register("l12_image_explain")
+def l12_image_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only full pipeline: per (instance, segment) surrogate weight.
+    Deterministic (xxhash64 masks, closed-form ridge); value-level checks
+    live in l12_image_verdict and tests/test_lime_image.py."""
+    from lime_on_spark_spark.lime.image import explain_image
+
+    return explain_image(spark, sf_dir, [1, 2, 3, 7], num_samples=64)
+
+
+@register(
+    "l12_image_verdict",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents WHERE doc_id IN (1, 2, 3, 7)
+    ), bytes AS (
+        SELECT doc_id, nb,
+               list_transform(
+                   range(1, nb + 1),
+                   i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+                        * 16
+                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+               ) AS vals
+        FROM b
+    ), segs AS (
+        SELECT doc_id, nb, vals, unnest(range(0, 8)) AS segment FROM bytes
+    ), blk AS (
+        SELECT doc_id, segment,
+               list_slice(vals, (segment * nb) // 8 + 1,
+                          ((segment + 1) * nb) // 8) AS seg_bytes
+        FROM segs
+    )
+    SELECT doc_id                       AS instance_id,
+           CAST(segment AS INTEGER)     AS segment,
+           ROUND(CASE WHEN len(seg_bytes) = 0 THEN 0.0
+                      ELSE list_sum(seg_bytes) * 1.0 / len(seg_bytes) END, 6)
+                                        AS block_mean,
+           TRUE                         AS sign_ok,
+           TRUE                         AS r2_ok,
+           TRUE                         AS deterministic
+    FROM blk
+    """,
+)
+def l12_image_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential + provability verdict for image-LIME: block means must
+    byte-exactly match the hex-expansion oracle; the full-width ridge on an
+    exactly-linear black box must be sign-correct per segment with r2 ~ 1;
+    two runs must agree bit-for-bit (xxhash64 masks, closed-form fit)."""
+    import numpy as np
+
+    from lime_on_spark_spark.lime.image import (
+        N_SEGMENTS,
+        PLANTED_W,
+        block_means,
+        explain_image,
+    )
+
+    ids = [1, 2, 3, 7]
+    bm_rows = {
+        int(r["instance_id"]): list(r["bm"])
+        for r in block_means(spark, sf_dir, ids).collect()
+    }
+    # Small alpha for the provability fit: the black box is EXACTLY linear
+    # in z, so with negligible shrinkage the weighted ridge must reach
+    # r2 ~ 1; upstream's default alpha=1 stays on l12_image_explain.
+    e1 = explain_image(spark, sf_dir, ids, num_samples=64, alpha=0.01).collect()
+    e2 = explain_image(spark, sf_dir, ids, num_samples=64, alpha=0.01).collect()
+    k1 = sorted((r["instance_id"], r["feature_idx"], r["weight"], r["r2"]) for r in e1)
+    k2 = sorted((r["instance_id"], r["feature_idx"], r["weight"], r["r2"]) for r in e2)
+    deterministic = k1 == k2
+
+    by_inst: dict[int, dict[int, float]] = {}
+    r2s: dict[int, float] = {}
+    for r in e1:
+        by_inst.setdefault(int(r["instance_id"]), {})[int(r["feature_idx"])] = r[
+            "weight"
+        ]
+        r2s[int(r["instance_id"])] = r["r2"]
+
+    out = []
+    for iid in ids:
+        bm = bm_rows[iid]
+        r2_ok = bool(r2s[iid] >= 0.99)
+        for s in range(N_SEGMENTS):
+            beta = by_inst[iid][s]
+            sign_ok = bool(np.sign(beta) == np.sign(PLANTED_W[s] * bm[s]))
+            out.append(
+                (iid, s, round(bm[s], 6), sign_ok, r2_ok, deterministic)
+            )
+    return spark.createDataFrame(
+        out,
+        "instance_id bigint, segment int, block_mean double, "
+        "sign_ok boolean, r2_ok boolean, deterministic boolean",
+    )
