@@ -986,3 +986,58 @@ def d44_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate"),
         F.round(F.expr("percentile(n_chars, 0.5D)"), 1).alias("p50_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# D46 — robust length-outlier gate: median/MAD per source (robust to the
+# heavy tails that make mean/stddev gates useless on web text). Exact
+# medians via percentile() over bounded per-source groups; the per-source
+# (med, mad) table is tiny and broadcast back. Flag = |len - med| > 3·MAD.
+# --------------------------------------------------------------------------
+@register(
+    "d46_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY source
+    ), dev AS (
+        SELECT d.source, d.n_chars, m.med,
+               ABS(d.n_chars - m.med) AS adev
+        FROM documents d JOIN med m USING (source)
+    ), mad AS (
+        SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev
+        GROUP BY source
+    )
+    SELECT dev.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_outliers,
+           ROUND(MAX(dev.med), 1)  AS med_chars,
+           ROUND(MAX(mad.mad), 1)  AS mad_chars
+    FROM dev JOIN mad USING (source)
+    GROUP BY dev.source
+    """,
+)
+def d46_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5D)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max("med"), 1).alias("med_chars"),
+            F.round(F.max("mad"), 1).alias("mad_chars"),
+        )
+    )

@@ -1882,3 +1882,121 @@ def d41_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("max_run") + 2).cast("bigint").alias("max_span_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D45 — hand-rolled banded MinHash-LSH with an EXACT cross-engine oracle.
+# The MLlib path (d2_minhash_near_dup) is rows-only because its hash family
+# isn't SQL-reproducible; this implementation makes every stage exactly
+# checkable: the j-th MinHash of a doc is the lexicographic MIN of
+# md5(j || ':' || shingle) — md5 is identical in Spark and DuckDB, and the
+# min of a uniform hex hash is a valid min-hash. 12 hashes in 4 bands of 3
+# (s-curve threshold (1/4)^(1/3) ~ 0.63); docs sharing any band key become
+# candidates via a band-key equi-join (never all-pairs), and only
+# candidates get exact-Jaccard verification. This is the verbatim
+# band-bucket-join architecture a 100 TB near-dup pass runs: signatures
+# are one groupBy(doc_id) shuffle over shingles x 12, band keys another
+# keyed agg, and the candidate join is an equi-join on (band, key).
+# --------------------------------------------------------------------------
+@register(
+    "d45_minhash_banded_exact",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sig AS (
+        SELECT doc_id, j,
+               MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS j) hashes
+        GROUP BY doc_id, j
+    ), bands AS (
+        SELECT doc_id, j // 3 AS band,
+               string_agg(mh, '|' ORDER BY j) AS bkey
+        FROM sig GROUP BY doc_id, j // 3
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT it.doc_a, it.doc_b,
+           ROUND(it.i * 1.0 / (sa.n + sb.n - it.i), 4) AS jaccard
+    FROM inter it
+    JOIN sz sa ON it.doc_a = sa.doc_id
+    JOIN sz sb ON it.doc_b = sb.doc_id
+    WHERE it.i * 1.0 / (sa.n + sb.n - it.i) >= 0.6
+    """,
+)
+def d45_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+
+    j_ids = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("j")
+    sig = (
+        sh.select("doc_id", "shingle", j_ids)
+        .select(
+            "doc_id",
+            "j",
+            F.md5(
+                F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", F.floor(F.col("j") / 3))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                    lambda s: s["mh"],
+                ),
+                "|",
+            ).alias("bkey")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("bkey")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("bkey")
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
