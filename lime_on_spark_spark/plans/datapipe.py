@@ -1041,3 +1041,163 @@ def d46_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mad"), 1).alias("mad_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D47 — content-defined chunking (CDC) dedup: the rsync/casync primitive
+# for deduplicating binary/media payloads where document-level hashing
+# misses shared sub-regions. A chunk boundary is a CONTENT condition
+# (byte % 16 == 7, expected chunk ~16 bytes), so an insertion early in a
+# payload re-aligns within one chunk instead of shifting every subsequent
+# fixed-size block. Chunking is pure scan-stage JVM array expressions
+# (split-to-chars -> ascii -> boundary filter -> substr slices); dedup is
+# a count-distinct on the chunk text — the shuffle carries chunks, and at
+# 100 TB you'd hash them first (sha2) so it carries 32-byte digests.
+# --------------------------------------------------------------------------
+@register(
+    "d47_cdc_chunk_dedup",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source, text, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ), bytes AS (
+        SELECT doc_id, source, text, nb,
+               list_transform(
+                   range(1, nb + 1),
+                   i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+                        * 16
+                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+               ) AS vals
+        FROM b
+    ), bounds AS (
+        SELECT doc_id, source, text, nb,
+               list_filter(range(1, nb + 1), i -> vals[i] % 16 = 7) AS bs
+        FROM bytes
+    ), ended AS (
+        SELECT doc_id, source, text,
+               CASE WHEN len(bs) = 0 OR bs[-1] != nb
+                    THEN list_append(bs, nb) ELSE bs END AS ends
+        FROM bounds
+    ), chunked AS (
+        SELECT doc_id, source,
+               substr(text,
+                      CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+                      en - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END)
+                         + 1) AS chunk
+        FROM (
+            SELECT doc_id, source, text, ends,
+                   unnest(ends) AS en,
+                   generate_subscripts(ends, 1) AS j
+            FROM ended
+        )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)              AS n_chunks,
+           CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_distinct_chunks,
+           ROUND(AVG(length(chunk)), 4)          AS avg_chunk_len,
+           ROUND(1 - COUNT(DISTINCT chunk) * 1.0 / COUNT(*), 4)
+                                                 AS chunk_dup_rate
+    FROM chunked
+    GROUP BY source
+    """,
+)
+def d47_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Boundary positions in ONE pass with the (value, index) transform —
+    # never element_at(expr, i) over an unmaterialized array, which
+    # re-evaluates the producing expression per access (the O(n²) pitfall
+    # _word_shingles documents).
+    vals = F.transform(F.split("text", ""), lambda c: F.ascii(c))
+    bs = F.array_compact(
+        F.transform(vals, lambda v, i: F.when(v % 16 == 7, i + 1))
+    )
+    n = F.length("text")
+    with_bs = docs.select(
+        "doc_id", "source", "text", n.alias("n"), bs.alias("bs")
+    )
+    ends = F.when(
+        (F.size("bs") == 0) | (F.element_at("bs", -1) != F.col("n")),
+        F.concat("bs", F.array("n")),
+    ).otherwise(F.col("bs"))
+    with_ends = with_bs.select("doc_id", "source", "text", ends.alias("ends"))
+    st = lambda j: F.when(  # noqa: E731
+        j == 1, F.lit(1)
+    ).otherwise(F.element_at(F.col("ends"), (j - 1).cast("int")) + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("ends")),
+        lambda j: F.col("text").substr(
+            st(j), F.element_at(F.col("ends"), j.cast("int")) - st(j) + 1
+        ),
+    )
+    return (
+        with_ends.select("source", F.explode(chunks).alias("chunk"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("chunk").cast("bigint").alias("n_distinct_chunks"),
+            F.round(F.avg(F.length("chunk")), 4).alias("avg_chunk_len"),
+            F.round(
+                1 - F.countDistinct("chunk") / F.count("*"), 4
+            ).alias("chunk_dup_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D48 — Efraimidis–Spirakis weighted reservoir sampling (exact-k weighted
+# sample without replacement): rank by key = u^(1/w) DESC where u is the
+# md5-uniform of the stable doc key — fully deterministic, so the oracle
+# reproduces the EXACT sampled set (the d24 discipline upgraded from
+# Bernoulli rates to exact-k A-Res). Per-lang top-10 via one partitioned
+# window (WindowGroupLimit stops each partition at k); no RNG state, no
+# driver participation, membership invariant to partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "d48_weighted_reservoir",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS w,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, lang, w, pow(u, 1.0 / w) AS k,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY pow(u, 1.0 / w) DESC, doc_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT lang, doc_id, ROUND(k, 6) AS es_key, ROUND(w, 6) AS weight
+    FROM keyed WHERE rn <= 10
+    """,
+)
+def d48_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w_expr = F.size(F.array_distinct(toks)) / F.size(toks)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        w_expr.alias("w"),
+        F.pow(u, 1.0 / w_expr).alias("k"),
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "lang",
+            "doc_id",
+            F.round("k", 6).alias("es_key"),
+            F.round("w", 6).alias("weight"),
+        )
+    )
