@@ -208,3 +208,41 @@ def test_w9_single_shuffle_for_both_window_passes(spark, sf_dir):
 
     n_exchanges = len(_re.findall(r"Exchange hashpartitioning\(o_custkey", plan))
     assert n_exchanges <= 1, plan
+
+
+def test_d45_band_join_is_equi_join(spark, sf_dir):
+    """Banded MinHash candidates must come from an equi-join on (band,
+    bkey), never an all-pairs product — the property that makes LSH an
+    LSH."""
+    plan = _plan(_q(spark, sf_dir, "d45_minhash_banded_exact"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_d39_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """The Lloyd assignment is corpus x broadcast(k centroids): the tiny
+    centroid side must broadcast; the corpus must never shuffle for it."""
+    plan = _plan(_q(spark, sf_dir, "d39_kmeans_lloyd"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_d47_chunking_is_scan_stage(spark, sf_dir):
+    """CDC chunking must happen in the scan stage: exactly one exchange
+    (the groupBy(source) aggregate), no join, no window."""
+    plan = _plan(_q(spark, sf_dir, "d47_cdc_chunk_dedup"))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_d48_reservoir_uses_window_group_limit(spark, sf_dir):
+    """Per-lang top-10 must run under WindowGroupLimit pushdown (each
+    partition stops at k) — not a global sort."""
+    plan = _plan(_q(spark, sf_dir, "d48_weighted_reservoir"))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_a20_rescan_semi_joins_candidates(spark, sf_dir):
+    """The exact rescan must semi-join the MG candidate set (broadcast),
+    not recount the full vocabulary."""
+    plan = _plan(_q(spark, sf_dir, "a20_heavy_hitters"))
+    assert "LeftSemi" in plan, plan
