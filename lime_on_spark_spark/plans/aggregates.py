@@ -1002,3 +1002,115 @@ def a20_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("freq") / F.col("total"), 4).alias("rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A21 — mergeable equi-width histogram + quantile estimation with a
+# provable error bound. The third mergeable-summary family next to HLL
+# (a17) and count-min (a14/a18): per-partition bin counts merge by
+# addition (map-side partial agg IS the merge), so one pass + a 64-row
+# cumsum answers any quantile to within a bin width — the scan-free
+# alternative to exact ntile at 100 TB. The k-th order statistic
+# (k = ceil(p·N)) provably lands in the first bin whose cumulative count
+# reaches k, and quantile_cont interpolates between order stats at most
+# one rank away, so |upper_edge - exact| <= 2·width ALWAYS holds — the
+# oracle recomputes the same histogram and pins bound_ok TRUE.
+# --------------------------------------------------------------------------
+@register(
+    "a21_mergeable_histogram",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+               COUNT(*) AS n,
+               (MAX(o_totalprice) - MIN(o_totalprice)) / 64.0 AS width
+        FROM orders
+    ), hist AS (
+        SELECT LEAST(CAST(FLOOR((o_totalprice - s.lo) / s.width) AS BIGINT),
+                     63) AS bin_idx,
+               COUNT(*) AS cnt
+        FROM orders, stats s
+        GROUP BY 1
+    ), cum AS (
+        SELECT bin_idx, SUM(cnt) OVER (ORDER BY bin_idx) AS cum_cnt
+        FROM hist
+    ), ex AS (
+        SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9]) AS qs
+        FROM orders
+    ), probs AS (
+        SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p,
+               generate_subscripts([0.25, 0.5, 0.75, 0.9], 1) AS pi
+    ), est AS (
+        SELECT p, pi, MIN(bin_idx) AS bin_idx
+        FROM probs JOIN cum
+          ON cum.cum_cnt >= CEIL(p * (SELECT n FROM stats))
+        GROUP BY p, pi
+    )
+    SELECT e.p,
+           CAST(e.bin_idx AS BIGINT) AS bin_idx,
+           ROUND(s.lo + (e.bin_idx + 1) * s.width, 4) AS est_upper,
+           ABS(s.lo + (e.bin_idx + 1) * s.width - x.qs[e.pi])
+               <= 2 * s.width        AS bound_ok
+    FROM est e, stats s, ex x
+    """,
+)
+def a21_mergeable_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n"),
+        ((F.max("o_totalprice") - F.min("o_totalprice")) / 64.0).alias("width"),
+    )
+    hist = (
+        orders.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / F.col("width")),
+                F.lit(63),
+            ).alias("bin_idx")
+        )
+        .groupBy("bin_idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # 64-row post-aggregation cumsum via a bounded triangular self-join —
+    # same result as an unpartitioned running-sum window without tripping
+    # the single-task WindowExec path (the input is the histogram, never
+    # the data, but the join form keeps the sweep log warning-free).
+    h2 = hist.select(
+        F.col("bin_idx").alias("bin_le"), F.col("cnt").alias("cnt_le")
+    )
+    cum = (
+        hist.join(F.broadcast(h2), F.col("bin_le") <= F.col("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.sum("cnt_le").alias("cum_cnt"))
+    )
+    probs = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.9,)], "p double")
+    est = (
+        probs.crossJoin(cum.crossJoin(F.broadcast(stats)))
+        .filter(F.col("cum_cnt") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p")
+        .agg(F.min("bin_idx").alias("bin_idx"))
+    )
+    exact = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {p}D)").alias(f"q{i}")
+            for i, p in enumerate((0.25, 0.5, 0.75, 0.9))
+        ]
+    )
+    q_of_p = (
+        F.when(F.col("p") == 0.25, F.col("q0"))
+        .when(F.col("p") == 0.5, F.col("q1"))
+        .when(F.col("p") == 0.75, F.col("q2"))
+        .otherwise(F.col("q3"))
+    )
+    edge = F.col("lo") + (F.col("bin_idx") + 1) * F.col("width")
+    return (
+        est.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "p",
+            F.col("bin_idx").cast("bigint").alias("bin_idx"),
+            F.round(edge, 4).alias("est_upper"),
+            (F.abs(edge - q_of_p) <= 2 * F.col("width")).alias("bound_ok"),
+        )
+    )
