@@ -54,6 +54,12 @@ EXTENDED = (
     # bigram-join family; quantized kNN = the embedding-code family).
     "d30_perplexity_score",
     "d32_quantized_knn",
+    # round-6 wave 2: iterative k-means (broadcast-centroid loop), exact
+    # banded MinHash (signature + band-join family), CDC chunking (the
+    # char-array scan-stage family).
+    "d39_kmeans_lloyd",
+    "d45_minhash_banded_exact",
+    "d47_cdc_chunk_dedup",
 )
 
 

@@ -93,12 +93,13 @@ _CURATED_PREFIX = (
     # t — event-time & streaming (batch twins + streaming replays)
     "t1_tumbling_hour", "t2_sliding_window", "t3_session_window",
     "t4_watermark_append", "t5_streaming_dedup",
-    # l — LIME
-    "l1_discretizer", "l2_perturb_tabular", "l3_perturb_text",
+    # l — LIME (l12 = image-LIME: multimodal + provable-surrogate signal)
+    "l1_discretizer", "l2_perturb_tabular", "l12_image_verdict",
     "l5_kernel_weights", "l6_ridge_verdict",
-    # d — data-pipeline (dedup / text / vectors)
+    # d — data-pipeline (dedup / text / vectors; d39 k-means and d45
+    # exact banded MinHash are the round-6 flagships)
     "d1_exact_dedup", "d2_simhash_consistency", "d3_knn_cosine_topk",
-    "d5_text_stats", "d7_lang_routing",
+    "d39_kmeans_lloyd", "d45_minhash_banded_exact",
     # m — multimodal
     "m1_multimodal_features", "m2_multimodal_embed_join",
     # s — sources / sinks / catalog

@@ -2000,3 +2000,161 @@ def d45_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# D49 — the END-TO-END curation pipeline as one funnel query: quality gate
+# -> exact dedup -> near-dup dedup -> decontamination -> packing, emitting
+# the per-stage survivor counts a dataset report publishes. Each stage is
+# the registry operator's exact rule (d5 quality metrics, d1 min-id
+# survivorship, d2 exact 3-gram Jaccard with smaller-id-wins, d15
+# benchmark shingle semi-join, d13 token chunking), so this is the
+# composition proof: the operators pipeline into one DataFrame program
+# with no driver round-trips between stages. Scale = the max of its
+# stages (the near-dup self-join dominates; same skeleton as
+# d2_ngram_jaccard — at web scale, prepend the d45 banded prefilter).
+# --------------------------------------------------------------------------
+@register(
+    "d49_curation_funnel",
+    oracle="""
+    WITH train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0
+    ), quality AS (
+        SELECT doc_id, text FROM train
+        WHERE len(list_distinct(string_split(text, ' '))) * 1.0
+              / len(string_split(text, ' ')) >= 0.35
+          AND len(string_split(text, ' ')) >= 20
+    ), exact AS (
+        SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+        FROM quality GROUP BY text
+    ), words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM exact
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), neardrop AS (
+        SELECT DISTINCT b.doc_id
+        FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id) p
+        JOIN sz sa ON p.da = sa.doc_id
+        JOIN sz sb ON p.db = sb.doc_id
+        JOIN exact b ON b.doc_id = p.db
+        WHERE p.i * 1.0 / (sa.n + sb.n - p.i) >= 0.8
+    ), neardup AS (
+        SELECT e.doc_id, e.text FROM exact e
+        LEFT JOIN neardrop nd ON e.doc_id = nd.doc_id
+        WHERE nd.doc_id IS NULL
+    ), bench_sh AS (
+        SELECT DISTINCT w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents WHERE doc_id % 50 = 0) w1
+        JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents WHERE doc_id % 50 = 0) w2
+          ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents WHERE doc_id % 50 = 0) w3
+          ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id FROM sh s
+        JOIN bench_sh b ON s.shingle = b.shingle
+        JOIN neardup n ON n.doc_id = s.doc_id
+    ), clean AS (
+        SELECT n.doc_id, n.text FROM neardup n
+        LEFT JOIN contaminated c ON n.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL
+    )
+    SELECT stage, n FROM (
+        SELECT ' 1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM train
+        UNION ALL
+        SELECT ' 2_quality', CAST(COUNT(*) AS BIGINT) FROM quality
+        UNION ALL
+        SELECT ' 3_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM exact
+        UNION ALL
+        SELECT ' 4_near_dedup', CAST(COUNT(*) AS BIGINT) FROM neardup
+        UNION ALL
+        SELECT ' 5_decontaminated', CAST(COUNT(*) AS BIGINT) FROM clean
+        UNION ALL
+        SELECT ' 6_chunks',
+               CAST(SUM(CEIL(len(string_split(text, ' ')) / 128.0)) AS BIGINT)
+        FROM clean
+    ) f
+    """,
+)
+def d49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+
+    toks = F.split("text", " ")
+    quality = train.filter(
+        (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.35)
+        & (F.size(toks) >= 20)
+    )
+    # Stage outputs are consumed by BOTH the next stage and the funnel's
+    # count row; without persistence every union branch re-executes the
+    # entire upstream pipeline (measured 56 s -> ~8 s at sf0.001). A
+    # production funnel checkpoints stage outputs to the lake for the same
+    # reason; cache() is the single-session analogue.
+    exact = quality.groupBy("text").agg(F.min("doc_id").alias("doc_id")).cache()
+
+    sh = _word_shingles(exact).cache()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    pairs = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    neardrop = (
+        pairs.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter(jac >= 0.8)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    neardup = exact.join(neardrop, "doc_id", "left_anti").cache()
+
+    bench_sh = _word_shingles(
+        docs.filter(F.col("doc_id") % 50 == 0)
+    ).select("shingle").distinct()
+    contaminated = (
+        sh.join(neardup.select("doc_id"), "doc_id", "left_semi")
+        .join(bench_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = neardup.join(contaminated, "doc_id", "left_anti").cache()
+
+    def count_row(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"), F.count("*").cast("bigint").alias("n")
+        )
+
+    chunks = clean.agg(
+        F.lit(" 6_chunks").alias("stage"),
+        F.sum(F.ceil(F.size(F.split("text", " ")) / 128.0))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return (
+        count_row(" 1_input", train)
+        .unionAll(count_row(" 2_quality", quality))
+        .unionAll(count_row(" 3_exact_dedup", exact))
+        .unionAll(count_row(" 4_near_dedup", neardup))
+        .unionAll(count_row(" 5_decontaminated", clean))
+        .unionAll(chunks)
+    )
