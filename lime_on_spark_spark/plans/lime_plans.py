@@ -766,3 +766,54 @@ def l12_image_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "instance_id bigint, segment int, block_mean double, "
         "sign_ok boolean, r2_ok boolean, deterministic boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# L13 — explanation STABILITY across perturbation seeds. LIME's known
+# weakness is seed sensitivity (weights move when the neighborhood
+# resamples); the practitioner's check is to explain twice with different
+# seeds and compare. On the planted-linear image black box stability is
+# PROVABLE — both runs estimate the same exact coefficients, so per-
+# segment weights must agree within an estimation-error bound and the
+# top-|weight| segment must be identical — which turns the stability
+# audit into a driver-checkable verdict instead of a judgment call.
+# --------------------------------------------------------------------------
+@register(
+    "l13_lime_stability",
+    oracle="""
+    SELECT doc_id AS instance_id,
+           unnest(range(0, 8)) AS segment,
+           TRUE AS weight_stable, TRUE AS top_segment_stable
+    FROM documents WHERE doc_id IN (1, 2, 3)
+    """,
+)
+def l13_lime_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.image import explain_image
+
+    ids = [1, 2, 3]
+    runs = []
+    for seed in (11, 12):
+        rows = explain_image(
+            spark, sf_dir, ids, num_samples=128, seed=seed, alpha=0.01
+        ).collect()
+        by = {}
+        for r in rows:
+            by[(int(r["instance_id"]), int(r["feature_idx"]))] = r["weight"]
+        runs.append(by)
+
+    out = []
+    for iid in ids:
+        w1 = {s: runs[0][(iid, s)] for s in range(8)}
+        w2 = {s: runs[1][(iid, s)] for s in range(8)}
+        top1 = max(w1, key=lambda s: abs(w1[s]))
+        top2 = max(w2, key=lambda s: abs(w2[s]))
+        top_ok = top1 == top2
+        for s in range(8):
+            out.append(
+                (iid, s, bool(abs(w1[s] - w2[s]) < 0.05), bool(top_ok))
+            )
+    return spark.createDataFrame(
+        out,
+        "instance_id bigint, segment bigint, weight_stable boolean, "
+        "top_segment_stable boolean",
+    )

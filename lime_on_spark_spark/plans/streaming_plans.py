@@ -706,3 +706,130 @@ def t16_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("c_user", "user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T18 — streaming CDC upsert: a multi-epoch stream MERGEd into a snapshot
+# table per micro-batch (foreachBatch + the d21 full-outer/coalesce MERGE
+# lowering — the production pattern for maintaining a serving table from a
+# change stream when no lakehouse ACID writer is present). The events
+# parquet is pre-split into 4 part files and streamed with
+# maxFilesPerTrigger=1, so 4 REAL incremental merges run; the per-user
+# state (count, max ts, value-at-max-ts) is merge-associative and
+# order-invariant, so the final snapshot is deterministic regardless of
+# epoch order and equals the batch twin the oracle computes. State is the
+# snapshot table itself — bounded by |users|, not stream length.
+# --------------------------------------------------------------------------
+@register(
+    "t18_streaming_upsert",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), last AS (
+        SELECT user_id, value FROM ranked WHERE rn = 1
+    )
+    SELECT e.user_id,
+           COUNT(*)               AS n_events,
+           MAX(e.ts)              AS last_ts,
+           ROUND(MAX(l.value), 2) AS last_value
+    FROM events e JOIN last l USING (user_id)
+    GROUP BY e.user_id
+    """,
+)
+def t18_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    base = os.environ.get(
+        "LIME_ON_SPARK_SCRATCH",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".scratch"),
+    )
+    unique = f"{spark.sparkContext.applicationId}-{uuid.uuid4().hex[:12]}"
+    src_dir = os.path.join(os.path.abspath(base), f"t18_src-{unique}")
+    snap_dir = os.path.join(os.path.abspath(base), f"t18_snap-{unique}")
+
+    # Pre-split the change stream into 4 files = 4 micro-batches.
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias(
+                "last_value"
+            ),
+        )
+        if os.path.exists(snap_dir):
+            old = s.read.parquet(snap_dir)
+            merged = (
+                old.select(
+                    F.col("user_id"),
+                    F.col("n_events").alias("o_n"),
+                    F.col("last_ts").alias("o_ts"),
+                    F.col("last_value").alias("o_v"),
+                )
+                .join(delta, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("o_n"), F.lit(0))
+                        + F.coalesce(F.col("n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    F.greatest(
+                        F.coalesce(F.col("o_ts"), F.col("last_ts")),
+                        F.coalesce(F.col("last_ts"), F.col("o_ts")),
+                    ).alias("last_ts"),
+                    F.when(
+                        F.col("o_ts").isNull()
+                        | (
+                            F.col("last_ts").isNotNull()
+                            & (F.col("last_ts") >= F.col("o_ts"))
+                        ),
+                        F.coalesce(F.col("last_value"), F.col("o_v")),
+                    )
+                    .otherwise(F.col("o_v"))
+                    .alias("last_value"),
+                )
+            )
+            tmp = snap_dir + ".tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(snap_dir)
+            os.rename(tmp, snap_dir)
+        else:
+            delta.write.mode("overwrite").parquet(snap_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(merge_epoch)
+        .option(
+            "checkpointLocation",
+            os.path.join(os.path.abspath(base), f"t18_ckpt-{unique}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    # The snapshot was written by this query from the repaired batch scan,
+    # so its timestamps are already plain TIMESTAMP — no re-repair needed.
+    snap = spark.read.parquet(snap_dir)
+    return snap.select(
+        "user_id",
+        "n_events",
+        "last_ts",
+        F.round("last_value", 2).alias("last_value"),
+    )
