@@ -450,3 +450,68 @@ def w9_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_id").cast("bigint").alias("n_streaks"),
         F.round(F.max("streak_spend"), 2).alias("max_streak_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# W10 — Pareto front (skyline) per language: maximize token diversity,
+# minimize length. The naive lowering is an O(n²) dominance anti-join;
+# the window lowering is ONE partitioned sort: over DISTINCT (quality,
+# len) pairs ordered (quality DESC, len ASC), a pair is dominated iff the
+# running MIN of len over the preceding rows is <= its own len (preceding
+# rows have >= quality, so a <= len among them is a dominator; with
+# distinct pairs, equality can only come from a strictly-better-quality
+# row at equal length, which also dominates). Partitioned by lang —
+# no global window, deterministic on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "w10_pareto_front",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS q,
+               n_chars AS len
+        FROM documents
+    ), pairs AS (
+        SELECT DISTINCT lang, q, len FROM scored
+    ), flagged AS (
+        SELECT lang, q, len,
+               MIN(len) OVER (
+                   PARTITION BY lang ORDER BY q DESC, len ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prior_min
+        FROM pairs
+    ), front AS (
+        SELECT lang, q, len FROM flagged
+        WHERE prior_min IS NULL OR prior_min > len
+    )
+    SELECT f.lang,
+           CAST(COUNT(*) AS BIGINT)    AS n_front,
+           ROUND(MAX(f.q), 6)          AS best_quality,
+           CAST(MIN(f.len) AS BIGINT)  AS shortest_len
+    FROM front f
+    GROUP BY f.lang
+    """,
+)
+def w10_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "lang",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("q"),
+        F.col("n_chars").alias("len"),
+    )
+    pairs = scored.distinct()
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("q"), F.asc("len"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front = pairs.withColumn("prior_min", F.min("len").over(w)).filter(
+        F.col("prior_min").isNull() | (F.col("prior_min") > F.col("len"))
+    )
+    return front.groupBy("lang").agg(
+        F.count("*").alias("n_front"),
+        F.round(F.max("q"), 6).alias("best_quality"),
+        F.min("len").cast("bigint").alias("shortest_len"),
+    )
