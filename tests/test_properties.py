@@ -349,3 +349,89 @@ def test_connected_components_matches_union_find(spark, edges):
         union(a, b)
     want = {n: find(n) for n in parent}
     assert got == want, (edges, got, want)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cdc_chunks_conserve_text(spark, texts):
+    """CDC chunking invariant: concatenating a doc's chunks in order
+    reproduces the original text exactly — no byte lost or duplicated,
+    for arbitrary printable payloads (boundary-at-end, no-boundary, and
+    adjacent-boundary cases all covered by generation)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    vals = F.transform(F.split("text", ""), lambda c: F.ascii(c))
+    bs = F.array_compact(
+        F.transform(vals, lambda v, i: F.when(v % 16 == 7, i + 1))
+    )
+    n = F.length("text")
+    with_bs = df.select("doc_id", "text", n.alias("n"), bs.alias("bs"))
+    ends = F.when(
+        (F.size("bs") == 0) | (F.element_at("bs", -1) != F.col("n")),
+        F.concat("bs", F.array("n")),
+    ).otherwise(F.col("bs"))
+    with_ends = with_bs.select("doc_id", "text", ends.alias("ends"))
+    st_ = lambda j: F.when(j == 1, F.lit(1)).otherwise(  # noqa: E731
+        F.element_at(F.col("ends"), (j - 1).cast("int")) + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("ends")),
+        lambda j: F.col("text").substr(
+            st_(j), F.element_at(F.col("ends"), j.cast("int")) - st_(j) + 1
+        ),
+    )
+    got = {
+        r["doc_id"]: r["joined"]
+        for r in with_ends.select(
+            "doc_id", F.array_join(chunks, "").alias("joined")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == t, (i, t, got[i])
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark, sf_dir):
+    """Every vector's assigned cell must be the true argmin over the final
+    centroid set (recomputed in NumPy from the assignment itself)."""
+    import numpy as np
+
+    from lime_on_spark_spark.operators.kmeans import lloyd_kmeans
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = lloyd_kmeans(emb, k=4, iters=2)
+    rows = (
+        assigned.join(emb, "vec_id")
+        .select("vec_id", "cid", "embedding")
+        .collect()
+    )
+    X = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in rows}
+    cid = {int(r["vec_id"]): int(r["cid"]) for r in rows}
+    # Recompute the PENULTIMATE centroids (the ones the final assignment
+    # used): centroid c = rounded mean of vectors assigned to c at iter 1.
+    a1 = lloyd_kmeans(emb, k=4, iters=1)
+    groups: dict[int, list] = {}
+    for r in a1.collect():
+        groups.setdefault(int(r["cid"]), []).append(X[int(r["vec_id"])])
+    cents = {
+        c: np.round(np.mean(np.stack(vs), axis=0), 6) for c, vs in groups.items()
+    }
+    for v, x in X.items():
+        dists = {
+            c: round(float(((x - m) ** 2).sum()), 6) for c, m in cents.items()
+        }
+        best = min(dists, key=lambda c: (dists[c], c))
+        assert cid[v] == best, (v, cid[v], best, dists)
