@@ -1201,3 +1201,48 @@ def d48_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("w", 6).alias("weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D50 — deletion propagation (GDPR/right-to-be-forgotten) audit: given a
+# deletion set of users, purge their events and PROVE the purge — the
+# governance primitive a serving pipeline runs before republishing. The
+# purge is one broadcast anti-join (deletion sets are small relative to
+# the corpus); the leak check is a semi-join count pinned to zero. At
+# 100 TB the same plan holds: the deletion set broadcasts, the fact table
+# streams through one scan.
+# --------------------------------------------------------------------------
+@register(
+    "d50_deletion_propagation",
+    oracle="""
+    WITH del AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_users_deleted,
+           CAST(SUM(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                            AS n_events_purged,
+           CAST(SUM(CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                            AS n_events_kept,
+           TRUE                                       AS no_leak
+    FROM events e LEFT JOIN del d USING (user_id)
+    """,
+)
+def d50_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    del_set = (
+        ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    purged = ev.join(F.broadcast(del_set), "user_id", "left_anti")
+    # Leak check: a semi-join of the purged table against the deletion set
+    # must be EMPTY — computed distributed, surfaced as a boolean.
+    leak_count = purged.join(
+        F.broadcast(del_set), "user_id", "left_semi"
+    ).count()
+    n_del = del_set.count()
+    n_kept = purged.count()
+    n_total = ev.count()
+    return spark.createDataFrame(
+        [(n_del, n_total - n_kept, n_kept, leak_count == 0)],
+        "n_users_deleted bigint, n_events_purged bigint, "
+        "n_events_kept bigint, no_leak boolean",
+    )

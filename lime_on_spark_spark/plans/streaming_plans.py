@@ -833,3 +833,70 @@ def t18_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_ts",
         F.round("last_value", 2).alias("last_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# T19 — checkpoint recovery / exactly-once across RESTARTS. The production
+# property t8/t18 don't exercise: a streaming job stops, MORE data arrives,
+# and a new run with the SAME checkpoint must process only the unseen
+# files — every record lands in the sink exactly once across both runs.
+# Run 1 streams the even-id half; run 2 starts after the odd-id half is
+# appended to the source directory and must skip everything run 1
+# committed. The oracle is the plain batch aggregate over ALL events: any
+# duplicate (re-processing) or gap (lost offsets) breaks the value hash.
+# --------------------------------------------------------------------------
+@register(
+    "t19_checkpoint_recovery",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)            AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def t19_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    base = os.environ.get(
+        "LIME_ON_SPARK_SCRATCH",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".scratch"),
+    )
+    unique = f"{spark.sparkContext.applicationId}-{uuid.uuid4().hex[:12]}"
+    src = os.path.join(os.path.abspath(base), f"t19_src-{unique}")
+    out = os.path.join(os.path.abspath(base), f"t19_out-{unique}")
+    ck = os.path.join(os.path.abspath(base), f"t19_ckpt-{unique}")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    def run_stream() -> None:
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1: only the even-id half exists.
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    run_stream()
+    # More data arrives while the job is down; run 2 restarts from the
+    # checkpoint and must process ONLY the new files.
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    run_stream()
+
+    sink = spark.read.parquet(out)
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
