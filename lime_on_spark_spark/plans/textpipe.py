@@ -1946,32 +1946,38 @@ def d45_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _word_shingles(docs)
 
-    j_ids = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("j")
-    sig = (
-        sh.select("doc_id", "shingle", j_ids)
-        .select(
-            "doc_id",
-            "j",
-            F.md5(
-                F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("mh"))
+    # All 12 minhashes as SIMULTANEOUS map-side-combinable min aggregates
+    # over the (doc, shingle) rows — one shuffle of |shingles| rows with 12
+    # hash columns, instead of exploding to |shingles| x 12 rows and
+    # grouping on (doc_id, j) (measured ~2x at sf0.1).
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(12)
+        ],
     )
-    bands = (
-        sig.withColumn("band", F.floor(F.col("j") / 3))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                    lambda s: s["mh"],
-                ),
-                "|",
-            ).alias("bkey")
-        )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(12)]
     )
+    # 4 band keys per doc, unpivoted to (doc_id, band, bkey) rows.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.col(f"mh{3 * b}"),
+                    F.col(f"mh{3 * b + 1}"),
+                    F.col(f"mh{3 * b + 2}"),
+                ).alias("bkey"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bkey")
     )
