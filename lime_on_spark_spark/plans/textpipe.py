@@ -2164,3 +2164,191 @@ def d49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(count_row(" 5_decontaminated", clean))
         .unionAll(chunks)
     )
+
+
+# --------------------------------------------------------------------------
+# D51 — near-dup THRESHOLD SWEEP in one pass: the tuning tool behind every
+# jaccard >= tau choice in this registry. The pair similarities are
+# computed ONCE (the d2_ngram_jaccard inverted-index skeleton) and
+# bucketed by floor(jaccard*10), so one job answers "how many pairs would
+# each threshold keep" — instead of re-running the join per candidate
+# threshold. Cumulative counts come from a bounded triangular join over
+# the 10-row bucket histogram (the a21 discipline).
+# --------------------------------------------------------------------------
+@register(
+    "d51_threshold_sweep",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sims AS (
+        SELECT LEAST(CAST(FLOOR(inter * 10.0 / (sa.n + sb.n - inter))
+                          AS BIGINT), 9) AS bucket
+        FROM dpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.1
+    ), hist AS (
+        SELECT bucket, COUNT(*) AS n_pairs FROM sims GROUP BY bucket
+    )
+    SELECT h.bucket,
+           ROUND(h.bucket / 10.0, 1)     AS tau_lo,
+           CAST(h.n_pairs AS BIGINT)     AS n_pairs,
+           CAST(SUM(h2.n_pairs) AS BIGINT) AS n_pairs_at_or_above
+    FROM hist h JOIN hist h2 ON h2.bucket >= h.bucket
+    GROUP BY h.bucket, h.n_pairs
+    """,
+)
+def d51_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    dpairs = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    sims = (
+        dpairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(jac >= 0.1)
+        .select(
+            F.least(F.floor(jac * 10.0), F.lit(9)).cast("bigint").alias("bucket")
+        )
+    )
+    hist = sims.groupBy("bucket").agg(F.count("*").alias("n_pairs"))
+    h2 = hist.select(
+        F.col("bucket").alias("b2"), F.col("n_pairs").alias("np2")
+    )
+    return (
+        hist.join(F.broadcast(h2), F.col("b2") >= F.col("bucket"))
+        .groupBy("bucket", "n_pairs")
+        .agg(F.sum("np2").cast("bigint").alias("n_pairs_at_or_above"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 10.0, 1).alias("tau_lo"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "n_pairs_at_or_above",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D52 — dedup-weighted EFFECTIVE token count: raw token totals overstate a
+# corpus when near-dup clusters exist; the effective count weights each
+# doc by 1/|its dup cluster| (so a 5-way duplicated page contributes one
+# page worth of tokens — the "epochs-equivalent" accounting data-mixing
+# work uses). Clusters come from the d10 connected components; docs in no
+# cluster weigh 1. Scale: the CC pass dominates (checkpointed iterative
+# min-label); the weighting itself is one broadcast-size join + keyed agg.
+# --------------------------------------------------------------------------
+@register(
+    "d52_effective_tokens",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), dpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), edges AS (
+        SELECT doc_a, doc_b
+        FROM dpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL
+        SELECT doc_b, doc_a FROM edges
+    ), nodes AS (
+        SELECT DISTINCT a AS node FROM sym
+    ), reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT s.a AS node, re.r
+        FROM sym s JOIN reach re ON s.b = re.node
+    ), comp AS (
+        SELECT node AS doc_id, MIN(r) AS component
+        FROM reach GROUP BY node
+    ), csize AS (
+        SELECT component, COUNT(*) AS csz FROM comp GROUP BY component
+    ), weighted AS (
+        SELECT d.lang,
+               len(string_split(d.text, ' ')) AS toks,
+               CASE WHEN c.doc_id IS NULL THEN 1.0 ELSE 1.0 / s.csz END AS w,
+               CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS clustered
+        FROM documents d
+        LEFT JOIN comp c USING (doc_id)
+        LEFT JOIN csize s USING (component)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)          AS n_docs,
+           CAST(SUM(clustered) AS BIGINT)    AS n_clustered,
+           CAST(SUM(toks) AS BIGINT)         AS raw_tokens,
+           ROUND(SUM(toks * w), 2)           AS effective_tokens
+    FROM weighted
+    GROUP BY lang
+    """,
+)
+def d52_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.registry import queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = queries()["d10_dup_clusters"](spark, sf_dir)
+    csize = comp.groupBy("component").agg(F.count("*").alias("csz"))
+    weighted = (
+        docs.join(comp, "doc_id", "left")
+        .join(csize, "component", "left")
+        .select(
+            "lang",
+            F.size(F.split("text", " ")).alias("toks"),
+            F.when(F.col("component").isNull(), F.lit(1.0))
+            .otherwise(1.0 / F.col("csz"))
+            .alias("w"),
+            F.when(F.col("component").isNull(), 0).otherwise(1).alias(
+                "clustered"
+            ),
+        )
+    )
+    return weighted.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("clustered").cast("bigint").alias("n_clustered"),
+        F.sum("toks").cast("bigint").alias("raw_tokens"),
+        F.round(F.sum(F.col("toks") * F.col("w")), 2).alias("effective_tokens"),
+    )
