@@ -189,3 +189,54 @@ def perturb_text(
         .withColumn("n_kept", F.aggregate("z", F.lit(0), lambda s, v: s + v))
         .drop("_toks")
     )
+
+
+def perturb_text_bow(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_samples: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Bag-of-words masking — upstream ``lime_text``'s DEFAULT mode
+    (``bow=True``): the interpretable feature is the DISTINCT word, and
+    masking a feature removes EVERY occurrence. The vocabulary is the
+    doc's distinct words in first-appearance order (upstream
+    ``IndexedString`` semantics).
+
+    Output adds: sample_id, vocab (array<string>), z (array<int> over
+    vocab positions), perturbed (string), n_kept (kept vocab count).
+    """
+    samples = with_samples(docs, num_samples).withColumn(
+        "_toks", F.split(F.col(text_col), " ")
+    )
+    # array_distinct preserves first-appearance order.
+    samples = samples.withColumn("vocab", F.array_distinct(F.col("_toks")))
+    keep = lambda i: _bernoulli_keep(  # noqa: E731
+        seed, F.col(id_col), F.col("sample_id"), i
+    )
+    z = F.when(
+        F.col("sample_id") == 0,
+        F.array_repeat(F.lit(1), F.size("vocab")),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("vocab") - 1),
+            lambda i: keep(i).cast("int"),
+        )
+    )
+    samples = samples.withColumn("z", z)
+    # A word survives iff its VOCAB slot is kept — every occurrence moves
+    # together (|vocab| is small, so array_position stays cheap).
+    kept_words = F.filter(
+        F.col("_toks"),
+        lambda w: F.element_at(
+            F.col("z"), F.array_position(F.col("vocab"), w).cast("int")
+        )
+        == 1,
+    )
+    return (
+        samples.withColumn("perturbed", F.concat_ws(" ", kept_words))
+        .withColumn("n_kept", F.aggregate("z", F.lit(0), lambda s, v: s + v))
+        .drop("_toks")
+    )

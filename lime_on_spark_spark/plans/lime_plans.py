@@ -817,3 +817,51 @@ def l13_lime_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "instance_id bigint, segment bigint, weight_stable boolean, "
         "top_segment_stable boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# L3b — bag-of-words text perturbation (upstream lime_text's DEFAULT,
+# bow=True): the feature is the distinct word; masking removes every
+# occurrence. Verdict mirrors l3 with the bound over the VOCAB coin count
+# (the oracle knows each doc's distinct-word count from the text itself),
+# plus the all-or-nothing invariant the driver can hash: across samples,
+# a word's occurrence count in the perturbed text is either 0 or its
+# original multiplicity — never partial.
+# --------------------------------------------------------------------------
+@register(
+    "l3b_perturb_text_bow",
+    oracle="""
+    SELECT doc_id, 20 AS n_samples, TRUE AS kept_rate_ok, TRUE AS all_or_nothing
+    FROM documents WHERE doc_id < 3
+    """,
+)
+def l3b_perturb_text_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.perturb import perturb_text_bow
+
+    N = 20
+    docs = load_table(spark, sf_dir, "documents")
+    instances = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    samples = perturb_text_bow(instances, num_samples=N, seed=7)
+
+    d = F.size("vocab")
+    mean = (N - 1) * d * 0.5 + d
+    band = 4 * F.sqrt((N - 1) * d * 0.25)
+    # all-or-nothing: per sample, occurrences of each vocab word in the
+    # perturbed text are 0 or the original multiplicity.
+    orig_cnt = lambda w: F.size(  # noqa: E731
+        F.filter(F.split("text", " "), lambda t: t == w)
+    )
+    pert_cnt = lambda w: F.size(  # noqa: E731
+        F.filter(F.split("perturbed", " "), lambda t: t == w)
+    )
+    ok_row = F.forall(
+        "vocab",
+        lambda w: (pert_cnt(w) == 0) | (pert_cnt(w) == orig_cnt(w)),
+    )
+    return samples.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        (F.abs(F.sum("n_kept") - F.max(mean)) < F.max(band)).alias(
+            "kept_rate_ok"
+        ),
+        F.min(ok_row.cast("int")).cast("boolean").alias("all_or_nothing"),
+    )

@@ -405,3 +405,29 @@ def test_mdl_cuts_separable_and_noise():
     # Same marginals but labels independent of the bin: MDL must refuse.
     noise = np.full((8, 2), 25, dtype=np.int64)
     assert mdl_cuts(noise, edges) == []
+
+
+def test_perturb_text_bow_masks_all_occurrences(spark):
+    """bow=True invariant: a repeated word is fully present or fully absent
+    in every perturbed sample — never partially masked."""
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.lime.perturb import perturb_text_bow
+
+    docs = spark.createDataFrame(
+        [(1, "spark join spark filter spark join")],
+        "doc_id bigint, text string",
+    )
+    out = perturb_text_bow(docs, num_samples=16, seed=3).collect()
+    for r in out:
+        words = r["perturbed"].split(" ") if r["perturbed"] else []
+        n_spark = words.count("spark")
+        n_join = words.count("join")
+        assert n_spark in (0, 3), r["perturbed"]
+        assert n_join in (0, 2), r["perturbed"]
+        # z is over the 3-word vocab [spark, join, filter]
+        assert len(r["z"]) == 3
+        assert r["vocab"] == ["spark", "join", "filter"]
+    # sample 0 is unperturbed
+    s0 = [r for r in out if r["sample_id"] == 0][0]
+    assert s0["perturbed"] == "spark join spark filter spark join"
