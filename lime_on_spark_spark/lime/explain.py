@@ -177,16 +177,37 @@ def explain_text(
     seed: int = 7,
     alpha: float = 1.0,
     feature_selection: str = "highest_weights",
+    bow: bool = False,
 ) -> DataFrame:
-    """L8 text: word-level explanation of the lang classifier's prediction."""
+    """L8 text: word-level explanation of the lang classifier's prediction.
+
+    ``bow=True`` is upstream lime_text's default: the interpretable
+    feature is the DISTINCT word and masking removes every occurrence
+    (perturb_text_bow); ``bow=False`` is the positional mode. The
+    downstream pipeline is identical — only the z-space and the feature
+    naming change (vocab words vs positioned words)."""
+    from lime_on_spark_spark.lime.perturb import perturb_text_bow
+
     docs = load_table(spark, sf_dir, "documents")
     instances = docs.filter(F.col("doc_id").isin(doc_ids)).select(
         F.col("doc_id").alias("instance_id"), "text", "lang"
     )
     # "doc_words" not "words": the scoring pipeline's Tokenizer owns "words".
-    samples = perturb_text(
-        instances, id_col="instance_id", num_samples=num_samples, seed=seed
-    ).withColumn("doc_words", F.split("text", " ")).drop("text")
+    if bow:
+        samples = (
+            perturb_text_bow(
+                instances,
+                id_col="instance_id",
+                num_samples=num_samples,
+                seed=seed,
+            )
+            .withColumn("doc_words", F.col("vocab"))
+            .drop("text", "vocab")
+        )
+    else:
+        samples = perturb_text(
+            instances, id_col="instance_id", num_samples=num_samples, seed=seed
+        ).withColumn("doc_words", F.split("text", " ")).drop("text")
     model, _labels = train_text_model(spark, sf_dir)
     scored = _with_label_prob(score_text(model, samples))
     # Cosine distance between binary z and the all-ones original:

@@ -865,3 +865,18 @@ def l3b_perturb_text_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min(ok_row.cast("int")).cast("boolean").alias("all_or_nothing"),
     )
+
+
+# --------------------------------------------------------------------------
+# L8c — batch text explain in bag-of-words mode (upstream's default
+# explain path: z over the distinct-word vocabulary). Rows-only like
+# l8_batch_explain_text (stochastic model y), deterministic under the
+# fixed seed; the bow invariants are oracle-checked by l3b.
+# --------------------------------------------------------------------------
+@register("l8_batch_explain_text_bow")
+def l8_batch_explain_text_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.explain import explain_text
+
+    return explain_text(
+        spark, sf_dir, [1, 2, 3], num_samples=100, k=5, bow=True
+    )
