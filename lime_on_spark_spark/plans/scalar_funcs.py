@@ -653,3 +653,38 @@ def f15_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_early_only"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# F16 — string formatting/padding family: printf-style formatting plus the
+# pad/repeat/translate/reverse group (report rendering + fixed-width key
+# construction). All pure JVM expressions in the scan stage; the oracle
+# uses DuckDB's printf (same %-syntax as Spark's format_string).
+# --------------------------------------------------------------------------
+@register(
+    "f16_format_funcs",
+    oracle="""
+    SELECT c_custkey,
+           printf('CUST-%06d', c_custkey)              AS padded_key,
+           lpad(c_mktsegment, 12, '.')                 AS seg_lpad,
+           rpad(c_mktsegment, 12, '.')                 AS seg_rpad,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')   AS seg_devowel,
+           reverse(c_mktsegment)                       AS seg_rev,
+           repeat('-', CAST(c_custkey % 5 + 1 AS INTEGER)) AS rule
+    FROM customer
+    WHERE c_custkey <= 40
+    """,
+)
+def f16_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 40)
+    return cust.select(
+        "c_custkey",
+        F.format_string("CUST-%06d", "c_custkey").alias("padded_key"),
+        F.lpad("c_mktsegment", 12, ".").alias("seg_lpad"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_rpad"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_devowel"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.lit("-"), (F.col("c_custkey") % 5 + 1).cast("int")).alias(
+            "rule"
+        ),
+    )

@@ -246,3 +246,17 @@ def test_a20_rescan_semi_joins_candidates(spark, sf_dir):
     not recount the full vocabulary."""
     plan = _plan(_q(spark, sf_dir, "a20_heavy_hitters"))
     assert "LeftSemi" in plan, plan
+
+
+def test_d49_funnel_reuses_cached_stages(spark, sf_dir):
+    """The funnel's union branches must read stage outputs from cache
+    (InMemoryTableScan), not re-execute the upstream pipeline per count."""
+    plan = _plan(_q(spark, sf_dir, "d49_curation_funnel"))
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_d51_sweep_has_no_cartesian(spark, sf_dir):
+    """The pair generation must stay an inverted-index equi-join on the
+    shingle key; the cumulative histogram join is broadcast over 10 rows."""
+    plan = _plan(_q(spark, sf_dir, "d51_threshold_sweep"))
+    assert "CartesianProduct" not in plan, plan
