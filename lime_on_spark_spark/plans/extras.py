@@ -340,3 +340,39 @@ def o4_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("z_area") < F.col("d_area")).alias("zorder_prunes_better"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# P10 — correlated subqueries through the SQL surface: EXISTS / NOT EXISTS
+# / correlated IN submitted as SQL TEXT (spark.sql over the registered
+# views), exercising Catalyst's subquery decorrelation
+# (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery lowers these
+# to semi/anti joins — the only plan that scales; a per-row re-execution
+# would be O(n·m)). The oracle is the SAME ANSI text run on DuckDB, so
+# this row is Spark-SQL-parity by construction.
+# --------------------------------------------------------------------------
+_P10_SQL = """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_active_with_big_order
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          )
+      AND c.c_nationkey IN (
+            SELECT n.n_nationkey FROM nation n WHERE n.n_regionkey <= 2
+          )
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("p10_correlated_subqueries", oracle=_P10_SQL)
+def p10_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("customer", "orders", "nation"))
+    return spark.sql(_P10_SQL)

@@ -260,3 +260,13 @@ def test_d51_sweep_has_no_cartesian(spark, sf_dir):
     shingle key; the cumulative histogram join is broadcast over 10 rows."""
     plan = _plan(_q(spark, sf_dir, "d51_threshold_sweep"))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_p10_subqueries_decorrelate_to_semi_anti_joins(spark, sf_dir):
+    """Catalyst must lower EXISTS/NOT EXISTS/IN to semi/anti joins — a
+    per-row subquery re-execution (nested loop over the outer) would be
+    O(n*m) and die at scale."""
+    plan = _plan(_q(spark, sf_dir, "p10_correlated_subqueries"))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
