@@ -2352,3 +2352,65 @@ def d52_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").cast("bigint").alias("raw_tokens"),
         F.round(F.sum(F.col("toks") * F.col("w")), 2).alias("effective_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# D53 — boilerplate detection: per-source modal leading token sequence
+# (the CCNet-style "same header on every page from this crawl" signal). A
+# 3-token prefix shared by a large fraction of a source's documents is
+# boilerplate, not content; downstream cleaning strips it before dedup so
+# near-dup similarity measures content, not chrome. Two keyed aggs + a
+# per-source argmax window over the (source, prefix) counts — nothing
+# touches full text beyond the first 3 tokens.
+# --------------------------------------------------------------------------
+@register(
+    "d53_boilerplate_prefixes",
+    oracle="""
+    WITH pref AS (
+        SELECT source,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), counts AS (
+        SELECT source, prefix, COUNT(*) AS n
+        FROM pref GROUP BY source, prefix
+    ), tot AS (
+        SELECT source, COUNT(*) AS n_docs FROM pref GROUP BY source
+    ), ranked AS (
+        SELECT c.source, c.prefix, c.n, t.n_docs,
+               row_number() OVER (PARTITION BY c.source
+                                  ORDER BY c.n DESC, c.prefix) AS rk
+        FROM counts c JOIN tot t USING (source)
+    )
+    SELECT source,
+           prefix                         AS modal_prefix,
+           CAST(n AS BIGINT)              AS n_with_prefix,
+           CAST(n_docs AS BIGINT)         AS n_docs,
+           ROUND(n * 1.0 / n_docs, 4)     AS frac,
+           n * 1.0 / n_docs >= 0.2        AS is_boilerplate
+    FROM ranked WHERE rk = 1
+    """,
+)
+def d53_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    pref = docs.filter(F.size(tk) >= 3).select(
+        "source",
+        F.concat_ws(" ", F.slice(tk, 1, 3)).alias("prefix"),
+    )
+    counts = pref.groupBy("source", "prefix").agg(F.count("*").alias("n"))
+    tot = pref.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("prefix"))
+    return (
+        counts.join(F.broadcast(tot), "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("prefix").alias("modal_prefix"),
+            F.col("n").cast("bigint").alias("n_with_prefix"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.col("n") / F.col("n_docs"), 4).alias("frac"),
+            (F.col("n") / F.col("n_docs") >= 0.2).alias("is_boilerplate"),
+        )
+    )
