@@ -2414,3 +2414,90 @@ def d53_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") / F.col("n_docs") >= 0.2).alias("is_boilerplate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D54 — boilerplate-stripped dedup delta: apply d53's detection (strip the
+# modal 3-token prefix from flagged sources) and re-measure exact-dup
+# rates. The point of boilerplate removal in a dedup pipeline is exactly
+# this delta — shared chrome either masks real duplicates (different
+# pages, same header stripped away) or manufactures false ones; the
+# before/after pair quantifies it per source.
+# --------------------------------------------------------------------------
+@register(
+    "d54_boilerplate_dedup_delta",
+    oracle="""
+    WITH pref AS (
+        SELECT doc_id, source, text,
+               string_split(text, ' ') AS tk,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), counts AS (
+        SELECT source, prefix, COUNT(*) AS n
+        FROM pref GROUP BY source, prefix
+    ), tot AS (
+        SELECT source, COUNT(*) AS n_docs FROM pref GROUP BY source
+    ), modal AS (
+        SELECT source, prefix AS modal_prefix
+        FROM (
+            SELECT c.source, c.prefix, c.n, t.n_docs,
+                   row_number() OVER (PARTITION BY c.source
+                                      ORDER BY c.n DESC, c.prefix) AS rk
+            FROM counts c JOIN tot t USING (source)
+        ) WHERE rk = 1 AND n * 1.0 / n_docs >= 0.2
+    ), cleaned AS (
+        SELECT p.source,
+               p.text,
+               CASE WHEN m.modal_prefix IS NOT NULL
+                         AND p.prefix = m.modal_prefix
+                    THEN array_to_string(p.tk[4:], ' ')
+                    ELSE p.text END AS text_clean
+        FROM pref p LEFT JOIN modal m USING (source)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT)       AS dups_before,
+           CAST(COUNT(*) - COUNT(DISTINCT text_clean) AS BIGINT) AS dups_after
+    FROM cleaned
+    GROUP BY source
+    """,
+)
+def d54_boilerplate_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    pref = docs.filter(F.size(tk) >= 3).select(
+        "source",
+        "text",
+        tk.alias("tk"),
+        F.concat_ws(" ", F.slice(tk, 1, 3)).alias("prefix"),
+    )
+    counts = pref.groupBy("source", "prefix").agg(F.count("*").alias("n"))
+    tot = pref.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("prefix"))
+    modal = (
+        counts.join(F.broadcast(tot), "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("n") / F.col("n_docs") >= 0.2))
+        .select("source", F.col("prefix").alias("modal_prefix"))
+    )
+    cleaned = pref.join(F.broadcast(modal), "source", "left").select(
+        "source",
+        "text",
+        F.when(
+            F.col("modal_prefix").isNotNull()
+            & (F.col("prefix") == F.col("modal_prefix")),
+            F.concat_ws(" ", F.slice(F.col("tk"), 4, F.size("tk") - 3)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text_clean"),
+    )
+    return cleaned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct("text"))
+        .cast("bigint")
+        .alias("dups_before"),
+        (F.count("*") - F.countDistinct("text_clean"))
+        .cast("bigint")
+        .alias("dups_after"),
+    )
