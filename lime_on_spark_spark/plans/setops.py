@@ -154,3 +154,63 @@ def u4_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missing_chars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# U5 — keyed snapshot diff / reconciliation: classify every key across two
+# table versions as added / removed / changed / unchanged — the audit a
+# pipeline runs after a backfill before swapping a serving table (d21
+# builds the merge; this verifies one). Snapshot B is a deterministic
+# mutation of orders (price bump on o_orderkey % 7 == 0, drop % 11 == 0,
+# with % 13 == 0 keys treated as new arrivals), so the oracle reproduces
+# the exact same pair of versions. Lowering: ONE full-outer join on the
+# key + a CASE classification + keyed count — no row ever leaves its
+# executor twice.
+# --------------------------------------------------------------------------
+@register(
+    "u5_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+        WHERE o_orderkey % 13 != 0
+    ), b AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderkey % 11 != 0
+    ), classified AS (
+        SELECT CASE
+                 WHEN a.k IS NULL THEN 'added'
+                 WHEN b.k IS NULL THEN 'removed'
+                 WHEN a.v != b.v  THEN 'changed'
+                 ELSE 'unchanged'
+               END AS status
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM classified GROUP BY status
+    """,
+)
+def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("va")
+    )
+    b = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("vb"),
+    )
+    status = (
+        F.when(F.col("va").isNull(), "added")
+        .when(F.col("vb").isNull(), "removed")
+        .when(F.col("va") != F.col("vb"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, "k", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
