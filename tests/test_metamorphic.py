@@ -1,0 +1,83 @@
+"""Metamorphic distributed-correctness tests.
+
+Partition-count invariance: a correct distributed query returns the SAME
+result under any shuffle fan-out. Running a representative query slice at
+shuffle.partitions=3 and =17 catches the whole class of bugs the oracle
+mirror can't see by construction if both runs share the fault — float
+aggregation order dependence, limit-without-order nondeterminism, and
+per-partition RNG/state leaking into results.
+
+Empty-input robustness: every representative query must execute (not
+crash) against a zero-row corpus with the production schemas — the
+behavior a scheduled pipeline needs on an empty ingest day.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lime_on_spark_spark.plans import registry
+from tests.compare import canon_frame
+
+#: Queries spanning the families, weighted toward shuffle-heavy shapes.
+REPRESENTATIVE = (
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "w1_order_rank_per_customer",
+    "w10_pareto_front",
+    "a2_count_distinct",
+    "a21_mergeable_histogram",
+    "d1_exact_dedup",
+    "d8_hash_split",
+    "d45_minhash_banded_exact",
+    "d48_weighted_reservoir",
+    "u5_snapshot_diff",
+    "f6_vector_math",
+)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_partition_count_invariance(spark, sf_dir, name):
+    fn = registry.queries()[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = canon_frame(fn(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = canon_frame(fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name}: result depends on shuffle partition count"
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    """Zero-row copies of every table with the production schemas."""
+    out = tmp_path_factory.mktemp("empty_corpus")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.limit(0).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+EMPTY_SAFE = (
+    "q1_pricing_summary",
+    "w1_order_rank_per_customer",
+    "a2_count_distinct",
+    "d1_exact_dedup",
+    "d8_hash_split",
+    "d45_minhash_banded_exact",
+    "u5_snapshot_diff",
+    "d46_mad_outliers",
+    "w10_pareto_front",
+)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_runs_on_empty_corpus(spark, empty_sf_dir, name):
+    """No crash and no phantom rows on a zero-row ingest day."""
+    out = registry.queries()[name](spark, empty_sf_dir).collect()
+    assert out == [] or all(r is not None for r in out)
