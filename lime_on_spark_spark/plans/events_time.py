@@ -572,3 +572,61 @@ def t17_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T20 — event-time LATENESS profile: how far events arrive behind the
+# maximum event-time already seen on their stream (arrival order =
+# event_id). This is the diagnostic that picks a watermark delay — the
+# bucket histogram directly reads as "a 1 h watermark drops X events".
+# Per-user running max (partitioned window, arrival-ordered), lateness in
+# seconds, bucketed counts. All integer-second arithmetic — exact on both
+# engines.
+# --------------------------------------------------------------------------
+@register(
+    "t20_lateness_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, event_id, epoch(ts) AS es,
+               MAX(epoch(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_max
+        FROM events
+    ), lat AS (
+        SELECT CAST(run_max - es AS BIGINT) AS lateness FROM arr
+    )
+    SELECT CASE
+             WHEN lateness = 0 THEN 'on_time'
+             WHEN lateness <= 3600 THEN 'late_1h'
+             WHEN lateness <= 86400 THEN 'late_1d'
+             ELSE 'late_more'
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT)    AS n_events,
+           CAST(MAX(lateness) AS BIGINT) AS max_lateness_s
+    FROM lat GROUP BY 1
+    """,
+)
+def t20_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    es = F.unix_timestamp("ts")
+    lat = ev.select(
+        (F.max(es).over(w) - es).cast("bigint").alias("lateness")
+    )
+    bucket = (
+        F.when(F.col("lateness") == 0, "on_time")
+        .when(F.col("lateness") <= 3600, "late_1h")
+        .when(F.col("lateness") <= 86400, "late_1d")
+        .otherwise("late_more")
+    )
+    return lat.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.max("lateness").cast("bigint").alias("max_lateness_s"),
+    )
