@@ -688,3 +688,39 @@ def f16_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rule"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# F17 — binary encoding family: base64/hex round-trips over text payloads
+# (the wire formats multimodal blobs and API payloads arrive in). The
+# round-trip columns prove encode∘decode = identity on BOTH engines, and
+# the encoded forms value-match cross-engine (same RFC 4648 / hex
+# alphabets). Pure scan-stage JVM expressions.
+# --------------------------------------------------------------------------
+@register(
+    "f17_encoding_funcs",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substr(text, 1, 24)))            AS b64,
+           hex(encode(substr(text, 1, 12)))               AS hx,
+           decode(from_base64(base64(encode(substr(text, 1, 24)))))
+               = substr(text, 1, 24)                      AS b64_roundtrip,
+           decode(unhex(hex(encode(substr(text, 1, 12)))))
+               = substr(text, 1, 12)                      AS hex_roundtrip
+    FROM documents
+    WHERE doc_id < 40
+    """,
+)
+def f17_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    head24 = F.substring("text", 1, 24)
+    head12 = F.substring("text", 1, 12)
+    b64 = F.base64(F.encode(head24, "utf-8"))
+    hx = F.hex(F.encode(head12, "utf-8"))
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        hx.alias("hx"),
+        (F.decode(F.unbase64(b64), "utf-8") == head24).alias("b64_roundtrip"),
+        (F.decode(F.unhex(hx), "utf-8") == head12).alias("hex_roundtrip"),
+    )

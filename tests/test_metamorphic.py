@@ -81,3 +81,31 @@ def test_runs_on_empty_corpus(spark, empty_sf_dir, name):
     """No crash and no phantom rows on a zero-row ingest day."""
     out = registry.queries()[name](spark, empty_sf_dir).collect()
     assert out == [] or all(r is not None for r in out)
+
+
+AQE_SLICE = (
+    "q5_region_revenue",
+    "q3_shipping_priority",
+    "d45_minhash_banded_exact",
+    "j8_salted_skew_join",
+    "a21_mergeable_histogram",
+    "u5_snapshot_diff",
+)
+
+
+@pytest.mark.parametrize("name", AQE_SLICE)
+def test_aqe_toggle_invariance(spark, sf_dir, name):
+    """Adaptive execution re-plans at runtime (broadcast conversion,
+    partition coalescing, skew splits) — it must NEVER change results.
+    Catches accidental dependence on physical partitioning or join
+    strategy in operator logic."""
+    fn = registry.queries()[name]
+    orig = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        a = canon_frame(fn(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        b = canon_frame(fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", orig)
+    assert a == b, f"{name}: result depends on AQE"
