@@ -126,3 +126,66 @@ def d40_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_dropped").alias("n_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D55 — cluster purity: the standard external cluster-quality metric
+# (max label fraction per cluster) over the d39 assignment, joined to the
+# embeddings' labels. On this corpus labels are random, so purity ~ the
+# modal-label base rate — the oracle checks the VALUE, not a quality bar,
+# replaying the same training loop CTEs. Ties on the modal label break to
+# the smallest label id on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "d55_cluster_purity",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    labeled AS (
+        SELECT a3.cid, e.label
+        FROM a3 JOIN embeddings e ON e.vec_id = a3.vec_id
+    ), lab_counts AS (
+        SELECT cid, label, COUNT(*) AS n
+        FROM labeled GROUP BY cid, label
+    ), modal AS (
+        SELECT cid, label AS modal_label, n AS modal_n FROM (
+            SELECT cid, label, n,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY n DESC, label) AS rk
+            FROM lab_counts) WHERE rk = 1
+    ), tot AS (
+        SELECT cid, COUNT(*) AS sz FROM labeled GROUP BY cid
+    )
+    SELECT m.cid,
+           CAST(t.sz AS BIGINT)        AS n_members,
+           CAST(m.modal_label AS INT)  AS modal_label,
+           ROUND(m.modal_n * 1.0 / t.sz, 4) AS purity
+    FROM modal m JOIN tot t USING (cid)
+    """,
+)
+def d55_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = lloyd_kmeans(emb, k=8, iters=3).select("vec_id", "cid")
+    labeled = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    lab_counts = labeled.groupBy("cid", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    modal = (
+        lab_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cid",
+            F.col("label").alias("modal_label"),
+            F.col("n").alias("modal_n"),
+        )
+    )
+    tot = labeled.groupBy("cid").agg(F.count("*").alias("sz"))
+    return (
+        modal.join(tot, "cid")
+        .select(
+            "cid",
+            F.col("sz").cast("bigint").alias("n_members"),
+            F.col("modal_label").cast("int").alias("modal_label"),
+            F.round(F.col("modal_n") / F.col("sz"), 4).alias("purity"),
+        )
+    )
