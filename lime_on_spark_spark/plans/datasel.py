@@ -1,0 +1,320 @@
+"""Training-data selection operators: DSIR importance resampling,
+cross-document repeated-n-gram detection, temperature-scaled source
+rebalancing.
+
+These are the corpus-composition stage of an LLM data pipeline — after
+dedup/decontamination (d1/d2/d15), before packing (d14/d22): decide WHICH
+surviving documents, and in WHAT mix, make up the training set.
+
+Determinism discipline (the d8/d24 rule): every random draw is an
+md5-derived pure function of the stable document key, so the selected
+SETS are exact and engine-portable — the DuckDB oracles reproduce the
+same documents, not just rate bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.plans.registry import register
+from lime_on_spark_spark.sources.catalog import load_table
+
+#: Hashed n-gram feature-space size for DSIR (2^10 buckets — the paper's
+#: hashed n-gram trick; collisions only blur the ratio, never break it).
+_DSIR_B = 1024
+#: Documents selected by DSIR's Gumbel top-k.
+_DSIR_K = 150
+
+
+def _md5_uniform(key_col):
+    """U(0,1) as a pure function of the key — the engine-portable RNG
+    (first 8 md5 hex digits / 2^32), identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+
+
+# --------------------------------------------------------------------------
+# D56 — DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Target distribution = English documents (the paper's
+# "formal text" stand-in), raw = full corpus. Features are hashed word
+# BIGRAMS (the paper's hashed n-gram model, n=2); per-document log
+# importance weight = sum over its bigrams of ln(p_target/p_raw) with
+# add-1 smoothing; selection = Gumbel top-k (log w + Gumbel noise ==
+# weighted sampling WITHOUT replacement, the paper's sampler) with the
+# Gumbel driven by the md5-uniform of the doc key so the sampled set is
+# exact and oracle-reproducible.
+#
+# Scale shape: tokenize/bigram/bucket are scan-stage JVM expressions; the
+# two count tables partial-aggregate map-side into at most B=1024 rows
+# each, broadcast back; per-doc weight is one keyed agg; top-k is a single
+# TakeOrderedAndProject-able rank. Nothing driver-side, nothing all-pairs
+# — at 100 TB this is two scans and one bounded broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "d56_dsir_selection",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), toks AS (
+        SELECT w1.doc_id, w1.lang,
+               CAST(('0x' || substr(md5(w1.word || ' ' || w2.word), 1, 8))
+                    AS BIGINT) % 1024 AS b
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+    ), raw_cnt AS (SELECT b, COUNT(*) AS c_raw FROM toks GROUP BY b),
+    tgt_cnt AS (SELECT b, COUNT(*) AS c_tgt FROM toks WHERE lang = 'en' GROUP BY b),
+    totals AS (
+        SELECT COUNT(*) AS t_raw,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_tgt
+        FROM toks
+    ), ratio AS (
+        SELECT r.b,
+               ln((COALESCE(g.c_tgt, 0) + 1) * 1.0 / (t.t_tgt + 1024)
+                  / ((r.c_raw + 1) * 1.0 / (t.t_raw + 1024))) AS llr
+        FROM raw_cnt r LEFT JOIN tgt_cnt g ON r.b = g.b, totals t
+    ), scored AS (
+        SELECT tk.doc_id, tk.lang, SUM(ra.llr) AS logw,
+               ROUND(SUM(ra.llr)
+                     - ln(-ln(CAST(('0x' || substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) / 4294967296.0)), 6) AS gkey
+        FROM toks tk JOIN ratio ra ON tk.b = ra.b
+        GROUP BY tk.doc_id, tk.lang
+    ), sel AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS rk
+            FROM scored
+        ) WHERE rk <= 150
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected,
+           ROUND(AVG(logw), 4) AS avg_logw
+    FROM sel GROUP BY lang
+    """,
+)
+def d56_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Bigram -> bucket, all scan-stage JVM expressions. The token array is
+    # projected first (the d15 lesson: lambdas over unmaterialized
+    # split(text) re-split per element).
+    toks = (
+        docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat(w[i], ' ', w[i + 1]))"
+                )
+            ).alias("bigram"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("long"),
+                F.lit(_DSIR_B),
+            ).alias("b"),
+        )
+    )
+    raw_cnt = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_cnt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("t_tgt"),
+    )
+    ratio = (
+        raw_cnt.join(tgt_cnt, "b", "left")
+        .na.fill({"c_tgt": 0})
+        .crossJoin(F.broadcast(totals))  # 1-row totals: broadcast scalar
+        .select(
+            "b",
+            F.log(
+                (F.col("c_tgt") + 1)
+                / (F.col("t_tgt") + _DSIR_B)
+                / ((F.col("c_raw") + 1) / (F.col("t_raw") + _DSIR_B))
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(ratio), "b")  # ratio table <= B rows
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("llr").alias("logw"))
+        .withColumn(
+            "gkey",
+            F.round(
+                F.col("logw") - F.log(-F.log(_md5_uniform(F.col("doc_id")))), 6
+            ),
+        )
+    )
+    # Global top-k: K=150 is a TakeOrderedAndProject, not a full sort. The
+    # 6-dp rounding before ranking pins the cross-engine order; ties break
+    # on doc_id.
+    w = Window.orderBy(F.desc("gkey"), F.asc("doc_id"))
+    sel = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _DSIR_K
+    )
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.round(F.avg("logw"), 4).alias("avg_logw"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D57 — cross-document repeated n-gram audit (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499 — the EXACTSUBSTR signal, approximated at n-gram
+# granularity): a 5-token n-gram appearing in >= 2 documents is verbatim
+# duplicated text; documents where >= 20% of n-grams are repeated are
+# memorization risks even when no whole-document dup fires.
+#
+# Scale shape: per-doc distinct n-grams in the scan stage; one keyed agg
+# for document frequency; one join back keyed on the n-gram. The join is
+# |ngrams| x posting-list, never doc x doc. At web scale the n-grams
+# would be xxhash64-coded first (the operators/jaccard.py discipline) —
+# here they stay as strings so the oracle is byte-exact.
+# --------------------------------------------------------------------------
+@register(
+    "d57_repeated_ngrams",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id, w1.source,
+               w1.word || ' ' || w2.word || ' ' || w3.word || ' '
+                       || w4.word || ' ' || w5.word AS ngram
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+        JOIN words w4 ON w1.doc_id = w4.doc_id AND w4.pos = w1.pos + 3
+        JOIN words w5 ON w1.doc_id = w5.doc_id AND w5.pos = w1.pos + 4
+    ), dfreq AS (
+        SELECT ngram, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY ngram
+    ), per_doc AS (
+        SELECT s.doc_id, s.source, COUNT(*) AS n_ngrams,
+               SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_repeated
+        FROM sh s JOIN dfreq d ON s.ngram = d.ngram
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_repeated * 1.0 / n_ngrams >= 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ROUND(AVG(n_repeated * 1.0 / n_ngrams), 6) AS avg_repeated_frac
+    FROM per_doc GROUP BY source
+    """,
+)
+def d57_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = 5
+    sh = (
+        docs.select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {n}),"
+                        f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                    )
+                )
+            ).alias("ngram"),
+        )
+    )
+    dfreq = sh.groupBy("ngram").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        sh.join(dfreq, "ngram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("df") >= 2).cast("int")).alias("n_repeated"),
+        )
+        .withColumn("frac", F.col("n_repeated") / F.col("n_ngrams"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("frac") >= 0.2).cast("int")).alias("n_flagged"),
+        F.round(F.avg("frac"), 6).alias("avg_repeated_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D58 — temperature-scaled source rebalancing (the multinomial alpha
+# smoothing of XLM / mBERT / mT5: sample language l with q_l prop. to
+# p_l^alpha, alpha = 0.7): high-resource languages are down-sampled,
+# low-resource ones kept near-whole, at a fixed total token budget. The
+# per-language keep-rate is min(1, q_l * budget / n_l); the draw is the
+# md5-uniform of the doc key, so the kept SET is exact (d24 discipline),
+# cluster-size-invariant, and reproducible by the oracle.
+#
+# Scale shape: the rate table is |langs| rows built from one keyed count
+# agg, broadcast back onto the scan; the filter is embarrassingly
+# parallel. The only global values (N, normalizer Z) come from a 1-row
+# aggregate — the broadcast-scalar pattern.
+# --------------------------------------------------------------------------
+@register(
+    "d58_temperature_mix",
+    oracle="""
+    WITH stats AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               SUM(power(n_docs, 0.7)) AS z
+        FROM stats
+    ), rates AS (
+        SELECT lang, n_docs,
+               least(1.0, power(n_docs, 0.7) / z * 0.5 * n_total / n_docs) AS rate
+        FROM stats, tot
+    )
+    SELECT d.lang, CAST(MAX(r.n_docs) AS BIGINT) AS n_before,
+           ROUND(MAX(r.rate), 6) AS rate,
+           CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) / 4294967296.0 < r.rate
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY d.lang
+    """,
+)
+def d58_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alpha, budget_frac = 0.7, 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = stats.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("z"),
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(tot))  # 1-row totals: broadcast scalar
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.pow("n_docs", F.lit(alpha))
+                / F.col("z")
+                * F.lit(budget_frac)
+                * F.col("n_total")
+                / F.col("n_docs"),
+            ),
+        )
+        .select("lang", "n_docs", "rate")
+    )
+    kept = (
+        docs.select("lang", "doc_id")
+        .withColumn("u", _md5_uniform(F.col("doc_id")))
+        .join(F.broadcast(rates), "lang")
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n_docs").alias("n_before"),
+        F.round(F.max("rate"), 6).alias("rate"),
+        F.sum((F.col("u") < F.col("rate")).cast("int")).alias("n_after"),
+    )

@@ -376,3 +376,118 @@ def p10_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("customer", "orders", "nation"))
     return spark.sql(_P10_SQL)
+
+
+# --------------------------------------------------------------------------
+# P11 — LATERAL correlated derived table (Spark 4 SQL surface): top-2
+# customers per nation expressed as a per-row correlated subquery. Catalyst
+# lowers LATERAL + LIMIT to a ranked join (DomainJoin rewrite) — the same
+# physical shape as w4_topk_per_group, so the declarative form costs
+# nothing at scale. The oracle is the SAME ANSI text on DuckDB (verbatim
+# parity, the p10 discipline).
+# --------------------------------------------------------------------------
+_P11_SQL = """
+    SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+        SELECT c.c_name, c.c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c.c_name
+        LIMIT 2
+    ) t
+"""
+
+
+@register("p11_lateral_topk", oracle=_P11_SQL)
+def p11_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_P11_SQL)
+
+
+# --------------------------------------------------------------------------
+# P12 — WITH RECURSIVE (Spark 4 SQL surface): closure over a binary-tree
+# edge set. Docs in each (source, lang) group are ranked and linked
+# heap-style (parent rank floor((r-1)/2) -> child rank r), so recursion
+# depth is log2(group size) — the depth discipline that keeps recursive
+# closure viable at 100 TB (a chain-edge formulation would recurse
+# group-size-deep and hit the engine recursion limit; this shape never
+# does). Each iteration is one equi-join on the frontier, i.e. exactly the
+# iterative min-label step operators/connected_components.py hand-rolls —
+# this row pins that Spark's native recursive CTE reproduces it. Oracle =
+# SAME text on DuckDB (verbatim parity).
+# --------------------------------------------------------------------------
+_P12_SQL = """
+    WITH RECURSIVE ranked AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY doc_id) - 1 AS rk
+        FROM documents
+    ), edges AS (
+        SELECT p.doc_id AS src, c.doc_id AS dst
+        FROM ranked p
+        JOIN ranked c
+          ON p.source = c.source AND p.lang = c.lang
+         AND p.rk = CAST(FLOOR((c.rk - 1) / 2) AS BIGINT)
+        WHERE c.rk >= 1
+    ), reach(root, doc_id) AS (
+        SELECT doc_id, doc_id FROM ranked WHERE rk = 0
+        UNION ALL
+        SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (SELECT root, COUNT(*) AS cluster_size FROM reach GROUP BY root)
+    GROUP BY cluster_size
+"""
+
+
+@register("p12_recursive_cte", oracle=_P12_SQL)
+def p12_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_P12_SQL)
+
+
+# --------------------------------------------------------------------------
+# O5 — observed metrics (df.observe): data-quality counters collected as a
+# side effect of the SAME scan that does the work — zero extra jobs, the
+# production pattern for row-count / revenue reconciliation on a 100 TB
+# pipeline (a separate audit query would re-read the input). DISTINCT aggs
+# are rejected by CollectMetrics, so the metric set sticks to the
+# partial-aggregatable ones. The one-row driver materialization is the
+# metrics struct itself — bounded by construction.
+# --------------------------------------------------------------------------
+@register(
+    "o5_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           MAX(l_suppkey) AS max_suppkey
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    """,
+)
+def o5_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    obs = Observation("o5")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.max("l_suppkey").alias("max_suppkey"),
+    )
+    observed.count()  # one action drives the scan; metrics ride along
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["revenue"], m["avg_qty"], m["max_suppkey"])],
+        "n_rows bigint, revenue double, avg_qty double, max_suppkey bigint",
+    )

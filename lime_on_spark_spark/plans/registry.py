@@ -44,6 +44,7 @@ _PLAN_MODULES = (
     "lime_on_spark_spark.plans.lime_plans",
     "lime_on_spark_spark.plans.streaming_plans",
     "lime_on_spark_spark.plans.extras",
+    "lime_on_spark_spark.plans.datasel",
     "lime_on_spark_spark.plans.sources_sinks",
 )
 

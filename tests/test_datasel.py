@@ -1,0 +1,118 @@
+"""Unit/property tests for the data-selection operators (plans/datasel.py)
+and the round-7 SQL-surface rows (LATERAL, recursive CTE, observe)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from lime_on_spark_spark.plans import registry
+from lime_on_spark_spark.sources.catalog import load_table
+
+
+def _rows(spark, sf_dir, name):
+    return {r[0]: r for r in registry.queries()[name](spark, sf_dir).collect()}
+
+
+# ---------------------------------------------------------------- d58
+
+
+def test_temperature_mix_rates(spark, sf_dir):
+    by_lang = _rows(spark, sf_dir, "d58_temperature_mix")
+    assert len(by_lang) == 5
+    for lang, r in by_lang.items():
+        assert 0.0 < r["rate"] <= 1.0
+        assert r["n_after"] <= r["n_before"]
+    # Temperature smoothing: the highest-resource language gets the LOWEST
+    # keep rate, the lowest-resource one the highest.
+    ordered = sorted(by_lang.values(), key=lambda r: r["n_before"])
+    assert ordered[0]["rate"] >= ordered[-1]["rate"]
+    # alpha < 1 compresses the mix: post-sample lang shares are closer to
+    # uniform than pre-sample shares (en share shrinks).
+    tot_b = sum(r["n_before"] for r in by_lang.values())
+    tot_a = sum(r["n_after"] for r in by_lang.values())
+    en = by_lang["en"]
+    assert en["n_after"] / tot_a < en["n_before"] / tot_b
+
+
+def test_temperature_mix_deterministic(spark, sf_dir):
+    q = registry.queries()["d58_temperature_mix"]
+    a = sorted(map(tuple, q(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------- d56
+
+
+def test_dsir_selects_target_like_docs(spark, sf_dir):
+    by_lang = _rows(spark, sf_dir, "d56_dsir_selection")
+    n_sel = {lang: r["n_selected"] for lang, r in by_lang.items()}
+    assert sum(n_sel.values()) == 150
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # The target language must be selected at a higher rate than every
+    # other language (the whole point of importance resampling).
+    rates = {lang: n_sel.get(lang, 0) / base[lang] for lang in base}
+    assert rates["en"] == max(rates.values())
+    # And en's selected share must exceed its corpus share.
+    assert n_sel.get("en", 0) / 150 > base["en"] / sum(base.values())
+
+
+# ---------------------------------------------------------------- d57
+
+
+def test_repeated_ngrams_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    rows = _rows(spark, sf_dir, "d57_repeated_ngrams")
+    assert len(rows) == n_sources
+    for r in rows.values():
+        assert 0.0 <= r["avg_repeated_frac"] <= 1.0
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+
+
+# ---------------------------------------------------------------- p11/p12
+
+
+def test_lateral_topk_shape(spark, sf_dir):
+    out = registry.queries()["p11_lateral_topk"](spark, sf_dir).collect()
+    per_nation: dict[str, list] = {}
+    for r in out:
+        per_nation.setdefault(r["n_name"], []).append(r["acctbal"])
+    # <= 2 rows per nation, each list sorted descending.
+    for vals in per_nation.values():
+        assert len(vals) <= 2
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_recursive_cte_conserves_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_groups = docs.select("source", "lang").distinct().count()
+    out = registry.queries()["p12_recursive_cte"](spark, sf_dir).collect()
+    # Closure partitions every doc into exactly one cluster per
+    # (source, lang) group: sizes sum to |docs|, roots count to |groups|.
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in out) == n_docs
+    assert sum(r["n_clusters"] for r in out) == n_groups
+
+
+# ---------------------------------------------------------------- o5
+
+
+def test_observed_metrics_match_direct_agg(spark, sf_dir):
+    out = registry.queries()["o5_observed_metrics"](spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.max("l_suppkey").alias("max_suppkey"),
+    ).collect()[0]
+    assert tuple(out) == tuple(direct)

@@ -54,6 +54,9 @@ PORTABLE = [
     # round-6 additions
     "j10_scd2_join", "a17_sketch_rollup", "t17_dynamic_session_window",
     "a19_decimal_money", "a18_join_cardinality", "f15_array_set_ops",
+    # round-7 additions (LATERAL + recursive CTE are verbatim-parity rows —
+    # the plan IS spark.sql(oracle text); o5's oracle is plain ANSI)
+    "p11_lateral_topk", "p12_recursive_cte", "o5_observed_metrics",
 ]
 
 
