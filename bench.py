@@ -60,6 +60,10 @@ EXTENDED = (
     "d39_kmeans_lloyd",
     "d45_minhash_banded_exact",
     "d47_cdc_chunk_dedup",
+    # round-7 additions: DSIR (two corpus scans + bounded broadcast) and
+    # the repeated-n-gram audit (n-gram keyed self-join family).
+    "d56_dsir_selection",
+    "d57_repeated_ngrams",
 )
 
 

@@ -318,3 +318,109 @@ def d58_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rate"), 6).alias("rate"),
         F.sum((F.col("u") < F.col("rate")).cast("int")).alias("n_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# D59 — windowed co-occurrence PMI (pointwise mutual information): the
+# word-association statistic under word2vec/GloVe-style corpus analysis
+# (Church & Hanks 1990). Pairs = words co-occurring within a +-2 token
+# window, unordered (least/greatest normalization); PMI =
+# ln(p(pair) / (p(w1) p(w2))). Top pairs by PMI reveal collocations.
+#
+# Scale shape: pair generation is scan-stage (two transforms over the
+# projected token array — no self-join on the Spark side; the oracle uses
+# the positional self-join formulation to stay independent); pair and
+# unigram counts are map-side-combinable keyed aggs over a vocab-bounded
+# key space; the final top-10 is a TakeOrderedAndProject. The unigram
+# count table joins back via broadcast (|vocab| rows).
+# --------------------------------------------------------------------------
+@register(
+    "d59_pmi_cooccurrence",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), pairs AS (
+        SELECT least(w1.word, w2.word) AS wa, greatest(w1.word, w2.word) AS wb
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id
+         AND w2.pos - w1.pos IN (1, 2)
+    ), pair_cnt AS (
+        SELECT wa, wb, COUNT(*) AS c_pair FROM pairs GROUP BY wa, wb
+    ), uni_cnt AS (
+        SELECT word, COUNT(*) AS c_w FROM words GROUP BY word
+    ), tots AS (
+        SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+               (SELECT COUNT(*) FROM words) AS n_toks
+    ), pmi AS (
+        SELECT p.wa, p.wb, p.c_pair,
+               ROUND(ln((p.c_pair * 1.0 / t.n_pairs)
+                        / ((ua.c_w * 1.0 / t.n_toks) * (ub.c_w * 1.0 / t.n_toks))), 6) AS pmi
+        FROM pair_cnt p
+        JOIN uni_cnt ua ON p.wa = ua.word
+        JOIN uni_cnt ub ON p.wb = ub.word, tots t
+        WHERE p.c_pair >= 20
+    )
+    SELECT wa, wb, CAST(c_pair AS BIGINT) AS c_pair, pmi
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, wa, wb) AS rk FROM pmi)
+    WHERE rk <= 10
+    """,
+)
+def d59_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # Scan-stage pair generation: for each position i, (w[i], w[i+1]) and
+    # (w[i], w[i+2]) — the +-2 window without a positional self-join.
+    pair_arrays = toks.select(
+        F.concat(
+            F.expr(
+                "transform(sequence(0, greatest(size(w) - 2, 0)),"
+                " i -> struct(least(w[i], w[i + 1]) AS wa,"
+                "             greatest(w[i], w[i + 1]) AS wb))"
+            ),
+            F.expr(
+                "transform(sequence(0, greatest(size(w) - 3, 0)),"
+                " i -> struct(least(w[i], w[i + 2]) AS wa,"
+                "             greatest(w[i], w[i + 2]) AS wb))"
+            ),
+        ).alias("prs")
+    ).filter(F.size("prs") > 0)
+    pairs = pair_arrays.select(F.explode("prs").alias("p")).select("p.wa", "p.wb")
+    pair_cnt = pairs.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c_pair"))
+    words = toks.select(F.explode("w").alias("word"))
+    uni_cnt = words.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    tots = pairs.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+        words.agg(F.count(F.lit(1)).alias("n_toks"))
+    )
+    pmi = (
+        pair_cnt.filter(F.col("c_pair") >= 20)
+        .join(
+            F.broadcast(uni_cnt.select(F.col("word").alias("wa"),
+                                       F.col("c_w").alias("c_wa"))),
+            "wa",
+        )
+        .join(
+            F.broadcast(uni_cnt.select(F.col("word").alias("wb"),
+                                       F.col("c_w").alias("c_wb"))),
+            "wb",
+        )
+        .crossJoin(F.broadcast(tots))  # 1-row totals: broadcast scalar
+        .select(
+            "wa", "wb", "c_pair",
+            F.round(
+                F.log(
+                    (F.col("c_pair") / F.col("n_pairs"))
+                    / ((F.col("c_wa") / F.col("n_toks"))
+                       * (F.col("c_wb") / F.col("n_toks")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
+    return (
+        pmi.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("wa", "wb", "c_pair", "pmi")
+    )

@@ -158,6 +158,56 @@ def l2_perturb_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L2c — Gaussian sampler, `sample_around_instance=True` (upstream
+# LimeTabularExplainer's flag: the neighborhood is centered on the
+# instance itself instead of the training means — tighter local fidelity
+# when the instance sits far from the corpus centroid). Same seeded
+# mapInPandas draw as L2b; the moment verdict now checks each dimension's
+# sample mean against THAT INSTANCE'S OWN x_d, which the oracle cannot
+# know — so the verdict booleans carry the proof and the exact
+# per-instance row count pins the sampler shape.
+# --------------------------------------------------------------------------
+@register(
+    "l2c_around_instance",
+    oracle="""
+    SELECT vec_id AS instance_id, 2000 AS n_samples,
+           TRUE AS mean_ok, TRUE AS std_ok
+    FROM embeddings WHERE vec_id < 2
+    """,
+)
+def l2c_around_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.perturb import perturb_tabular_gaussian
+
+    D, N, SIGMA = 64, 2000, 0.5
+    emb = load_table(spark, sf_dir, "embeddings")
+    instances = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("instance_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    samples = perturb_tabular_gaussian(
+        instances, mu=[0.0] * D, sigma=[SIGMA] * D, num_samples=N, seed=7,
+        sample_around_instance=True,
+    ).filter(F.col("sample_id") > 0)
+    centers = instances.select(
+        "instance_id", F.posexplode("x").alias("dim", "x_d")
+    )
+    per_dim = (
+        samples.select("instance_id", F.posexplode("raw").alias("dim", "v"))
+        .groupBy("instance_id", "dim")
+        .agg(F.avg("v").alias("m"), F.stddev_samp("v").alias("s"))
+        .join(centers, ["instance_id", "dim"])
+    )
+    se_m = 4 * SIGMA / F.sqrt(F.lit(float(N - 1)))
+    se_s = 4 * SIGMA / F.sqrt(F.lit(2.0 * (N - 1)))
+    return per_dim.groupBy("instance_id").agg(
+        (F.max(F.abs(F.col("m") - F.col("x_d"))) < se_m).alias("mean_ok"),
+        (F.max(F.abs(F.col("s") - SIGMA)) < se_s).alias("std_ok"),
+    ).select(
+        "instance_id", F.lit(N).alias("n_samples"), "mean_ok", "std_ok"
+    )
+
+
+# --------------------------------------------------------------------------
 # L3 — text perturbation sampler: same verdict pattern as L2, with the
 # binomial bound scaled by each document's own word count (known to the
 # oracle from the text itself).

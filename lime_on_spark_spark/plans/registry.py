@@ -74,8 +74,9 @@ _CURATED_PREFIX = (
     # q — TPC-H-ish classics (kept first for round-over-round continuity)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue",
-    # p — predicates / projection
-    "p1_projection", "p3_like_regexp", "p4_case_when", "p5_nullsafe_eq",
+    # p — predicates / projection (p12 = Spark 4 recursive CTE, round-7
+    # SQL-surface flagship)
+    "p1_projection", "p3_like_regexp", "p4_case_when", "p12_recursive_cte",
     # j — joins
     "j2_left_outer", "j3_semi", "j6_range_join", "j7_asof_join",
     # a — aggregates
@@ -88,9 +89,10 @@ _CURATED_PREFIX = (
     "o1_global_sort", "o3_bucketed_join",
     # u — set operations
     "u1_union_all", "u2_intersect", "u3_except",
-    # f — scalar / array / JSON functions
+    # f — scalar / array / JSON functions (f6 vector math yields its slot
+    # to d56; the vector family stays covered by d3 below)
     "f1_string_funcs", "f2_datetime_funcs", "f3_math_funcs",
-    "f4_array_hofs", "f5_json_funcs", "f6_vector_math",
+    "f4_array_hofs", "f5_json_funcs",
     # t — event-time & streaming (batch twins + streaming replays)
     "t1_tumbling_hour", "t2_sliding_window", "t3_session_window",
     "t4_watermark_append", "t5_streaming_dedup",
@@ -98,9 +100,10 @@ _CURATED_PREFIX = (
     "l1_discretizer", "l2_perturb_tabular", "l12_image_verdict",
     "l5_kernel_weights", "l6_ridge_verdict",
     # d — data-pipeline (dedup / text / vectors; d39 k-means and d45
-    # exact banded MinHash are the round-6 flagships)
+    # exact banded MinHash are the round-6 flagships, d56 DSIR the
+    # round-7 one — p5 yields its slot so the sample stays at 50)
     "d1_exact_dedup", "d2_simhash_consistency", "d3_knn_cosine_topk",
-    "d39_kmeans_lloyd", "d45_minhash_banded_exact",
+    "d39_kmeans_lloyd", "d45_minhash_banded_exact", "d56_dsir_selection",
     # m — multimodal
     "m1_multimodal_features", "m2_multimodal_embed_join",
     # s — sources / sinks / catalog

@@ -410,3 +410,79 @@ def s7_corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O6 — dynamic partition pruning: the flagship 100-TB scan optimization.
+# The fact table is laid out partitioned by ship month; the date dimension
+# (derived from orders, as a warehouse date-dim would be) is filtered to
+# one quarter. The fact side's month list is NOT statically knowable, so
+# Catalyst inserts a dynamicpruningexpression subquery that reuses the
+# broadcast dim to prune fact partitions AT RUNTIME — the scan reads 3
+# month-directories out of ~84 instead of the whole table. The in-query
+# verdict pins `dynamicpruningexpression` in the executed plan (the part
+# SQL can't see); the oracle recomputes the join-aggregate directly.
+# --------------------------------------------------------------------------
+@register(
+    "o6_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1995
+          AND EXTRACT(quarter FROM o_orderdate) = 2
+    )
+    SELECT l.ship_month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           TRUE AS dpp_active
+    FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_extendedprice
+          FROM lineitem) l
+    JOIN dim d ON l.ship_month = d.ship_month
+    GROUP BY l.ship_month
+    """,
+)
+def o6_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    path = _scratch(spark, "o6_dpp")
+    li.select("l_extendedprice", "ship_month").write.partitionBy(
+        "ship_month"
+    ).mode("overwrite").parquet(path)
+    # At this toy scale the stats-based benefit heuristic (estimated
+    # pruned bytes vs subquery overhead) correctly rejects DPP, so the
+    # demo disables useStats for this one query; on a real 100 TB fact
+    # table the stats themselves show the benefit and DPP fires with
+    # defaults. Restored in `finally` — per-query, not session-wide.
+    use_stats_key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    prev = spark.conf.get(use_stats_key, "true")
+    spark.conf.set(use_stats_key, "false")
+    try:
+        fact = spark.read.parquet(path)
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderdate") >= "1995-04-01")
+                & (F.col("o_orderdate") <= "1995-06-30")
+            )
+            .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+            .distinct()
+        )
+        res = (
+            fact.join(F.broadcast(dim), "ship_month")
+            .groupBy("ship_month")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            )
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        dpp = "dynamicpruningexpression" in plan.lower()
+        rows = [(*r, dpp) for r in res.collect()]
+        schema = "ship_month string, n_rows bigint, total_price double, dpp_active boolean"
+        return spark.createDataFrame(rows, schema)
+    finally:
+        spark.conf.set(use_stats_key, prev)
+        shutil.rmtree(path, ignore_errors=True)

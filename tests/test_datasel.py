@@ -116,3 +116,29 @@ def test_observed_metrics_match_direct_agg(spark, sf_dir):
         F.max("l_suppkey").alias("max_suppkey"),
     ).collect()[0]
     assert tuple(out) == tuple(direct)
+
+
+# ---------------------------------------------------------------- o6/d59/l2c
+
+
+def test_dpp_fires_and_prunes(spark, sf_dir):
+    out = registry.queries()["o6_dynamic_partition_pruning"](spark, sf_dir).collect()
+    assert all(r["dpp_active"] for r in out)
+    # Only Q2-1995 ship months survive the runtime prune.
+    assert sorted(r["ship_month"] for r in out) == ["1995-04", "1995-05", "1995-06"]
+
+
+def test_pmi_top_pairs(spark, sf_dir):
+    out = registry.queries()["d59_pmi_cooccurrence"](spark, sf_dir).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["wa"] <= r["wb"]
+        assert r["c_pair"] >= 20
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_around_instance_moments(spark, sf_dir):
+    out = registry.queries()["l2c_around_instance"](spark, sf_dir).collect()
+    assert len(out) == 2
+    assert all(r["mean_ok"] and r["std_ok"] for r in out)
