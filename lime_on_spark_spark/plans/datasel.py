@@ -424,3 +424,131 @@ def d59_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("wa", "wb", "c_pair", "pmi")
     )
+
+
+# --------------------------------------------------------------------------
+# D60 — distributed BPE merge learning (Sennrich et al. 2016,
+# arXiv:1508.07909): the tokenizer-training primitive of every LLM data
+# pipeline. Classic BPE trains on the word-frequency table, not the raw
+# corpus: count adjacent symbol pairs weighted by word count, merge the
+# argmax pair everywhere, repeat. Three rounds of merge rules are learned
+# here.
+#
+# Merge-application semantics (pinned so the oracle replays bit-exactly):
+# the symbol sequence lives as a '|'-delimited string and a merge (a,b) is
+# TWO passes of non-overlapping literal replace of '|a|b|' with '|ab|'.
+# One pass misses alternating occurrences inside runs (the shared '|' of
+# adjacent matches); the second pass catches them — exact for runs up to
+# length 4, and identical in both engines by construction.
+#
+# Scale shape: the corpus scan collapses to the word-frequency table in
+# one map-side-combinable agg (at web scale: millions of types, not
+# billions of tokens — the reason real BPE trainers work this way). Each
+# round is one scan-stage pair explosion + one keyed agg; the ONLY driver
+# materialization is the per-round 1-row argmax (the d39 broadcast-
+# centroid discipline). Rounds are sequential by nature of the algorithm.
+# --------------------------------------------------------------------------
+_BPE_PAIR_SQL = """
+    SELECT syms[i] AS a, syms[i+1] AS b, SUM(c) AS wc
+    FROM (SELECT c, syms, unnest(range(1, len(syms))) AS i
+          FROM (SELECT c, list_filter(string_split(s, '|'), x -> x <> '') AS syms
+                FROM {W}))
+    GROUP BY 1, 2
+"""
+_BPE_MERGE_SQL = """
+    SELECT c, replace(replace(s, '|' || t.a || '|' || t.b || '|',
+                              '|' || t.a || t.b || '|'),
+                      '|' || t.a || '|' || t.b || '|',
+                      '|' || t.a || t.b || '|') AS s
+    FROM {W}, {T} t
+"""
+_D60_ORACLE = (
+    """
+    WITH wf AS (
+        SELECT word, COUNT(*) AS c,
+               '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) > 0
+        GROUP BY word
+    ),
+    p1 AS ("""
+    + _BPE_PAIR_SQL.format(W="wf")
+    + """),
+    t1 AS (SELECT a, b, wc FROM p1 ORDER BY wc DESC, a, b LIMIT 1),
+    w1 AS ("""
+    + _BPE_MERGE_SQL.format(W="wf", T="t1")
+    + """),
+    p2 AS ("""
+    + _BPE_PAIR_SQL.format(W="w1")
+    + """),
+    t2 AS (SELECT a, b, wc FROM p2 ORDER BY wc DESC, a, b LIMIT 1),
+    w2 AS ("""
+    + _BPE_MERGE_SQL.format(W="w1", T="t2")
+    + """),
+    p3 AS ("""
+    + _BPE_PAIR_SQL.format(W="w2")
+    + """),
+    t3 AS (SELECT a, b, wc FROM p3 ORDER BY wc DESC, a, b LIMIT 1)
+    SELECT 1 AS round, a AS left_sym, b AS right_sym, a || b AS merged,
+           CAST(wc AS BIGINT) AS weighted_count
+    FROM t1
+    UNION ALL
+    SELECT 2, a, b, a || b, CAST(wc AS BIGINT) FROM t2
+    UNION ALL
+    SELECT 3, a, b, a || b, CAST(wc AS BIGINT) FROM t3
+    """
+)
+
+
+@register("d60_bpe_merges", oracle=_D60_ORACLE)
+def d60_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rounds = 3
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "c",
+            F.concat(
+                F.lit("|"), F.regexp_replace("word", "(.)", "$1|")
+            ).alias("s"),
+        )
+    )
+    # The frequency table is re-read every round: cache it once (at scale,
+    # this is the standard persist-the-types-table step).
+    cur = wf.cache()
+    rules = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            cur.select(
+                "c",
+                F.expr("filter(split(s, '\\\\|'), x -> x != '')").alias("syms"),
+            )
+            .filter(F.size("syms") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("wc"))
+        )
+        # Per-round argmax: ONE row to the driver (bounded by construction).
+        top = pairs.orderBy(F.desc("wc"), F.asc("a"), F.asc("b")).limit(1).collect()[0]
+        a, b, wc = top["a"], top["b"], int(top["wc"])
+        rules.append((r, a, b, a + b, wc))
+        pat, rep = F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+        cur = cur.select(
+            "c", F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s")
+        )
+    return spark.createDataFrame(
+        rules,
+        "round int, left_sym string, right_sym string, merged string,"
+        " weighted_count bigint",
+    )

@@ -142,3 +142,19 @@ def test_around_instance_moments(spark, sf_dir):
     out = registry.queries()["l2c_around_instance"](spark, sf_dir).collect()
     assert len(out) == 2
     assert all(r["mean_ok"] and r["std_ok"] for r in out)
+
+
+# ---------------------------------------------------------------- d60
+
+
+def test_bpe_merges_shape_and_determinism(spark, sf_dir):
+    q = registry.queries()["d60_bpe_merges"]
+    out = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert len(out) == 3
+    for rnd, a, b, merged, wc in out:
+        assert merged == a + b
+        assert wc > 0
+        assert len(a) >= 1 and len(b) >= 1
+    # Learned merges must be distinct symbols pairs.
+    assert len({(a, b) for _, a, b, _, _ in out}) == 3
+    assert out == sorted(map(tuple, q(spark, sf_dir).collect()))
