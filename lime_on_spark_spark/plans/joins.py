@@ -738,3 +738,113 @@ def j10_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# J7d — NEAREST-direction as-of join, completing the as-of family
+# (backward j7_asof_join / forward j7_asof_forward / pandas fallback):
+# each purchase matches the click closest in time in EITHER direction,
+# ties broken backward (a click at the identical timestamp sorts before
+# the purchase and wins with distance 0). One union + the backward and
+# forward windows from the sibling plans in a single pass — still one
+# shuffle on user_id, no join at all, so the plan scales exactly like j7.
+# Distances compare in microseconds (unix_micros / epoch_us).
+# --------------------------------------------------------------------------
+@register(
+    "j7_asof_nearest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, value, 1 AS side
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, event_id, value, 0 AS side
+        FROM events WHERE event_type = 'click'
+    ), w AS (
+        SELECT user_id, ts, event_id, side,
+               max(CASE WHEN side = 0 THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_ts,
+               last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_val,
+               first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fwd_ts,
+               first_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fwd_val
+        FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, ts,
+           CASE WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(back_ts)
+                        <= epoch_us(fwd_ts) - epoch_us(ts))
+                THEN back_ts ELSE fwd_ts END AS nearest_click_ts,
+           ROUND(CASE WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(back_ts)
+                        <= epoch_us(fwd_ts) - epoch_us(ts))
+                THEN back_val ELSE fwd_val END, 2) AS nearest_click_value,
+           CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+                WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(back_ts)
+                        <= epoch_us(fwd_ts) - epoch_us(ts))
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM w WHERE side = 1
+    """,
+)
+def j7_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(1).alias("side")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value", F.lit(0).alias("side")
+    )
+    back_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("side") == 0, F.col("ts"))
+    click_val = F.when(F.col("side") == 0, F.col("value"))
+    both = (
+        purchases.unionByName(clicks)
+        .withColumn("back_ts", F.max(click_ts).over(back_w))
+        .withColumn("back_val", F.last(click_val, ignorenulls=True).over(back_w))
+        .withColumn("fwd_ts", F.first(click_ts, ignorenulls=True).over(fwd_w))
+        .withColumn("fwd_val", F.first(click_val, ignorenulls=True).over(fwd_w))
+        .filter(F.col("side") == 1)
+    )
+    take_back = F.col("back_ts").isNotNull() & (
+        F.col("fwd_ts").isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros("back_ts")
+            <= F.unix_micros("fwd_ts") - F.unix_micros("ts")
+        )
+    )
+    return both.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.when(take_back, F.col("back_ts")).otherwise(F.col("fwd_ts")).alias(
+            "nearest_click_ts"
+        ),
+        F.round(
+            F.when(take_back, F.col("back_val")).otherwise(F.col("fwd_val")), 2
+        ).alias("nearest_click_value"),
+        F.when(
+            F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit(None)
+        )
+        .when(take_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

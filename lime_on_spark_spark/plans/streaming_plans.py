@@ -900,3 +900,88 @@ def t19_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# T21 — streaming observed metrics: the o5 pattern on an unbounded query.
+# Every production stream carries inline data-quality counters
+# (rows/violations/sums per micro-batch via .observe); monitoring reads
+# them from StreamingQueryProgress.observedMetrics instead of running a
+# second pass over the stream. The source is pre-split into 4 files and
+# read with maxFilesPerTrigger=1, so 4 REAL micro-batches each report
+# their own metrics; the query sums them — counters and sums are
+# merge-associative across epochs, which is precisely why they're the
+# metrics a stream can carry. Oracle = the same aggregates over the whole
+# events table in batch SQL (full availableNow replay ⇒ totals match).
+# --------------------------------------------------------------------------
+@register(
+    "t21_streaming_observe",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_errors
+    FROM events
+    """,
+)
+def t21_streaming_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    base = os.environ.get(
+        "LIME_ON_SPARK_SCRATCH",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".scratch"),
+    )
+    unique = f"{spark.sparkContext.applicationId}-{uuid.uuid4().hex[:12]}"
+    src = os.path.join(os.path.abspath(base), f"t21_src-{unique}")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .observe(
+                "qa",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((F.col("value") < 0).cast("long")).alias("n_negative"),
+                F.sum("value").alias("sum_value"),
+                F.sum((F.col("event_type") == "error").cast("long")).alias(
+                    "n_errors"
+                ),
+            )
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = [
+            p["observedMetrics"]["qa"]
+            for p in q.recentProgress
+            if p.get("observedMetrics", {}).get("qa") is not None
+        ]
+        q.stop()
+        assert len(batches) >= 2, "expected multiple micro-batches"
+        row = (
+            sum(int(m["n_rows"]) for m in batches),
+            sum(int(m["n_negative"]) for m in batches),
+            round(sum(float(m["sum_value"]) for m in batches), 2),
+            sum(int(m["n_errors"]) for m in batches),
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_rows bigint, n_negative bigint, sum_value double, n_errors bigint",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -158,3 +158,38 @@ def test_bpe_merges_shape_and_determinism(spark, sf_dir):
     # Learned merges must be distinct symbols pairs.
     assert len({(a, b) for _, a, b, _, _ in out}) == 3
     assert out == sorted(map(tuple, q(spark, sf_dir).collect()))
+
+
+# ---------------------------------------------------------------- j7d/t21
+
+
+def test_asof_nearest_dominates_both_directions(spark, sf_dir):
+    nearest = {
+        r["purchase_id"]: r
+        for r in registry.queries()["j7_asof_nearest"](spark, sf_dir).collect()
+    }
+    back = {
+        r["purchase_id"]: r
+        for r in registry.queries()["j7_asof_join"](spark, sf_dir).collect()
+    }
+    assert set(nearest) == set(back)
+    for pid, r in nearest.items():
+        if r["nearest_click_ts"] is None:
+            assert r["direction"] is None
+            continue
+        d_near = abs((r["ts"] - r["nearest_click_ts"]).total_seconds())
+        b = back[pid]["last_click_ts"]
+        if b is not None:
+            d_back = (r["ts"] - b).total_seconds()
+            assert d_near <= d_back  # never farther than the backward match
+        if r["direction"] == "backward":
+            assert r["nearest_click_ts"] == b
+
+
+def test_streaming_observe_totals(spark, sf_dir):
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    out = registry.queries()["t21_streaming_observe"](spark, sf_dir).collect()[0]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out["n_rows"] == n_events
+    assert out["n_negative"] >= 0 and out["n_errors"] >= 0
