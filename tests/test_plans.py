@@ -270,3 +270,61 @@ def test_p10_subqueries_decorrelate_to_semi_anti_joins(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_d56_dsir_ratio_join_broadcasts(spark, sf_dir):
+    """The B=1024-row bucket-ratio table must broadcast back onto the token
+    stream — a shuffle join keyed on the bucket would move the whole token
+    explosion twice. Top-k must not be a global sort of all docs."""
+    plan = _plan(_q(spark, sf_dir, "d56_dsir_selection"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_d58_rate_table_broadcasts(spark, sf_dir):
+    """Per-lang rates (|langs| rows) join the scan via broadcast; the doc
+    side never shuffles on lang."""
+    plan = _plan(_q(spark, sf_dir, "d58_temperature_mix"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_p11_lateral_lowers_to_ranked_join_not_loop(spark, sf_dir):
+    """Catalyst must rewrite LATERAL + per-row LIMIT into a join shape (its
+    DomainJoin decorrelation), never a per-nation re-execution; the window
+    group-limit shows up as a rank filter on the customer side."""
+    plan = _plan(_q(spark, sf_dir, "p11_lateral_topk"))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_j7_nearest_single_shuffle(spark, sf_dir):
+    """Both directions come out of ONE user_id sort — exactly one exchange
+    below the window operators, no join node at all."""
+    plan = _plan(_q(spark, sf_dir, "j7_asof_nearest"))
+    assert "Join" not in plan.replace("unionByName", ""), plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+
+
+def test_d60_pair_counts_are_partial_aggregated(spark, sf_dir):
+    """BPE pair counting must map-side combine (partial HashAggregate
+    before the exchange) — the pair key space is tiny next to the exploded
+    pair stream."""
+    from pyspark.sql import functions as F
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+        .select("c", F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|")).alias("s"))
+    )
+    pairs = (
+        wf.select("c", F.expr("filter(split(s, '\\\\|'), x -> x != '')").alias("syms"))
+        .select("c", F.explode(F.expr(
+            "transform(sequence(0, size(syms) - 2),"
+            " i -> struct(syms[i] AS a, syms[i + 1] AS b))")).alias("p"))
+        .groupBy("p.a", "p.b").agg(F.sum("c").alias("wc"))
+    )
+    plan = _plan(pairs)
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
