@@ -500,10 +500,12 @@ _D60_ORACLE = (
 )
 
 
-@register("d60_bpe_merges", oracle=_D60_ORACLE)
-def d60_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _learn_bpe(spark: SparkSession, sf_dir: str, rounds: int):
+    """Shared BPE training loop: returns (merge rules, final word-frequency
+    DataFrame with merged symbol strings). Each round is one scan-stage
+    pair explosion + one keyed agg; the ONLY driver materialization is the
+    per-round 1-row argmax (the d39 broadcast-centroid discipline)."""
     docs = load_table(spark, sf_dir, "documents")
-    rounds = 3
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.length("word") > 0)
@@ -547,8 +549,71 @@ def d60_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.select(
             "c", F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s")
         )
+    return rules, cur
+
+
+@register("d60_bpe_merges", oracle=_D60_ORACLE)
+def d60_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules, _ = _learn_bpe(spark, sf_dir, rounds=3)
     return spark.createDataFrame(
         rules,
         "round int, left_sym string, right_sym string, merged string,"
         " weighted_count bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# D62 — BPE tokenization with the learned merges: closes the train->apply
+# loop. The 3 learned rules rewrite the word-frequency table (same 2-pass
+# replace semantics as training, so the segmentation is exactly the
+# training state after round 3); the corpus token distribution is then one
+# weighted explode + keyed agg. Output: the top-10 corpus tokens by
+# weighted frequency — multi-character entries prove the merges fire.
+# Oracle = the d60 CTE chain extended by the third rewrite and the same
+# token count.
+# --------------------------------------------------------------------------
+_D62_ORACLE = (
+    _D60_ORACLE[: _D60_ORACLE.index("    SELECT 1 AS round")]
+    .replace(
+        "t3 AS (SELECT a, b, wc FROM p3 ORDER BY wc DESC, a, b LIMIT 1)",
+        "t3 AS (SELECT a, b, wc FROM p3 ORDER BY wc DESC, a, b LIMIT 1),",
+    )
+    + """
+    w3 AS ("""
+    + _BPE_MERGE_SQL.format(W="w2", T="t3")
+    + """),
+    toks AS (
+        SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS token,
+               c
+        FROM w3
+    ), freq AS (
+        SELECT token, CAST(SUM(c) AS BIGINT) AS weighted_count
+        FROM toks GROUP BY token
+    )
+    SELECT token, weighted_count
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY weighted_count DESC, token) AS rk
+          FROM freq)
+    WHERE rk <= 10
+    """
+)
+
+
+@register("d62_bpe_tokenize", oracle=_D62_ORACLE)
+def d62_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, final_wf = _learn_bpe(spark, sf_dir, rounds=3)
+    freq = (
+        final_wf.select(
+            "c",
+            F.explode(
+                F.expr("filter(split(s, '\\\\|'), x -> x != '')")
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.sum("c").alias("weighted_count"))
+    )
+    w = Window.orderBy(F.desc("weighted_count"), F.asc("token"))
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("token", "weighted_count")
     )

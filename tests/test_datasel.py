@@ -193,3 +193,17 @@ def test_streaming_observe_totals(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert out["n_rows"] == n_events
     assert out["n_negative"] >= 0 and out["n_errors"] >= 0
+
+
+def test_bpe_tokenize_applies_merges(spark, sf_dir):
+    rules = {
+        r["merged"]
+        for r in registry.queries()["d60_bpe_merges"](spark, sf_dir).collect()
+    }
+    toks = registry.queries()["d62_bpe_tokenize"](spark, sf_dir).collect()
+    assert len(toks) == 10
+    # At least one learned multi-char merge must appear among the top
+    # corpus tokens — proof the rewrite actually fired.
+    assert any(t["token"] in rules for t in toks)
+    counts = [t["weighted_count"] for t in toks]
+    assert counts == sorted(counts, reverse=True)
