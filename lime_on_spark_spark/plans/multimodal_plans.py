@@ -216,3 +216,76 @@ def m4_size_band_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("nb") < F.pow(F.lit(2.0), F.col("band") + 1))
         ).alias("band_matches_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# M5 — magic-byte modality router: the ingest-side dispatcher of a mixed
+# media lake. Files arrive as opaque blobs with unreliable extensions; the
+# router sniffs the leading bytes (JPEG FF D8 FF, PNG 89 50 4E 47, RIFF
+# 52 49 46 46, else raw) and routes each blob to its decoder family. Here
+# the corpus synthesizes a mixed-format lake deterministically (format by
+# doc_id % 4, real magic prefixes prepended to the text payload), the
+# router re-detects the format FROM THE BYTES ALONE, and the per-route
+# verdict pins sniffed == generated for every blob. Sniff + route are
+# scan-stage JVM expressions — at 100 TB this adds zero shuffles to
+# ingestion, and the per-format groups feed the m4 size-band repartition.
+# --------------------------------------------------------------------------
+@register(
+    "m5_magic_byte_router",
+    oracle="""
+    WITH gen AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                               WHEN 2 THEN 'riff' ELSE 'raw' END AS fmt,
+               CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 8
+                               WHEN 2 THEN 4 ELSE 0 END AS prefix_len,
+               octet_length(encode(text)) AS payload_len
+        FROM documents
+    )
+    SELECT fmt AS detected_fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(prefix_len + payload_len) AS BIGINT) AS total_bytes,
+           TRUE AS all_routed_correctly
+    FROM gen GROUP BY fmt
+    """,
+)
+def m5_magic_byte_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("FFD8FF")))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("52494646")))
+        .otherwise(F.unhex(F.lit("")))
+    )
+    gen_fmt = (
+        F.when(F.col("doc_id") % 4 == 0, "jpeg")
+        .when(F.col("doc_id") % 4 == 1, "png")
+        .when(F.col("doc_id") % 4 == 2, "riff")
+        .otherwise("raw")
+    )
+    lake = docs.select(
+        "doc_id",
+        F.concat(prefix, F.encode("text", "utf-8")).alias("blob"),
+        gen_fmt.alias("gen_fmt"),
+    )
+    head = F.hex(F.expr("substring(blob, 1, 8)"))
+    detected = (
+        F.when(head.startswith("FFD8FF"), "jpeg")
+        .when(head.startswith("89504E47"), "png")
+        .when(head.startswith("52494646"), "riff")
+        .otherwise("raw")
+    )
+    routed = lake.select(
+        "doc_id",
+        "blob",
+        "gen_fmt",
+        detected.alias("detected_fmt"),
+        F.length("blob").alias("n_bytes"),
+    )
+    return routed.groupBy("detected_fmt").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        (
+            F.sum((F.col("detected_fmt") != F.col("gen_fmt")).cast("int")) == 0
+        ).alias("all_routed_correctly"),
+    )

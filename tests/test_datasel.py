@@ -207,3 +207,9 @@ def test_bpe_tokenize_applies_merges(spark, sf_dir):
     assert any(t["token"] in rules for t in toks)
     counts = [t["weighted_count"] for t in toks]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_magic_byte_router_routes_all(spark, sf_dir):
+    out = registry.queries()["m5_magic_byte_router"](spark, sf_dir).collect()
+    assert {r["detected_fmt"] for r in out} == {"jpeg", "png", "riff", "raw"}
+    assert all(r["all_routed_correctly"] for r in out)
