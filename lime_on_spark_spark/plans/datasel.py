@@ -617,3 +617,89 @@ def d62_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("token", "weighted_count")
     )
+
+
+# --------------------------------------------------------------------------
+# D61 — span-corruption masking statistics (the T5 pretraining objective,
+# Raffel et al. 2020, arXiv:1910.10683): ~15% of tokens masked, runs of
+# consecutive masked tokens collapse into single sentinel spans. The mask
+# draw is the md5-uniform of (doc_id, position) — the d8/d24 determinism
+# discipline applied per TOKEN — so the exact mask set, and therefore the
+# exact span structure, is engine-reproducible. Spans form via the
+# gaps-and-islands lowering (pos - row_number over masked positions), the
+# same shape w9 pins for streak detection.
+#
+# Scale shape: posexplode + window per doc_id + two keyed aggs; every
+# stage keys on doc_id, so the plan is one shuffle wide regardless of
+# corpus size. Per-language profile: docs, masked tokens, sentinel spans,
+# average corrupted fraction — the numbers that size a T5-style training
+# batch (targets per input scale with span count, not mask count).
+# --------------------------------------------------------------------------
+@register(
+    "d61_span_corruption",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents
+    ), masked AS (
+        SELECT doc_id, lang, pos,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                         || CAST(pos AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 < 0.15 AS is_masked
+        FROM toks
+    ), spans AS (
+        SELECT doc_id,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM masked WHERE is_masked
+    ), per_doc AS (
+        SELECT m.doc_id, m.lang, COUNT(*) AS n_toks,
+               SUM(CASE WHEN m.is_masked THEN 1 ELSE 0 END) AS n_masked
+        FROM masked m GROUP BY m.doc_id, m.lang
+    ), span_per_doc AS (
+        SELECT doc_id, COUNT(DISTINCT island) AS n_spans
+        FROM spans GROUP BY doc_id
+    )
+    SELECT p.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_masked) AS BIGINT) AS total_masked,
+           CAST(SUM(COALESCE(s.n_spans, 0)) AS BIGINT) AS total_spans,
+           ROUND(AVG(p.n_masked * 1.0 / p.n_toks), 6) AS avg_mask_frac
+    FROM per_doc p LEFT JOIN span_per_doc s ON p.doc_id = s.doc_id
+    GROUP BY p.lang
+    """,
+)
+def d61_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    u = _md5_uniform(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("pos").cast("string"))
+    )
+    masked = toks.withColumn("is_masked", u < 0.15)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        masked.filter("is_masked")
+        .withColumn("island", F.col("pos") - F.row_number().over(w))
+    )
+    per_doc = masked.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.col("is_masked").cast("int")).alias("n_masked"),
+    )
+    span_per_doc = spans.groupBy("doc_id").agg(
+        F.countDistinct("island").alias("n_spans")
+    )
+    return (
+        per_doc.join(span_per_doc, "doc_id", "left")
+        .na.fill({"n_spans": 0})
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_masked").alias("total_masked"),
+            F.sum("n_spans").alias("total_spans"),
+            F.round(F.avg(F.col("n_masked") / F.col("n_toks")), 6).alias(
+                "avg_mask_frac"
+            ),
+        )
+    )

@@ -213,3 +213,12 @@ def test_magic_byte_router_routes_all(spark, sf_dir):
     out = registry.queries()["m5_magic_byte_router"](spark, sf_dir).collect()
     assert {r["detected_fmt"] for r in out} == {"jpeg", "png", "riff", "raw"}
     assert all(r["all_routed_correctly"] for r in out)
+
+
+def test_span_corruption_rates(spark, sf_dir):
+    out = registry.queries()["d61_span_corruption"](spark, sf_dir).collect()
+    for r in out:
+        # Spans never outnumber masked tokens, and the Bernoulli(0.15)
+        # mask rate lands near its mean.
+        assert r["total_spans"] <= r["total_masked"]
+        assert 0.05 < r["avg_mask_frac"] < 0.30
