@@ -486,3 +486,66 @@ def o6_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(use_stats_key, prev)
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# S8 — text-line sink + source round-trip: the 5th format family (after
+# parquet/csv/json/orc). Raw-text lakes (log shipping, WET extracts) store
+# one record per line with an ad-hoc delimiter; the reader gets ONE
+# `value` column and parsing is explicit scan-stage expressions — schema
+# lives in the pipeline, not the file. The round-trip pins both
+# directions: spark.write.text emits the tab-joined records, read.text +
+# split reparses them, and the oracle aggregates the ORIGINAL table, so
+# any quoting/escaping/ordering loss breaks the match.
+# --------------------------------------------------------------------------
+@register(
+    "s8_text_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)         AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)     AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT)      AS min_id,
+           CAST(MAX(doc_id) AS BIGINT)      AS max_id
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def s8_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch(spark, "s8_text")
+    # Tab never occurs in the corpus text (space-separated word salad), so
+    # it is a safe line-level delimiter; a production WET writer would
+    # escape instead.
+    lines = docs.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.col("n_chars").cast("string"),
+            "text",
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    try:
+        parsed = (
+            spark.read.text(path)
+            .select(F.split("value", "\t", 4).alias("f"))
+            .select(
+                F.col("f")[0].cast("bigint").alias("doc_id"),
+                F.col("f")[1].alias("lang"),
+                F.col("f")[2].cast("bigint").alias("n_chars"),
+                F.col("f")[3].alias("text"),
+            )
+        )
+        result = parsed.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
