@@ -713,3 +713,84 @@ def d32_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D63 — contrastive training-pair mining (the data-prep step of SimCSE /
+# DPR-style embedding training): for each query vector, the best
+# SAME-label neighbor is the positive and the best DIFFERENT-label
+# neighbor is the hard negative (the semi-hard mining rule of
+# arXiv:1503.03832 FaceNet, simplified to hardest-in-batch). Query block =
+# vec_id % 17 == 0, broadcast against the full corpus — the d3_batch_knn
+# plan: ONE scan of the big side, per-query top-1 via partitioned rank.
+# On a clustered corpus positives score above hard negatives; this corpus
+# is structureless, so the row emits both similarities and lets the oracle
+# pin them exactly rather than asserting an ordering the data can't
+# support. At 100 TB the candidate set comes from d4's IVF/LSH buckets
+# instead of the full scan (same downstream shape).
+# --------------------------------------------------------------------------
+@register(
+    "d63_contrastive_pairs",
+    oracle="""
+    WITH sims AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               e.vec_id AS neighbor_id,
+               e.label = q.label AS same_label,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6)
+                   AS cos_sim
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, label, embedding FROM embeddings
+                    WHERE vec_id % 17 = 0) q
+        WHERE e.vec_id <> q.vec_id
+    ), best AS (
+        SELECT query_id, q_label, same_label, cos_sim
+        FROM sims
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id, same_label
+            ORDER BY cos_sim DESC, neighbor_id
+        ) = 1
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_queries,
+           ROUND(AVG(CASE WHEN same_label THEN cos_sim END), 5)
+               AS avg_positive_sim,
+           ROUND(AVG(CASE WHEN NOT same_label THEN cos_sim END), 5)
+               AS avg_hard_negative_sim
+    FROM best
+    GROUP BY q_label
+    """,
+)
+def d63_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_blk = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(queries_blk))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            (F.col("label") == F.col("q_label")).alias("same_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    best = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy(F.col("q_label").alias("label")).agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_queries"),
+        F.round(
+            F.avg(F.when(F.col("same_label"), F.col("cos_sim"))), 5
+        ).alias("avg_positive_sim"),
+        F.round(
+            F.avg(F.when(~F.col("same_label"), F.col("cos_sim"))), 5
+        ).alias("avg_hard_negative_sim"),
+    )

@@ -222,3 +222,18 @@ def test_span_corruption_rates(spark, sf_dir):
         # mask rate lands near its mean.
         assert r["total_spans"] <= r["total_masked"]
         assert 0.05 < r["avg_mask_frac"] < 0.30
+
+
+def test_contrastive_pairs_cover_all_labels(spark, sf_dir):
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    out = registry.queries()["d63_contrastive_pairs"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_labels = {
+        r["label"] for r in emb.filter(F.col("vec_id") % 17 == 0).select("label").distinct().collect()
+    }
+    assert {r["label"] for r in out} == q_labels
+    for r in out:
+        assert -1.0 <= r["avg_positive_sim"] <= 1.0
+        assert -1.0 <= r["avg_hard_negative_sim"] <= 1.0
+        assert r["n_queries"] >= 1
