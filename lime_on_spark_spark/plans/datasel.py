@@ -703,3 +703,132 @@ def d61_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D64 — winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+# SIGMOD 2003 — the MOSS algorithm, and the brief's "document
+# fingerprinting (rolling hash)" row): hash every 8-char k-gram, slide a
+# 4-wide window, keep each window's minimal hash (rightmost on ties).
+# Winnowing guarantees any shared substring of length >= k + w - 1 yields
+# a shared fingerprint, at ~2/(w+1) storage of full k-gram sets — the
+# sub-document dedup candidate generator.
+#
+# The rightmost-min tie-break is encoded arithmetically so both engines
+# agree bit-for-bit: key = h * POSBASE + (POSBASE - 1 - pos); MIN(key)
+# picks the smallest hash and, among equals, the largest position. All
+# stages are scan + per-doc window + keyed aggs — one doc_id shuffle, one
+# fingerprint shuffle, nothing all-pairs (candidate pairs are COUNTED via
+# C(nd,2) per fingerprint, never materialized).
+# --------------------------------------------------------------------------
+_D64_K, _D64_W, _D64_M = 8, 4, 1 << 20
+_D64_POSBASE = 10_000_000
+
+
+@register(
+    "d64_winnowing_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, lang, i AS pos,
+               CAST(('0x' || substr(md5(substr(text, i, {_D64_K})), 1, 8))
+                    AS BIGINT) % {_D64_M} AS h
+        FROM (SELECT doc_id, lang, text,
+                     unnest(range(1, length(text) - {_D64_K} + 2)) AS i
+              FROM documents WHERE length(text) >= {_D64_K})
+    ), keyed AS (
+        SELECT doc_id, lang, pos,
+               h * {_D64_POSBASE} + ({_D64_POSBASE} - 1 - pos) AS key
+        FROM grams
+    ), winmin AS (
+        SELECT doc_id, lang,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN {_D64_W - 1} PRECEDING
+                                       AND CURRENT ROW) AS wmin,
+               COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN {_D64_W - 1} PRECEDING
+                                       AND CURRENT ROW) AS wn
+        FROM keyed
+    ), sel AS (
+        SELECT DISTINCT doc_id, lang,
+               CAST(wmin / {_D64_POSBASE} AS BIGINT) AS fp
+        FROM winmin WHERE wn = {_D64_W}
+    ), per_doc AS (
+        SELECT doc_id, lang, COUNT(*) AS n_fp FROM sel GROUP BY doc_id, lang
+    ), shared AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS nd
+        FROM sel GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ), sh AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+               CAST(COALESCE(SUM(nd * (nd - 1) / 2), 0) AS BIGINT)
+                   AS n_candidate_pairs
+        FROM shared
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_fp), 4) AS avg_fingerprints,
+           MAX(sh.n_shared_fps) AS n_shared_fps,
+           MAX(sh.n_candidate_pairs) AS n_candidate_pairs
+    FROM per_doc, sh
+    GROUP BY lang
+    """,
+)
+def d64_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w, m, posbase = _D64_K, _D64_W, _D64_M, _D64_POSBASE
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {k} + 1),"
+                    f" i -> struct(i AS pos, substr(text, i, {k}) AS g))"
+                )
+            ).alias("kg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("kg.pos").alias("pos"),
+            F.pmod(
+                F.conv(F.substring(F.md5("kg.g"), 1, 8), 16, 10).cast("long"),
+                F.lit(m),
+            ).alias("h"),
+        )
+    )
+    keyed = grams.select(
+        "doc_id",
+        "lang",
+        "pos",
+        (F.col("h") * posbase + (posbase - 1 - F.col("pos"))).alias("key"),
+    )
+    wdef = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = (
+        keyed.withColumn("wmin", F.min("key").over(wdef))
+        .withColumn("wn", F.count(F.lit(1)).over(wdef))
+        .filter(F.col("wn") == w)  # full windows only
+        .select(
+            "doc_id", "lang", (F.col("wmin") / posbase).cast("long").alias("fp")
+        )
+        .distinct()
+    )
+    per_doc = sel.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        sel.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    sh = shared.agg(
+        F.count(F.lit(1)).alias("n_shared_fps"),
+        F.coalesce(F.sum(F.col("nd") * (F.col("nd") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_candidate_pairs"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_fp"), 4).alias("avg_fingerprints"),
+        )
+        .crossJoin(F.broadcast(sh))  # 1-row summary: broadcast scalar
+    )

@@ -237,3 +237,55 @@ def test_contrastive_pairs_cover_all_labels(spark, sf_dir):
         assert -1.0 <= r["avg_positive_sim"] <= 1.0
         assert -1.0 <= r["avg_hard_negative_sim"] <= 1.0
         assert r["n_queries"] >= 1
+
+
+def test_winnowing_guarantee_on_shared_substring(spark, sf_dir):
+    """Winnowing's core guarantee: two docs sharing a substring of length
+    >= k + w - 1 (= 11 chars) MUST share at least one fingerprint. Build a
+    tiny corpus with a planted 40-char shared span and check it."""
+    import pyspark.sql.functions as F2
+    from pyspark.sql import Window as W2
+
+    k, w, m, posbase = 8, 4, 1 << 20, 10_000_000
+    shared_span = "the quick brown fox jumps over the lazy"
+    rows = [
+        (1, "aaaa " + shared_span + " bbbb"),
+        (2, "cccc dddd " + shared_span + " eeee"),
+        (3, "totally unrelated content here with nothing in common xyz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    grams = docs.select(
+        "doc_id",
+        F2.explode(F2.expr(
+            f"transform(sequence(1, length(text) - {k} + 1),"
+            f" i -> struct(i AS pos, substr(text, i, {k}) AS g))"
+        )).alias("kg"),
+    ).select(
+        "doc_id", F2.col("kg.pos").alias("pos"),
+        F2.pmod(F2.conv(F2.substring(F2.md5("kg.g"), 1, 8), 16, 10).cast("long"),
+                F2.lit(m)).alias("h"),
+    )
+    keyed = grams.select(
+        "doc_id", "pos",
+        (F2.col("h") * posbase + (posbase - 1 - F2.col("pos"))).alias("key"),
+    )
+    wdef = W2.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = (
+        keyed.withColumn("wmin", F2.min("key").over(wdef))
+        .withColumn("wn", F2.count(F2.lit(1)).over(wdef))
+        .filter(F2.col("wn") == w)
+        .select("doc_id", (F2.col("wmin") / posbase).cast("long").alias("fp"))
+        .distinct()
+    )
+    fps = {
+        d: {r["fp"] for r in sel.filter(F2.col("doc_id") == d).collect()}
+        for d in (1, 2, 3)
+    }
+    assert fps[1] & fps[2], "docs sharing a 40-char span must share a fingerprint"
+
+
+def test_winnowing_query_counts(spark, sf_dir):
+    out = registry.queries()["d64_winnowing_fingerprints"](spark, sf_dir).collect()
+    for r in out:
+        assert r["avg_fingerprints"] > 0
+        assert r["n_candidate_pairs"] >= 0
