@@ -491,3 +491,95 @@ def o5_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["revenue"], m["avg_qty"], m["max_suppkey"])],
         "n_rows bigint, revenue double, avg_qty double, max_suppkey bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# P13 — parameterized SQL (Spark 4 named-parameter binding): the
+# injection-safe templating surface a production query service uses —
+# literals bind server-side as typed values, never by string splicing, and
+# one parse serves every parameter set. The oracle is the same text with
+# the literals inlined, proving binding == inlining semantically.
+# --------------------------------------------------------------------------
+@register(
+    "p13_parameterized_sql",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate <  DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    GROUP BY l_returnflag
+    """,
+)
+def p13_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= :start_date
+          AND l_shipdate <  :end_date
+          AND l_discount BETWEEN :lo AND :hi
+          AND l_quantity < :max_qty
+        GROUP BY l_returnflag
+        """,
+        args={
+            "start_date": "1995-01-01",
+            "end_date": "1996-01-01",
+            "lo": 0.05,
+            "hi": 0.07,
+            "max_qty": 24.0,
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# P14 — SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN expr, Spark
+# 4): business logic named once in the catalog and reused across queries.
+# Unlike Python UDFs these inline into the plan at analysis time — the
+# expression stays inside whole-stage codegen, so a SQL UDF costs exactly
+# what writing the expression inline costs (nothing). The oracle inlines
+# the definition by hand, pinning that equivalence.
+# --------------------------------------------------------------------------
+@register(
+    "p14_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS charged_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def p14_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_price"
+        "(p DOUBLE, d DOUBLE, t DOUBLE)"
+        " RETURNS DOUBLE RETURN net_price(p, d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(net_price(l_extendedprice, l_discount)), 2)
+                   AS net_revenue,
+               ROUND(SUM(charged_price(l_extendedprice, l_discount, l_tax)), 2)
+                   AS charged_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

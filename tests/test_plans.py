@@ -328,3 +328,12 @@ def test_d60_pair_counts_are_partial_aggregated(spark, sf_dir):
     plan = _plan(pairs)
     assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_p14_sql_udf_inlines_no_python(spark, sf_dir):
+    """SQL UDFs must inline at analysis time — zero Python eval nodes,
+    aggregation stays in whole-stage codegen."""
+    plan = _plan(_q(spark, sf_dir, "p14_sql_udf"))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
