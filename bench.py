@@ -60,10 +60,13 @@ EXTENDED = (
     "d39_kmeans_lloyd",
     "d45_minhash_banded_exact",
     "d47_cdc_chunk_dedup",
-    # round-7 additions: DSIR (two corpus scans + bounded broadcast) and
-    # the repeated-n-gram audit (n-gram keyed self-join family).
+    # round-7 additions: DSIR (two corpus scans + bounded broadcast), the
+    # repeated-n-gram audit (n-gram keyed self-join family), and BPE
+    # training (sequential argmax loop — the iterative-algorithm family
+    # alongside d39).
     "d56_dsir_selection",
     "d57_repeated_ngrams",
+    "d60_bpe_merges",
 )
 
 

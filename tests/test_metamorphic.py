@@ -33,6 +33,14 @@ REPRESENTATIVE = (
     "d48_weighted_reservoir",
     "u5_snapshot_diff",
     "f6_vector_math",
+    # round-7 additions: Gumbel top-k selection, BPE argmax loop, winnowing
+    # window-min, span islands — all shapes where per-partition state or
+    # float order could leak into results.
+    "d56_dsir_selection",
+    "d58_temperature_mix",
+    "d60_bpe_merges",
+    "d61_span_corruption",
+    "d64_winnowing_fingerprints",
 )
 
 
@@ -73,6 +81,12 @@ EMPTY_SAFE = (
     "u5_snapshot_diff",
     "d46_mad_outliers",
     "w10_pareto_front",
+    # round-7 (d60 is deliberately absent: BPE training on a zero-row
+    # corpus is a caller error — its argmax has nothing to learn from)
+    "d56_dsir_selection",
+    "d58_temperature_mix",
+    "d61_span_corruption",
+    "d64_winnowing_fingerprints",
 )
 
 
