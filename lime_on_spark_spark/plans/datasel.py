@@ -832,3 +832,53 @@ def d64_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(sh))  # 1-row summary: broadcast scalar
     )
+
+
+# --------------------------------------------------------------------------
+# D65 — curriculum phase assignment: order the corpus by a quality score
+# and split it into 4 exact-quantile phases (curriculum learning trains
+# easy->hard; the phase boundary must be an EXACT ntile so every epoch
+# sees identical phases). Reuses operators/exact_ntile.py — the
+# range-partitioned exact-ntile that replaces the single-task global
+# window (the a13 scale fix, applied here in a second context). Score =
+# lexical diversity (distinct/total tokens) with doc_id as the
+# deterministic tie-breaker.
+# --------------------------------------------------------------------------
+@register(
+    "d65_curriculum_phases",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS score
+        FROM documents
+    ), phased AS (
+        SELECT doc_id, n_chars, score,
+               CAST(ntile(4) OVER (ORDER BY score, doc_id) AS INTEGER)
+                   AS phase
+        FROM scored
+    )
+    SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 6) AS avg_score,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM phased GROUP BY phase
+    """,
+)
+def d65_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("score"),
+    )
+    phased = with_exact_ntile(
+        scored, 4, ["score", "doc_id"], out_col="phase"
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -470,14 +470,17 @@ def p12_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def o5_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Observation
-
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
-    obs = Observation("o5")
+    # String-named observe + queryExecution().observedMetrics(), NOT the
+    # pyspark Observation helper: Observation registers with the session's
+    # ObservationManager, which then rides along in later task closures
+    # and fails serialization (NotSerializableException: ObservationManager
+    # poisoning unrelated downstream jobs in the same session). Reading the
+    # metrics off the executed plan has no session-level state at all.
     observed = li.observe(
-        obs,
+        "o5_metrics",
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
@@ -485,8 +488,18 @@ def o5_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.max("l_suppkey").alias("max_suppkey"),
     )
-    observed.count()  # one action drives the scan; metrics ride along
-    m = obs.get
+    # The probe aggregate drives the full scan through the observe node;
+    # its own execution carries the metrics row.
+    probe = observed.groupBy().agg(F.count(F.lit(1)).alias("probe_rows"))
+    probe.collect()
+    jmetrics = probe._jdf.queryExecution().observedMetrics()
+    it = jmetrics.iterator()
+    m = {}
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == "o5_metrics":
+            row = kv._2()
+            m = {n: row.getAs(n) for n in row.schema().fieldNames()}
     return spark.createDataFrame(
         [(m["n_rows"], m["revenue"], m["avg_qty"], m["max_suppkey"])],
         "n_rows bigint, revenue double, avg_qty double, max_suppkey bigint",

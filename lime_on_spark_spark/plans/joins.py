@@ -848,3 +848,76 @@ def j7_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+# --------------------------------------------------------------------------
+# J7e — as-of join with a match tolerance (pandas merge_asof's
+# `tolerance=` contract): the backward match only counts if the click is
+# within 1 hour of the purchase; staler matches resolve to NULL. Same
+# single-shuffle union+window plan as j7_asof_join with a post-window
+# CASE — tolerance adds zero cost. The practical semantics for attribution
+# windows ("a click older than an hour didn't drive this purchase").
+# --------------------------------------------------------------------------
+@register(
+    "j7_asof_tolerance",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, value, 1 AS side
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, event_id, value, 0 AS side
+        FROM events WHERE event_type = 'click'
+    ), w AS (
+        SELECT user_id, ts, event_id, side,
+               max(CASE WHEN side = 0 THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_ts,
+               last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_val
+        FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, ts,
+           CASE WHEN back_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(back_ts) <= 3600000000
+                THEN back_ts END AS click_ts,
+           ROUND(CASE WHEN back_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(back_ts) <= 3600000000
+                THEN back_val END, 2) AS click_value
+    FROM w WHERE side = 1
+    """,
+)
+def j7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(1).alias("side")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value", F.lit(0).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("side") == 0, F.col("ts"))
+    click_val = F.when(F.col("side") == 0, F.col("value"))
+    tol_us = 3600 * 1_000_000
+    within = F.col("back_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("back_ts") <= tol_us
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("back_ts", F.max(click_ts).over(w))
+        .withColumn("back_val", F.last(click_val, ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            F.when(within, F.col("back_ts")).alias("click_ts"),
+            F.round(F.when(within, F.col("back_val")), 2).alias("click_value"),
+        )
+    )

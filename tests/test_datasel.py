@@ -289,3 +289,38 @@ def test_winnowing_query_counts(spark, sf_dir):
     for r in out:
         assert r["avg_fingerprints"] > 0
         assert r["n_candidate_pairs"] >= 0
+
+
+def test_curriculum_phases_are_exact_quartiles(spark, sf_dir):
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    out = {r["phase"]: r for r in registry.queries()["d65_curriculum_phases"](spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sorted(out) == [1, 2, 3, 4]
+    sizes = [out[p]["n_docs"] for p in (1, 2, 3, 4)]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1  # SQL ntile size contract
+    # Curriculum ordering: phase scores are monotone.
+    scores = [out[p]["avg_score"] for p in (1, 2, 3, 4)]
+    assert scores == sorted(scores)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    tol = {
+        r["purchase_id"]: r
+        for r in registry.queries()["j7_asof_tolerance"](spark, sf_dir).collect()
+    }
+    back = {
+        r["purchase_id"]: r
+        for r in registry.queries()["j7_asof_join"](spark, sf_dir).collect()
+    }
+    assert set(tol) == set(back)
+    for pid, r in tol.items():
+        b_ts = back[pid]["last_click_ts"]
+        if r["click_ts"] is not None:
+            # A surviving match is the backward match, within the hour.
+            assert r["click_ts"] == b_ts
+            assert (r["ts"] - r["click_ts"]).total_seconds() <= 3600
+        elif b_ts is not None:
+            # Nulled only because the backward match was stale.
+            assert (r["ts"] - b_ts).total_seconds() > 3600
