@@ -882,3 +882,103 @@ def d65_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("score"), 6).alias("avg_score"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# D66 — cross-corpus overlap estimation from HLL sketches: |A n B| =
+# |A| + |B| - |A u B| with each term an approx_count_distinct — the
+# inclusion-exclusion trick that sizes train/benchmark contamination
+# WITHOUT materializing either set (at 100 TB each side's sketch is a few
+# KB, mergeable across partitions and days — the a17 rollup discipline
+# applied across datasets). A = 3-gram shingles of the training split,
+# B = shingles of the benchmark split (doc_id % 50 == 0, the d15
+# convention). The exact columns pin the truth; the verdict bounds the
+# estimate at 15% relative error (rsd=0.05 per sketch, three sketches
+# compounded through subtraction).
+# --------------------------------------------------------------------------
+@register(
+    "d66_hll_overlap",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id % 50 = 0 AS is_bench,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT shingle) FROM sh WHERE NOT is_bench)
+                AS BIGINT) AS n_train_exact,
+           CAST((SELECT COUNT(DISTINCT shingle) FROM sh WHERE is_bench)
+                AS BIGINT) AS n_bench_exact,
+           CAST((SELECT COUNT(*) FROM
+                    (SELECT shingle FROM sh WHERE NOT is_bench
+                     INTERSECT
+                     SELECT shingle FROM sh WHERE is_bench) t)
+                AS BIGINT) AS overlap_exact,
+           TRUE AS estimate_within_tolerance
+    """,
+)
+def d66_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            (F.col("doc_id") % 50 == 0).alias("is_bench"),
+            F.split("text", " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "is_bench",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    rsd = 0.05
+    est = sh.agg(
+        F.approx_count_distinct(
+            F.when(~F.col("is_bench"), F.col("shingle")), rsd
+        ).alias("a_est"),
+        F.approx_count_distinct(
+            F.when(F.col("is_bench"), F.col("shingle")), rsd
+        ).alias("b_est"),
+        F.approx_count_distinct("shingle", rsd).alias("u_est"),
+    )
+    exact = sh.agg(
+        F.count_distinct(
+            F.when(~F.col("is_bench"), F.col("shingle"))
+        ).alias("n_train_exact"),
+        F.count_distinct(
+            F.when(F.col("is_bench"), F.col("shingle"))
+        ).alias("n_bench_exact"),
+    )
+    inter = (
+        sh.filter(~F.col("is_bench"))
+        .select("shingle")
+        .intersect(sh.filter("is_bench").select("shingle"))
+        .agg(F.count(F.lit(1)).alias("overlap_exact"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(inter))  # 1-row aggregates
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_train_exact",
+            "n_bench_exact",
+            "overlap_exact",
+            (
+                F.abs(
+                    (F.col("a_est") + F.col("b_est") - F.col("u_est"))
+                    - F.col("overlap_exact")
+                )
+                <= F.greatest(
+                    F.lit(50.0), F.col("overlap_exact") * F.lit(0.15)
+                )
+            ).alias("estimate_within_tolerance"),
+        )
+    )

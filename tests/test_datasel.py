@@ -324,3 +324,9 @@ def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
         elif b_ts is not None:
             # Nulled only because the backward match was stale.
             assert (r["ts"] - b_ts).total_seconds() > 3600
+
+
+def test_hll_overlap_estimate(spark, sf_dir):
+    out = registry.queries()["d66_hll_overlap"](spark, sf_dir).collect()[0]
+    assert out["estimate_within_tolerance"]
+    assert 0 < out["overlap_exact"] <= min(out["n_train_exact"], out["n_bench_exact"])
