@@ -893,8 +893,11 @@ def d65_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # applied across datasets). A = 3-gram shingles of the training split,
 # B = shingles of the benchmark split (doc_id % 50 == 0, the d15
 # convention). The exact columns pin the truth; the verdict bounds the
-# estimate at 15% relative error (rsd=0.05 per sketch, three sketches
-# compounded through subtraction).
+# ABSOLUTE error at 3·rsd·|A u B| — inclusion-exclusion error compounds
+# from the three big sketches, so it scales with the UNION, not the
+# overlap: the estimate is informative only when the overlap is a
+# nontrivial fraction of the union (exactly the regime contamination
+# checks care about). rsd=0.02 keeps the bound tight.
 # --------------------------------------------------------------------------
 @register(
     "d66_hll_overlap",
@@ -940,7 +943,7 @@ def d66_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
     )
-    rsd = 0.05
+    rsd = 0.02
     est = sh.agg(
         F.approx_count_distinct(
             F.when(~F.col("is_bench"), F.col("shingle")), rsd
@@ -977,7 +980,7 @@ def d66_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.col("overlap_exact")
                 )
                 <= F.greatest(
-                    F.lit(50.0), F.col("overlap_exact") * F.lit(0.15)
+                    F.lit(50.0), F.lit(3 * 0.02) * F.col("u_est")
                 )
             ).alias("estimate_within_tolerance"),
         )
