@@ -985,3 +985,89 @@ def d66_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("estimate_within_tolerance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D67 — deterministic epoch shuffle + shard assignment: the training data
+# loader's contract at cluster scale. Each epoch needs a DIFFERENT global
+# permutation of the corpus, yet every worker must agree on it with zero
+# coordination — so the permutation key is the md5-uniform of
+# (doc_id, epoch): epoch-varying, engine- and partitioning-invariant.
+# Shards (data-parallel workers, 8 here) take contiguous rank ranges of
+# the permutation; position = rank within shard. The output profiles two
+# epochs per shard (sizes, checksum of min/max doc ids) — the oracle
+# reproduces the exact permutation, proving any loader reading these
+# (epoch, shard, position) assignments sees identical batches everywhere.
+# One window per epoch on the permutation key; at 100 TB this is the
+# standard sort-by-random-key shuffle, and the md5 key means restarts and
+# stragglers recompute identical assignments (elastic training safe).
+# --------------------------------------------------------------------------
+@register(
+    "d67_epoch_shuffle_shards",
+    oracle="""
+    WITH perm AS (
+        SELECT e.epoch, d.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.epoch
+                   ORDER BY CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                             || '#' || CAST(e.epoch AS VARCHAR)), 1, 8))
+                            AS BIGINT), d.doc_id
+               ) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY e.epoch) AS n
+        FROM documents d
+        CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+    )
+    SELECT epoch, CAST(FLOOR(rk * 8.0 / n) AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           CAST(SUM(doc_id * (rk % 97)) AS BIGINT) AS order_checksum
+    FROM perm
+    GROUP BY epoch, CAST(FLOOR(rk * 8.0 / n) AS INTEGER)
+    """,
+)
+def d67_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_shards = 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.crossJoin(epochs).select(
+        "doc_id",
+        "epoch",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("doc_id").cast("string"),
+                        F.col("epoch").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("pkey"),
+    )
+    w = Window.partitionBy("epoch").orderBy("pkey", "doc_id")
+    n = Window.partitionBy("epoch")
+    perm = keyed.select(
+        "epoch",
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    # Contiguous rank ranges -> shards; FLOOR on both sides because the
+    # engines disagree on double->int casts (DuckDB rounds, Spark
+    # truncates) — an explicit floor is the only portable spelling.
+    sharded = perm.withColumn(
+        "shard", F.floor(F.col("rk") * n_shards / F.col("n")).cast("int")
+    )
+    return sharded.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(F.col("doc_id") * (F.col("rk") % 97)).alias("order_checksum"),
+    )

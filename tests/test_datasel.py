@@ -330,3 +330,24 @@ def test_hll_overlap_estimate(spark, sf_dir):
     out = registry.queries()["d66_hll_overlap"](spark, sf_dir).collect()[0]
     assert out["estimate_within_tolerance"]
     assert 0 < out["overlap_exact"] <= min(out["n_train_exact"], out["n_bench_exact"])
+
+
+def test_epoch_shuffle_properties(spark, sf_dir):
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    out = registry.queries()["d67_epoch_shuffle_shards"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_epoch: dict[int, list] = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for epoch, rows in by_epoch.items():
+        assert len(rows) == 8  # every shard populated
+        assert sum(r["n_docs"] for r in rows) == n_docs  # complete partition
+        sizes = [r["n_docs"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1  # balanced shards
+    # Different epochs must yield different permutations: the order
+    # checksums cannot all coincide.
+    cks0 = sorted(r["order_checksum"] for r in by_epoch[0])
+    cks1 = sorted(r["order_checksum"] for r in by_epoch[1])
+    assert cks0 != cks1
