@@ -1114,3 +1114,52 @@ def a21_mergeable_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(edge - q_of_p) <= 2 * F.col("width")).alias("bound_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A22 — GROUPING() subtotal labeling: rollup outputs mix detail rows with
+# subtotal rows, and NULL group keys are ambiguous (a real NULL key vs a
+# subtotal); GROUPING(col) disambiguates — the standard way a reporting
+# layer labels rollup levels. Portable across both engines as written.
+# --------------------------------------------------------------------------
+@register(
+    "a22_grouping_labels",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           CASE WHEN GROUPING(l_returnflag) = 1 THEN 'grand_total'
+                WHEN GROUPING(l_linestatus) = 1 THEN 'flag_subtotal'
+                ELSE 'detail' END AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a22_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g_flag = F.grouping("l_returnflag").cast("int")
+    g_status = F.grouping("l_linestatus").cast("int")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            g_flag.alias("g_flag"),
+            g_status.alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            F.when(F.col("g_flag") == 1, "grand_total")
+            .when(F.col("g_status") == 1, "flag_subtotal")
+            .otherwise("detail")
+            .alias("level"),
+            "n_rows",
+            "total_qty",
+        )
+    )

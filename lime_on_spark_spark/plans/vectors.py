@@ -794,3 +794,160 @@ def d63_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(~F.col("same_label"), F.col("cos_sim"))), 5
         ).alias("avg_hard_negative_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# D68 — hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+# Buettcher, SIGIR 2009): the standard way a RAG data pipeline merges a
+# lexical ranking with a vector ranking without score calibration —
+# fused = sum over systems of 1/(60 + rank). Lexical system: shared
+# distinct 3-gram shingle count via the inverted-index equi-join (the d15
+# shape, never doc x doc); vector system: cosine against the broadcast
+# query block (the d3 shape). Both ranks are deterministic (count/sim
+# desc, doc_id tie-break), so the fused top-5 is exact in both engines.
+# A candidate missing from one system contributes only its present term —
+# RRF's native behavior.
+# --------------------------------------------------------------------------
+@register(
+    "d68_rrf_hybrid_search",
+    oracle="""
+    WITH queries AS (
+        SELECT d.doc_id, d.text, e.embedding
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.doc_id % 100 = 7
+    ), words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), lex AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+               COUNT(*) AS shared,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.doc_id
+                   ORDER BY COUNT(*) DESC, c.doc_id
+               ) AS lex_rank
+        FROM queries q
+        JOIN sh qs ON qs.doc_id = q.doc_id
+        JOIN sh c ON c.shingle = qs.shingle AND c.doc_id <> q.doc_id
+        GROUP BY q.doc_id, c.doc_id
+        QUALIFY lex_rank <= 20
+    ), vec AS (
+        SELECT q.doc_id AS query_id, e.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.doc_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id
+               ) AS vec_rank
+        FROM queries q
+        JOIN embeddings e ON e.vec_id <> q.doc_id
+        QUALIFY vec_rank <= 20
+    ), fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+               COALESCE(l.cand_id, v.cand_id) AS cand_id,
+               ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+                     + COALESCE(1.0 / (60 + v.vec_rank), 0), 6) AS rrf,
+               l.lex_rank, v.vec_rank
+        FROM lex l
+        FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.cand_id = v.cand_id
+    )
+    SELECT query_id, cand_id, rrf,
+           CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(vec_rank AS INTEGER) AS vec_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS rk
+          FROM fused)
+    WHERE rk <= 5
+    """,
+)
+def d68_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_blk = (
+        docs.filter(F.col("doc_id") % 100 == 7)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("q_text"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    # Lexical arm: inverted-index join on distinct 3-gram shingles.
+    def shingles(df, id_col, text_col, out_id):
+        return (
+            df.select(F.col(id_col).alias(out_id), F.split(text_col, " ").alias("toks"))
+            .filter(F.size("toks") >= 3)
+            .select(
+                out_id,
+                F.explode_outer(
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(0, size(toks) - 3),"
+                            " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+                        )
+                    )
+                ).alias("shingle"),
+            )
+        )
+
+    q_sh = shingles(queries_blk, "query_id", "q_text", "query_id")
+    c_sh = shingles(docs, "doc_id", "text", "cand_id")
+    lex_w = Window.partitionBy("query_id").orderBy(
+        F.desc("shared"), F.asc("cand_id")
+    )
+    lex = (
+        q_sh.join(c_sh, "shingle")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn("lex_rank", F.row_number().over(lex_w))
+        .filter(F.col("lex_rank") <= 20)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+    # Vector arm: broadcast query block against the embedding scan.
+    vec_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    vec = (
+        emb.crossJoin(
+            F.broadcast(queries_blk.select("query_id", "q_emb"))
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("vec_rank", F.row_number().over(vec_w))
+        .filter(F.col("vec_rank") <= 20)
+        .select("query_id", "cand_id", "vec_rank")
+    )
+    fused = (
+        lex.join(vec, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            "lex_rank",
+            "vec_rank",
+        )
+    )
+    top_w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("cand_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(top_w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "rrf", "lex_rank", "vec_rank")
+    )

@@ -351,3 +351,24 @@ def test_epoch_shuffle_properties(spark, sf_dir):
     cks0 = sorted(r["order_checksum"] for r in by_epoch[0])
     cks1 = sorted(r["order_checksum"] for r in by_epoch[1])
     assert cks0 != cks1
+
+
+def test_rrf_fusion_properties(spark, sf_dir):
+    out = registry.queries()["d68_rrf_hybrid_search"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= 5
+        scores = sorted((r["rrf"] for r in rows), reverse=True)
+        assert scores == [r for r in scores]  # already sorted desc set
+        for r in rows:
+            # At least one arm ranked the candidate; fused score is the
+            # sum of present reciprocal terms.
+            assert r["lex_rank"] is not None or r["vec_rank"] is not None
+            expected = 0.0
+            if r["lex_rank"] is not None:
+                expected += 1.0 / (60 + r["lex_rank"])
+            if r["vec_rank"] is not None:
+                expected += 1.0 / (60 + r["vec_rank"])
+            assert abs(r["rrf"] - round(expected, 6)) < 1e-9
