@@ -951,3 +951,104 @@ def d68_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "cand_id", "rrf", "lex_rank", "vec_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# D69 — BM25 ranking (Robertson-Sparck Jones probabilistic weighting,
+# k1=1.2 b=0.75 — the Okapi defaults and Lucene's scoring backbone): the
+# exact lexical scorer d68's fused lexical arm approximates with raw
+# overlap. Every factor comes from keyed aggregates over the token table:
+# tf (doc_id,term), document length, idf from document frequency (the
+# +1-inside-log variant, so idf > 0 always); idf and the corpus stats are
+# vocab-bounded broadcasts. The scoring join is query-term x posting-list
+# — the inverted-index discipline, never query x corpus.
+# --------------------------------------------------------------------------
+@register(
+    "d69_bm25_ranking",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dlen AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen
+    ), idf AS (
+        SELECT term, ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats s
+    ), q_terms AS (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents WHERE doc_id % 100 = 7
+    ), scored AS (
+        SELECT q.query_id, t.doc_id,
+               ROUND(SUM(i.idf * t.tf * 2.2
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avg_dl))),
+                     6) AS bm25
+        FROM q_terms q
+        JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_id
+        JOIN idf i ON i.term = q.term
+        JOIN dlen d ON d.doc_id = t.doc_id, stats s
+        GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id, bm25, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def d69_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))  # 1-row corpus stats
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+        )
+    )
+    q_terms = docs.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    scored = (
+        q_terms.join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(idf), "term")  # vocab-bounded
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avg_dl")))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (k1 + 1)
+                    / (
+                        F.col("tf")
+                        + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))
+                    )
+                ),
+                6,
+            ).alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "doc_id", "bm25", F.col("rk").cast("int").alias("rk"))
+    )

@@ -372,3 +372,12 @@ def test_rrf_fusion_properties(spark, sf_dir):
             if r["vec_rank"] is not None:
                 expected += 1.0 / (60 + r["vec_rank"])
             assert abs(r["rrf"] - round(expected, 6)) < 1e-9
+
+
+def test_bm25_scores_positive_and_self_excluded(spark, sf_dir):
+    out = registry.queries()["d69_bm25_ranking"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["doc_id"] != r["query_id"]
+        assert r["bm25"] > 0  # +1-inside-log idf keeps scores positive
+        assert 1 <= r["rk"] <= 5
