@@ -985,3 +985,50 @@ def t21_streaming_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# T22 — approximate distinct users per hour ON THE STREAM: exact
+# count-distinct is unbounded state on an unbounded stream (every seen key
+# per window, forever); approx_count_distinct keeps ONE mergeable HLL
+# sketch per window — the only viable per-window cardinality at production
+# stream rates. Full availableNow replay; the emitted verdict joins the
+# batch-exact count per window and bounds the sketch error at 3x its rsd
+# (the a3 discipline, streaming edition). Oracle = exact per-hour distinct
+# counts + TRUE.
+# --------------------------------------------------------------------------
+@register(
+    "t22_streaming_approx_distinct",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_within_3rsd
+    FROM events
+    GROUP BY hour_start
+    """,
+)
+def t22_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    rsd = 0.05
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("n_approx"))
+        .select(F.col("window.start").alias("hour_start"), "n_approx")
+    )
+    sink = run_to_memory(agg, output_mode="complete")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return sink.join(exact, "hour_start").select(
+        "hour_start",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.greatest(F.lit(5.0), F.lit(3 * rsd) * F.col("n_exact"))
+        ).alias("approx_within_3rsd"),
+    )

@@ -381,3 +381,9 @@ def test_bm25_scores_positive_and_self_excluded(spark, sf_dir):
         assert r["doc_id"] != r["query_id"]
         assert r["bm25"] > 0  # +1-inside-log idf keeps scores positive
         assert 1 <= r["rk"] <= 5
+
+
+def test_streaming_approx_distinct_verdicts(spark, sf_dir):
+    out = registry.queries()["t22_streaming_approx_distinct"](spark, sf_dir).collect()
+    assert out
+    assert all(r["approx_within_3rsd"] for r in out)
