@@ -46,6 +46,13 @@ def _md5_uniform(key_col):
 # Gumbel driven by the md5-uniform of the doc key so the sampled set is
 # exact and oracle-reproducible.
 #
+# Corpus note: on this synthetic word-salad corpus the target affinity is
+# carried largely by verbatim cross-doc n-gram duplication (langs share
+# one vocabulary; a held-out classifier shows no residual lang signal —
+# measured at chance), so DSIR here behaves as a duplication-affinity
+# selector. The computation is exactly the paper's; on a real corpus the
+# same code picks up genuine domain likeness.
+#
 # Scale shape: tokenize/bigram/bucket are scan-stage JVM expressions; the
 # two count tables partial-aggregate map-side into at most B=1024 rows
 # each, broadcast back; per-doc weight is one keyed agg; top-k is a single
