@@ -1078,3 +1078,57 @@ def d67_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum(F.col("doc_id") * (F.col("rk") % 97)).alias("order_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# D70 — MinHash-LSH parameter planner: the S-curve P(candidate | jaccard
+# s) = 1 - (1 - s^r)^b for a grid of (bands, rows) configurations — the
+# calculation every LSH deployment (d2/d45) runs BEFORE touching data, to
+# pick parameters meeting a recall floor at the target similarity and a
+# cost ceiling below it. Pure closed-form math over a literal config
+# grid; the oracle replays it bit-for-bit, and the `meets_slo` verdict
+# encodes the planning rule (recall >= 0.9 at s=0.8, candidate rate
+# <= 0.25 at s=0.5).
+# --------------------------------------------------------------------------
+@register(
+    "d70_lsh_parameter_plan",
+    oracle="""
+    WITH grid(bands, rows_per_band) AS (
+        SELECT * FROM (VALUES (64, 2), (32, 4), (20, 6), (16, 8),
+                              (12, 10), (8, 16))
+    )
+    SELECT bands, rows_per_band,
+           bands * rows_per_band AS total_hashes,
+           ROUND(power(1.0 / bands, 1.0 / rows_per_band), 6) AS s_threshold,
+           ROUND(1 - power(1 - power(0.5, rows_per_band), bands), 6) AS p_at_50,
+           ROUND(1 - power(1 - power(0.8, rows_per_band), bands), 6) AS p_at_80,
+           ROUND(1 - power(1 - power(0.9, rows_per_band), bands), 6) AS p_at_90,
+           (1 - power(1 - power(0.8, rows_per_band), bands)) >= 0.9
+               AND (1 - power(1 - power(0.5, rows_per_band), bands)) <= 0.25
+               AS meets_slo
+    FROM grid
+    """,
+)
+def d70_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.createDataFrame(
+        [(64, 2), (32, 4), (20, 6), (16, 8), (12, 10), (8, 16)],
+        "bands int, rows_per_band int",
+    )
+
+    def p_at(s: float):
+        return 1 - F.pow(
+            1 - F.pow(F.lit(s), F.col("rows_per_band")), F.col("bands")
+        )
+
+    return grid.select(
+        "bands",
+        "rows_per_band",
+        (F.col("bands") * F.col("rows_per_band")).alias("total_hashes"),
+        F.round(
+            F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 6
+        ).alias("s_threshold"),
+        F.round(p_at(0.5), 6).alias("p_at_50"),
+        F.round(p_at(0.8), 6).alias("p_at_80"),
+        F.round(p_at(0.9), 6).alias("p_at_90"),
+        ((p_at(0.8) >= 0.9) & (p_at(0.5) <= 0.25)).alias("meets_slo"),
+    )

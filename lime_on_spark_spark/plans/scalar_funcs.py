@@ -724,3 +724,55 @@ def f17_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.decode(F.unbase64(b64), "utf-8") == head24).alias("b64_roundtrip"),
         (F.decode(F.unhex(hx), "utf-8") == head12).alias("hex_roundtrip"),
     )
+
+
+# --------------------------------------------------------------------------
+# F18 — collation-aware comparison (Spark 4 COLLATE): case-insensitive
+# equality/grouping as a COLUMN PROPERTY instead of lower() calls scattered
+# through every predicate — the engine-level fix for mixed-case feeds.
+# Half the rows are re-cased (initcap) so naive grouping doubles the
+# groups; grouping under UTF8_LCASE merges them. The oracle mirrors with
+# lower() (UTF8_LCASE's definition for ASCII); the in-query verdict pins
+# that collated grouping halves the group count.
+# --------------------------------------------------------------------------
+@register(
+    "f18_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                    ELSE upper(substr(c_mktsegment, 1, 1))
+                         || lower(substr(c_mktsegment, 2))
+               END AS seg
+        FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants,
+           TRUE AS collation_merges_case
+    FROM mixed
+    GROUP BY lower(seg)
+    """,
+)
+def f18_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    mixed = cust.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.col("c_mktsegment")
+        )
+        .otherwise(F.initcap(F.lower("c_mktsegment")))
+        .alias("seg")
+    )
+    naive_groups = mixed.select("seg").distinct().count()
+    collated = mixed.groupBy(
+        F.expr("seg COLLATE UTF8_LCASE").alias("cseg")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("seg").alias("n_case_variants"),
+    )
+    coll_groups = collated.count()
+    return collated.select(
+        F.lower("cseg").alias("segment"),
+        "n_customers",
+        "n_case_variants",
+        F.lit(coll_groups * 2 == naive_groups).alias("collation_merges_case"),
+    )

@@ -515,3 +515,52 @@ def w10_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("q"), 6).alias("best_quality"),
         F.min("len").cast("bigint").alias("shortest_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# W11 — cume_dist + NUMERIC range frame: the remaining analytic pair.
+# cume_dist gives each customer's within-segment balance percentile
+# (inclusive CDF); the RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING
+# frame counts balance-NEIGHBORS — a frame over the VALUE axis, not row
+# positions, which no rowsBetween can express. Both partition on
+# c_mktsegment, so one shuffle serves both window passes.
+# --------------------------------------------------------------------------
+@register(
+    "w11_cume_dist_range_frame",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(cd), 6) AS avg_cume_dist,
+           ROUND(MAX(cd), 6) AS max_cume_dist,
+           ROUND(AVG(nbr), 4) AS avg_balance_neighbors
+    FROM (
+        SELECT c_mktsegment,
+               cume_dist() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal) AS cd,
+               COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                              RANGE BETWEEN 100 PRECEDING
+                                        AND 100 FOLLOWING) AS nbr
+        FROM customer
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def w11_cume_dist_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w_cd = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    w_rng = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rangeBetween(-100, 100)
+    )
+    per_row = cust.select(
+        "c_mktsegment",
+        F.cume_dist().over(w_cd).alias("cd"),
+        F.count(F.lit(1)).over(w_rng).alias("nbr"),
+    )
+    return per_row.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        F.round(F.avg("nbr"), 4).alias("avg_balance_neighbors"),
+    )

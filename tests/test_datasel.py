@@ -387,3 +387,21 @@ def test_streaming_approx_distinct_verdicts(spark, sf_dir):
     out = registry.queries()["t22_streaming_approx_distinct"](spark, sf_dir).collect()
     assert out
     assert all(r["approx_within_3rsd"] for r in out)
+
+
+def test_collation_merges_case_variants(spark, sf_dir):
+    out = registry.queries()["f18_collation"](spark, sf_dir).collect()
+    assert all(r["collation_merges_case"] for r in out)
+    assert all(r["segment"] == r["segment"].lower() for r in out)
+    assert all(r["n_case_variants"] == 2 for r in out)
+
+
+def test_lsh_parameter_plan_scurve(spark, sf_dir):
+    out = registry.queries()["d70_lsh_parameter_plan"](spark, sf_dir).collect()
+    assert len(out) == 6
+    for r in out:
+        # S-curve sanity: monotone in s, threshold inside (0, 1).
+        assert 0 < r["s_threshold"] < 1
+        assert r["p_at_50"] <= r["p_at_80"] <= r["p_at_90"] <= 1.0
+    # At least one config in the grid satisfies the planning SLO.
+    assert any(r["meets_slo"] for r in out)
