@@ -1132,3 +1132,179 @@ def d70_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_at(0.9), 6).alias("p_at_90"),
         ((p_at(0.8) >= 0.9) & (p_at(0.5) <= 0.25)).alias("meets_slo"),
     )
+
+
+# --------------------------------------------------------------------------
+# D71 — Neyman-optimal stratified sampling allocation (Neyman 1934): the
+# profiling step before d8/d12's samplers — allocate a budget of B=100
+# sample slots across language strata proportionally to N_h * S_h (size x
+# within-stratum std of doc length), the allocation that minimizes the
+# estimator variance at fixed budget. One keyed agg + a broadcast scalar.
+# --------------------------------------------------------------------------
+@register(
+    "d71_neyman_allocation",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, COUNT(*) AS nh, stddev_samp(n_chars) AS sh
+        FROM documents GROUP BY lang
+    ), tot AS (SELECT SUM(nh * sh) AS z FROM stats)
+    SELECT lang, CAST(nh AS BIGINT) AS nh, ROUND(sh, 4) AS stddev_chars,
+           ROUND(100 * nh * sh / z, 4) AS neyman_alloc
+    FROM stats, tot
+    """,
+)
+def d71_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.stddev_samp("n_chars").alias("sh"),
+    )
+    tot = stats.agg(F.sum(F.col("nh") * F.col("sh")).alias("z"))
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "nh",
+        F.round("sh", 4).alias("stddev_chars"),
+        F.round(F.lit(100) * F.col("nh") * F.col("sh") / F.col("z"), 4).alias(
+            "neyman_alloc"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# D72 — Population Stability Index between corpus halves: THE drift
+# metric for monitoring an ingest feed (PSI = sum (p-q) ln(p/q) over
+# fixed bins; < 0.1 stable, > 0.25 shifted). Fixed 50-char bins over
+# n_chars with +0.5 smoothing so empty bins can't produce infinities.
+# Everything is two keyed aggs + a broadcast totals row; the verdict
+# applies the standard 0.1 stability threshold.
+# --------------------------------------------------------------------------
+@register(
+    "d72_psi_drift",
+    oracle="""
+    WITH halves AS (
+        SELECT doc_id % 2 = 0 AS is_a,
+               CAST(least(7, greatest(0,
+                    CAST(floor((n_chars - 150) / 50) AS INTEGER) + 1))
+                    AS INTEGER) AS bin
+        FROM documents
+    ), cnt AS (
+        SELECT bin, SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+        FROM halves GROUP BY bin
+    ), tots AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM cnt),
+    terms AS (
+        SELECT ROUND(((ca + 0.5) / (ta + 0.5) - (cb + 0.5) / (tb + 0.5))
+               * ln(((ca + 0.5) / (ta + 0.5)) / ((cb + 0.5) / (tb + 0.5))),
+               6) AS t
+        FROM cnt, tots
+    )
+    SELECT ROUND(SUM(t), 6) AS psi, SUM(t) < 0.1 AS stable FROM terms
+    """,
+)
+def d72_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bin_expr = (
+        F.least(
+            F.lit(7),
+            F.greatest(
+                F.lit(0), F.floor((F.col("n_chars") - 150) / 50).cast("int") + 1
+            ),
+        )
+    ).cast("int")
+    halves = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"), bin_expr.alias("bin")
+    )
+    cnt = halves.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("int")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("int")).alias("cb"),
+    )
+    tots = cnt.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    terms = cnt.crossJoin(F.broadcast(tots)).select(
+        F.round(
+            (
+                (F.col("ca") + 0.5) / (F.col("ta") + 0.5)
+                - (F.col("cb") + 0.5) / (F.col("tb") + 0.5)
+            )
+            * F.log(
+                ((F.col("ca") + 0.5) / (F.col("ta") + 0.5))
+                / ((F.col("cb") + 0.5) / (F.col("tb") + 0.5))
+            ),
+            6,
+        ).alias("t")
+    )
+    return terms.agg(F.round(F.sum("t"), 6).alias("psi")).select(
+        "psi", (F.col("psi") < 0.1).alias("stable")
+    )
+
+
+# --------------------------------------------------------------------------
+# D73 — two-sample Kolmogorov-Smirnov statistic (en vs non-en doc
+# lengths): max |F_a(v) - F_b(v)| over the VALUE-grouped cumulative
+# counts, with the alpha=0.05 critical value 1.36*sqrt((na+nb)/(na*nb)).
+# The cumulative window runs over DISTINCT n_chars values (a few hundred
+# rows after the keyed agg — bounded by the value domain, not the corpus,
+# so the unpartitioned window is safe; the same bound d51's cumulative
+# histogram relies on). na/nb/crit are all in-plan broadcast scalars — no
+# driver math.
+# --------------------------------------------------------------------------
+@register(
+    "d73_ks_test",
+    oracle="""
+    WITH vals AS (SELECT lang = 'en' AS is_en, n_chars FROM documents),
+    ns AS (
+        SELECT SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS nb
+        FROM vals
+    ), cum AS (
+        SELECT n_chars,
+               SUM(SUM(CASE WHEN is_en THEN 1 ELSE 0 END))
+                   OVER (ORDER BY n_chars) AS ca,
+               SUM(SUM(CASE WHEN is_en THEN 0 ELSE 1 END))
+                   OVER (ORDER BY n_chars) AS cb
+        FROM vals GROUP BY n_chars
+    )
+    SELECT ROUND(MAX(ABS(ca * 1.0 / ns.na - cb * 1.0 / ns.nb)), 6) AS ks_stat,
+           ROUND(CAST(1.36 * sqrt((ns.na + ns.nb) * 1.0 / (ns.na * ns.nb))
+                 AS DOUBLE), 6) AS ks_crit_05,
+           MAX(ABS(ca * 1.0 / ns.na - cb * 1.0 / ns.nb))
+               < 1.36 * sqrt((ns.na + ns.nb) * 1.0 / (ns.na * ns.nb))
+               AS same_distribution
+    FROM cum, ns
+    GROUP BY ns.na, ns.nb
+    """,
+)
+def d73_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select((F.col("lang") == "en").alias("is_en"), "n_chars")
+    ns = vals.agg(
+        F.sum(F.col("is_en").cast("int")).alias("na"),
+        F.sum((~F.col("is_en")).cast("int")).alias("nb"),
+    )
+    cum_w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        vals.groupBy("n_chars")
+        .agg(
+            F.sum(F.col("is_en").cast("int")).alias("a"),
+            F.sum((~F.col("is_en")).cast("int")).alias("b"),
+        )
+        .select(
+            "n_chars",
+            F.sum("a").over(cum_w).alias("ca"),
+            F.sum("b").over(cum_w).alias("cb"),
+        )
+    )
+    crit = 1.36 * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+    return (
+        cum.crossJoin(F.broadcast(ns))
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))),
+                6,
+            ).alias("ks_stat"),
+            F.round(F.max(crit), 6).alias("ks_crit_05"),
+            (
+                F.max(F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")))
+                < F.max(crit)
+            ).alias("same_distribution"),
+        )
+    )

@@ -405,3 +405,25 @@ def test_lsh_parameter_plan_scurve(spark, sf_dir):
         assert r["p_at_50"] <= r["p_at_80"] <= r["p_at_90"] <= 1.0
     # At least one config in the grid satisfies the planning SLO.
     assert any(r["meets_slo"] for r in out)
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    out = registry.queries()["d71_neyman_allocation"](spark, sf_dir).collect()
+    assert abs(sum(r["neyman_alloc"] for r in out) - 100.0) < 0.01
+    for r in out:
+        assert r["neyman_alloc"] > 0
+
+
+def test_psi_is_finite_and_small_for_random_halves(spark, sf_dir):
+    out = registry.queries()["d72_psi_drift"](spark, sf_dir).collect()[0]
+    # Even/odd doc_id halves share one distribution: PSI must be modest
+    # (sampling noise only; the 0.1 textbook threshold may flip at tiny
+    # corpus sizes, so bound it loosely here and exactly via the oracle).
+    assert 0.0 <= out["psi"] < 0.5
+
+
+def test_ks_statistic_bounds(spark, sf_dir):
+    out = registry.queries()["d73_ks_test"](spark, sf_dir).collect()[0]
+    assert 0.0 <= out["ks_stat"] <= 1.0
+    assert out["ks_crit_05"] > 0
+    assert out["same_distribution"] == (out["ks_stat"] < out["ks_crit_05"])
