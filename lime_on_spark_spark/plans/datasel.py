@@ -1308,3 +1308,101 @@ def d73_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("same_distribution"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D74 — chi-squared token-language dependence: the classic feature-
+# selection / dependence statistic (chi2 = sum (O-E)^2/E over the
+# lang x token contingency table). High-chi2 tokens are the
+# language-discriminative vocabulary — what a fasttext-style router would
+# weight first, and the dependence dual of d73's distribution test. The
+# contingency table is vocab x langs (bounded), built from one keyed agg
+# plus two broadcast marginals.
+# --------------------------------------------------------------------------
+@register(
+    "d74_chi2_dependence",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), obs AS (SELECT lang, word, COUNT(*) AS o FROM toks GROUP BY 1, 2),
+    row_t AS (SELECT lang, COUNT(*) AS rt FROM toks GROUP BY 1),
+    col_t AS (SELECT word, COUNT(*) AS ct FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM toks),
+    per_word AS (
+        SELECT o.word,
+               ROUND(SUM(POWER(o.o - r.rt * c.ct * 1.0 / n.n, 2)
+                     / (r.rt * c.ct * 1.0 / n.n)), 4) AS chi2
+        FROM obs o
+        JOIN row_t r ON o.lang = r.lang
+        JOIN col_t c ON o.word = c.word, n
+        GROUP BY o.word
+    )
+    SELECT word, chi2, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY chi2 DESC, word) AS rk
+          FROM per_word)
+    WHERE rk <= 10
+    """,
+)
+def d74_chi2_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    obs = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("o"))
+    row_t = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
+    col_t = toks.groupBy("word").agg(F.count(F.lit(1)).alias("ct"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    expected = F.col("rt") * F.col("ct") / F.col("n")
+    per_word = (
+        obs.join(F.broadcast(row_t), "lang")
+        .join(F.broadcast(col_t), "word")
+        .crossJoin(F.broadcast(n))
+        .select("word", ((F.col("o") - expected) ** 2 / expected).alias("term"))
+        .groupBy("word")
+        .agg(F.round(F.sum("term"), 4).alias("chi2"))
+    )
+    w = Window.orderBy(F.desc("chi2"), F.asc("word"))
+    return (
+        per_word.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("word", "chi2", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D75 — Gini coefficient of token-frequency concentration: vocabulary
+# inequality (0 = perfectly uniform usage, -> 1 = a few tokens dominate).
+# Natural corpora sit high (Zipf); a near-zero value flags synthetic or
+# templated text — a one-number generator fingerprint. Computed exactly
+# from the rank-weighted sorted frequency table (G = 2*sum(i*f_i)/(n*F) -
+# (n+1)/n); the rank window runs over the VOCABULARY (bounded), not the
+# corpus.
+# --------------------------------------------------------------------------
+@register(
+    "d75_gini_concentration",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), freq AS (SELECT word, COUNT(*) AS f FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f, word) AS i FROM freq
+    )
+    SELECT ROUND(2.0 * SUM(i * f) / (COUNT(*) * SUM(f))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM ranked
+    """,
+)
+def d75_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    wv = Window.orderBy(F.asc("f"), F.asc("word"))
+    ranked = freq.withColumn("i", F.row_number().over(wv))
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("f"))
+            / (F.count(F.lit(1)) * F.sum("f"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )

@@ -549,3 +549,60 @@ def s8_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# S10 — dynamic partition overwrite: the idempotent-backfill primitive.
+# With partitionOverwriteMode=dynamic, an INSERT OVERWRITE replaces ONLY
+# the partitions present in the incoming data — re-running yesterday's
+# job rewrites yesterday's directories and leaves the rest of a 100 TB
+# table untouched (static mode would truncate the whole table). The query
+# lays documents out partitioned by lang, re-processes ONLY the 'en'
+# partition (n_chars + 1000), and aggregates the readback: en rows carry
+# the bump, other langs are bit-identical originals — which is exactly
+# what the oracle's CASE reproduces. Conf is set per-query and restored.
+# --------------------------------------------------------------------------
+@register(
+    "s10_dynamic_partition_overwrite",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN n_chars + 1000
+                         ELSE n_chars END) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def s10_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    path = _scratch(spark, "s10_dpo")
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(path)
+    try:
+        spark.conf.set(mode_key, "dynamic")
+        # The backfill job: only the 'en' partition is in the incoming
+        # frame, so only .../lang=en is rewritten.
+        (
+            docs.filter(F.col("lang") == "en")
+            .withColumn("n_chars", F.col("n_chars") + 1000)
+            .write.partitionBy("lang")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        result = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        spark.conf.set(mode_key, prev)
+        shutil.rmtree(path, ignore_errors=True)

@@ -427,3 +427,39 @@ def test_ks_statistic_bounds(spark, sf_dir):
     assert 0.0 <= out["ks_stat"] <= 1.0
     assert out["ks_crit_05"] > 0
     assert out["same_distribution"] == (out["ks_stat"] < out["ks_crit_05"])
+
+
+def test_chi2_top_tokens(spark, sf_dir):
+    out = registry.queries()["d74_chi2_dependence"](spark, sf_dir).collect()
+    assert len(out) == 10
+    chis = [r["chi2"] for r in out]
+    assert chis == sorted(chis, reverse=True)
+    assert all(c >= 0 for c in chis)
+
+
+def test_gini_bounds(spark, sf_dir):
+    out = registry.queries()["d75_gini_concentration"](spark, sf_dir).collect()[0]
+    assert 0.0 <= out["gini_tokens"] <= 1.0
+    assert out["vocab_size"] > 0
+
+
+def test_dynamic_overwrite_touches_only_en(spark, sf_dir):
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    out = {
+        r["lang"]: r
+        for r in registry.queries()["s10_dynamic_partition_overwrite"](spark, sf_dir).collect()
+    }
+    orig = {
+        r["lang"]: r
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("tc"))
+        .collect()
+    }
+    for lang, r in out.items():
+        assert r["n_docs"] == orig[lang]["n"]
+        if lang == "en":
+            assert r["total_chars"] == orig[lang]["tc"] + 1000 * orig[lang]["n"]
+        else:
+            assert r["total_chars"] == orig[lang]["tc"]
