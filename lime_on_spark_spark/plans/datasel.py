@@ -1406,3 +1406,44 @@ def d75_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini_tokens"),
         F.count(F.lit(1)).alias("vocab_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# D76 — Zipf exponent fit: least-squares slope of log(freq) on log(rank)
+# over the token frequency table. Natural language sits near -1; the
+# fitted slope + R^2 are the distribution-shape fingerprint that
+# complements d75's Gini scalar. The regression reduces to the a9
+# corr/stddev aggregate family over the (bounded) vocabulary — slope =
+# cov(x,y)/var(x), all in one agg.
+# --------------------------------------------------------------------------
+@register(
+    "d76_zipf_fit",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), freq AS (SELECT word, COUNT(*) AS f FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT ln(ROW_NUMBER() OVER (ORDER BY f DESC, word)) AS x,
+               ln(f) AS y
+        FROM freq
+    )
+    SELECT ROUND(covar_samp(x, y) / var_samp(x), 6) AS zipf_slope,
+           ROUND(POWER(corr(x, y), 2), 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM ranked
+    """,
+)
+def d76_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("word"))
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log("f").alias("y"),
+    )
+    return ranked.agg(
+        F.round(F.covar_samp("x", "y") / F.var_samp("x"), 6).alias("zipf_slope"),
+        F.round(F.corr("x", "y") ** 2, 6).alias("r2"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )

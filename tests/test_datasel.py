@@ -463,3 +463,10 @@ def test_dynamic_overwrite_touches_only_en(spark, sf_dir):
             assert r["total_chars"] == orig[lang]["tc"] + 1000 * orig[lang]["n"]
         else:
             assert r["total_chars"] == orig[lang]["tc"]
+
+
+def test_zipf_fit_sane(spark, sf_dir):
+    out = registry.queries()["d76_zipf_fit"](spark, sf_dir).collect()[0]
+    assert out["zipf_slope"] < 0  # frequency decreases with rank
+    assert 0.0 <= out["r2"] <= 1.0
+    assert out["vocab_size"] > 0
