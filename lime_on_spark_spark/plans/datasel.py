@@ -1447,3 +1447,114 @@ def d76_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("x", "y") ** 2, 6).alias("r2"),
         F.count(F.lit(1)).alias("vocab_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# D77 — containment scoring (Broder 1997, "On the resemblance and
+# containment of documents"): containment c(A,B) = |A n B| / min(|A|,|B|)
+# catches SUBSET duplication — a doc quoted or embedded inside a longer
+# one — which symmetric Jaccard dilutes toward zero as the host grows.
+# Output: top-10 candidate pairs with both metrics plus the asymmetry
+# ratio containment/jaccard (>> 1 flags quote/subset cases).
+#
+# Scale shape: same inverted-index shared-shingle self-join as
+# d2_ngram_jaccard; at corpus scale the same hashed-shingle keys +
+# stop-shingle DF cutoff (operators/jaccard.py) apply unchanged — only
+# the final scoring formula differs.
+# --------------------------------------------------------------------------
+@register(
+    "d77_containment_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.doc_id,
+               w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT i.da, i.db,
+               ROUND(i.i * 1.0 / LEAST(sa.sz, sb.sz), 6) AS containment,
+               ROUND(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.da
+        JOIN sizes sb ON sb.doc_id = i.db
+    )
+    SELECT da, db, containment, jaccard,
+           ROUND(containment / jaccard, 4) AS asymmetry
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              ORDER BY containment DESC, jaccard DESC, da, db) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def d77_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 3),"
+                        " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("da"),
+                                     F.col("sz").alias("za"))),
+            "da",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("db"),
+                                     F.col("sz").alias("zb"))),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            F.round(F.col("i") / F.least("za", "zb"), 6).alias("containment"),
+            F.round(
+                F.col("i") / (F.col("za") + F.col("zb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("containment"), F.desc("jaccard"), F.asc("da"), F.asc("db")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "da",
+            "db",
+            "containment",
+            "jaccard",
+            F.round(F.col("containment") / F.col("jaccard"), 4).alias(
+                "asymmetry"
+            ),
+        )
+    )

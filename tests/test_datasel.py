@@ -470,3 +470,13 @@ def test_zipf_fit_sane(spark, sf_dir):
     assert out["zipf_slope"] < 0  # frequency decreases with rank
     assert 0.0 <= out["r2"] <= 1.0
     assert out["vocab_size"] > 0
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    out = registry.queries()["d77_containment_pairs"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # containment >= jaccard always (min(|A|,|B|) <= |A u B|).
+        assert r["containment"] >= r["jaccard"]
+        assert r["asymmetry"] >= 1.0
+        assert 0 < r["containment"] <= 1.0
