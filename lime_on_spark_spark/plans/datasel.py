@@ -1558,3 +1558,78 @@ def d77_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D78 — KMV (k-minimum-values) cardinality sketch (Bar-Yossef et al.
+# 2002): distinct-count estimated from the k-th smallest hash alone —
+# est = (k-1)/u_(k) with k=256. The third distinct-count machine in the
+# repo after exact bitmap (a2) and HLL (a3), and the one whose state IS a
+# mergeable top-k set (union sketches by keeping the 256 smallest of the
+# union — trivially map-side combinable). The md5-uniform hash makes u_(k)
+# a pure function of the data, so even the ESTIMATE is oracle-exact; the
+# verdict applies the ~1/sqrt(k) error bound (4/sqrt(256) = 0.25).
+#
+# Scale shape: the k smallest hashes come out of a TakeOrderedAndProject
+# (top-k, per-partition pruned) — never a global sort or single-task
+# window.
+# --------------------------------------------------------------------------
+@register(
+    "d78_kmv_cardinality",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT w1.word || ' ' || w2.word || ' ' || w3.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+    ), u AS (
+        SELECT CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS uv
+        FROM sh
+    ), kth AS (SELECT uv FROM u ORDER BY uv LIMIT 1 OFFSET 255),
+    exact AS (SELECT COUNT(*) AS n FROM u)
+    SELECT CAST(exact.n AS BIGINT) AS n_exact,
+           ROUND(255.0 / kth.uv, 2) AS kmv_estimate,
+           ABS(255.0 / kth.uv - exact.n) / exact.n <= 0.25
+               AS within_tolerance
+    FROM kth, exact
+    """,
+)
+def d78_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 256
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+                )
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    u = sh.select(
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("uv")
+    )
+    # k smallest via TakeOrderedAndProject; u_(k) = max of the k-set.
+    kth = u.orderBy("uv").limit(k).agg(F.max("uv").alias("uk"))
+    exact = u.agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.crossJoin(F.broadcast(kth)).select(
+        "n_exact",
+        F.round(F.lit(float(k - 1)) / F.col("uk"), 2).alias("kmv_estimate"),
+        (
+            F.abs(F.lit(float(k - 1)) / F.col("uk") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.25
+        ).alias("within_tolerance"),
+    )

@@ -606,3 +606,62 @@ def s10_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         spark.conf.set(mode_key, prev)
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# O8 — catalog statistics via ANALYZE TABLE (cost-based-optimizer food):
+# at 100 TB the CBO's join-order and broadcast decisions are only as good
+# as table/column stats, and ANALYZE is the maintenance job that feeds
+# them. The query materializes documents as a catalog table, runs ANALYZE
+# (table-level + column-level), reads the recorded rowCount/distinct
+# counts back via the catalog, and pins rowCount == actual as the
+# verdict. DESCRIBE-based stats readout is the same surface a human
+# operator checks.
+# --------------------------------------------------------------------------
+@register(
+    "o8_analyze_table_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           TRUE AS stats_match_actual
+    FROM documents
+    """,
+)
+def o8_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    t = f"o8_docs_{uuid.uuid4().hex[:12]}"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").format("parquet").saveAsTable(t)
+    try:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS lang")
+        # Catalog-recorded stats, as the CBO sees them.
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").select(
+                F.col("col_name").alias("info_name"),
+                F.col("data_type").alias("info_value"),
+            ).collect()
+        }
+        stats_line = desc.get("Statistics", "")
+        col_desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {t} lang").select(
+                F.col("info_name"), F.col("info_value")
+            ).collect()
+        }
+        actual_rows = spark.table(t).count()
+        actual_langs = spark.table(t).select("lang").distinct().count()
+        stated_rows = None
+        for tok in stats_line.replace(",", " ").split():
+            if tok.isdigit():
+                stated_rows = int(tok)  # last integer = row count
+        stated_langs = int(col_desc.get("distinct_count", "-1"))
+        ok = stated_rows == actual_rows and stated_langs == actual_langs
+        return spark.createDataFrame(
+            [(actual_rows, actual_langs, ok)],
+            "n_rows bigint, n_langs bigint, stats_match_actual boolean",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

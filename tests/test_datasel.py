@@ -480,3 +480,14 @@ def test_containment_dominates_jaccard(spark, sf_dir):
         assert r["containment"] >= r["jaccard"]
         assert r["asymmetry"] >= 1.0
         assert 0 < r["containment"] <= 1.0
+
+
+def test_kmv_estimate_close(spark, sf_dir):
+    out = registry.queries()["d78_kmv_cardinality"](spark, sf_dir).collect()[0]
+    assert out["within_tolerance"]
+    assert out["kmv_estimate"] > 0
+
+
+def test_analyze_stats_recorded(spark, sf_dir):
+    out = registry.queries()["o8_analyze_table_stats"](spark, sf_dir).collect()[0]
+    assert out["stats_match_actual"]
