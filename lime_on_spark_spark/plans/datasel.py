@@ -1633,3 +1633,75 @@ def d78_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.25
         ).alias("within_tolerance"),
     )
+
+
+# --------------------------------------------------------------------------
+# D79 — Good-Turing frequency smoothing (Good 1953): re-estimate n-gram
+# counts from the count-of-counts table — r* = (r+1) N_{r+1} / N_r — and
+# the unseen-mass estimate P0 = N_1 / N. The smoothing step under
+# Katz-backoff LMs and the principled companion to d30's MLE bigram
+# model. The count-of-counts table is tiny (distinct frequency VALUES),
+# so the r -> r+1 self-join is a broadcast of a few dozen rows no matter
+# the corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "d79_good_turing",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), bg AS (
+        SELECT w1.word || ' ' || w2.word AS bigram
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+    ), freq AS (SELECT bigram, COUNT(*) AS r FROM bg GROUP BY bigram),
+    coc AS (SELECT r, COUNT(*) AS nr FROM freq GROUP BY r),
+    tot AS (SELECT CAST(SUM(r * nr) AS BIGINT) AS n FROM coc)
+    SELECT a.r, CAST(a.nr AS BIGINT) AS n_r,
+           ROUND((a.r + 1) * b.nr * 1.0 / a.nr, 6) AS r_star,
+           ROUND(COALESCE((SELECT nr FROM coc WHERE r = 1), 0) * 1.0 / t.n,
+                 6) AS p0_unseen
+    FROM coc a JOIN coc b ON b.r = a.r + 1, tot t
+    WHERE a.r <= 5
+    """,
+)
+def d79_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat(w[i], ' ', w[i + 1]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("r"))
+    coc = freq.groupBy("r").agg(F.count(F.lit(1)).alias("nr"))
+    tot = coc.agg(F.sum(F.col("r") * F.col("nr")).alias("n"))
+    # N_1 may be absent entirely (no singleton bigrams at larger SFs):
+    # an aggregate keeps this a 1-row frame either way.
+    n1 = coc.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("nr"))), F.lit(0)
+        ).alias("n1")
+    )
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr_next"))
+    return (
+        coc.filter(F.col("r") <= 5)
+        .join(F.broadcast(nxt), "r")  # count-of-counts: dozens of rows
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            F.col("nr").alias("n_r"),
+            F.round((F.col("r") + 1) * F.col("nr_next") / F.col("nr"), 6).alias(
+                "r_star"
+            ),
+            F.round(F.col("n1") / F.col("n"), 6).alias("p0_unseen"),
+        )
+    )

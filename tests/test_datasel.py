@@ -491,3 +491,11 @@ def test_kmv_estimate_close(spark, sf_dir):
 def test_analyze_stats_recorded(spark, sf_dir):
     out = registry.queries()["o8_analyze_table_stats"](spark, sf_dir).collect()[0]
     assert out["stats_match_actual"]
+
+
+def test_good_turing_smoothing(spark, sf_dir):
+    out = registry.queries()["d79_good_turing"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["r_star"] > 0
+        assert 0.0 <= r["p0_unseen"] < 1.0
