@@ -596,3 +596,36 @@ def p14_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# P15 — SQL pipe syntax (Spark 4's |> operator, the GoogleSQL pipe-query
+# proposal): the same logical query written as a linear pipeline —
+# FROM |> WHERE |> AGGREGATE |> ORDER BY — instead of inside-out nested
+# SELECTs. Purely surface syntax: Catalyst lowers it to the identical
+# plan, which the oracle (classic ANSI spelling of the same query) pins.
+# --------------------------------------------------------------------------
+@register(
+    "p15_sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def p15_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     ROUND(SUM(l_extendedprice), 2) AS total_price
+           GROUP BY l_returnflag
+        """
+    )

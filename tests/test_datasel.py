@@ -499,3 +499,16 @@ def test_good_turing_smoothing(spark, sf_dir):
     for r in out:
         assert r["r_star"] > 0
         assert 0.0 <= r["p0_unseen"] < 1.0
+
+
+def test_pipe_syntax_matches_classic(spark, sf_dir):
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    piped = sorted(
+        map(tuple, registry.queries()["p15_sql_pipe_syntax"](spark, sf_dir).collect())
+    )
+    classic = sorted(
+        map(tuple, spark.sql(registry.oracle_sql()["p15_sql_pipe_syntax"]).collect())
+    )
+    assert piped == classic
