@@ -1052,3 +1052,104 @@ def d69_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "doc_id", "bm25", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# --------------------------------------------------------------------------
+# D80 — Johnson-Lindenstrauss random projection (64 -> 16 dims) with a
+# DETERMINISTIC sign matrix: s(i,j) = +-1 from the first md5 nibble of
+# "i#j" (Achlioptas 2003 database-friendly projections use exactly such
+# +-1 matrices). The matrix is precomputed driver-side with hashlib —
+# bit-identical to the md5() the oracle evaluates in SQL — and enters the
+# plan as a literal, so the projection is pure scan-stage arithmetic
+# (no joins, no shuffle; the ANN-preprocessing shape that feeds d4's
+# LSH at lower dimension). Sampled consecutive-pair distance ratios are
+# oracle-exact; the verdict applies the JL distortion bound appropriate
+# to k=16 (|ratio - 1| <= 0.9).
+# --------------------------------------------------------------------------
+@register(
+    "d80_jl_projection",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(0, 64)) AS i),
+    outs AS (SELECT unnest(range(0, 16)) AS j),
+    signs AS (
+        SELECT i.i, o.j,
+               CASE WHEN substr(md5(CAST(i.i AS VARCHAR) || '#'
+                        || CAST(o.j AS VARCHAR)), 1, 1) < '8'
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM dims i, outs o
+    ), vals AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id < 20
+    ), proj AS (
+        SELECT v.vec_id, s.j, SUM(v.x * s.s) / 4.0 AS y
+        FROM vals v JOIN signs s ON s.i = v.i
+        GROUP BY v.vec_id, s.j
+    ), pd AS (
+        SELECT a.vec_id AS va, SUM(POWER(a.y - b.y, 2)) AS pd2
+        FROM proj a JOIN proj b ON a.vec_id + 1 = b.vec_id AND a.j = b.j
+        GROUP BY a.vec_id
+    ), od AS (
+        SELECT a.vec_id AS va, SUM(POWER(a.x - b.x, 2)) AS od2
+        FROM vals a JOIN vals b ON a.vec_id + 1 = b.vec_id AND a.i = b.i
+        GROUP BY a.vec_id
+    )
+    SELECT pd.va, ROUND(pd.pd2 / od.od2, 6) AS dist_ratio,
+           ABS(pd.pd2 / od.od2 - 1) <= 0.9 AS jl_ok
+    FROM pd JOIN od ON pd.va = od.va
+    """,
+)
+def d80_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    d_in, k = 64, 16
+
+    def sign(i: int, j: int) -> float:
+        # Same rule as the oracle's SQL md5: +1 iff first hex nibble < '8'.
+        return 1.0 if hashlib.md5(f"{i}#{j}".encode()).hexdigest()[0] < "8" else -1.0
+
+    signs = [[sign(i, j) for i in range(d_in)] for j in range(k)]
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    # Literal matrix -> 16 scan-stage dot products (aggregate over the
+    # zipped sign row; no join, no shuffle).
+    proj_cols = [
+        F.expr(
+            "aggregate(zip_with(embedding, array({signs}), "
+            "(x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v) / 4.0".format(
+                signs=", ".join(f"CAST({s} AS DOUBLE)" for s in signs[j])
+            )
+        ).alias(f"y{j}")
+        for j in range(k)
+    ]
+    proj = emb.select("vec_id", *proj_cols)
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        *[F.col(f"y{j}").alias(f"z{j}") for j in range(k)],
+    )
+    pd2 = sum(
+        ((F.col(f"y{j}") - F.col(f"z{j}")) ** 2 for j in range(k)), F.lit(0.0)
+    )
+    pair = proj.join(b, "vec_id").select(
+        F.col("vec_id").alias("va"), pd2.alias("pd2")
+    )
+    e2 = emb.select(
+        (F.col("vec_id") - 1).alias("va"), F.col("embedding").alias("eb")
+    )
+    od = (
+        emb.select(F.col("vec_id").alias("va"), "embedding")
+        .join(e2, "va")
+        .select(
+            "va",
+            F.expr(
+                "aggregate(zip_with(embedding, eb, (x, y) ->"
+                " power(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("od2"),
+        )
+    )
+    return pair.join(od, "va").select(
+        "va",
+        F.round(F.col("pd2") / F.col("od2"), 6).alias("dist_ratio"),
+        (F.abs(F.col("pd2") / F.col("od2") - 1) <= 0.9).alias("jl_ok"),
+    )

@@ -512,3 +512,10 @@ def test_pipe_syntax_matches_classic(spark, sf_dir):
         map(tuple, spark.sql(registry.oracle_sql()["p15_sql_pipe_syntax"]).collect())
     )
     assert piped == classic
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    out = registry.queries()["d80_jl_projection"](spark, sf_dir).collect()
+    assert len(out) == 19  # consecutive pairs in the 20-vector block
+    assert all(r["jl_ok"] for r in out)
+    assert all(r["dist_ratio"] > 0 for r in out)
