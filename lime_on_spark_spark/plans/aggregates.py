@@ -1163,3 +1163,38 @@ def a22_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A23 — SQL:2003 linear-regression aggregates (regr_slope / regr_intercept
+# / regr_r2 / regr_count / regr_avgx / regr_avgy): the NATIVE single-pass
+# OLS family (a9 builds the same quantities from corr/stddev by hand;
+# this row pins the built-ins against DuckDB's implementations). Per
+# returnflag: price-per-quantity fit over lineitem — one
+# map-side-combinable agg, no second pass.
+# --------------------------------------------------------------------------
+@register(
+    "a23_regression_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a23_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_qty"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+    )

@@ -519,3 +519,13 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
     assert len(out) == 19  # consecutive pairs in the 20-vector block
     assert all(r["jl_ok"] for r in out)
     assert all(r["dist_ratio"] > 0 for r in out)
+
+
+def test_regression_aggs_consistent(spark, sf_dir):
+    out = registry.queries()["a23_regression_aggs"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n"] > 0
+        assert 0.0 <= r["r2"] <= 1.0
+        # intercept + slope * avgx == avgy (OLS passes through the means).
+        assert abs(r["intercept"] + r["slope"] * r["avg_qty"] - r["avg_price"]) < 1.0
