@@ -378,16 +378,23 @@ def d59_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
     # Scan-stage pair generation: for each position i, (w[i], w[i+1]) and
-    # (w[i], w[i+2]) — the +-2 window without a positional self-join.
+    # (w[i], w[i+2]) — the +-2 window without a positional self-join. The
+    # index sequence is clamped (sequence(0, -1) would step DOWN), then
+    # out-of-range indices are filtered: for 1-2 token docs the clamped
+    # sequence still emits i=0, and least()/greatest() skip the NULL
+    # w[i+1]/w[i+2], which would fabricate a (w0, w0) self-pair the
+    # oracle's positional self-join never generates.
     pair_arrays = toks.select(
         F.concat(
             F.expr(
-                "transform(sequence(0, greatest(size(w) - 2, 0)),"
+                "transform(filter(sequence(0, greatest(size(w) - 2, 0)),"
+                "                 i -> w[i + 1] IS NOT NULL),"
                 " i -> struct(least(w[i], w[i + 1]) AS wa,"
                 "             greatest(w[i], w[i + 1]) AS wb))"
             ),
             F.expr(
-                "transform(sequence(0, greatest(size(w) - 3, 0)),"
+                "transform(filter(sequence(0, greatest(size(w) - 3, 0)),"
+                "                 i -> w[i + 2] IS NOT NULL),"
                 " i -> struct(least(w[i], w[i + 2]) AS wa,"
                 "             greatest(w[i], w[i + 2]) AS wb))"
             ),
@@ -1590,12 +1597,15 @@ def d77_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
                / 4294967296.0 AS uv
         FROM sh
-    ), kth AS (SELECT uv FROM u ORDER BY uv LIMIT 1 OFFSET 255),
+    ), kth AS (SELECT MAX(uv) AS uk
+               FROM (SELECT uv FROM u ORDER BY uv LIMIT 256)),
     exact AS (SELECT COUNT(*) AS n FROM u)
     SELECT CAST(exact.n AS BIGINT) AS n_exact,
-           ROUND(255.0 / kth.uv, 2) AS kmv_estimate,
-           ABS(255.0 / kth.uv - exact.n) / exact.n <= 0.25
-               AS within_tolerance
+           ROUND(CASE WHEN exact.n >= 256 THEN 255.0 / kth.uk
+                      ELSE CAST(exact.n AS DOUBLE) END, 2) AS kmv_estimate,
+           CASE WHEN exact.n >= 256
+                THEN ABS(255.0 / kth.uk - exact.n) / exact.n <= 0.25
+                ELSE TRUE END AS within_tolerance
     FROM kth, exact
     """,
 )
@@ -1622,16 +1632,27 @@ def d78_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uv")
     )
     # k smallest via TakeOrderedAndProject; u_(k) = max of the k-set.
+    # When the corpus has fewer than k distinct shingles the k-th minimum
+    # does not exist (the estimator is undefined; a naive OFFSET k-1 oracle
+    # would even return zero rows) — both engines fall back to the exact
+    # count, keeping the row total and schema stable at any input size.
     kth = u.orderBy("uv").limit(k).agg(F.max("uv").alias("uk"))
     exact = u.agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.lit(float(k - 1)) / F.col("uk")
     return exact.crossJoin(F.broadcast(kth)).select(
         "n_exact",
-        F.round(F.lit(float(k - 1)) / F.col("uk"), 2).alias("kmv_estimate"),
-        (
-            F.abs(F.lit(float(k - 1)) / F.col("uk") - F.col("n_exact"))
-            / F.col("n_exact")
-            <= 0.25
-        ).alias("within_tolerance"),
+        F.round(
+            F.when(F.col("n_exact") >= k, est).otherwise(
+                F.col("n_exact").cast("double")
+            ),
+            2,
+        ).alias("kmv_estimate"),
+        F.when(
+            F.col("n_exact") >= k,
+            F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.25,
+        )
+        .otherwise(F.lit(True))
+        .alias("within_tolerance"),
     )
 
 

@@ -752,7 +752,7 @@ def d32_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) = 1
     )
     SELECT q_label AS label,
-           CAST(COUNT(*) / 2 AS BIGINT) AS n_queries,
+           COUNT(DISTINCT query_id) AS n_queries,
            ROUND(AVG(CASE WHEN same_label THEN cos_sim END), 5)
                AS avg_positive_sim,
            ROUND(AVG(CASE WHEN NOT same_label THEN cos_sim END), 5)
@@ -785,8 +785,12 @@ def d63_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     best = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # countDistinct, not COUNT(*)/2: if a query lacked a same-label or
+    # different-label neighbor the halved count would need a rounding rule
+    # (DuckDB rounds double->bigint, Spark truncates) — distinct ids are
+    # engine-agnostic.
     return best.groupBy(F.col("q_label").alias("label")).agg(
-        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_queries"),
+        F.countDistinct("query_id").alias("n_queries"),
         F.round(
             F.avg(F.when(F.col("same_label"), F.col("cos_sim"))), 5
         ).alias("avg_positive_sim"),
