@@ -72,3 +72,101 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via large-star/small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    the high-diameter companion to :func:`connected_components`.
+
+    Min-label propagation needs O(diameter) rounds; web-scale dup graphs
+    have long chains (template families), where diameter ~ n. Star
+    contraction instead alternates two rewrites of the EDGE set until it
+    reaches a fixed point of star graphs rooted at each component minimum:
+
+    * large-star(u): every neighbor v > u re-attaches to
+      m = min(N(u) + {u}) — emit (v, m);
+    * small-star(u): over the canonical (a > b) edges grouped by a,
+      m = min of the smaller neighbors — emit (b, m) for b != m and (a, m).
+
+    Both halves preserve connectivity and the node set, strictly contract
+    toward minima, and converge in O(log^2 n) rounds regardless of
+    diameter. Per half-round cost: one keyed min-aggregate + one keyed
+    join + one distinct — the same keyed-shuffle shape as one min-label
+    round, just O(log^2 n) of them instead of O(n). High-degree hubs do
+    NOT explode: large-star moves each hub edge once, to the hub's min.
+
+    `stats["rounds"]`, when a dict is supplied, records the number of
+    (large+small) iterations actually run — tests pin the O(log n)
+    behavior with it.
+    """
+    e = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # min over the full neighborhood including self
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star over the canonical (a > b) orientation: every smaller
+        # neighbor and the center itself re-attach to the local minimum.
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        new_e = (
+            large.join(mins2, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select("a", F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Cheap signature first (count + order-free hash-sum); only when it
+        # matches, confirm true set equality with one exceptAll (both sides
+        # are distinct, so equal counts + empty difference => equal sets).
+        sig_old, sig_new = (
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38, 0)")).alias("h"),
+            ).first()
+            for df in (e, new_e)
+        )
+        converged = sig_old == sig_new and new_e.exceptAll(e).isEmpty()
+        e = new_e
+        if converged:
+            break
+    else:
+        warnings.warn(
+            f"connected_components_star did not reach an edge fixed point "
+            f"within {max_rounds} rounds; component ids may be split too "
+            "fine. Increase max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Fixed point is a union of stars (leaf -> component min). Self-loops
+    # were filtered up front, so every input node sits in a component of
+    # size >= 2 and appears in the star edges; roots label themselves.
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("label")).union(
+        e.select(F.col("b").alias("node"), F.col("b").alias("label"))
+    )
+    return labels.groupBy("node").agg(F.min("label").alias("component"))

@@ -425,6 +425,74 @@ def d10_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D10b — connected components via large-star/small-star contraction on an
+# ADVERSARIAL high-diameter graph: four disjoint chains of up to 256 nodes
+# each, built deterministically from ranked doc_ids (group = doc_id % 4,
+# consecutive ranks linked). Min-label propagation (d10's engine) needs
+# O(diameter) ~ 250 rounds here; star contraction reaches the edge fixed
+# point in O(log n) alternations (unit-pinned in tests/test_clustering.py).
+# The oracle is DuckDB's recursive-CTE transitive closure over the same
+# chain edges — fully independent of the contraction algebra.
+# --------------------------------------------------------------------------
+@register(
+    "d10b_cc_star",
+    oracle="""
+    WITH RECURSIVE ranked AS (
+        SELECT doc_id, doc_id % 4 AS g,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+                   AS rk
+        FROM documents
+    ), chain AS (SELECT * FROM ranked WHERE rk <= 256),
+    edges AS (
+        SELECT * FROM (
+            SELECT lag(doc_id) OVER (PARTITION BY g ORDER BY doc_id) AS a,
+                   doc_id AS b
+            FROM chain
+        ) WHERE a IS NOT NULL
+    ), sym AS (
+        SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+    ), nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+    ), comp AS (
+        SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT component, COUNT(*) AS n_nodes, MAX(node) AS max_node
+    FROM comp
+    GROUP BY component
+    ORDER BY component
+    """,
+)
+def d10b_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.connected_components import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("g")
+    )
+    wg = Window.partitionBy("g").orderBy("doc_id")
+    chain = (
+        docs.withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") <= 256)
+        .withColumn("prev", F.lag("doc_id").over(wg))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("a"), F.col("doc_id").alias("b"))
+    )
+    comp = connected_components_star(chain, src="a", dst="b")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("component")
+    )
+
+
+# --------------------------------------------------------------------------
 # D13 — context-window chunking: split each document into overlapping
 # token windows (size 40, stride 30 -> 25% overlap), the preprocessing
 # step that turns raw documents into training-context rows. Start offsets

@@ -66,3 +66,74 @@ def test_semdedup_drops_only_duplicates_with_smaller_neighbor(spark, sf_dir):
     # The lowest-id member of any cluster can never be dropped, so at least
     # one survivor exists per cluster.
     assert dropped < total
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star connected components (operators/connected_components
+# .connected_components_star): the high-diameter path d10/d10b rely on.
+# ---------------------------------------------------------------------------
+
+
+def _path_edges(spark, n):
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint"
+    )
+
+
+def test_cc_star_converges_logarithmically_on_long_chain(spark):
+    from lime_on_spark_spark.operators.connected_components import (
+        connected_components_star,
+    )
+
+    n = 300  # diameter 299: min-label would need ~299 rounds
+    stats = {}
+    comp = connected_components_star(_path_edges(spark, n), stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+    # O(log n) alternations, not O(diameter): log2(300) ~ 8.2.
+    assert stats["rounds"] <= 12, stats
+
+
+def test_cc_star_min_label_parity_on_random_graph(spark):
+    import random
+
+    from lime_on_spark_spark.operators.connected_components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    star = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    prop = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert star == prop
+
+
+def test_cc_star_beats_min_label_round_budget(spark):
+    """On the chain graph, min-label capped at 25 rounds warns and splits
+    components; star contraction gets the exact answer."""
+    import warnings as W
+
+    from lime_on_spark_spark.operators.connected_components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = _path_edges(spark, 120)
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        labels = connected_components(edges, max_rounds=25)
+        split = labels.select("component").distinct().count()
+    assert any(issubclass(c.category, RuntimeWarning) for c in caught)
+    assert split > 1  # min-label left the chain fragmented
+    star = connected_components_star(edges)
+    assert star.select("component").distinct().count() == 1
