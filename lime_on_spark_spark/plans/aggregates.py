@@ -12,6 +12,7 @@ BIGINT); list aggregates are sorted on both sides for determinism.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1197,4 +1198,61 @@ def a23_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.round(F.regr_avgx(y, x), 4).alias("avg_qty"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A24 — Arrow-native grouped-agg pandas UDF (pandas_udf GROUPED_AGG): the
+# last Python-boundary shape the engine exercises (mapInPandas /
+# applyInPandas / cogroup / applyInPandasWithState cover the others).
+# The UDAF computes the discounted-revenue mean per returnflag in NumPy
+# over Arrow batches and is PINNED against the built-in JVM aggregate in
+# the same row: `close` gates |udaf - builtin| < 1e-6 BEFORE rounding, so
+# any Arrow transfer or batch-partitioning bug fails the oracle. UDAFs are
+# the slow path by doctrine — this row exists to prove the boundary works,
+# not as a recommended plan shape; partial aggregation still happens per
+# partition before the final per-group concat.
+# --------------------------------------------------------------------------
+@register(
+    "a24_pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(AVG(l_extendedprice * (1 - l_discount)), 2) AS disc_rev_udaf,
+           ROUND(AVG(l_extendedprice * (1 - l_discount)), 2)
+               AS disc_rev_builtin,
+           TRUE AS close
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a24_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def disc_rev_mean(price: pd.Series, disc: pd.Series) -> float:
+        return float((price * (1.0 - disc)).mean())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # A grouped-agg pandas UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run the two six-row aggregations
+    # separately and broadcast-join on the group key.
+    udaf = li.groupBy("l_returnflag").agg(
+        disc_rev_mean("l_extendedprice", "l_discount").alias("udaf_raw")
+    )
+    builtin = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "builtin_raw"
+        ),
+    )
+    agg = builtin.join(F.broadcast(udaf), "l_returnflag")
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("udaf_raw", 2).alias("disc_rev_udaf"),
+        F.round("builtin_raw", 2).alias("disc_rev_builtin"),
+        (F.abs(F.col("udaf_raw") - F.col("builtin_raw")) < 1e-6).alias(
+            "close"
+        ),
     )

@@ -196,6 +196,109 @@ def f7_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F7b — MAP higher-order functions (the map twin of F4's array HOF row):
+# transform_keys / transform_values / map_filter / map_zip_with over the
+# per-event-type metric maps. Each lambda is a pure per-entry JVM
+# expression, so every stage stays inside whole-stage codegen; the single
+# shuffle is the upstream event_type aggregate. The output is exploded to
+# long form (stage, metric, val) so the oracle can replay each lambda as
+# plain per-key SQL — no engine-specific map algebra in the comparison.
+# --------------------------------------------------------------------------
+@register(
+    "f7b_map_hofs",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE)  AS cnt,
+               ROUND(SUM(value), 2)      AS sum_val,
+               ROUND(AVG(value), 4)      AS avg_val
+        FROM events GROUP BY event_type
+    ), long AS (
+        -- transform_keys: prefix every key with 'm_'
+        SELECT event_type, 'keys' AS stage, 'm_cnt' AS metric, cnt AS val
+        FROM agg
+        UNION ALL
+        SELECT event_type, 'keys', 'm_sum_val', sum_val FROM agg
+        UNION ALL
+        -- map_filter over transform_values(x10, 2dp): keep val > 100
+        SELECT event_type, 'filter', metric, val
+        FROM (
+            SELECT event_type, 'cnt' AS metric, ROUND(cnt * 10, 2) AS val
+            FROM agg
+            UNION ALL
+            SELECT event_type, 'sum_val', ROUND(sum_val * 10, 2) FROM agg
+            UNION ALL
+            SELECT event_type, 'avg_val', ROUND(avg_val * 10, 2) FROM agg
+        ) scaled
+        WHERE val > 100
+        UNION ALL
+        -- map_zip_with of the metric map and a constant weight map
+        SELECT event_type, 'zip', 'cnt', ROUND(cnt * 1.0, 4) FROM agg
+        UNION ALL
+        SELECT event_type, 'zip', 'sum_val', ROUND(sum_val * 0.01, 4)
+        FROM agg
+    )
+    SELECT event_type, stage, metric, val FROM long
+    """,
+)
+def f7b_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_val"),
+        F.round(F.avg("value"), 4).alias("avg_val"),
+    )
+    m_full = F.create_map(
+        F.lit("cnt"), F.col("cnt"),
+        F.lit("sum_val"), F.col("sum_val"),
+        F.lit("avg_val"), F.col("avg_val"),
+    )
+    m_small = F.create_map(
+        F.lit("cnt"), F.col("cnt"), F.lit("sum_val"), F.col("sum_val")
+    )
+    weights = F.create_map(
+        F.lit("cnt"), F.lit(1.0), F.lit("sum_val"), F.lit(0.01)
+    )
+    staged = agg.select(
+        "event_type",
+        F.transform_keys(
+            m_small, lambda k, v: F.concat(F.lit("m_"), k)
+        ).alias("keyed"),
+        F.map_filter(
+            F.transform_values(
+                m_full, lambda k, v: F.round(v * 10, 2)
+            ),
+            lambda k, v: v > 100,
+        ).alias("filtered"),
+        F.map_zip_with(
+            m_small, weights, lambda k, a, b: F.round(a * b, 4)
+        ).alias("zipped"),
+    )
+    long = (
+        staged.select(
+            "event_type",
+            F.lit("keys").alias("stage"),
+            F.explode("keyed").alias("metric", "val"),
+        )
+        .unionByName(
+            staged.select(
+                "event_type",
+                F.lit("filter").alias("stage"),
+                F.explode("filtered").alias("metric", "val"),
+            )
+        )
+        .unionByName(
+            staged.select(
+                "event_type",
+                F.lit("zip").alias("stage"),
+                F.explode("zipped").alias("metric", "val"),
+            )
+        )
+    )
+    return long.select("event_type", "stage", "metric", "val")
+
+
+# --------------------------------------------------------------------------
 # F8 — regex extraction / token-set functions over the documents corpus.
 # regexp_extract_all / array_distinct / regexp_replace are all JVM
 # expressions — the doc-level features compute inside the scan stage and
