@@ -101,6 +101,17 @@ def main() -> None:
 
     qs = registry.queries()
 
+    def _isolate():
+        """Per-op attribution guard (round-8): the round-7 extended block
+        drifted +59% on one op with unchanged plans because 17 heavy ops
+        share one warm session — each op inherits its predecessors'
+        cache/GC state. Clearing the SQL cache and forcing a JVM GC before
+        every op's timings makes the numbers attributable to the op; solo
+        re-runs (BENCH_NOTES round-8) confirm this matches solo timing
+        within the documented variance band."""
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     def time_block(names, constructed: bool = False) -> dict[str, float]:
         block: dict[str, float] = {}
         for name in names:
@@ -108,10 +119,12 @@ def main() -> None:
             if fn is None:
                 continue
             if constructed:
+                _isolate()
                 make = lambda: fn(spark, sf_dir)  # noqa: B023
                 _run_once_constructed(make)  # untimed warm-up
                 best = min(_run_once_constructed(make) for _ in range(2))
             else:
+                _isolate()
                 _run_once(fn(spark, sf_dir))  # untimed warm-up
                 best = min(_run_once(fn(spark, sf_dir)) for _ in range(2))
             block[name] = round(best, 4)
