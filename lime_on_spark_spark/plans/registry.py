@@ -74,40 +74,40 @@ _CURATED_PREFIX = (
     # q — TPC-H-ish classics (kept first for round-over-round continuity)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue",
-    # p — predicates / projection (p12 = Spark 4 recursive CTE, round-7
-    # SQL-surface flagship)
-    "p1_projection", "p3_like_regexp", "p4_case_when", "p12_recursive_cte",
-    # j — joins
-    "j2_left_outer", "j3_semi", "j6_range_join", "j7_asof_join",
-    # a — aggregates
-    "a2_count_distinct", "a3_approx_count_distinct", "a5_rollup",
-    "a6_filtered_agg",
-    # w — window functions
+    # p — predicates / projection (p12 = Spark 4 recursive CTE)
+    "p1_projection", "p12_recursive_cte",
+    # j — joins (round-8 rotation: the tolerance-bounded as-of variant
+    # takes the j7 slot the driver has sampled since round 4)
+    "j2_left_outer", "j3_semi", "j6_range_join", "j7_asof_tolerance",
+    # a — aggregates (r8: heavy hitters + the Arrow grouped-agg UDAF)
+    "a2_count_distinct", "a5_rollup", "a20_heavy_hitters",
+    "a24_pandas_udaf",
+    # w — window functions (r8: Pareto front rotates in)
     "w1_order_rank_per_customer", "w2_lag_lead", "w3_running_frames",
-    "w4_topk_per_group",
-    # o — ordering / physical layout
-    "o1_global_sort", "o3_bucketed_join",
-    # u — set operations
-    "u1_union_all", "u2_intersect", "u3_except",
-    # f — scalar / array / JSON functions (f6 vector math yields its slot
-    # to d56; the vector family stays covered by d3 below)
-    "f1_string_funcs", "f2_datetime_funcs", "f3_math_funcs",
-    "f4_array_hofs", "f5_json_funcs",
-    # t — event-time & streaming (batch twins + streaming replays)
-    "t1_tumbling_hour", "t2_sliding_window", "t3_session_window",
-    "t4_watermark_append", "t5_streaming_dedup",
+    "w10_pareto_front",
+    # o — ordering / physical layout (r8: dynamic partition pruning)
+    "o1_global_sort", "o3_bucketed_join", "o6_dynamic_partition_pruning",
+    # u — set operations (r8: snapshot diff rotates in)
+    "u1_union_all", "u2_intersect", "u5_snapshot_diff",
+    # f — scalar / array / JSON functions (r8: collation + map HOFs)
+    "f1_string_funcs", "f4_array_hofs", "f5_json_funcs", "f18_collation",
+    "f7b_map_hofs",
+    # t — event-time & streaming (r8: streaming approx-distinct)
+    "t1_tumbling_hour", "t4_watermark_append", "t5_streaming_dedup",
+    "t22_streaming_approx_distinct",
     # l — LIME (l12 = image-LIME: multimodal + provable-surrogate signal)
     "l1_discretizer", "l2_perturb_tabular", "l12_image_verdict",
-    "l5_kernel_weights", "l6_ridge_verdict",
-    # d — data-pipeline (dedup / text / vectors; d39 k-means and d45
-    # exact banded MinHash are the round-6 flagships, d56 DSIR the
-    # round-7 one — p5 yields its slot so the sample stays at 50)
-    "d1_exact_dedup", "d2_simhash_consistency", "d3_knn_cosine_topk",
-    "d39_kmeans_lloyd", "d45_minhash_banded_exact", "d56_dsir_selection",
+    "l6_ridge_verdict",
+    # d — data-pipeline (r8 flagships: star-contraction CC, BPE, BM25,
+    # candidate-routed contrastive recall verdict)
+    "d1_exact_dedup", "d3_knn_cosine_topk", "d45_minhash_banded_exact",
+    "d56_dsir_selection", "d60_bpe_merges", "d69_bm25_ranking",
+    "d10b_cc_star", "d63b_contrastive_recall",
     # m — multimodal
     "m1_multimodal_features", "m2_multimodal_embed_join",
-    # s — sources / sinks / catalog
+    # s — sources / sinks / catalog (r8: dynamic partition overwrite)
     "s3_sql_over_views", "s4_partition_pruning",
+    "s10_dynamic_partition_overwrite",
 )
 
 
