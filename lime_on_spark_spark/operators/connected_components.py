@@ -8,8 +8,9 @@ Scale shape: each round is a keyed join (messages flow along edges) plus a
 min-aggregate — two shuffles on node id, no driver-side data; rounds are
 bounded by the graph diameter (tiny for dup graphs: chains of
 near-identical docs). `localCheckpoint` truncates the per-round lineage so
-plans stay flat. For web-graph diameters, swap the propagation loop for
-the large-star/small-star alternation — same per-round shape.
+plans stay flat. For diameters beyond the round budget the propagation
+loop finishes exactly via :func:`connected_components_star` (large-star/
+small-star contraction, O(log n) rounds) on the label quotient graph.
 """
 
 from __future__ import annotations
@@ -60,16 +61,39 @@ def connected_components(
             break
     else:
         # Exhausted max_rounds without converging: labels are an upper
-        # bound on the true components (some may still merge). Silent
-        # wrong answers are worse than noise — warn so callers can raise
-        # max_rounds (diameter exceeded it) or switch to star-contraction.
+        # bound on the true components (some may still merge). Returning
+        # them would be a silent wrong answer — warn, then finish EXACTLY
+        # on the quotient graph: the partial labels define a coarser graph
+        # (one node per current label, an edge where any original edge
+        # crosses labels) that is usually tiny, and star contraction
+        # closes it in O(log n) rounds regardless of remaining diameter.
         warnings.warn(
             f"connected_components did not converge within {max_rounds} "
-            f"rounds ({changed} labels still changing); component ids may "
-            "be split too fine. Increase max_rounds or use "
-            "large-star/small-star contraction for high-diameter graphs.",
+            f"rounds ({changed} labels still changing) — diameter exceeds "
+            "the round budget; finishing exactly via large-star/small-star "
+            "contraction on the label quotient graph.",
             RuntimeWarning,
             stacklevel=2,
+        )
+        la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+        lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+        quotient = (
+            e.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("la") != F.col("lb"))
+            .select("la", "lb")
+            .distinct()
+        )
+        qcomp = connected_components_star(quotient, src="la", dst="lb")
+        labels = (
+            labels.join(
+                qcomp.withColumnRenamed("node", "label"), "label", "left"
+            )
+            # labels absent from the quotient were already fully merged
+            .select(
+                "node",
+                F.coalesce("component", "label").alias("label"),
+            )
         )
     return labels.select("node", F.col("label").alias("component"))
 

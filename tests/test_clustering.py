@@ -118,22 +118,21 @@ def test_cc_star_min_label_parity_on_random_graph(spark):
     assert star == prop
 
 
-def test_cc_star_beats_min_label_round_budget(spark):
-    """On the chain graph, min-label capped at 25 rounds warns and splits
-    components; star contraction gets the exact answer."""
+def test_cc_min_label_overflow_falls_back_to_star(spark):
+    """On a chain whose diameter exceeds the round budget, min-label warns
+    and then finishes exactly via star contraction on the label quotient
+    graph — never returning silently fragmented components."""
     import warnings as W
 
     from lime_on_spark_spark.operators.connected_components import (
         connected_components,
-        connected_components_star,
     )
 
     edges = _path_edges(spark, 120)
     with W.catch_warnings(record=True) as caught:
         W.simplefilter("always")
         labels = connected_components(edges, max_rounds=25)
-        split = labels.select("component").distinct().count()
+        rows = labels.collect()
     assert any(issubclass(c.category, RuntimeWarning) for c in caught)
-    assert split > 1  # min-label left the chain fragmented
-    star = connected_components_star(edges)
-    assert star.select("component").distinct().count() == 1
+    assert len(rows) == 120
+    assert {r["component"] for r in rows} == {0}  # exact despite overflow
