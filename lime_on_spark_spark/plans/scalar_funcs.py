@@ -259,43 +259,35 @@ def f7b_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = F.create_map(
         F.lit("cnt"), F.lit(1.0), F.lit("sum_val"), F.lit(0.01)
     )
-    staged = agg.select(
-        "event_type",
-        F.transform_keys(
-            m_small, lambda k, v: F.concat(F.lit("m_"), k)
-        ).alias("keyed"),
-        F.map_filter(
-            F.transform_values(
-                m_full, lambda k, v: F.round(v * 10, 2)
+    keyed = F.transform_keys(m_small, lambda k, v: F.concat(F.lit("m_"), k))
+    filtered = F.map_filter(
+        F.transform_values(m_full, lambda k, v: F.round(v * 10, 2)),
+        lambda k, v: v > 100,
+    )
+    zipped = F.map_zip_with(m_small, weights, lambda k, a, b: F.round(a * b, 4))
+
+    def tagged(stage: str, m):
+        return F.transform(
+            F.map_entries(m),
+            lambda e: F.struct(
+                F.lit(stage).alias("stage"),
+                e["key"].alias("metric"),
+                e["value"].alias("val"),
             ),
-            lambda k, v: v > 100,
-        ).alias("filtered"),
-        F.map_zip_with(
-            m_small, weights, lambda k, a, b: F.round(a * b, 4)
-        ).alias("zipped"),
-    )
-    long = (
-        staged.select(
-            "event_type",
-            F.lit("keys").alias("stage"),
-            F.explode("keyed").alias("metric", "val"),
         )
-        .unionByName(
-            staged.select(
-                "event_type",
-                F.lit("filter").alias("stage"),
-                F.explode("filtered").alias("metric", "val"),
-            )
-        )
-        .unionByName(
-            staged.select(
-                "event_type",
-                F.lit("zip").alias("stage"),
-                F.explode("zipped").alias("metric", "val"),
-            )
+
+    # ONE explode over the concatenated entry structs: a union of three
+    # explode branches would re-run the scan + aggregate per branch (the
+    # physical plan showed 3x Scan/Exchange) — this keeps one scan and the
+    # single event_type shuffle at any corpus size.
+    rows = F.explode(
+        F.concat(
+            tagged("keys", keyed), tagged("filter", filtered), tagged("zip", zipped)
         )
     )
-    return long.select("event_type", "stage", "metric", "val")
+    return agg.select("event_type", rows.alias("r")).select(
+        "event_type", "r.stage", "r.metric", "r.val"
+    )
 
 
 # --------------------------------------------------------------------------
