@@ -67,6 +67,11 @@ EXTENDED = (
     "d56_dsir_selection",
     "d57_repeated_ngrams",
     "d60_bpe_merges",
+    # round-8 additions: star-contraction CC (the high-diameter graph
+    # family) and IVF-routed contrastive mining (the candidate-route
+    # vector family).
+    "d10b_cc_star",
+    "d63b_contrastive_ivf",
 )
 
 
