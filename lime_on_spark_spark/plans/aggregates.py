@@ -1256,3 +1256,82 @@ def a24_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# A25 — SQL:2016 LISTAGG (new native aggregate in Spark 4): ordered string
+# concatenation per group, the reporting/export workhorse. Deterministic by
+# the WITHIN GROUP (ORDER BY ...) clause; DuckDB's twin is
+# string_agg(expr, sep ORDER BY ...). Also exercises the DISTINCT variant.
+# Scale note: LISTAGG materializes each group's members into ONE row — by
+# contract it belongs on bounded groups (here: 5 nations per region after
+# a broadcast join), never on unbounded ones; the unbounded form is A7's
+# sorted collect_list, which shares the same caveat.
+# --------------------------------------------------------------------------
+@register(
+    "a25_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name)      AS nations,
+           string_agg(DISTINCT substr(n.n_name, 1, 1), ''
+                      ORDER BY substr(n.n_name, 1, 1))      AS initials,
+           CAST(COUNT(*) AS BIGINT)                         AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("nation", "region"))
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',')
+                   WITHIN GROUP (ORDER BY n.n_name)          AS nations,
+               listagg(DISTINCT substr(n.n_name, 1, 1), '')
+                   WITHIN GROUP (ORDER BY substr(n.n_name, 1, 1)) AS initials,
+               COUNT(*)                                      AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# A26 — approx_top_k (Spark 4 native sketch top-k): the heavy-hitter
+# primitive as a single mergeable aggregate (a20 hand-builds the same via
+# hashed-bucket counting). On a column whose cardinality is far below
+# maxItemsTracked the sketch tracks every item exactly, so the estimates
+# equal the exact counts and the oracle is the plain GROUP BY top-k —
+# the same "sketch is exact in its exact regime" pinning used for a3/d66.
+# --------------------------------------------------------------------------
+@register(
+    "a26_approx_top_k",
+    oracle="""
+    SELECT event_type, CAST(cnt AS BIGINT) AS cnt
+    FROM (
+        SELECT event_type, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rk
+        FROM events
+        GROUP BY event_type
+    )
+    WHERE rk <= 3
+    ORDER BY cnt DESC, event_type
+    """,
+)
+def a26_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_a26")
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, t.count AS cnt
+        FROM (
+            SELECT explode(approx_top_k(event_type, 3)) AS t
+            FROM events_a26
+        )
+        ORDER BY cnt DESC, event_type
+        """
+    )

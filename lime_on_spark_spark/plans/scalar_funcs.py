@@ -871,3 +871,63 @@ def f18_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_case_variants",
         F.lit(coll_groups * 2 == naive_groups).alias("collation_merges_case"),
     )
+
+
+# --------------------------------------------------------------------------
+# F19 — native XML functions (Spark 4: to_xml / from_xml / xpath_*): the
+# third semi-structured format alongside JSON (F5) and VARIANT (F9). Each
+# order row is serialized to an XML fragment, parsed back with an explicit
+# schema, and independently re-extracted via XPath; the output carries the
+# PARSED values plus roundtrip booleans rather than the raw XML text, so
+# the oracle pins semantics (values survive serialize->parse->extract)
+# without coupling to Spark's XML pretty-printing. All three functions are
+# JVM expressions inside the scan stage — no shuffle beyond the final sort.
+# --------------------------------------------------------------------------
+@register(
+    "f19_xml_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority                                   AS parsed_priority,
+           ROUND(o_totalprice, 2)                            AS parsed_price,
+           o_orderpriority                                   AS xpath_priority,
+           TRUE                                              AS roundtrip_ok,
+           TRUE                                              AS xpath_ok
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+)
+def f19_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.expr(
+        "to_xml(named_struct("
+        "'o_orderkey', o_orderkey,"
+        "'o_orderpriority', o_orderpriority,"
+        "'o_totalprice', ROUND(o_totalprice, 2)))"
+    )
+    staged = orders.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey", "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price_r"),
+        xml.alias("x"),
+    )
+    parsed = staged.select(
+        "o_orderkey", "o_orderpriority", "price_r",
+        F.expr(
+            "from_xml(x, 'o_orderkey BIGINT, o_orderpriority STRING,"
+            " o_totalprice DOUBLE')"
+        ).alias("s"),
+        F.expr("xpath_string(x, '/ROW/o_orderpriority')").alias("xp"),
+        F.expr("CAST(xpath_string(x, '/ROW/o_orderkey') AS BIGINT)").alias("xk"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("s.o_orderpriority").alias("parsed_priority"),
+        F.col("s.o_totalprice").alias("parsed_price"),
+        F.col("xp").alias("xpath_priority"),
+        (
+            (F.col("s.o_orderkey") == F.col("o_orderkey"))
+            & (F.col("s.o_orderpriority") == F.col("o_orderpriority"))
+            & (F.abs(F.col("s.o_totalprice") - F.col("price_r")) < 1e-9)
+        ).alias("roundtrip_ok"),
+        ((F.col("xp") == F.col("o_orderpriority"))
+         & (F.col("xk") == F.col("o_orderkey"))).alias("xpath_ok"),
+    )
