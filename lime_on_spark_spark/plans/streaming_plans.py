@@ -69,6 +69,75 @@ def s5_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S11 — custom Python STREAMING data source (Spark 4
+# DataSourceStreamReader): the streaming twin of S6. latestOffset() plans
+# one finite block per micro-batch; partitions() fans each batch across
+# executor tasks; the memory-sink aggregate is polled until all n rows
+# have flowed through (3 micro-batches: 250+250+100). The oracle
+# reproduces the closed-form union of all batches, so a row lost or
+# duplicated at ANY micro-batch boundary (the classic streaming-connector
+# bug class) fails the bucket counts.
+# --------------------------------------------------------------------------
+@register(
+    "s11_python_stream_source",
+    oracle="""
+    SELECT CAST(i % 8 AS INT)                          AS bucket,
+           COUNT(*)                                    AS n,
+           ROUND(SUM((i * i % 97) / 10.0), 4)          AS sum_v,
+           CAST(MIN(i) AS BIGINT)                      AS min_i,
+           CAST(MAX(i) AS BIGINT)                      AS max_i
+    FROM (SELECT unnest(range(600)) AS i)
+    GROUP BY bucket
+    """,
+)
+def s11_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from lime_on_spark_spark.sources.python_source import SyntheticStreamSource
+
+    try:
+        spark.dataSource.register(SyntheticStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    n_total = 600
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("n", n_total)
+        .option("rows_per_batch", 250)
+        .option("partitions", 4)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 4).alias("sum_v"),
+        F.min("i").cast("bigint").alias("min_i"),
+        F.max("i").cast("bigint").alias("max_i"),
+    )
+    name = "lime_pystream_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = spark.table(name).agg(F.sum("n")).first()[0]
+            if got == n_total:
+                break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError(
+                f"s11: streaming source drained {got}/{n_total} rows"
+            )
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
 # T1 streaming — tumbling 1-hour aggregation over the event stream
 # --------------------------------------------------------------------------
 @register(
