@@ -629,3 +629,83 @@ def p15_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# P16 — lateral column alias (Spark 3.4+ SQL): later SELECT items reference
+# earlier aliases in the SAME projection, removing the subquery/CTE nesting
+# that derived-metric chains otherwise force. The chain below is resolved
+# by Catalyst into one projection — no extra plan node. DuckDB supports
+# the same referencing, so the oracle is near-verbatim.
+# --------------------------------------------------------------------------
+@register(
+    "p16_lateral_column_alias",
+    # The alias chain runs on exact integer math (re-rounding an already
+    # rounded float chain lands on .005 boundaries where the engines'
+    # rounding modes diverge); the one float output rounds at 4dp, which
+    # is an exact no-op for a 2dp x 2dp product — no half-cent hazard.
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT)                     AS qty,
+           qty * 2                                        AS qty2,
+           qty2 + CAST(l_linenumber AS BIGINT)            AS qty2_line,
+           ROUND(l_extendedprice * (1 - l_discount), 4)   AS net
+    FROM lineitem
+    WHERE l_orderkey < 100 AND l_linenumber = 1
+    """,
+)
+def p16_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(l_quantity AS BIGINT)                     AS qty,
+               qty * 2                                        AS qty2,
+               qty2 + CAST(l_linenumber AS BIGINT)            AS qty2_line,
+               ROUND(l_extendedprice * (1 - l_discount), 4)   AS net
+        FROM lineitem
+        WHERE l_orderkey < 100 AND l_linenumber = 1
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# P17 — IDENTIFIER() clause (Spark 3.5+): template a table/column name from
+# a string parameter without string-splicing SQL (the injection-safe form
+# of dynamic identifiers — the constant folds at analysis time, so the
+# plan is identical to naming the table literally). The oracle is the
+# literal-name query.
+# --------------------------------------------------------------------------
+@register(
+    "p17_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)       AS n_orders,
+           ROUND(AVG(o_totalprice), 2)    AS avg_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def p17_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col_prio)        AS o_orderpriority,
+               COUNT(*)                     AS n_orders,
+               ROUND(AVG(IDENTIFIER(:col_price)), 2) AS avg_price
+        FROM IDENTIFIER(:tbl)
+        WHERE IDENTIFIER(:col_status) = 'F'
+        GROUP BY IDENTIFIER(:col_prio)
+        """,
+        args={
+            "tbl": "orders",
+            "col_prio": "o_orderpriority",
+            "col_price": "o_totalprice",
+            "col_status": "o_orderstatus",
+        },
+    )
