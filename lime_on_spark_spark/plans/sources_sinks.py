@@ -665,3 +665,74 @@ def o8_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# --------------------------------------------------------------------------
+# O9 — runtime Bloom-filter join pruning (the shuffle-join analog of O6's
+# DPP): for a selective dim-side filter on a NON-partition key, Catalyst
+# builds a bloom_filter_agg over the dim's join keys and injects
+# might_contain on the fact side, so most fact rows drop BEFORE the join
+# shuffle instead of after it — at 100 TB this is the difference between
+# shuffling the whole fact table and shuffling the matching fraction. The
+# creation/application thresholds are tuned for real tables, so the demo
+# forces them for this one query (restored in `finally`); broadcast is
+# disabled so a shuffle join actually exists to prune. The in-query
+# verdict pins bloom_filter_agg + might_contain in the optimized plan;
+# the filter is semantics-preserving, so the oracle is the plain
+# join-aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "o9_bloom_filter_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)          AS n_rows,
+           ROUND(SUM(l_extendedprice), 2)    AS total_price,
+           TRUE                              AS bloom_active
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT') o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def o9_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        res = (
+            li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            )
+        )
+        plan = res._jdf.queryExecution().optimizedPlan().toString()
+        bloom = "bloom_filter_agg" in plan and "might_contain" in plan
+        rows = [(*r, bloom) for r in res.collect()]
+        schema = (
+            "l_returnflag string, n_rows bigint, total_price double,"
+            " bloom_active boolean"
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
