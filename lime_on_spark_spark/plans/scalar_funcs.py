@@ -931,3 +931,48 @@ def f19_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("xp") == F.col("o_orderpriority"))
          & (F.col("xk") == F.col("o_orderkey"))).alias("xpath_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# F20 — mapInArrow (raw Arrow RecordBatch transform): the last Python
+# boundary shape after mapInPandas / applyInPandas / cogroup / stateful /
+# grouped-agg (A24). Unlike the pandas variants there is NO conversion to
+# pandas objects — batches stay as Arrow arrays end-to-end and the work is
+# done by pyarrow.compute kernels (vectorized C++), which is the right
+# boundary for byte/string-heavy transforms where pandas object columns
+# would dominate the cost. Per-doc token/char counts are recomputed
+# JVM-side by the oracle, so any batch truncation, column reorder, or
+# row drop at the Arrow boundary fails the per-lang sums.
+# --------------------------------------------------------------------------
+@register(
+    "f20_map_in_arrow",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                                         AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)   AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT)                AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def f20_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_stats(batches):
+        for b in batches:
+            toks = pc.list_value_length(pc.split_pattern(b.column("text"), " "))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("lang"), toks, pc.utf8_length(b.column("text"))],
+                names=["lang", "n_tokens", "n_chars"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    stats = docs.mapInArrow(
+        batch_stats, "lang string, n_tokens int, n_chars int"
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
