@@ -57,6 +57,11 @@ PORTABLE = [
     # round-7 additions (LATERAL + recursive CTE are verbatim-parity rows —
     # the plan IS spark.sql(oracle text); o5's oracle is plain ANSI)
     "p11_lateral_topk", "p12_recursive_cte", "o5_observed_metrics",
+    # round-8 additions (lateral column aliases + IDENTIFIER are native
+    # Spark SQL features; a24/a26/o9/f19/f7b oracles are plain ANSI)
+    "p16_lateral_column_alias", "p17_identifier_clause", "a24_pandas_udaf",
+    "a26_approx_top_k", "o9_bloom_filter_join", "f19_xml_funcs",
+    "f7b_map_hofs",
 ]
 
 
