@@ -41,6 +41,11 @@ REPRESENTATIVE = (
     "d60_bpe_merges",
     "d61_span_corruption",
     "d64_winnowing_fingerprints",
+    # round-8 additions: star-contraction CC (iterative edge rewrites with
+    # per-round convergence checks — the classic place partition-dependent
+    # state could leak) and the single-explode map-HOF chain.
+    "d10b_cc_star",
+    "f7b_map_hofs",
 )
 
 
