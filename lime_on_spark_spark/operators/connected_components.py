@@ -139,18 +139,31 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    def _sig(df):
+        # Order-free edge-set signature: count + hash-sum (decimal to dodge
+        # ANSI long overflow). One tiny driver job.
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38, 0)")).alias("h"),
+        ).first()
+
     rounds = 0
+    sig_old = _sig(e)
     for rounds in range(1, max_rounds + 1):
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # min over the full neighborhood including self
         mins = sym.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
+        # No distinct here: each undirected edge emits exactly once (via its
+        # larger endpoint), duplicates only arise from shared minima, and
+        # both downstream consumers (a min-aggregate and the final distinct)
+        # are duplicate-insensitive — dropping the dedupe saves one shuffle
+        # per round.
         large = (
             sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .distinct()
         )
         # small-star over the canonical (a > b) orientation: every smaller
         # neighbor and the center itself re-attach to the local minimum.
@@ -163,18 +176,13 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # Cheap signature first (count + order-free hash-sum); only when it
-        # matches, confirm true set equality with one exceptAll (both sides
-        # are distinct, so equal counts + empty difference => equal sets).
-        sig_old, sig_new = (
-            df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("a", "b").cast("decimal(38, 0)")).alias("h"),
-            ).first()
-            for df in (e, new_e)
-        )
+        # Cheap signature first (the previous round's is reused, one job per
+        # round); only when it matches, confirm true set equality with one
+        # exceptAll (both sides are distinct, so equal counts + empty
+        # difference => equal sets).
+        sig_new = _sig(new_e)
         converged = sig_old == sig_new and new_e.exceptAll(e).isEmpty()
-        e = new_e
+        e, sig_old = new_e, sig_new
         if converged:
             break
     else:
