@@ -168,8 +168,12 @@ def d2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The token array is PROJECTED first — `slice(split(text), ...)` inside
     # the lambda would re-split the text per element (O(tokens²) per doc,
     # the d15 lesson); against a materialized column each slice is O(1).
+    # Docs under 3 tokens have no 3-gram: filter BEFORE shingling (the
+    # clamped sequence would otherwise emit a degenerate 1-2 word "shingle"
+    # for them — the d59 bug class).
     shingled = (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
             F.expr(
@@ -726,8 +730,9 @@ def d32_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # On a clustered corpus positives score above hard negatives; this corpus
 # is structureless, so the row emits both similarities and lets the oracle
 # pin them exactly rather than asserting an ordering the data can't
-# support. At 100 TB the candidate set comes from d4's IVF/LSH buckets
-# instead of the full scan (same downstream shape).
+# support. At 100 TB the candidate set comes from IVF cell probes instead
+# of the full scan — implemented as d63b_contrastive_ivf below, with
+# d63b_contrastive_recall gating its recall against this exhaustive plan.
 # --------------------------------------------------------------------------
 @register(
     "d63_contrastive_pairs",
