@@ -1726,3 +1726,103 @@ def d79_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n1") / F.col("n"), 6).alias("p0_unseen"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D81 — Poissonized bootstrap confidence interval (Chamandy et al., "The
+# Poisson bootstrap", Google 2012; the standard way to bootstrap on a
+# cluster): instead of resampling n rows WITH replacement (which needs
+# global coordination), each (row, replicate) pair draws an independent
+# Poisson(1) weight — for large n the weighted estimate is distributionally
+# indistinguishable from a classic bootstrap resample, and the weights are
+# a pure scan-stage expression. The QA primitive behind "how stable is this
+# corpus statistic": here, a 95% CI for the mean document length.
+#
+# Determinism: the Poisson draw is the inverse-CDF of the md5-uniform of
+# (doc_id '#' rep) — both engines evaluate the SAME cumulative-probability
+# thresholds (10-dp literals) on the SAME uniform, so every weight, every
+# replicate mean, and the CI bounds are bit-reproducible. Scale shape: one
+# scan-stage explode (n_docs x 200 rows), one map-side-combinable keyed
+# agg to 200 replicate means, and a 200-row window for the order
+# statistics — no driver-side loop, no global resample.
+# --------------------------------------------------------------------------
+_D81_REPS = 200
+#: Cumulative Poisson(1) CDF thresholds for k = 0..5 (10 dp, shared
+#: literal-for-literal with the oracle SQL; u >= last threshold -> w = 6).
+_D81_CDF = (
+    "0.3678794412", "0.7357588823", "0.9196986029",
+    "0.9810118431", "0.9963387132", "0.9994058151",
+)
+_D81_W_SQL = (
+    "CASE WHEN u < {c0} THEN 0 WHEN u < {c1} THEN 1 WHEN u < {c2} THEN 2 "
+    "WHEN u < {c3} THEN 3 WHEN u < {c4} THEN 4 WHEN u < {c5} THEN 5 "
+    "ELSE 6 END"
+).format(c0=_D81_CDF[0], c1=_D81_CDF[1], c2=_D81_CDF[2],
+         c3=_D81_CDF[3], c4=_D81_CDF[4], c5=_D81_CDF[5])
+
+
+@register(
+    "d81_bootstrap_ci",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT d.doc_id, d.n_chars, r.rep,
+               CAST(('0x' || substr(md5(d.doc_id || '#' || r.rep), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM documents d,
+             (SELECT unnest(range({_D81_REPS})) AS rep) r
+    ), weighted AS (
+        SELECT rep, n_chars, {_D81_W_SQL} AS w FROM pairs
+    ), rep_means AS (
+        SELECT rep,
+               SUM(w * n_chars) * 1.0 / SUM(w) AS m
+        FROM weighted GROUP BY rep
+    ), ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM rep_means
+    )
+    SELECT CAST({_D81_REPS} AS BIGINT)                   AS n_reps,
+           (SELECT ROUND(AVG(n_chars), 4) FROM documents) AS point_mean,
+           (SELECT ROUND(m, 4) FROM ranked WHERE rk = 5)   AS ci_lo,
+           (SELECT ROUND(m, 4) FROM ranked WHERE rk = 196) AS ci_hi
+    """,
+)
+def d81_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_D81_REPS - 1))).alias("rep"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("doc_id"), F.col("rep"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0),
+    )
+    weighted = pairs.withColumn("w", F.expr(_D81_W_SQL))
+    rep_means = weighted.groupBy("rep").agg(
+        (F.sum(F.col("w") * F.col("n_chars")) / F.sum("w")).alias("m")
+    )
+    ranked = rep_means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("m"))
+    )
+    point = docs.agg(F.round(F.avg("n_chars"), 4).alias("point_mean"))
+    lo = ranked.filter(F.col("rk") == 5).select(
+        F.round("m", 4).alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == _D81_REPS - 4).select(
+        F.round("m", 4).alias("ci_hi")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_D81_REPS).cast("bigint").alias("n_reps"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
