@@ -1826,3 +1826,88 @@ def d81_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D82 — A/B experiment readout via Welch's unequal-variance t-test: the
+# analysis half of every experimentation pipeline (d8's hash-split is the
+# assignment half). Users are split by md5 parity (coordination-free,
+# stable across reruns — the d8 discipline), and the per-arm mean/variance
+# aggregates give the Welch statistic and Welch–Satterthwaite degrees of
+# freedom in ONE map-side-combinable pass per arm — no per-user state, no
+# driver math beyond the final 1-row expression. The significance boolean
+# is computed from the 6-dp-rounded statistic on BOTH sides, so a last-ulp
+# variance difference cannot flip it.
+# --------------------------------------------------------------------------
+@register(
+    "d82_ab_welch_test",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events
+    ), arms AS (
+        SELECT arm, COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+        FROM assigned GROUP BY arm
+    ), wide AS (
+        SELECT
+            (SELECT n FROM arms WHERE arm = 'A') AS na,
+            (SELECT n FROM arms WHERE arm = 'B') AS nb,
+            (SELECT m FROM arms WHERE arm = 'A') AS ma,
+            (SELECT m FROM arms WHERE arm = 'B') AS mb,
+            (SELECT v FROM arms WHERE arm = 'A') AS va,
+            (SELECT v FROM arms WHERE arm = 'B') AS vb
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+           ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           ROUND(pow(va / na + vb / nb, 2)
+                 / (pow(va / na, 2) / (na - 1)
+                    + pow(vb / nb, 2) / (nb - 1)), 2) AS welch_dof,
+           ABS(ROUND((ma - mb) / sqrt(va / na + vb / nb), 6)) > 1.96
+               AS significant_95
+    FROM wide
+    """,
+)
+def d82_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    arms = events.select(arm.alias("arm"), "value").groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb")
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    t = F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6)
+    dof = F.round(
+        F.pow(se2, 2)
+        / (
+            F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+            + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+        ),
+        2,
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )
