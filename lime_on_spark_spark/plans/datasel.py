@@ -164,11 +164,10 @@ def d56_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Global top-k: K=150 is a TakeOrderedAndProject, not a full sort. The
     # 6-dp rounding before ranking pins the cross-engine order; ties break
-    # on doc_id.
-    w = Window.orderBy(F.desc("gkey"), F.asc("doc_id"))
-    sel = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= _DSIR_K
-    )
+    # on doc_id. orderBy+limit (TakeOrderedAndProject) instead of a global
+    # row_number window: the top-k is pruned per partition, so no single
+    # task ever sees the whole scored table.
+    sel = scored.orderBy(F.desc("gkey"), F.asc("doc_id")).limit(_DSIR_K)
     return sel.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_selected"),
         F.round(F.avg("logw"), 4).alias("avg_logw"),
@@ -432,10 +431,10 @@ def d59_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
+    # Distributed top-k (TakeOrderedAndProject), not a single-task window.
     return (
-        pmi.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        pmi.orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
+        .limit(10)
         .select("wa", "wb", "c_pair", "pmi")
     )
 
@@ -625,10 +624,10 @@ def d62_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("c").alias("weighted_count"))
     )
-    w = Window.orderBy(F.desc("weighted_count"), F.asc("token"))
+    # Distributed top-k (TakeOrderedAndProject), not a single-task window.
     return (
-        freq.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        freq.orderBy(F.desc("weighted_count"), F.asc("token"))
+        .limit(10)
         .select("token", "weighted_count")
     )
 
@@ -1549,12 +1548,12 @@ def d77_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    w = Window.orderBy(
-        F.desc("containment"), F.desc("jaccard"), F.asc("da"), F.asc("db")
-    )
+    # Distributed top-k (TakeOrderedAndProject), not a single-task window.
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        scored.orderBy(
+            F.desc("containment"), F.desc("jaccard"), F.asc("da"), F.asc("db")
+        )
+        .limit(10)
         .select(
             "da",
             "db",
