@@ -46,6 +46,8 @@ REPRESENTATIVE = (
     # state could leak) and the single-explode map-HOF chain.
     "d10b_cc_star",
     "f7b_map_hofs",
+    "d81_bootstrap_ci",
+    "d82_ab_welch_test",
 )
 
 
