@@ -40,6 +40,10 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
+    # Pre-initialize so the for/else fallback can report a round count even
+    # when max_rounds <= 0 skips the loop body entirely (previously an
+    # unbound-name NameError inside the warning message).
+    changed = -1
     for _ in range(max_rounds):
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
@@ -69,7 +73,8 @@ def connected_components(
         # closes it in O(log n) rounds regardless of remaining diameter.
         warnings.warn(
             f"connected_components did not converge within {max_rounds} "
-            f"rounds ({changed} labels still changing) — diameter exceeds "
+            f"rounds ({changed if changed >= 0 else 'unknown'} labels still "
+            "changing) — diameter exceeds "
             "the round budget; finishing exactly via large-star/small-star "
             "contraction on the label quotient graph.",
             RuntimeWarning,

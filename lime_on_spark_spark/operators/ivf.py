@@ -40,6 +40,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, n_cells: int = 16, seed: i
     key = (spark.sparkContext.applicationId, sf_dir, n_cells, seed)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
+    # Evict entries from any other application before inserting: only one
+    # app is live at a time in this codebase, so stale keys would otherwise
+    # pin dead localCheckpoint'd DataFrame handles for the process lifetime.
+    app_id = key[0]
+    for stale in [k for k in _INDEX_CACHE if k[0] != app_id]:
+        del _INDEX_CACHE[stale]
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.withColumn("features", array_to_vector("embedding"))
     km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")

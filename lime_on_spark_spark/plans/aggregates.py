@@ -1325,13 +1325,23 @@ def a26_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _lt(spark, sf_dir, "events")
     events.createOrReplaceTempView("events_a26")
+    # Request k well past the tie frontier (event_type cardinality is ~5,
+    # so k=10 tracks every item exactly), then re-rank deterministically on
+    # (cnt DESC, event_type) before cutting to 3 — approx_top_k's own
+    # boundary tie-break is unspecified, so letting the sketch pick the
+    # top-3 would be a data-dependent flake if two types ever tie for 3rd.
     return spark.sql(
         """
-        SELECT t.item AS event_type, t.count AS cnt
+        SELECT event_type, cnt
         FROM (
-            SELECT explode(approx_top_k(event_type, 3)) AS t
-            FROM events_a26
+            SELECT t.item AS event_type, t.count AS cnt,
+                   ROW_NUMBER() OVER (ORDER BY t.count DESC, t.item) AS rk
+            FROM (
+                SELECT explode(approx_top_k(event_type, 10)) AS t
+                FROM events_a26
+            )
         )
+        WHERE rk <= 3
         ORDER BY cnt DESC, event_type
         """
     )

@@ -379,21 +379,24 @@ def d59_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scan-stage pair generation: for each position i, (w[i], w[i+1]) and
     # (w[i], w[i+2]) — the +-2 window without a positional self-join. The
     # index sequence is clamped (sequence(0, -1) would step DOWN), then
-    # out-of-range indices are filtered: for 1-2 token docs the clamped
-    # sequence still emits i=0, and least()/greatest() skip the NULL
-    # w[i+1]/w[i+2], which would fabricate a (w0, w0) self-pair the
-    # oracle's positional self-join never generates.
+    # out-of-range indices are filtered by INDEX bound-check, not by value:
+    # under ANSI mode (default in pyspark 4.x) w[i + 1] on a 1-token doc
+    # throws INVALID_ARRAY_INDEX rather than returning NULL, so the filter
+    # predicate must never touch an out-of-range subscript. `i + 1 < size(w)`
+    # keeps the same semantics (drop positions whose partner would fall off
+    # the end, so 1-2 token docs emit no fabricated (w0, w0) self-pair)
+    # while staying ANSI-safe.
     pair_arrays = toks.select(
         F.concat(
             F.expr(
                 "transform(filter(sequence(0, greatest(size(w) - 2, 0)),"
-                "                 i -> w[i + 1] IS NOT NULL),"
+                "                 i -> i + 1 < size(w)),"
                 " i -> struct(least(w[i], w[i + 1]) AS wa,"
                 "             greatest(w[i], w[i + 1]) AS wb))"
             ),
             F.expr(
                 "transform(filter(sequence(0, greatest(size(w) - 3, 0)),"
-                "                 i -> w[i + 2] IS NOT NULL),"
+                "                 i -> i + 2 < size(w)),"
                 " i -> struct(least(w[i], w[i + 2]) AS wa,"
                 "             greatest(w[i], w[i + 2]) AS wb))"
             ),

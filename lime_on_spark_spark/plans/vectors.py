@@ -955,12 +955,17 @@ def d63b_contrastive_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("e.cos_sim") - F.col("r.cos_sim")).alias("gap"),
     ).first()
     n_exact = exact_best.count()
+    # Coalesce the aggregates: an empty routed/exact join yields NULL avg()s,
+    # and None >= 0.7 would raise TypeError instead of producing the failing
+    # verdict row this query exists to emit.
+    recall1 = row["recall1"] if row["recall1"] is not None else 0.0
+    gap = row["gap"] if row["gap"] is not None else float("inf")
     return spark.createDataFrame(
         [
             (
                 row["n_joined"] == n_exact,
-                row["recall1"] >= 0.7,
-                row["gap"] <= 0.02,
+                recall1 >= 0.7,
+                gap <= 0.02,
             )
         ],
         "all_slots_covered boolean, recall_ok boolean, sim_gap_ok boolean",

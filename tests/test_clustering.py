@@ -136,3 +136,22 @@ def test_cc_min_label_overflow_falls_back_to_star(spark):
     assert any(issubclass(c.category, RuntimeWarning) for c in caught)
     assert len(rows) == 120
     assert {r["component"] for r in rows} == {0}  # exact despite overflow
+
+
+def test_cc_min_label_zero_round_budget_still_exact(spark):
+    """max_rounds <= 0 skips the min-label loop entirely; the fallback must
+    still warn (without an unbound-name crash) and finish exactly via star
+    contraction."""
+    import warnings as W
+
+    from lime_on_spark_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = _path_edges(spark, 12)
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        rows = connected_components(edges, max_rounds=0).collect()
+    assert any(issubclass(c.category, RuntimeWarning) for c in caught)
+    assert len(rows) == 12
+    assert {r["component"] for r in rows} == {0}

@@ -529,3 +529,21 @@ def test_regression_aggs_consistent(spark, sf_dir):
         assert 0.0 <= r["r2"] <= 1.0
         # intercept + slope * avgx == avgy (OLS passes through the means).
         assert abs(r["intercept"] + r["slope"] * r["avg_qty"] - r["avg_price"]) < 1.0
+
+
+def test_pmi_ansi_safe_on_tiny_docs(spark, tmp_path):
+    """d59's window-pair filter must bound-check the INDEX, not the value:
+    under ANSI mode (pyspark 4.x default) `w[i + 1]` on a 1-token doc throws
+    INVALID_ARRAY_INDEX instead of returning NULL. A corpus of 1- and
+    2-token docs must run clean and fabricate no (w, w) self-pairs."""
+    from lime_on_spark_spark.plans.datasel import d59_pmi_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(1, "solo", "en", "web", 4), (2, "two words", "en", "web", 9)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = d59_pmi_cooccurrence(spark, str(tmp_path)).collect()
+    # c_pair >= 20 cutoff drops the single genuine pair; the point is that
+    # the 1-token doc neither crashes the job nor emits a self-pair.
+    assert rows == []
