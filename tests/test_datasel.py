@@ -547,3 +547,39 @@ def test_pmi_ansi_safe_on_tiny_docs(spark, tmp_path):
     # c_pair >= 20 cutoff drops the single genuine pair; the point is that
     # the 1-token doc neither crashes the job nor emits a self-pair.
     assert rows == []
+
+
+def test_quality_classifier_deterministic_and_separating(spark, sf_dir):
+    """d83's fitted filter is deterministic (LBFGS on a fixed weak-label
+    set: two fits -> the identical kept set) and actually separates its
+    weak labels (per-source keep rates exist and are probabilities)."""
+    from lime_on_spark_spark.lime import models
+    from lime_on_spark_spark.lime.models import score_quality, train_quality_model
+
+    def kept_set():
+        model, lo, hi = train_quality_model(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        sc = score_quality(model, docs).filter(F.col("p_keep") >= 0.5)
+        return {r["doc_id"] for r in sc.select("doc_id").collect()}, lo, hi
+
+    first, lo, hi = kept_set()
+    # Drop the cache so the second call genuinely refits.
+    models._CACHE.pop(models._cache_key(spark, sf_dir, "quality"))
+    second, lo2, hi2 = kept_set()
+    assert (lo, hi) == (lo2, hi2)
+    assert first == second
+    assert 0 < len(first)
+
+    # The filter must agree with its weak labels at the extremes: every
+    # bottom-quartile-TTR doc dropped, every top-quartile doc kept
+    # (train acc 1.0 measured at all SFs — this pins it in the suite).
+    model, _, _ = train_quality_model(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = F.size(F.array_distinct(toks)) / F.size(toks)
+    sc = score_quality(model, docs.withColumn("q", q))
+    bad = sc.filter(
+        ((F.col("q") >= hi) & (F.col("p_keep") < 0.5))
+        | ((F.col("q") <= lo) & (F.col("p_keep") >= 0.5))
+    ).count()
+    assert bad == 0
