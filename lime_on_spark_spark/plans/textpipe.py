@@ -2569,3 +2569,160 @@ def d54_boilerplate_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dups_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# D84 — cross-document verbatim-span dedup (EXACTSUBSTR, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better"): find the
+# longest verbatim token span shared by PAIRS OF CORPUS DOCS — the
+# within-corpus counterpart to d41's corpus-vs-benchmark spans.
+#
+# Never doc x doc. Candidate pairs come from winnowed fingerprints
+# (Schleimer et al. 2003, the d64 machinery on token 5-grams): each doc
+# keeps the min 5-gram hash of every 4-window; any shared run of
+# >= 4 consecutive 5-grams (i.e. any span of >= 8 = w + k - 1 tokens)
+# contains a full shared window in both docs, whose min hash VALUE is
+# selected by both — so fingerprint-value equality finds EVERY pair with a
+# span >= 8 tokens (hash collisions only add false candidates, which the
+# exact positional verify below kills). Then, on candidates only:
+# positional 5-gram equi-join on (doc, shingle), diagonal gaps-and-islands
+# (group by pos_a - pos_b, runs over consecutive pos_a — d41's island
+# trick lifted to two documents), longest run + 4 = span tokens.
+#
+# The DuckDB oracle is the NAIVE exhaustive self-join restricted to
+# span >= 8 — deliberately a different algorithm, so the bucketed path is
+# checked against ground truth rather than a replay of itself.
+#
+# Scale: fingerprints are ~1/w of shingles per doc (one keyed window, one
+# distinct); the candidate join is an equi-join on fp value whose output is
+# bounded by true duplicate clusters; the verify join is keyed on
+# (doc, shingle). At 100 TB each stage is a keyed shuffle — the published
+# suffix-array approach replaced by the winnow-bucket-verify pipeline that
+# distributes.
+# --------------------------------------------------------------------------
+@register(
+    "d84_cross_doc_spans",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT w1.doc_id, w1.pos,
+               w1.word || ' ' || w2.word || ' ' || w3.word || ' ' ||
+               w4.word || ' ' || w5.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+        JOIN words w4 ON w1.doc_id = w4.doc_id AND w4.pos = w1.pos + 3
+        JOIN words w5 ON w1.doc_id = w5.doc_id AND w5.pos = w1.pos + 4
+    ), m AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), isl AS (
+        SELECT da, db, pa - pb AS diag,
+               pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM m
+    ), runs AS (
+        SELECT da, db, COUNT(*) + 4 AS span
+        FROM isl GROUP BY da, db, diag, grp
+    ), best AS (
+        SELECT da, db, MAX(span) AS span FROM runs GROUP BY da, db
+        HAVING MAX(span) >= 8
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST((SELECT COUNT(DISTINCT d) FROM (
+                   SELECT da AS d FROM best UNION SELECT db FROM best
+               )) AS BIGINT) AS n_affected_docs
+        FROM best
+    )
+    SELECT da AS doc_a, db AS doc_b, CAST(span AS BIGINT) AS span_tokens,
+           n_pairs, n_affected_docs
+    FROM (SELECT *, row_number() OVER (ORDER BY span DESC, da, db) AS rk
+          FROM best), totals
+    WHERE rk <= 10
+    """,
+)
+def d84_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w = 5, 4  # 5-token shingles, 4-shingle winnow window: exact for >= 8
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= k
+    )
+    sh = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("tk", i + j) for j in range(k)],
+                ),
+            )
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    sh = sh.persist()
+
+    # Winnowed fingerprints: min 5-gram hash VALUE per 4-window (full
+    # windows only). Value-only min — cross-doc equality survives ties, and
+    # 32-bit collisions only widen the candidate set.
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    wdef = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    fps = (
+        sh.select("doc_id", "pos", h.alias("h"))
+        .select(
+            "doc_id",
+            F.min("h").over(wdef).alias("fp"),
+            F.count(F.lit(1)).over(wdef).alias("wn"),
+        )
+        .filter(F.col("wn") == w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    cand = (
+        fps.alias("x")
+        .join(fps.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .distinct()
+    )
+
+    # Exact verify on candidates only: positional shingle equi-join keyed
+    # on (doc, shingle), then diagonal gaps-and-islands.
+    a = cand.join(
+        sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "shingle"),
+        "da",
+    )
+    m = a.join(
+        sh.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "shingle"),
+        ["db", "shingle"],
+    ).select("da", "db", "pa", "pb")
+    iw = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(iw))
+        .groupBy("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "grp")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("span"))
+    )
+    best = (
+        runs.groupBy("da", "db")
+        .agg(F.max("span").alias("span"))
+        .filter(F.col("span") >= k + w - 1)
+    )
+    # Explode each pair to its two endpoints: row count = 2 * n_pairs and
+    # the distinct endpoints are the affected docs — one agg, no collected
+    # arrays (a collect_list of all pairs would not scale).
+    totals = best.select(F.explode(F.array("da", "db")).alias("d")).agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+        F.countDistinct("d").cast("bigint").alias("n_affected_docs"),
+    )
+    top = best.orderBy(F.desc("span"), "da", "db").limit(10)
+    return top.crossJoin(F.broadcast(totals)).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.col("span").cast("bigint").alias("span_tokens"),
+        "n_pairs",
+        "n_affected_docs",
+    )

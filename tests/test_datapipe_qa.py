@@ -47,3 +47,28 @@ def test_k_anonymity_partitions_all_rows(spark, sf_dir):
         assert out["released"]["n_rows"] >= 5 * out["released"]["n_cells"]
     if "suppressed" in out:
         assert out["suppressed"]["n_rows"] < 5 * out["suppressed"]["n_cells"]
+
+
+def test_cross_doc_spans_finds_planted_span(spark, tmp_path):
+    """d84 on a planted corpus: two docs sharing an exact 9-token span (and
+    nothing else long) must surface as a pair with span_tokens = 9; docs
+    sharing only a 7-token span are below the w + k - 1 = 8 contract and
+    must not appear."""
+    from lime_on_spark_spark.plans.textpipe import d84_cross_doc_spans
+
+    span9 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    span7 = "one two three four five six seven"
+    docs = [
+        (1, f"xx yy {span9} zz qq", "en", "src0", 0),
+        (2, f"aa {span9} bb cc dd", "en", "src1", 0),
+        (3, f"pp {span7} rr", "en", "src0", 0),
+        (4, f"ss {span7} tt", "en", "src1", 0),
+        (5, "totally unrelated words with no overlap at all here", "en", "src2", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = d84_cross_doc_spans(spark, str(tmp_path)).collect()
+    assert [(r["doc_a"], r["doc_b"], r["span_tokens"]) for r in rows] == [(1, 2, 9)]
+    assert rows[0]["n_pairs"] == 1 and rows[0]["n_affected_docs"] == 2
