@@ -2726,3 +2726,77 @@ def d84_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "n_affected_docs",
     )
+
+
+# --------------------------------------------------------------------------
+# D85 — Unicode normalization (NFC + zero-width strip): the step d29's
+# ASCII-oriented cleanup silently lacks for real multilingual data, where
+# decomposed accents (e + U+0301 vs é) and zero-width characters make
+# visually identical docs hash as distinct and defeat d1 exact dedup.
+# Normalization runs as ONE Arrow-batched mapInPandas stage (pandas
+# str.translate for the zero-width strip, unicodedata.normalize('NFC') per
+# string — no per-row Python UDF, no shuffle); the per-lang before/after
+# dedup profile (the d54 pattern) is a keyed agg. DuckDB's nfc_normalize
+# is the oracle twin — both engines implement standard NFC, pinned
+# equal on this corpus and on the planted non-NFC fixtures in
+# tests/test_datapipe_qa.py (this corpus is pure ASCII, so here the row
+# certifies normalization is a no-op: docs_changed = dedup_delta = 0).
+# Scale: a linear scan stage; at 100 TB this is exactly where you want it —
+# fused before the d1 hash, no extra pass.
+# --------------------------------------------------------------------------
+@register(
+    "d85_unicode_normalize",
+    oracle="""
+    WITH norm AS (
+        SELECT lang, text,
+               nfc_normalize(replace(replace(replace(replace(text,
+                   chr(8203), ''), chr(8204), ''), chr(8205), ''),
+                   chr(65279), '')) AS text_norm
+        FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text_norm != text THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_changed,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dups_before,
+           CAST(COUNT(*) - COUNT(DISTINCT text_norm) AS BIGINT) AS dups_after,
+           CAST(COUNT(DISTINCT text) - COUNT(DISTINCT text_norm)
+                AS BIGINT) AS dedup_delta
+    FROM norm GROUP BY lang
+    """,
+)
+def d85_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+
+    def norm_batches(batches):
+        import unicodedata
+
+        import pandas as pd  # noqa: F401  (module-level under Arrow)
+
+        zw = dict.fromkeys((0x200B, 0x200C, 0x200D, 0xFEFF))
+        for pdf in batches:
+            out = pdf.copy()
+            out["text_norm"] = (
+                out["text"]
+                .str.translate(zw)
+                .map(lambda t: unicodedata.normalize("NFC", t))
+            )
+            yield out
+
+    normed = docs.mapInPandas(
+        norm_batches, "lang string, text string, text_norm string"
+    )
+    return normed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("text_norm") != F.col("text")).cast("int"))
+        .cast("bigint")
+        .alias("docs_changed"),
+        (F.count(F.lit(1)) - F.countDistinct("text"))
+        .cast("bigint")
+        .alias("dups_before"),
+        (F.count(F.lit(1)) - F.countDistinct("text_norm"))
+        .cast("bigint")
+        .alias("dups_after"),
+        (F.countDistinct("text") - F.countDistinct("text_norm"))
+        .cast("bigint")
+        .alias("dedup_delta"),
+    )

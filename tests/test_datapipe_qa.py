@@ -72,3 +72,45 @@ def test_cross_doc_spans_finds_planted_span(spark, tmp_path):
     rows = d84_cross_doc_spans(spark, str(tmp_path)).collect()
     assert [(r["doc_a"], r["doc_b"], r["span_tokens"]) for r in rows] == [(1, 2, 9)]
     assert rows[0]["n_pairs"] == 1 and rows[0]["n_affected_docs"] == 2
+
+
+def test_unicode_normalize_planted_fixtures(spark, tmp_path):
+    """d85 on planted non-NFC docs: a decomposed-accent doc (e + U+0301)
+    and a zero-width-space-infested doc must each normalize to equal an
+    existing NFC doc, so docs_changed and dedup_delta are nonzero — and the
+    Spark (unicodedata NFC) result must match DuckDB's nfc_normalize
+    oracle on the same fixtures, proving the two engines' NFC agree off
+    the ASCII happy path."""
+    import duckdb
+
+    from lime_on_spark_spark.plans.registry import oracle_sql
+    from lime_on_spark_spark.plans.textpipe import d85_unicode_normalize
+    from tests.compare import canon_frame
+
+    docs = [
+        (1, "café au lait", "fr", "src0", 0),          # NFC é
+        (2, "café au lait", "fr", "src1", 0),         # decomposed e + ́
+        (3, "hello​ world﻿", "en", "src0", 0),    # ZWSP + BOM
+        (4, "hello world", "en", "src1", 0),
+        (5, "plain ascii text", "en", "src2", 0),
+    ]
+    path = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(path))
+
+    out = {r["lang"]: r for r in d85_unicode_normalize(spark, str(tmp_path)).collect()}
+    assert out["fr"]["docs_changed"] == 1 and out["fr"]["dedup_delta"] == 1
+    assert out["en"]["docs_changed"] == 1 and out["en"]["dedup_delta"] == 1
+    assert out["fr"]["dups_before"] == 0 and out["fr"]["dups_after"] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'"
+    )
+    oracle = canon_frame(con.execute(oracle_sql()["d85_unicode_normalize"]).df())
+    mine = canon_frame(
+        d85_unicode_normalize(spark, str(tmp_path)).toPandas()
+    )
+    assert oracle == mine
