@@ -736,3 +736,62 @@ def o9_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# S12 — Python DataSource WRITER (Spark 4 `DataSource.writer`): the missing
+# quadrant of the custom-connector matrix (s6 read-batch, s11 read-stream).
+# Executors spool one JSON-lines file per partition and return per-task
+# commit messages; the driver's commit() publishes them atomically behind
+# _MANIFEST.json (two-phase commit — readers consume ONLY manifest-listed
+# files, so a crashed job leaks nothing). The query writes lineitem's money
+# columns through the sink, reads back exactly the manifest's files, and
+# aggregates the READ-BACK copy — the oracle aggregates the original
+# parquet, so a hash match proves conservation across the Python write
+# path. The abort path (planted task failure -> no manifest, no visible
+# files) is exercised in tests/test_plans.py.
+# --------------------------------------------------------------------------
+@register(
+    "s12_python_datasource_sink",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)          AS n_rows,
+           ROUND(SUM(l_quantity), 2)         AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)    AS sum_price,
+           CAST(4 AS BIGINT)                 AS n_files,
+           TRUE                              AS manifest_rows_match
+    FROM lineitem
+    """,
+)
+def s12_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from lime_on_spark_spark.sources.python_source import JsonManifestSink
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass  # already registered in this session
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    path = _scratch(spark, "s12_sink")
+    (
+        src.repartition(4)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f["name"]) for f in manifest["files"]]
+    back = spark.read.schema(src.schema).json(files)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.lit(len(files)).cast("bigint").alias("n_files"),
+        (F.count(F.lit(1)) == F.lit(manifest["total_rows"])).alias(
+            "manifest_rows_match"
+        ),
+    )

@@ -118,3 +118,106 @@ class SyntheticStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the source is synthetic
+
+
+# ---------------------------------------------------------------------------
+# Batch writer variant (S12): the Spark 4 Python DataSource WRITE path —
+# the missing quadrant of the custom-connector matrix (s6 read-batch, s11
+# read-stream). Two-phase commit, the same contract as the JVM
+# FileCommitProtocol:
+#
+#   * write(iterator) runs once per partition ON EXECUTORS, spools rows to
+#     a task-unique temp file under <path>/_temp/ (task-unique via
+#     TaskContext partitionId + taskAttemptId, so a speculative or retried
+#     attempt can never clobber another attempt's spool), and returns a
+#     picklable commit message (temp path, final name, row count).
+#   * commit(messages) runs ON THE DRIVER only after every task succeeded:
+#     it renames each temp file to its final name and writes _MANIFEST.json
+#     listing the committed files + per-file row counts. Readers consume
+#     ONLY manifest-listed files — data is invisible until the atomic
+#     manifest write, so a crashed job leaks no partial output.
+#   * abort(messages) deletes the spool directory; messages may contain
+#     None for tasks that failed before returning one, so cleanup scans the
+#     directory instead of trusting the message list.
+#
+# Scale: one spool file per partition, zero driver data movement — the
+# driver touches only O(#partitions) commit messages and filenames.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import shutil as _shutil
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class JsonManifestCommitMessage(WriterCommitMessage):
+    def __init__(self, temp_path: str, final_name: str, n_rows: int) -> None:
+        self.temp_path = temp_path
+        self.final_name = final_name
+        self.n_rows = n_rows
+
+
+class JsonManifestSink(DataSource):
+    """``df.write.format("json_manifest_sink").option("path", p).save()`` —
+    JSON-lines files committed atomically via a driver-written manifest.
+
+    Option ``fail_on_value`` (int): a planted poison — any task whose rows
+    contain that value in their first field raises mid-write, driving the
+    job down the abort path (used by tests to prove no partial output is
+    ever visible)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "json_manifest_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonManifestWriter":
+        return JsonManifestWriter(self.options, [f.name for f in schema.fields])
+
+
+class JsonManifestWriter(DataSourceWriter):
+    def __init__(self, options, field_names) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_manifest_sink requires option 'path'")
+        self.fields = field_names
+        poison = options.get("fail_on_value")
+        self.poison = int(poison) if poison is not None else None
+
+    def write(self, iterator):  # executor-side: spool one partition
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        temp_dir = _os.path.join(self.path, "_temp")
+        _os.makedirs(temp_dir, exist_ok=True)
+        temp = _os.path.join(temp_dir, f"attempt-{pid}-{attempt}.json")
+        n = 0
+        with open(temp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                vals = row.asDict()
+                if self.poison is not None and vals[self.fields[0]] == self.poison:
+                    raise RuntimeError(
+                        f"planted failure on {self.fields[0]}={self.poison}"
+                    )
+                fh.write(_json.dumps(vals) + "\n")
+                n += 1
+        return JsonManifestCommitMessage(temp, f"part-{pid:05d}.json", n)
+
+    def commit(self, messages):  # driver-side: publish atomically
+        files = []
+        for m in messages:
+            final = _os.path.join(self.path, m.final_name)
+            _os.replace(m.temp_path, final)
+            files.append({"name": m.final_name, "n_rows": m.n_rows})
+        manifest = {
+            "files": sorted(files, key=lambda f: f["name"]),
+            "total_rows": sum(f["n_rows"] for f in files),
+        }
+        tmp = _os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump(manifest, fh)
+        _os.replace(tmp, _os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages):  # driver-side: no partial output survives
+        _shutil.rmtree(_os.path.join(self.path, "_temp"), ignore_errors=True)

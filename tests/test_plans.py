@@ -337,3 +337,68 @@ def test_p14_sql_udf_inlines_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_python_sink_abort_leaves_no_visible_output(spark, tmp_path):
+    """s12's two-phase commit contract: a planted task failure must drive
+    the abort path — no _MANIFEST.json, no committed part files, and the
+    temp spool directory cleaned — so a crashed job can never leak partial
+    output to readers."""
+    import os
+
+    import pytest
+
+    from lime_on_spark_spark.sources.python_source import JsonManifestSink
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k bigint, v double"
+    ).repartition(4)
+    path = str(tmp_path / "sink")
+    with pytest.raises(Exception, match="planted failure"):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("fail_on_value", "42")
+            .mode("append")
+            .save()
+        )
+    assert not os.path.exists(os.path.join(path, "_MANIFEST.json"))
+    visible = (
+        [f for f in os.listdir(path) if f.startswith("part-")]
+        if os.path.exists(path)
+        else []
+    )
+    assert visible == []
+    temp = os.path.join(path, "_temp")
+    assert not os.path.exists(temp) or os.listdir(temp) == []
+
+
+def test_python_sink_commit_is_exact(spark, tmp_path):
+    """Happy path: every row written through the Python sink comes back
+    through the manifest exactly once, per-file counts included."""
+    import json
+    import os
+
+    from lime_on_spark_spark.sources.python_source import JsonManifestSink
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    df = spark.createDataFrame(
+        [(i, float(i) / 3) for i in range(1000)], "k bigint, v double"
+    ).repartition(5)
+    path = str(tmp_path / "sink")
+    df.write.format("json_manifest_sink").option("path", path).mode("append").save()
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == 1000
+    assert len(manifest["files"]) == 5
+    files = [os.path.join(path, f["name"]) for f in manifest["files"]]
+    back = spark.read.schema(df.schema).json(files)
+    assert back.count() == 1000
+    assert {r["k"] for r in back.collect()} == set(range(1000))
