@@ -48,11 +48,13 @@ def connected_components(
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
         )
+        # Lazy checkpoint: the `changed` count below is the round's first
+        # action and materializes it — one job per round, not two.
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -135,6 +137,12 @@ def connected_components_star(
     (large+small) iterations actually run — tests pin the O(log n)
     behavior with it.
     """
+    # LAZY localCheckpoint throughout: the signature aggregate right after
+    # is the round's first action, so ONE job materializes the checkpoint
+    # AND computes the convergence signature (eager=True would spend a
+    # separate materialization job per round — measurably half the
+    # operator's driver round-trips, since the per-round data is KBs and
+    # the cost is job latency).
     e = (
         edges.selectExpr(f"{src} AS a", f"{dst} AS b")
         .filter(F.col("a") != F.col("b"))
@@ -142,7 +150,7 @@ def connected_components_star(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     def _sig(df):
         # Order-free edge-set signature: count + hash-sum (decimal to dodge
@@ -179,12 +187,13 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(mins2.select("a", F.col("m").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # Cheap signature first (the previous round's is reused, one job per
-        # round); only when it matches, confirm true set equality with one
-        # exceptAll (both sides are distinct, so equal counts + empty
-        # difference => equal sets).
+        # Cheap signature first (the previous round's is reused); this is
+        # the round's ONLY job — it materializes the lazy checkpoint as a
+        # side effect. Only when the signature matches, confirm true set
+        # equality with one exceptAll (both sides are distinct, so equal
+        # counts + empty difference => equal sets).
         sig_new = _sig(new_e)
         converged = sig_old == sig_new and new_e.exceptAll(e).isEmpty()
         e, sig_old = new_e, sig_new
