@@ -74,40 +74,42 @@ _CURATED_PREFIX = (
     # q — TPC-H-ish classics (kept first for round-over-round continuity)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue",
-    # p — predicates / projection (p12 = Spark 4 recursive CTE)
-    "p1_projection", "p12_recursive_cte",
-    # j — joins (round-8 rotation: the tolerance-bounded as-of variant
-    # takes the j7 slot the driver has sampled since round 4)
-    "j2_left_outer", "j3_semi", "j6_range_join", "j7_asof_tolerance",
-    # a — aggregates (r8: heavy hitters + the Arrow grouped-agg UDAF)
-    "a2_count_distinct", "a5_rollup", "a20_heavy_hitters",
-    "a24_pandas_udaf",
-    # w — window functions (r8: Pareto front rotates in)
+    # p — predicates / projection (r9 rotation: lateral column alias, a
+    # never-driver-sampled Spark-4 row, takes the p12 slot)
+    "p1_projection", "p16_lateral_column_alias",
+    # j — joins (r9: interval-overlap join rotates in for j6)
+    "j2_left_outer", "j3_semi", "j9_interval_overlap_join", "j7_asof_tolerance",
+    # a — aggregates (r9: LISTAGG + approx_top_k, never driver-sampled)
+    "a2_count_distinct", "a5_rollup", "a25_listagg",
+    "a26_approx_top_k",
+    # w — window functions (r9: time-range frame rotates in)
     "w1_order_rank_per_customer", "w2_lag_lead", "w3_running_frames",
-    "w10_pareto_front",
-    # o — ordering / physical layout (r8: dynamic partition pruning)
-    "o1_global_sort", "o3_bucketed_join", "o6_dynamic_partition_pruning",
-    # u — set operations (r8: snapshot diff rotates in)
+    "w6_time_range_frame",
+    # o — ordering / physical layout (r9: runtime Bloom-filter join)
+    "o1_global_sort", "o3_bucketed_join", "o9_bloom_filter_join",
+    # u — set operations
     "u1_union_all", "u2_intersect", "u5_snapshot_diff",
-    # f — scalar / array / JSON functions (r8: collation + map HOFs)
-    "f1_string_funcs", "f4_array_hofs", "f5_json_funcs", "f18_collation",
-    "f7b_map_hofs",
-    # t — event-time & streaming (r8: streaming approx-distinct)
+    # f — scalar / array / JSON functions (r9: XML + mapInArrow)
+    "f1_string_funcs", "f4_array_hofs", "f5_json_funcs", "f19_xml_funcs",
+    "f20_map_in_arrow",
+    # t — event-time & streaming (r9: session window rotates in)
     "t1_tumbling_hour", "t4_watermark_append", "t5_streaming_dedup",
-    "t22_streaming_approx_distinct",
+    "t3_session_window",
     # l — LIME (l12 = image-LIME: multimodal + provable-surrogate signal)
     "l1_discretizer", "l2_perturb_tabular", "l12_image_verdict",
     "l6_ridge_verdict",
-    # d — data-pipeline (r8 flagships: star-contraction CC, BPE, BM25,
-    # candidate-routed contrastive recall verdict)
+    # d — data-pipeline (r9 flagships: the four new curation operators —
+    # learned quality filter, cross-doc span dedup, NFC normalization —
+    # plus the never-sampled bootstrap CI / Welch pair)
     "d1_exact_dedup", "d3_knn_cosine_topk", "d45_minhash_banded_exact",
-    "d56_dsir_selection", "d60_bpe_merges", "d69_bm25_ranking",
-    "d10b_cc_star", "d63b_contrastive_recall",
+    "d83_quality_classifier", "d84_cross_doc_spans",
+    "d85_unicode_normalize", "d81_bootstrap_ci", "d82_ab_welch_test",
     # m — multimodal
     "m1_multimodal_features", "m2_multimodal_embed_join",
-    # s — sources / sinks / catalog (r8: dynamic partition overwrite)
-    "s3_sql_over_views", "s4_partition_pruning",
-    "s10_dynamic_partition_overwrite",
+    # s — sources / sinks / catalog (r9: the Python connector pair —
+    # streaming read + manifest-committed write)
+    "s3_sql_over_views", "s11_python_stream_source",
+    "s12_python_datasource_sink",
 )
 
 
