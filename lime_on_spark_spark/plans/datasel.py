@@ -1985,3 +1985,107 @@ def d83_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source.crossJoin(F.broadcast(verdict)).select(
         "source", "n_docs", "acc_above_chance", "separation_ok", "keep_rate_sane"
     )
+
+
+# --------------------------------------------------------------------------
+# D86 — Mann-Whitney U test (Wilcoxon rank-sum): the NONPARAMETRIC A/B
+# readout next to d82's Welch t — the one you reach for when `value` is
+# skewed/heavy-tailed and means mislead. Arms are the same md5-parity
+# assignment as d82 (engine-reproducible). U_A is computed WITHOUT a
+# global rank window: group to the distinct-value histogram, then an exact
+# distributed prefix sum (operators/prefix_sum.py — per-partition windows
+# + O(#partitions) driver offsets, no single-task sort) yields each
+# value's count of smaller-B observations; U_A = sum a*(cum_b_below +
+# b/2), with the tie-corrected normal approximation
+# z = (U - na*nb/2) / sqrt(na*nb/12 * (n+1 - sum(t^3-t)/(n(n-1)))).
+# The DuckDB oracle uses the plain window spelling — the scan's output is
+# partitioning-invariant, so the two must agree exactly.
+# --------------------------------------------------------------------------
+@register(
+    "d86_mann_whitney",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events
+    ), dist AS (
+        SELECT value,
+               SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS b
+        FROM assigned GROUP BY value
+    ), cum AS (
+        SELECT value, a, b,
+               SUM(b) OVER (ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cb
+        FROM dist
+    ), tot AS (
+        SELECT SUM(a) AS na, SUM(b) AS nb, SUM(a + b) AS n,
+               SUM(POW(a + b, 3) - (a + b)) AS tie
+        FROM dist
+    ), u AS (
+        SELECT SUM(a * ((cb - b) + 0.5 * b)) AS u_a FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(u_a, 2) AS u_stat,
+           ROUND((u_a - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((n + 1) - tie / (n * (n - 1.0)))), 6) AS z_stat,
+           ABS(ROUND((u_a - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((n + 1) - tie / (n * (n - 1.0)))), 6)) > 1.96
+               AS significant_95
+    FROM u, tot
+    """,
+)
+def d86_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.prefix_sum import ordered_prefix_sum
+
+    events = load_table(spark, sf_dir, "events")
+    arm_a = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    dist = (
+        events.select(arm_a.alias("is_a"), "value")
+        .groupBy("value")
+        .agg(
+            F.sum(F.col("is_a").cast("int")).alias("a"),
+            F.sum((~F.col("is_a")).cast("int")).alias("b"),
+        )
+    )
+    cum = ordered_prefix_sum(dist, "value", ["b"])
+    tot = dist.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(F.col("a") + F.col("b")).alias("n"),
+        F.sum(
+            F.pow(F.col("a") + F.col("b"), 3) - (F.col("a") + F.col("b"))
+        ).alias("tie"),
+    )
+    u = cum.agg(
+        F.sum(
+            F.col("a") * ((F.col("cum_b") - F.col("b")) + 0.5 * F.col("b"))
+        ).alias("u_a")
+    )
+    z = (F.col("u_a") - F.col("na") * F.col("nb") / 2.0) / F.sqrt(
+        F.col("na")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie") / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    zr = F.round(z, 6)
+    return u.crossJoin(F.broadcast(tot)).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round("u_a", 2).alias("u_stat"),
+        zr.alias("z_stat"),
+        (F.abs(zr) > 1.96).alias("significant_95"),
+    )

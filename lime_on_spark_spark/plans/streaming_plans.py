@@ -1101,3 +1101,58 @@ def t22_streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
             <= F.greatest(F.lit(5.0), F.lit(3 * rsd) * F.col("n_exact"))
         ).alias("approx_within_3rsd"),
     )
+
+
+# --------------------------------------------------------------------------
+# S13 — State Data Source reader (Spark 4 `format("statestore")`): OFFLINE
+# introspection of a streaming query's internal state store — the ops
+# surface for debugging a stuck stateful pipeline (inspect keys, spot
+# state skew via partition_id, audit what a checkpoint actually holds)
+# without touching the running query. A checkpointed availableNow
+# aggregation drains the events table, then the checkpoint is re-opened as
+# a BATCH DataFrame: after a full drain the aggregation state IS the batch
+# group-by, so the DuckDB twin checks the state-store contents end-to-end
+# (keys, counts, sums — value-hash exact). The value struct exposes the
+# aggregation BUFFER field names (count/sum), not the query aliases —
+# pinned here deliberately so an upstream layout change breaks loudly.
+# Scale: state introspection reads only the state files (O(distinct keys)),
+# never the source data.
+# --------------------------------------------------------------------------
+@register(
+    "s13_state_store_reader",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def s13_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from lime_on_spark_spark.plans.sources_sinks import _scratch
+
+    events = read_events_stream(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    ckpt = _scratch(spark, "s13_ckpt")
+    name = f"s13_sink_{_uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+        F.round(F.col("value.sum"), 2).alias("total_value"),
+    )

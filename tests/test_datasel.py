@@ -583,3 +583,41 @@ def test_quality_classifier_deterministic_and_separating(spark, sf_dir):
         | ((F.col("q") <= lo) & (F.col("p_keep") >= 0.5))
     ).count()
     assert bad == 0
+
+
+def test_ordered_prefix_sum_matches_global_window(spark):
+    """The two-pass distributed scan must equal the single-task global
+    window exactly — including near partition boundaries, with empty range
+    partitions (num_partitions > distinct keys), and for bigint sums."""
+    import random
+
+    from pyspark.sql import Window
+
+    from lime_on_spark_spark.operators.prefix_sum import ordered_prefix_sum
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000), rng.randrange(100)) for _ in range(5_000)]
+    df = (
+        spark.createDataFrame(rows, "k bigint, x bigint")
+        .groupBy("k")
+        .agg(F.sum("x").alias("x"), F.count(F.lit(1)).alias("c"))
+    )
+    got = ordered_prefix_sum(df, "k", ["x", "c"], num_partitions=16)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "k", F.sum("x").over(w).alias("tx"), F.sum("c").over(w).alias("tc")
+    )
+    j = got.select("k", "cum_x", "cum_c").join(want, "k")
+    assert (
+        j.filter(
+            (F.col("cum_x") != F.col("tx")) | (F.col("cum_c") != F.col("tc"))
+        ).count()
+        == 0
+    )
+    # Degenerate partitioning: more partitions than keys.
+    tiny = spark.createDataFrame([(1, 5), (2, 7), (3, 9)], "k bigint, x bigint")
+    out = {
+        r["k"]: r["cum_x"]
+        for r in ordered_prefix_sum(tiny, "k", ["x"], num_partitions=16).collect()
+    }
+    assert out == {1: 5, 2: 12, 3: 21}

@@ -63,6 +63,8 @@ PORTABLE = [
     "p16_lateral_column_alias", "p17_identifier_clause", "a24_pandas_udaf",
     "a26_approx_top_k", "o9_bloom_filter_join", "f19_xml_funcs",
     "f7b_map_hofs",
+    # round-9 additions (plain ANSI oracles; d83 is listed above)
+    "s13_state_store_reader",
 ]
 
 
