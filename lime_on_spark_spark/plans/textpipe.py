@@ -2571,6 +2571,88 @@ def d54_boilerplate_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d84/d87 shared contract: 5-token shingles, 4-shingle winnow window —
+#: candidate generation is exact for shared spans >= _SPAN_K + _SPAN_W - 1
+#: = 8 tokens.
+_SPAN_K, _SPAN_W = 5, 4
+
+
+def _cross_doc_span_runs(docs: DataFrame) -> DataFrame:
+    """Shared d84/d87 machinery: winnowed-fingerprint candidate pairs ->
+    candidates-only positional shingle join -> diagonal gaps-and-islands.
+
+    Returns one row per maximal shared run: (da, db, pb0 = run start in
+    doc b, span = run tokens), already filtered to the >= 8-token
+    exactness contract.
+    """
+    k, w = _SPAN_K, _SPAN_W
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= k
+    )
+    sh = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("tk", i + j) for j in range(k)],
+                ),
+            )
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    sh = sh.persist()
+
+    # Winnowed fingerprints: min 5-gram hash VALUE per 4-window (full
+    # windows only). Value-only min — cross-doc equality survives ties, and
+    # 32-bit collisions only widen the candidate set.
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    wdef = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    fps = (
+        sh.select("doc_id", "pos", h.alias("h"))
+        .select(
+            "doc_id",
+            F.min("h").over(wdef).alias("fp"),
+            F.count(F.lit(1)).over(wdef).alias("wn"),
+        )
+        .filter(F.col("wn") == w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    cand = (
+        fps.alias("x")
+        .join(fps.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .distinct()
+    )
+
+    # Exact verify on candidates only: positional shingle equi-join keyed
+    # on (doc, shingle), then diagonal gaps-and-islands.
+    a = cand.join(
+        sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "shingle"),
+        "da",
+    )
+    m = a.join(
+        sh.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "shingle"),
+        ["db", "shingle"],
+    ).select("da", "db", "pa", "pb")
+    iw = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    return (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(iw))
+        .groupBy("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "grp")
+        .agg(
+            F.min("pb").alias("pb0"),
+            (F.count(F.lit(1)) + (k - 1)).alias("span"),
+        )
+        .filter(F.col("span") >= k + w - 1)
+        .select("da", "db", "pb0", "span")
+    )
+
+
+
 # --------------------------------------------------------------------------
 # D84 — cross-document verbatim-span dedup (EXACTSUBSTR, Lee et al. 2022
 # "Deduplicating Training Data Makes Language Models Better"): find the
@@ -2645,72 +2727,9 @@ def d54_boilerplate_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d84_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k, w = 5, 4  # 5-token shingles, 4-shingle winnow window: exact for >= 8
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", F.split("text", " ").alias("tk")).filter(
-        F.size("tk") >= k
-    )
-    sh = tk.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at("tk", i + j) for j in range(k)],
-                ),
-            )
-        ).alias("pos0", "shingle"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
-    sh = sh.persist()
-
-    # Winnowed fingerprints: min 5-gram hash VALUE per 4-window (full
-    # windows only). Value-only min — cross-doc equality survives ties, and
-    # 32-bit collisions only widen the candidate set.
-    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    wdef = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    fps = (
-        sh.select("doc_id", "pos", h.alias("h"))
-        .select(
-            "doc_id",
-            F.min("h").over(wdef).alias("fp"),
-            F.count(F.lit(1)).over(wdef).alias("wn"),
-        )
-        .filter(F.col("wn") == w)
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    cand = (
-        fps.alias("x")
-        .join(fps.alias("y"), "fp")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
-        )
-        .distinct()
-    )
-
-    # Exact verify on candidates only: positional shingle equi-join keyed
-    # on (doc, shingle), then diagonal gaps-and-islands.
-    a = cand.join(
-        sh.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "shingle"),
-        "da",
-    )
-    m = a.join(
-        sh.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "shingle"),
-        ["db", "shingle"],
-    ).select("da", "db", "pa", "pb")
-    iw = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
-    runs = (
-        m.withColumn("grp", F.col("pa") - F.row_number().over(iw))
-        .groupBy("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "grp")
-        .agg((F.count(F.lit(1)) + (k - 1)).alias("span"))
-    )
-    best = (
-        runs.groupBy("da", "db")
-        .agg(F.max("span").alias("span"))
-        .filter(F.col("span") >= k + w - 1)
-    )
+    runs = _cross_doc_span_runs(docs)
+    best = runs.groupBy("da", "db").agg(F.max("span").alias("span"))
     # Explode each pair to its two endpoints: row count = 2 * n_pairs and
     # the distinct endpoints are the affected docs — one agg, no collected
     # arrays (a collect_list of all pairs would not scale).
@@ -2725,6 +2744,146 @@ def d84_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span").cast("bigint").alias("span_tokens"),
         "n_pairs",
         "n_affected_docs",
+    )
+
+
+# --------------------------------------------------------------------------
+# D87 — verbatim-span REMOVAL (the Lee et al. 2022 EXACTSUBSTR follow-
+# through d84 stops short of): d84 reports the longest shared span per
+# pair; d87 actually deduplicates — for every pair the LATER doc (db, by
+# doc_id order, so exactly one copy of each span survives corpus-wide)
+# has ALL its shared runs cut out. A doc's runs from different partners
+# can overlap, so per-doc removal is the size of the UNION of its
+# [start, end] intervals, computed with the classic interval-merge
+# (running-max-end window -> island when start > previous max — the t3
+# gaps-and-islands trick lifted from timestamps to token positions).
+# Output: top-10 most-trimmed docs + corpus totals.
+#
+# Candidate generation is the shared d84 machinery (winnowed
+# fingerprints -> candidates-only positional verify, exact for runs
+# >= 8 tokens); the oracle replays the NAIVE exhaustive self-join with
+# the same interval merge — a different candidate algorithm that must
+# land on the same removed-token counts.
+#
+# Scale: everything after the (bounded) candidate verify is keyed by
+# doc_id — the interval-merge window partitions by doc and orders a
+# handful of runs per doc. No stage is new relative to d84; at 100 TB
+# the cost profile is d84's plus one keyed window over the run set.
+# --------------------------------------------------------------------------
+@register(
+    "d87_span_removal",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), sh AS (
+        SELECT w1.doc_id, w1.pos,
+               w1.word || ' ' || w2.word || ' ' || w3.word || ' ' ||
+               w4.word || ' ' || w5.word AS shingle
+        FROM words w1
+        JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+        JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.pos = w1.pos + 2
+        JOIN words w4 ON w1.doc_id = w4.doc_id AND w4.pos = w1.pos + 3
+        JOIN words w5 ON w1.doc_id = w5.doc_id AND w5.pos = w1.pos + 4
+    ), m AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), isl AS (
+        SELECT da, db, pb, pa - pb AS diag,
+               pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM m
+    ), runs AS (
+        SELECT db AS doc_id, MIN(pb) AS s,
+               MIN(pb) + COUNT(*) + 3 AS e
+        FROM isl GROUP BY da, db, diag, grp
+        HAVING COUNT(*) + 4 >= 8
+    ), ivl AS (
+        SELECT DISTINCT doc_id, s, e FROM runs
+    ), marked AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM ivl
+    ), grouped AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        FROM marked
+    ), merged AS (
+        SELECT doc_id, MAX(e) - MIN(s) + 1 AS seg_len
+        FROM grouped GROUP BY doc_id, g
+    ), per_doc AS (
+        SELECT m.doc_id, SUM(m.seg_len) AS removed_tokens,
+               len(string_split(d.text, ' ')) AS n_tokens
+        FROM merged m JOIN documents d ON m.doc_id = d.doc_id
+        GROUP BY m.doc_id, d.text
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_trimmed,
+               CAST(SUM(removed_tokens) AS BIGINT) AS total_removed
+        FROM per_doc
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(removed_tokens AS BIGINT) AS removed_tokens,
+           CAST(n_tokens - removed_tokens AS BIGINT) AS kept_tokens,
+           n_docs_trimmed, total_removed
+    FROM (SELECT *, row_number() OVER (ORDER BY removed_tokens DESC,
+                                       doc_id) AS rk
+          FROM per_doc), totals
+    WHERE rk <= 10
+    """,
+)
+def d87_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    runs = _cross_doc_span_runs(docs)
+    ivl = runs.select(
+        F.col("db").alias("doc_id"),
+        F.col("pb0").alias("s"),
+        (F.col("pb0") + F.col("span") - 1).alias("e"),
+    ).distinct()
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("s", "e")
+    per_doc = (
+        ivl.withColumn("prev_max", F.max("e").over(w_prev))
+        .withColumn(
+            "new_seg",
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("g", F.sum("new_seg").over(w_run))
+        .groupBy("doc_id", "g")
+        .agg((F.max("e") - F.min("s") + 1).alias("seg_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("seg_len").alias("removed_tokens"))
+    )
+    sizes = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_doc = per_doc.join(sizes, "doc_id")
+    totals = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_trimmed"),
+        F.sum("removed_tokens").cast("bigint").alias("total_removed"),
+    )
+    top = per_doc.orderBy(F.desc("removed_tokens"), "doc_id").limit(10)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("removed_tokens").cast("bigint").alias("removed_tokens"),
+        (F.col("n_tokens") - F.col("removed_tokens"))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        "n_docs_trimmed",
+        "total_removed",
     )
 
 

@@ -74,6 +74,37 @@ def test_cross_doc_spans_finds_planted_span(spark, tmp_path):
     assert rows[0]["n_pairs"] == 1 and rows[0]["n_affected_docs"] == 2
 
 
+def test_span_removal_merges_overlapping_intervals(spark, tmp_path):
+    """d87 on a planted corpus exercising the interval-union merge: doc 3
+    shares w1..w10 with doc 1 and w7..w16 with doc 2 — overlapping runs in
+    doc 3, so its removal must be the 16-token UNION, not the 20-token sum.
+    Doc 5 shares a plain 9-token span with doc 4 (no overlap case). Docs 1,
+    2, 4 are the earlier side of every pair and keep all their tokens."""
+    from lime_on_spark_spark.plans.textpipe import d87_span_removal
+
+    w = [f"w{i}" for i in range(1, 17)]
+    span9 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = [
+        (1, "aa1 " + " ".join(w[:10]) + " aa2", "en", "src0", 0),
+        (2, "bb1 " + " ".join(w[6:]) + " bb2", "en", "src0", 0),
+        (3, "cc1 " + " ".join(w) + " cc2", "en", "src1", 0),
+        (4, f"dd1 {span9} dd2", "en", "src0", 0),
+        (5, f"ee1 ee2 {span9} ee3", "en", "src1", 0),
+        (6, "totally unrelated words with no overlap at all here", "en", "src2", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = d87_span_removal(spark, str(tmp_path)).collect()
+    got = [
+        (r["doc_id"], r["n_tokens"], r["removed_tokens"], r["kept_tokens"])
+        for r in rows
+    ]
+    assert got == [(3, 18, 16, 2), (5, 12, 9, 3)]
+    assert rows[0]["n_docs_trimmed"] == 2 and rows[0]["total_removed"] == 25
+
+
 def test_unicode_normalize_planted_fixtures(spark, tmp_path):
     """d85 on planted non-NFC docs: a decomposed-accent doc (e + U+0301)
     and a zero-width-space-infested doc must each normalize to equal an
