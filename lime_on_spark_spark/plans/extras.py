@@ -709,3 +709,59 @@ def p17_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "col_status": "o_orderstatus",
         },
     )
+
+
+# --------------------------------------------------------------------------
+# P18 — SQL scripting (Spark 4, SQL/PSM compound statements): a BEGIN...END
+# block with DECLAREd local variables, a WHILE loop, and scalar-subquery
+# SET — procedural control flow that previously needed driver-side Python
+# glue now runs as ONE spark.sql call (the script's final statement is the
+# returned frame). The loop accumulates the 5th harmonic number on the
+# driver (O(1) scalar state, no data touched); the scalar-subquery SET
+# binds the corpus-wide average order price once; the final SELECT is an
+# ordinary distributed query parameterized by both variables. The oracle
+# spells the same logic declaratively (literal H_5, scalar subquery) —
+# control flow must not change the answer.
+#
+# Scale: scripting is driver-side orchestration sugar; every data-touching
+# statement inside the block is still a full Catalyst-planned query, so
+# the 100 TB story is unchanged from the equivalent multi-statement job.
+# --------------------------------------------------------------------------
+@register(
+    "p18_sql_scripting",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+           ROUND(AVG(o_totalprice), 2) AS avg_above,
+           ROUND(1.0 + 1.0/2 + 1.0/3 + 1.0/4 + 1.0/5, 6) AS h5
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def p18_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_price DOUBLE;
+          DECLARE hsum DOUBLE DEFAULT 0.0;
+          DECLARE k INT DEFAULT 1;
+          WHILE k <= 5 DO
+            SET hsum = hsum + 1.0 / k;
+            SET k = k + 1;
+          END WHILE;
+          SET avg_price = (SELECT AVG(o_totalprice) FROM orders);
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_above_avg,
+                 ROUND(AVG(o_totalprice), 2) AS avg_above,
+                 ROUND(hsum, 6) AS h5
+          FROM orders
+          WHERE o_totalprice > avg_price
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
