@@ -921,3 +921,40 @@ def j7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.when(within, F.col("back_val")), 2).alias("click_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J11 — join-strategy hints (SHUFFLE_HASH): the optimizer-override surface
+# for the case the planner's default gets wrong at scale. Sort-merge is
+# Spark's safe default for two unbounded sides, but when one side is known
+# to hash-fit per partition after partitioning (customer here: ~1/10 of
+# orders, uniformly keyed), SHUFFLE_HASH skips both sort passes — the
+# standard tuning move on a 1000-executor cluster where the sorts, not the
+# shuffle, dominate. The hint names a STRATEGY, not a size assumption like
+# a forced broadcast, so it stays safe on unbounded inputs (each build
+# partition is 1/N of the side); the no-forced-broadcast policy at the top
+# of this file is untouched. tests/test_plans.py pins ShuffledHashJoin in
+# this plan and SortMergeJoin for the MERGE-hinted twin.
+# --------------------------------------------------------------------------
+@register(
+    "j11_join_strategy_hints",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS segment_revenue
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j11_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("segment_revenue"),
+        )
+    )

@@ -402,3 +402,21 @@ def test_python_sink_commit_is_exact(spark, tmp_path):
     back = spark.read.schema(df.schema).json(files)
     assert back.count() == 1000
     assert {r["k"] for r in back.collect()} == set(range(1000))
+
+
+def test_j11_hint_selects_shuffled_hash_join(spark, sf_dir):
+    """The SHUFFLE_HASH hint must land as ShuffledHashJoin, and swapping it
+    for MERGE on the identical query must land as SortMergeJoin — proving
+    the hint surface actually steers the physical strategy rather than
+    being silently dropped."""
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    plan = _plan(_q(spark, sf_dir, "j11_join_strategy_hints"))
+    assert "ShuffledHashJoin" in plan, plan
+
+    cust = load_table(spark, sf_dir, "customer").hint("merge")
+    orders = load_table(spark, sf_dir, "orders")
+    twin = cust.join(orders, cust.c_custkey == orders.o_custkey).groupBy(
+        "c_mktsegment"
+    ).count()
+    assert "SortMergeJoin" in _plan(twin), _plan(twin)

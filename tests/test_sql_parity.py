@@ -64,7 +64,7 @@ PORTABLE = [
     "a26_approx_top_k", "o9_bloom_filter_join", "f19_xml_funcs",
     "f7b_map_hofs",
     # round-9 additions (plain ANSI oracles; d83 is listed above)
-    "s13_state_store_reader", "p18_sql_scripting",
+    "s13_state_store_reader", "p18_sql_scripting", "j11_join_strategy_hints",
 ]
 
 
