@@ -72,6 +72,12 @@ EXTENDED = (
     # vector family).
     "d10b_cc_star",
     "d63b_contrastive_ivf",
+    # round-9 additions: the span machinery (winnow-candidate-verify
+    # family, d87 = d84 + interval-union merge) and the Mann-Whitney
+    # prefix-sum scan (the distributed two-pass window family).
+    "d84_cross_doc_spans",
+    "d87_span_removal",
+    "d86_mann_whitney",
 )
 
 

@@ -48,6 +48,13 @@ REPRESENTATIVE = (
     "f7b_map_hofs",
     "d81_bootstrap_ci",
     "d82_ab_welch_test",
+    # round-9 additions: the span machinery (window-min fingerprints +
+    # diagonal islands + interval-union merge — positional state that
+    # could leak across partition boundaries) and the Mann-Whitney
+    # prefix-sum scan (per-partition offsets MUST cancel out exactly).
+    "d84_cross_doc_spans",
+    "d87_span_removal",
+    "d86_mann_whitney",
 )
 
 
