@@ -74,11 +74,11 @@ _CURATED_PREFIX = (
     # q — TPC-H-ish classics (kept first for round-over-round continuity)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue",
-    # p — predicates / projection (r9 rotation: lateral column alias, a
-    # never-driver-sampled Spark-4 row, takes the p12 slot)
-    "p1_projection", "p16_lateral_column_alias",
-    # j — joins (r9: interval-overlap join rotates in for j6)
-    "j2_left_outer", "j3_semi", "j9_interval_overlap_join", "j7_asof_tolerance",
+    # p — predicates / projection (r9 rotation: lateral column alias and
+    # SQL scripting, both never-driver-sampled Spark-4 rows)
+    "p18_sql_scripting", "p16_lateral_column_alias",
+    # j — joins (r9: interval-overlap join and the hint row rotate in)
+    "j11_join_strategy_hints", "j3_semi", "j9_interval_overlap_join", "j7_asof_tolerance",
     # a — aggregates (r9: LISTAGG + approx_top_k, never driver-sampled)
     "a2_count_distinct", "a5_rollup", "a25_listagg",
     "a26_approx_top_k",
@@ -101,7 +101,7 @@ _CURATED_PREFIX = (
     # d — data-pipeline (r9 flagships: the four new curation operators —
     # learned quality filter, cross-doc span dedup, NFC normalization —
     # plus the never-sampled bootstrap CI / Welch pair)
-    "d1_exact_dedup", "d3_knn_cosine_topk", "d45_minhash_banded_exact",
+    "d1_exact_dedup", "d3_knn_cosine_topk", "d87_span_removal",
     "d83_quality_classifier", "d84_cross_doc_spans",
     "d85_unicode_normalize", "d81_bootstrap_ci", "d82_ab_welch_test",
     # m — multimodal
