@@ -976,3 +976,60 @@ def f20_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# F21 — polymorphic Python UDTF (Spark 4 `analyze()`): the output SCHEMA is
+# computed at query-planning time from the call's constant arguments — the
+# API for generic Python table functions (a parser whose column set depends
+# on a format string, a splitter whose width is a parameter) that f12's
+# fixed returnType cannot express. `analyze()` receives each argument's
+# type and foldable value and returns the schema; `eval()` then fans rows
+# out under that schema. Here: split each doc's text into its first k
+# leading tokens as k REAL COLUMNS (tok0..tok{k-1}), k a literal the
+# planner folds. The DuckDB twin uses split_part — proving the dynamic
+# schema path computes ordinary deterministic values.
+# --------------------------------------------------------------------------
+@register(
+    "f21_polymorphic_udtf",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS tok0,
+           split_part(text, ' ', 2) AS tok1,
+           split_part(text, ' ', 3) AS tok2
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def f21_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            # k is a foldable literal: its VALUE is available at planning
+            # time and determines the column count of every result row.
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok{j}", StringType())
+                        for j in range(int(k.value))
+                    ]
+                )
+            )
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[j] if j < len(toks) else "" for j in range(k)
+            )
+
+    spark.udtf.register("f21_lead_tokens", LeadTokens)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    docs.createOrReplaceTempView("f21_docs")
+    return spark.sql(
+        "SELECT doc_id, t.tok0, t.tok1, t.tok2 "
+        "FROM f21_docs, LATERAL f21_lead_tokens(text, 3) AS t"
+    )

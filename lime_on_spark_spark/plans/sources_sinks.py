@@ -795,3 +795,53 @@ def s12_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "manifest_rows_match"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# S14 — Python DataSource filter pushdown (Spark 4.1 `pushFilters`): the
+# planning-time quadrant of the Python connector matrix (s6 read, s11
+# stream-read, s12 write). The reader handles EqualTo(bucket) by striding
+# the generated series and LessThan(i) by clamping partition planning, so
+# the connector materializes only matching rows — for a database- or
+# API-backed source this is the difference between reading a partition and
+# reading the world. The emitted `pushed` flag records, per row, that BOTH
+# predicates actually arrived via pushFilters; the oracle pins
+# filter_pushed = TRUE, so the correctness artifact fails — not just slows
+# down — if planning ever stops pushing.
+# --------------------------------------------------------------------------
+@register(
+    "s14_python_datasource_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)             AS n,
+           ROUND(SUM((i * i % 97) / 10.0), 4)   AS sum_v,
+           CAST(MIN(i) AS BIGINT)               AS min_i,
+           CAST(MAX(i) AS BIGINT)               AS max_i,
+           TRUE                                 AS filter_pushed
+    FROM (SELECT unnest(range(5000)) AS i)
+    WHERE i % 8 = 3 AND i < 4000
+    """,
+)
+def s14_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import FilteredSeriesSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(FilteredSeriesSource)
+    except Exception:
+        pass  # already registered in this session
+    series = (
+        spark.read.format("synthetic_series_pushdown")
+        .option("n", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        series.filter((F.col("bucket") == 3) & (F.col("i") < 4000))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+            F.min("i").cast("bigint").alias("min_i"),
+            F.max("i").cast("bigint").alias("max_i"),
+            F.bool_and("pushed").alias("filter_pushed"),
+        )
+    )

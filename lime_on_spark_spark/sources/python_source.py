@@ -221,3 +221,76 @@ class JsonManifestWriter(DataSourceWriter):
 
     def abort(self, messages):  # driver-side: no partial output survives
         _shutil.rmtree(_os.path.join(self.path, "_temp"), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Batch reader with FILTER PUSHDOWN (S14): the Spark 4.1 `pushFilters`
+# quadrant of the Python connector matrix (s6 read, s11 stream-read, s12
+# write). For a metered API or database-backed source, shipping predicates
+# INTO the connector is the difference between reading a partition and
+# reading the world; this reader handles EqualTo(bucket) by striding the
+# series (step 8 from the first matching i — it generates 1/8th of the
+# rows, never filters after the fact) and LessThan(i) by clamping the
+# partition planning range, and returns every other filter to Spark.
+#
+# Every emitted row carries `pushed` = "both filters actually arrived via
+# pushFilters", so the SQL oracle (which pins pushed = TRUE) FAILS if
+# planning ever stops calling pushFilters — the correctness artifact
+# itself certifies the pushdown happened, not just that values match.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import EqualTo, LessThan  # noqa: E402
+
+
+class FilteredSeriesSource(DataSource):
+    """`spark.read.format("synthetic_series_pushdown")` — the s6 series
+    with `pushFilters` support for EqualTo(bucket) / LessThan(i)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_series_pushdown"
+
+    def schema(self) -> str:
+        return "i BIGINT, v DOUBLE, bucket INT, pushed BOOLEAN"
+
+    def reader(self, schema) -> "FilteredSeriesReader":
+        return FilteredSeriesReader(self.options)
+
+
+class FilteredSeriesReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("partitions", 4))
+        self.eq_bucket = None
+        self.lt_i = None
+
+    def pushFilters(self, filters):
+        # Runs once at planning; mutations here are visible to
+        # partitions()/read(). Yield back only what we can NOT handle.
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("bucket",):
+                self.eq_bucket = int(f.value)
+            elif isinstance(f, LessThan) and f.attribute == ("i",):
+                self.lt_i = int(f.value)
+            else:
+                yield f
+
+    def partitions(self):  # driver-side: clamp the range BEFORE slicing
+        hi = self.n if self.lt_i is None else min(self.n, self.lt_i)
+        per = -(-hi // self.num_partitions)  # ceil
+        return [
+            InputPartition((p * per, min((p + 1) * per, hi)))
+            for p in range(self.num_partitions)
+            if p * per < hi
+        ]
+
+    def read(self, partition: InputPartition):  # executor-side: stride
+        lo, hi = partition.value
+        pushed = self.eq_bucket is not None and self.lt_i is not None
+        if self.eq_bucket is None:
+            it = range(lo, hi)
+        else:  # first i >= lo with i % 8 == eq_bucket, then stride 8
+            start = lo + (self.eq_bucket - lo) % 8
+            it = range(start, hi, 8)
+        for i in it:
+            yield (i, (i * i % 97) / 10.0, i % 8, pushed)
