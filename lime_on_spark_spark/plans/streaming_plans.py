@@ -1156,3 +1156,92 @@ def s13_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("bigint").alias("n_events"),
         F.round(F.col("value.sum"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# S15 — Python STREAMING sink (Spark 4 `DataSource.streamWriter`): the last
+# quadrant of the custom connector matrix (s6 batch read, s11 stream read,
+# s12 batch write, s14 pushdown). The synthetic stream's 600 rows drain
+# through the Python sink in micro-batches; each batch's executor spools
+# are published by a per-batch driver commit into _STREAM_MANIFEST.json
+# (replayed batch ids are skipped — the idempotent-commit discipline that
+# makes checkpoint recovery exactly-once). The query then reads back ONLY
+# manifest-listed files and aggregates the read-back copy against the
+# closed-form oracle: a hash match proves no batch was lost, duplicated,
+# or partially published across the Python write path.
+# --------------------------------------------------------------------------
+@register(
+    "s15_python_stream_sink",
+    oracle="""
+    SELECT CAST(i % 8 AS INT)                          AS bucket,
+           COUNT(*)                                    AS n,
+           ROUND(SUM((i * i % 97) / 10.0), 4)          AS sum_v,
+           CAST(MIN(i) AS BIGINT)                      AS min_i,
+           CAST(MAX(i) AS BIGINT)                      AS max_i
+    FROM (SELECT unnest(range(600)) AS i)
+    GROUP BY bucket
+    """,
+)
+def s15_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from lime_on_spark_spark.plans.sources_sinks import _scratch
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        SyntheticStreamSource,
+    )
+
+    for src_cls in (SyntheticStreamSource, JsonManifestSink):
+        try:
+            spark.dataSource.register(src_cls)
+        except Exception:
+            pass  # already registered in this session
+    n_total = 600
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("n", n_total)
+        .option("rows_per_batch", 250)
+        .option("partitions", 4)
+        .load()
+    )
+    path = _scratch(spark, "s15_sink")
+    ckpt = _scratch(spark, "s15_ckpt")
+    query = (
+        stream.writeStream.format("json_manifest_sink")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    manifest_path = _os.path.join(path, "_STREAM_MANIFEST.json")
+    try:
+        deadline = _time.time() + 120
+        total = 0
+        while _time.time() < deadline:
+            if _os.path.exists(manifest_path):
+                with open(manifest_path, encoding="utf-8") as fh:
+                    total = _json.load(fh)["total_rows"]
+                if total == n_total:
+                    break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError(f"s15: sink committed {total}/{n_total} rows")
+    finally:
+        query.stop()
+    with open(manifest_path, encoding="utf-8") as fh:
+        manifest = _json.load(fh)
+    files = [
+        _os.path.join(path, f["name"])
+        for b in manifest["batches"]
+        for f in b["files"]
+    ]
+    back = spark.read.schema("i long, v double, bucket int").json(files)
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 4).alias("sum_v"),
+        F.min("i").cast("bigint").alias("min_i"),
+        F.max("i").cast("bigint").alias("max_i"),
+    )

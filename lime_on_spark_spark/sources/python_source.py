@@ -174,6 +174,11 @@ class JsonManifestSink(DataSource):
     def writer(self, schema, overwrite: bool) -> "JsonManifestWriter":
         return JsonManifestWriter(self.options, [f.name for f in schema.fields])
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonManifestStreamWriter":
+        return JsonManifestStreamWriter(
+            self.options, [f.name for f in schema.fields]
+        )
+
 
 class JsonManifestWriter(DataSourceWriter):
     def __init__(self, options, field_names) -> None:
@@ -294,3 +299,73 @@ class FilteredSeriesReader(DataSourceReader):
             it = range(start, hi, 8)
         for i in it:
             yield (i, (i * i % 97) / 10.0, i % 8, pushed)
+
+
+# ---------------------------------------------------------------------------
+# Streaming writer variant (S15): the Spark 4 Python STREAMING sink —
+# the last quadrant of the custom connector matrix (s6 read, s11
+# stream-read, s12 write, s14 pushdown). Same two-phase contract as the
+# batch writer, but commit(messages, batchId) runs once per MICRO-BATCH:
+# it publishes that batch's spools as batch-<id>-part-*.json and appends a
+# batch entry to _STREAM_MANIFEST.json via read-modify-write (driver-side,
+# single-threaded per query). Replayed batch ids (checkpoint recovery
+# re-runs the last un-committed batch) are detected in the manifest and
+# SKIPPED — the idempotent-commit discipline that makes the sink
+# exactly-once end-to-end, pinned by the conservation oracle.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class JsonManifestStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, field_names) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_manifest_sink requires option 'path'")
+        self.fields = field_names
+
+    def write(self, iterator):  # executor-side: spool one partition
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        temp_dir = _os.path.join(self.path, "_temp")
+        _os.makedirs(temp_dir, exist_ok=True)
+        temp = _os.path.join(temp_dir, f"attempt-{pid}-{attempt}.json")
+        n = 0
+        with open(temp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonManifestCommitMessage(temp, f"part-{pid:05d}.json", n)
+
+    def _manifest_path(self) -> str:
+        return _os.path.join(self.path, "_STREAM_MANIFEST.json")
+
+    def commit(self, messages, batchId: int) -> None:  # driver, per batch
+        mp = self._manifest_path()
+        manifest = {"batches": [], "total_rows": 0}
+        if _os.path.exists(mp):
+            with open(mp, encoding="utf-8") as fh:
+                manifest = _json.load(fh)
+        if any(b["batch_id"] == batchId for b in manifest["batches"]):
+            # Replay after checkpoint recovery: already published — a
+            # second rename would fail and a second entry would double
+            # count. Exactly-once = skip.
+            return
+        files = []
+        for m in messages:
+            final_name = f"batch-{batchId:05d}-{m.final_name}"
+            _os.replace(m.temp_path, _os.path.join(self.path, final_name))
+            files.append({"name": final_name, "n_rows": m.n_rows})
+        manifest["batches"].append(
+            {"batch_id": batchId, "files": sorted(files, key=lambda f: f["name"])}
+        )
+        manifest["total_rows"] += sum(f["n_rows"] for f in files)
+        tmp = mp + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump(manifest, fh)
+        _os.replace(tmp, mp)
+
+    def abort(self, messages, batchId: int) -> None:
+        _shutil.rmtree(_os.path.join(self.path, "_temp"), ignore_errors=True)

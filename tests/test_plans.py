@@ -420,3 +420,46 @@ def test_j11_hint_selects_shuffled_hash_join(spark, sf_dir):
         "c_mktsegment"
     ).count()
     assert "SortMergeJoin" in _plan(twin), _plan(twin)
+
+
+def test_stream_sink_replayed_batch_commit_is_idempotent(tmp_path):
+    """s15's exactly-once contract: after checkpoint recovery Spark replays
+    the last un-committed batch with the SAME batchId — a second commit for
+    a batchId already in the manifest must be a no-op (no double-counted
+    rows, no failed rename), while a new batchId appends normally."""
+    import json
+    import os
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestCommitMessage,
+        JsonManifestStreamWriter,
+    )
+
+    path = str(tmp_path / "sink")
+    os.makedirs(os.path.join(path, "_temp"))
+    w = JsonManifestStreamWriter({"path": path}, ["i"])
+
+    def spool(name, rows):
+        p = os.path.join(path, "_temp", name)
+        with open(p, "w", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(json.dumps({"i": r}) + "\n")
+        return p
+
+    m0 = JsonManifestCommitMessage(spool("a-0", [1, 2]), "part-00000.json", 2)
+    w.commit([m0], batchId=0)
+    # replay of batch 0 (recovery path): must be skipped entirely
+    w.commit(
+        [JsonManifestCommitMessage(spool("a-0r", [1, 2]), "part-00000.json", 2)],
+        batchId=0,
+    )
+    m1 = JsonManifestCommitMessage(spool("b-0", [3]), "part-00000.json", 1)
+    w.commit([m1], batchId=1)
+    with open(os.path.join(path, "_STREAM_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    assert [b["batch_id"] for b in manifest["batches"]] == [0, 1]
+    assert manifest["total_rows"] == 3
+    committed = sorted(
+        f for f in os.listdir(path) if f.startswith("batch-")
+    )
+    assert committed == ["batch-00000-part-00000.json", "batch-00001-part-00000.json"]
