@@ -2839,32 +2839,15 @@ def d84_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d87_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     runs = _cross_doc_span_runs(docs)
+    from lime_on_spark_spark.operators.intervals import merged_interval_lengths
+
     ivl = runs.select(
         F.col("db").alias("doc_id"),
         F.col("pb0").alias("s"),
         (F.col("pb0") + F.col("span") - 1).alias("e"),
     ).distinct()
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.partitionBy("doc_id").orderBy("s", "e")
-    per_doc = (
-        ivl.withColumn("prev_max", F.max("e").over(w_prev))
-        .withColumn(
-            "new_seg",
-            F.when(
-                F.col("prev_max").isNull()
-                | (F.col("s") > F.col("prev_max")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("g", F.sum("new_seg").over(w_run))
-        .groupBy("doc_id", "g")
-        .agg((F.max("e") - F.min("s") + 1).alias("seg_len"))
-        .groupBy("doc_id")
-        .agg(F.sum("seg_len").alias("removed_tokens"))
+    per_doc = merged_interval_lengths(ivl).withColumnRenamed(
+        "covered", "removed_tokens"
     )
     sizes = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")

@@ -435,3 +435,33 @@ def test_kmeans_assignment_is_nearest_centroid(spark, sf_dir):
         }
         best = min(dists, key=lambda c: (dists[c], c))
         assert cid[v] == best, (v, cid[v], best, dists)
+
+
+def test_merged_interval_lengths_matches_set_union(spark):
+    """Property: for random keyed closed integer intervals (overlapping,
+    nested, duplicated, touching), the windowed interval-union merge must
+    equal the brute-force set union per key. Fixed seed; shapes chosen to
+    hit every merge case (single, chains, containment, point intervals)."""
+    import random
+
+    from lime_on_spark_spark.operators.intervals import merged_interval_lengths
+
+    rng = random.Random(42)
+    rows = []
+    expected = {}
+    for key in range(20):
+        n = rng.randint(1, 12)
+        cover = set()
+        for _ in range(n):
+            s = rng.randint(0, 40)
+            e = s + rng.randint(0, 10)
+            rows.append((key, s, e))
+            cover.update(range(s, e + 1))
+        expected[key] = len(cover)
+    got = {
+        r["doc_id"]: r["covered"]
+        for r in merged_interval_lengths(
+            spark.createDataFrame(rows, "doc_id int, s int, e int")
+        ).collect()
+    }
+    assert got == expected
