@@ -67,7 +67,20 @@ def ordered_prefix_sum(
     total_types = dict(totals_df.dtypes)
     totals = totals_df.collect()
     offsets = {}
-    running = {c: 0 for c in sum_cols}
+
+    def _zero(dtype: str):
+        # Seed each running offset with the aggregate type's OWN zero:
+        # createDataFrame rejects a Python int for DoubleType, so a plain
+        # 0 would crash the first partition's row for double sums.
+        if dtype in ("double", "float"):
+            return 0.0
+        if dtype.startswith("decimal"):
+            from decimal import Decimal
+
+            return Decimal(0)
+        return 0
+
+    running = {c: _zero(total_types[c]) for c in sum_cols}
     for row in sorted(totals, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = dict(running)
         for c in sum_cols:

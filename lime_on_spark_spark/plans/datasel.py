@@ -35,6 +35,20 @@ def _md5_uniform(key_col):
     ) / F.lit(4294967296.0)
 
 
+def _md5_parity(key_col):
+    """Deterministic 2-arm split: parity of the first 8 md5 hex digits.
+    d82 and d86 share this ONE definition so their A/B populations can
+    never silently desynchronize from each other or from the oracles'
+    CAST('0x' || substr(md5(...), 1, 8)) % 2 spelling."""
+    return (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 2
+        == 0
+    )
+
+
 # --------------------------------------------------------------------------
 # D56 — DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
 # arXiv:2302.03169). Target distribution = English documents (the paper's
@@ -1875,14 +1889,7 @@ def d81_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d82_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    arm = F.when(
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 2
-        == 0,
-        "A",
-    ).otherwise("B")
+    arm = F.when(_md5_parity(F.col("user_id")), "A").otherwise("B")
     arms = events.select(arm.alias("arm"), "value").groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("value").alias("m"),
@@ -1961,6 +1968,10 @@ def d83_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wl"),
         "p_keep",
     )
+    # Both aggregates below consume `scored`, whose lineage holds the full
+    # HashingTF + model scoring pass over every document — persist so the
+    # transform runs once, not once per aggregate.
+    scored = scored.persist()
     verdict = scored.agg(
         F.avg(
             F.when(
@@ -1976,11 +1987,10 @@ def d83_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_pos") - F.col("p_neg") > 0.1).alias("separation_ok"),
         F.col("keep_rate").between(0.2, 0.8).alias("keep_rate_sane"),
     )
+    # Per-source keep RATES are model-dependent (tests pin their bounds and
+    # determinism separately); the hashed output carries only counts.
     per_source = scored.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        # Computed and checkable (tests pin bounds/determinism), folded out
-        # of the hashed output because the values are model-dependent.
-        F.avg(F.col("keep").cast("double")).alias("_keep_rate"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     return per_source.crossJoin(F.broadcast(verdict)).select(
         "source", "n_docs", "acc_above_chance", "separation_ok", "keep_rate_sane"
@@ -2010,6 +2020,7 @@ def d83_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'A' ELSE 'B' END AS arm,
                value
         FROM events
+        WHERE value IS NOT NULL
     ), dist AS (
         SELECT value,
                SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS a,
@@ -2043,15 +2054,14 @@ def d86_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.operators.prefix_sum import ordered_prefix_sum
 
     events = load_table(spark, sf_dir, "events")
-    arm_a = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 2
-        == 0
-    )
+    arm_a = _md5_parity(F.col("user_id"))
+    # NULL values are excluded on BOTH sides: a NULL group would sort
+    # NULLS FIRST in Spark but NULLS LAST in DuckDB's window, silently
+    # shifting every cumulative count — and a rank test has no defined
+    # treatment for missing observations anyway.
     dist = (
         events.select(arm_a.alias("is_a"), "value")
+        .filter(F.col("value").isNotNull())
         .groupBy("value")
         .agg(
             F.sum(F.col("is_a").cast("int")).alias("a"),
@@ -2059,7 +2069,10 @@ def d86_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cum = ordered_prefix_sum(dist, "value", ["b"])
-    tot = dist.agg(
+    # Aggregate the totals off `cum`, not `dist`: cum descends from the
+    # prefix-sum operator's persisted range-partitioned frame, so this
+    # reuses the cache instead of re-scanning events a second time.
+    tot = cum.agg(
         F.sum("a").alias("na"),
         F.sum("b").alias("nb"),
         F.sum(F.col("a") + F.col("b")).alias("n"),

@@ -743,9 +743,19 @@ def p18_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.sources.catalog import load_tables
 
     load_tables(spark, sf_dir, ("orders",))
-    spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        """
+    conf_key = "spark.sql.scripting.enabled"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "true")
+    # spark.sql executes the whole script eagerly (the final statement's
+    # result comes back as this DataFrame), so restoring the conf right
+    # after is safe — and keeps the shared session's parser exactly as
+    # other queries expect it (the o9 save/restore discipline).
+    try:
+        return spark.sql(
+            """
         BEGIN
           DECLARE avg_price DOUBLE;
           DECLARE hsum DOUBLE DEFAULT 0.0;
@@ -764,4 +774,9 @@ def p18_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY o_orderpriority;
         END
         """
-    )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)

@@ -824,24 +824,45 @@ def s12_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s14_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.sources.python_source import FilteredSeriesSource
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    conf_key = "spark.sql.python.filterPushdown.enabled"
     try:
-        spark.dataSource.register(FilteredSeriesSource)
+        prev = spark.conf.get(conf_key)
     except Exception:
-        pass  # already registered in this session
-    series = (
-        spark.read.format("synthetic_series_pushdown")
-        .option("n", 5000)
-        .option("partitions", 8)
-        .load()
-    )
-    return (
-        series.filter((F.col("bucket") == 3) & (F.col("i") < 4000))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("v"), 4).alias("sum_v"),
-            F.min("i").cast("bigint").alias("min_i"),
-            F.max("i").cast("bigint").alias("max_i"),
-            F.bool_and("pushed").alias("filter_pushed"),
+        prev = None
+    spark.conf.set(conf_key, "true")
+    try:
+        try:
+            spark.dataSource.register(FilteredSeriesSource)
+        except Exception:
+            pass  # already registered in this session
+        series = (
+            spark.read.format("synthetic_series_pushdown")
+            .option("n", 5000)
+            .option("partitions", 8)
+            .load()
         )
-    )
+        # collect() under the enabled conf, then return a local frame: the
+        # conf is restored in finally (o9's discipline), so this query
+        # cannot silently re-plan every LATER Python-source scan in the
+        # shared session under a pushdown mode they were not written for.
+        rows = (
+            series.filter((F.col("bucket") == 3) & (F.col("i") < 4000))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("v"), 4).alias("sum_v"),
+                F.min("i").cast("bigint").alias("min_i"),
+                F.max("i").cast("bigint").alias("max_i"),
+                F.bool_and("pushed").alias("filter_pushed"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "n bigint, sum_v double, min_i bigint, max_i bigint,"
+            " filter_pushed boolean",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)

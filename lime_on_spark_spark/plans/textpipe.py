@@ -2601,6 +2601,11 @@ def _cross_doc_span_runs(docs: DataFrame) -> DataFrame:
             )
         ).alias("pos0", "shingle"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    # Four downstream consumers (fingerprints + both verify sides) read the
+    # shingle expansion; persist computes it once. No explicit unpersist is
+    # possible under the lazy-return contract — the ContextCleaner reclaims
+    # the blocks once the returned plan is dereferenced, and bench.py
+    # clears the cache between ops.
     sh = sh.persist()
 
     # Winnowed fingerprints: min 5-gram hash VALUE per 4-window (full

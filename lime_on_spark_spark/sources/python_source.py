@@ -172,7 +172,9 @@ class JsonManifestSink(DataSource):
         return "json_manifest_sink"
 
     def writer(self, schema, overwrite: bool) -> "JsonManifestWriter":
-        return JsonManifestWriter(self.options, [f.name for f in schema.fields])
+        return JsonManifestWriter(
+            self.options, [f.name for f in schema.fields], overwrite
+        )
 
     def streamWriter(self, schema, overwrite: bool) -> "JsonManifestStreamWriter":
         return JsonManifestStreamWriter(
@@ -181,11 +183,17 @@ class JsonManifestSink(DataSource):
 
 
 class JsonManifestWriter(DataSourceWriter):
-    def __init__(self, options, field_names) -> None:
+    def __init__(self, options, field_names, overwrite: bool = True) -> None:
+        import uuid as _uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("json_manifest_sink requires option 'path'")
         self.fields = field_names
+        self.overwrite = overwrite
+        # Job-unique file prefix: append-mode jobs to the SAME path must
+        # never rename over a prior job's part files.
+        self.job_id = _uuid.uuid4().hex[:8]
         poison = options.get("fail_on_value")
         self.poison = int(poison) if poison is not None else None
 
@@ -207,7 +215,9 @@ class JsonManifestWriter(DataSourceWriter):
                     )
                 fh.write(_json.dumps(vals) + "\n")
                 n += 1
-        return JsonManifestCommitMessage(temp, f"part-{pid:05d}.json", n)
+        return JsonManifestCommitMessage(
+            temp, f"job-{self.job_id}-part-{pid:05d}.json", n
+        )
 
     def commit(self, messages):  # driver-side: publish atomically
         files = []
@@ -215,14 +225,25 @@ class JsonManifestWriter(DataSourceWriter):
             final = _os.path.join(self.path, m.final_name)
             _os.replace(m.temp_path, final)
             files.append({"name": m.final_name, "n_rows": m.n_rows})
+        mp = _os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and _os.path.exists(mp):
+            # Append mode: merge with the prior jobs' manifest — replacing
+            # it wholesale would silently orphan (and thus "delete", for
+            # manifest-driven readers) every previously committed row.
+            with open(mp, encoding="utf-8") as fh:
+                prior = _json.load(fh)
+            files = prior["files"] + files
         manifest = {
             "files": sorted(files, key=lambda f: f["name"]),
             "total_rows": sum(f["n_rows"] for f in files),
         }
-        tmp = _os.path.join(self.path, "_MANIFEST.json.tmp")
+        tmp = mp + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             _json.dump(manifest, fh)
-        _os.replace(tmp, _os.path.join(self.path, "_MANIFEST.json"))
+        _os.replace(tmp, mp)
+        # Spool litter from failed/speculative task attempts is invisible
+        # to readers but accumulates; the job is done with its spool dir.
+        _shutil.rmtree(_os.path.join(self.path, "_temp"), ignore_errors=True)
 
     def abort(self, messages):  # driver-side: no partial output survives
         _shutil.rmtree(_os.path.join(self.path, "_temp"), ignore_errors=True)
@@ -271,12 +292,33 @@ class FilteredSeriesReader(DataSourceReader):
 
     def pushFilters(self, filters):
         # Runs once at planning; mutations here are visible to
-        # partitions()/read(). Yield back only what we can NOT handle.
+        # partitions()/read(). ACCEPTING a filter removes it from the Spark
+        # plan, so accept only what read()/partitions() faithfully execute
+        # and yield everything else back:
+        #   * several LessThan(i) conjuncts may arrive (Catalyst does not
+        #     collapse them) — keeping the MINIMUM satisfies all accepted
+        #     bounds, so all are safe to accept;
+        #   * at most ONE EqualTo(bucket) with a generatable value (int in
+        #     0..7) is accepted; a second conjunct or an out-of-range /
+        #     non-int value goes back to Spark, whose residual filter then
+        #     yields the correct (possibly empty) result.
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("bucket",):
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("bucket",)
+                and self.eq_bucket is None
+                and isinstance(f.value, int)
+                and 0 <= f.value <= 7
+            ):
                 self.eq_bucket = int(f.value)
-            elif isinstance(f, LessThan) and f.attribute == ("i",):
-                self.lt_i = int(f.value)
+            elif isinstance(f, LessThan) and f.attribute == ("i",) and isinstance(
+                f.value, int
+            ):
+                self.lt_i = (
+                    int(f.value)
+                    if self.lt_i is None
+                    else min(self.lt_i, int(f.value))
+                )
             else:
                 yield f
 
@@ -351,7 +393,15 @@ class JsonManifestStreamWriter(DataSourceStreamWriter):
         if any(b["batch_id"] == batchId for b in manifest["batches"]):
             # Replay after checkpoint recovery: already published — a
             # second rename would fail and a second entry would double
-            # count. Exactly-once = skip.
+            # count. Exactly-once = skip, but DELETE the replay's spools
+            # (every recovery would otherwise strand one file per
+            # partition under _temp, unbounded over the query lifetime).
+            for m in messages:
+                if m is not None:
+                    try:
+                        _os.remove(m.temp_path)
+                    except OSError:
+                        pass
             return
         files = []
         for m in messages:

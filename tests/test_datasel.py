@@ -621,3 +621,13 @@ def test_ordered_prefix_sum_matches_global_window(spark):
         for r in ordered_prefix_sum(tiny, "k", ["x"], num_partitions=16).collect()
     }
     assert out == {1: 5, 2: 12, 3: 21}
+    # Double-typed sums: the offset seed must be the aggregate type's own
+    # zero (an int 0 crashed createDataFrame for DoubleType).
+    dbl = spark.createDataFrame(
+        [(1, 0.5), (2, 1.25), (3, 2.0)], "k bigint, x double"
+    )
+    outd = {
+        r["k"]: r["cum_x"]
+        for r in ordered_prefix_sum(dbl, "k", ["x"], num_partitions=4).collect()
+    }
+    assert outd == {1: 0.5, 2: 1.75, 3: 3.75}

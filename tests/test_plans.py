@@ -463,3 +463,83 @@ def test_stream_sink_replayed_batch_commit_is_idempotent(tmp_path):
         f for f in os.listdir(path) if f.startswith("batch-")
     )
     assert committed == ["batch-00000-part-00000.json", "batch-00001-part-00000.json"]
+
+
+def test_python_sink_append_merges_manifest(spark, tmp_path):
+    """Two append-mode jobs to the SAME path must both survive: the second
+    commit merges the manifest (and job-unique file prefixes prevent part
+    name collisions) instead of orphaning the first job's rows."""
+    import json
+    import os
+
+    from lime_on_spark_spark.sources.python_source import JsonManifestSink
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "sink")
+    for lo, hi in ((0, 100), (100, 250)):
+        (
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, hi)], "k bigint, v double"
+            )
+            .repartition(2)
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == 250
+    assert len(manifest["files"]) == 4
+    files = [os.path.join(path, f["name"]) for f in manifest["files"]]
+    back = spark.read.schema("k bigint, v double").json(files)
+    assert {r["k"] for r in back.collect()} == set(range(250))
+
+
+def test_pushdown_reader_rejects_unfaithful_filters(spark):
+    """pushFilters must accept only what read() faithfully executes: an
+    out-of-range bucket value and a second bucket conjunct go back to
+    Spark (correct empty result), and of several LessThan(i) bounds the
+    MINIMUM governs generation."""
+    from lime_on_spark_spark.sources.python_source import FilteredSeriesSource
+
+    from pyspark.sql import functions as F
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "true")
+    try:
+        try:
+            spark.dataSource.register(FilteredSeriesSource)
+        except Exception:
+            pass
+        load = lambda: (  # noqa: E731
+            spark.read.format("synthetic_series_pushdown")
+            .option("n", 200)
+            .option("partitions", 2)
+            .load()
+        )
+        # bucket value outside 0..7: reader must NOT claim it.
+        assert load().filter(F.col("bucket") == 9).count() == 0
+        # two LessThan conjuncts: the tighter bound must govern.
+        rows = load().filter((F.col("i") < 150) & (F.col("i") < 20)).collect()
+        assert sorted(r["i"] for r in rows) == list(range(20))
+        # contradictory double equality: at most one claimed, Spark's
+        # residual makes the result empty.
+        assert (
+            load()
+            .filter((F.col("bucket") == 3) & (F.col("bucket") == 4))
+            .count()
+            == 0
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
