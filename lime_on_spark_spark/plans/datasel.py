@@ -1864,6 +1864,7 @@ def d81_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'A' ELSE 'B' END AS arm,
                value
         FROM events
+        WHERE value IS NOT NULL
     ), arms AS (
         SELECT arm, COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
         FROM assigned GROUP BY arm
@@ -1890,10 +1891,18 @@ def d81_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d82_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     arm = F.when(_md5_parity(F.col("user_id")), "A").otherwise("B")
-    arms = events.select(arm.alias("arm"), "value").groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
+    # NULL values excluded like d86: n must count the same population that
+    # avg/var_samp aggregate, or the standard error and dof are computed
+    # over a larger n than the moments.
+    arms = (
+        events.select(arm.alias("arm"), "value")
+        .filter(F.col("value").isNotNull())
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
     )
     a = arms.filter(F.col("arm") == "A").select(
         F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")

@@ -742,18 +742,14 @@ def p17_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p18_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.sources.catalog import load_tables
 
+    from lime_on_spark_spark.session import temp_conf
+
     load_tables(spark, sf_dir, ("orders",))
-    conf_key = "spark.sql.scripting.enabled"
-    try:
-        prev = spark.conf.get(conf_key)
-    except Exception:
-        prev = None
-    spark.conf.set(conf_key, "true")
     # spark.sql executes the whole script eagerly (the final statement's
     # result comes back as this DataFrame), so restoring the conf right
     # after is safe — and keeps the shared session's parser exactly as
-    # other queries expect it (the o9 save/restore discipline).
-    try:
+    # other queries expect it.
+    with temp_conf(spark, "spark.sql.scripting.enabled", "true"):
         return spark.sql(
             """
         BEGIN
@@ -775,8 +771,3 @@ def p18_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)

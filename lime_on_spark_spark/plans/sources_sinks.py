@@ -822,15 +822,10 @@ def s12_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s14_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
     from lime_on_spark_spark.sources.python_source import FilteredSeriesSource
 
-    conf_key = "spark.sql.python.filterPushdown.enabled"
-    try:
-        prev = spark.conf.get(conf_key)
-    except Exception:
-        prev = None
-    spark.conf.set(conf_key, "true")
-    try:
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
         try:
             spark.dataSource.register(FilteredSeriesSource)
         except Exception:
@@ -842,9 +837,9 @@ def s14_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
             .load()
         )
         # collect() under the enabled conf, then return a local frame: the
-        # conf is restored in finally (o9's discipline), so this query
-        # cannot silently re-plan every LATER Python-source scan in the
-        # shared session under a pushdown mode they were not written for.
+        # conf is restored on exit, so this query cannot silently re-plan
+        # every LATER Python-source scan in the shared session under a
+        # pushdown mode they were not written for.
         rows = (
             series.filter((F.col("bucket") == 3) & (F.col("i") < 4000))
             .agg(
@@ -861,8 +856,3 @@ def s14_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
             "n bigint, sum_v double, min_i bigint, max_i bigint,"
             " filter_pushed boolean",
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)

@@ -17,6 +17,7 @@ initial value).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -72,3 +73,20 @@ def get_spark(
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+@contextmanager
+def temp_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a block, then restore the
+    prior value (or unset if it had none) — the save/restore discipline
+    shared by every plan that must flip a planner flag (o9, p18, s14)
+    without leaking it into the rest of the shared session."""
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

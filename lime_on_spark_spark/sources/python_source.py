@@ -127,7 +127,7 @@ class SyntheticStreamReader(DataSourceStreamReader):
 # FileCommitProtocol:
 #
 #   * write(iterator) runs once per partition ON EXECUTORS, spools rows to
-#     a task-unique temp file under <path>/_temp/ (task-unique via
+#     a task-unique temp file under the job's spool dir (task-unique via
 #     TaskContext partitionId + taskAttemptId, so a speculative or retried
 #     attempt can never clobber another attempt's spool), and returns a
 #     picklable commit message (temp path, final name, row count).
@@ -191,18 +191,26 @@ class JsonManifestWriter(DataSourceWriter):
             raise ValueError("json_manifest_sink requires option 'path'")
         self.fields = field_names
         self.overwrite = overwrite
-        # Job-unique file prefix: append-mode jobs to the SAME path must
-        # never rename over a prior job's part files.
-        self.job_id = _uuid.uuid4().hex[:8]
+        # Job-unique (full uuid — a truncated id could collide across the
+        # lifetime of a long-lived path and silently overwrite a prior
+        # job's part file): prefixes final names AND the spool directory,
+        # so concurrent appends to one path can never clobber each other's
+        # spools. The manifest read-modify-write in commit() still assumes
+        # ONE committing driver at a time per path — the same single-writer
+        # contract as Spark's own FileCommitProtocol without a catalog.
+        self.job_id = _uuid.uuid4().hex
         poison = options.get("fail_on_value")
         self.poison = int(poison) if poison is not None else None
+
+    def _spool_dir(self) -> str:
+        return _os.path.join(self.path, f"_temp-{self.job_id}")
 
     def write(self, iterator):  # executor-side: spool one partition
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
-        temp_dir = _os.path.join(self.path, "_temp")
+        temp_dir = self._spool_dir()
         _os.makedirs(temp_dir, exist_ok=True)
         temp = _os.path.join(temp_dir, f"attempt-{pid}-{attempt}.json")
         n = 0
@@ -226,13 +234,15 @@ class JsonManifestWriter(DataSourceWriter):
             _os.replace(m.temp_path, final)
             files.append({"name": m.final_name, "n_rows": m.n_rows})
         mp = _os.path.join(self.path, "_MANIFEST.json")
-        if not self.overwrite and _os.path.exists(mp):
+        prior_files = []
+        if _os.path.exists(mp):
+            with open(mp, encoding="utf-8") as fh:
+                prior_files = _json.load(fh)["files"]
+        if not self.overwrite:
             # Append mode: merge with the prior jobs' manifest — replacing
             # it wholesale would silently orphan (and thus "delete", for
             # manifest-driven readers) every previously committed row.
-            with open(mp, encoding="utf-8") as fh:
-                prior = _json.load(fh)
-            files = prior["files"] + files
+            files = prior_files + files
         manifest = {
             "files": sorted(files, key=lambda f: f["name"]),
             "total_rows": sum(f["n_rows"] for f in files),
@@ -241,12 +251,21 @@ class JsonManifestWriter(DataSourceWriter):
         with open(tmp, "w", encoding="utf-8") as fh:
             _json.dump(manifest, fh)
         _os.replace(tmp, mp)
+        if self.overwrite:
+            # The new manifest supersedes the old one; delete the files it
+            # listed, or every overwrite leaves the "replaced" rows on
+            # disk as duplicates for any reader that globs the directory.
+            for f in prior_files:
+                try:
+                    _os.remove(_os.path.join(self.path, f["name"]))
+                except OSError:
+                    pass
         # Spool litter from failed/speculative task attempts is invisible
         # to readers but accumulates; the job is done with its spool dir.
-        _shutil.rmtree(_os.path.join(self.path, "_temp"), ignore_errors=True)
+        _shutil.rmtree(self._spool_dir(), ignore_errors=True)
 
     def abort(self, messages):  # driver-side: no partial output survives
-        _shutil.rmtree(_os.path.join(self.path, "_temp"), ignore_errors=True)
+        _shutil.rmtree(self._spool_dir(), ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -361,17 +380,23 @@ from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
 
 class JsonManifestStreamWriter(DataSourceStreamWriter):
     def __init__(self, options, field_names) -> None:
+        import uuid as _uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("json_manifest_sink requires option 'path'")
         self.fields = field_names
+        # Query-unique spool dir (same isolation as the batch writer): a
+        # restarted query instance never shares spools with its
+        # predecessor's stragglers.
+        self.query_id = _uuid.uuid4().hex
 
     def write(self, iterator):  # executor-side: spool one partition
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
-        temp_dir = _os.path.join(self.path, "_temp")
+        temp_dir = _os.path.join(self.path, f"_temp-{self.query_id}")
         _os.makedirs(temp_dir, exist_ok=True)
         temp = _os.path.join(temp_dir, f"attempt-{pid}-{attempt}.json")
         n = 0
@@ -418,4 +443,7 @@ class JsonManifestStreamWriter(DataSourceStreamWriter):
         _os.replace(tmp, mp)
 
     def abort(self, messages, batchId: int) -> None:
-        _shutil.rmtree(_os.path.join(self.path, "_temp"), ignore_errors=True)
+        _shutil.rmtree(
+            _os.path.join(self.path, f"_temp-{self.query_id}"),
+            ignore_errors=True,
+        )

@@ -367,14 +367,25 @@ def test_python_sink_abort_leaves_no_visible_output(spark, tmp_path):
             .save()
         )
     assert not os.path.exists(os.path.join(path, "_MANIFEST.json"))
+    # Any committed data file counts as a leak — match on suffix, not a
+    # name prefix, so this guard survives part-file naming changes.
     visible = (
-        [f for f in os.listdir(path) if f.startswith("part-")]
+        [
+            f
+            for f in os.listdir(path)
+            if f.endswith(".json") and not f.startswith("_")
+        ]
         if os.path.exists(path)
         else []
     )
     assert visible == []
-    temp = os.path.join(path, "_temp")
-    assert not os.path.exists(temp) or os.listdir(temp) == []
+    spools = (
+        [f for f in os.listdir(path) if f.startswith("_temp")]
+        if os.path.exists(path)
+        else []
+    )
+    for d in spools:
+        assert os.listdir(os.path.join(path, d)) == []
 
 
 def test_python_sink_commit_is_exact(spark, tmp_path):
@@ -543,3 +554,42 @@ def test_pushdown_reader_rejects_unfaithful_filters(spark):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def test_python_sink_overwrite_supersedes_prior_job(spark, tmp_path):
+    """Overwrite mode must leave the directory equivalent to 'only the new
+    job ever ran': the fresh manifest lists only the new files and the
+    prior job's committed part files are deleted (not orphaned as
+    duplicates for directory-globbing readers)."""
+    import json
+    import os
+
+    from lime_on_spark_spark.sources.python_source import JsonManifestSink
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "sink")
+    for mode, lo, hi in (("append", 0, 100), ("overwrite", 500, 550)):
+        (
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, hi)], "k bigint, v double"
+            )
+            .repartition(2)
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .mode(mode)
+            .save()
+        )
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == 50
+    on_disk = [
+        f for f in os.listdir(path) if f.endswith(".json") and not f.startswith("_")
+    ]
+    assert sorted(on_disk) == sorted(f["name"] for f in manifest["files"])
+    back = spark.read.schema("k bigint, v double").json(
+        [os.path.join(path, f) for f in on_disk]
+    )
+    assert {r["k"] for r in back.collect()} == set(range(500, 550))
