@@ -771,3 +771,50 @@ def p18_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
         )
+
+
+# --------------------------------------------------------------------------
+# P19 — pandas API on Spark parity: the THIRD query-authoring surface after
+# the DataFrame API and SQL text (`pyspark.pandas`, the Koalas lineage).
+# A pandas-fluent user writes groupby/agg in pandas idiom; it compiles to
+# the SAME Catalyst plan — proven here by the oracle, which is the plain
+# SQL spelling of the identical aggregation. The default index is pinned
+# to "distributed" inside an option_context (the default
+# distributed-sequence index forces an extra pass to assign global
+# sequence numbers; a groupby consumer never needs it), so the pandas
+# veneer adds no scale hazard: no single-partition index pass, no
+# driver-side pandas materialization — to_spark() hands back the lazy
+# frame.
+# --------------------------------------------------------------------------
+@register(
+    "p19_pandas_api_parity",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)       AS n_orders,
+           ROUND(SUM(o_totalprice), 2)    AS total_price,
+           ROUND(AVG(o_totalprice), 2)    AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def p19_pandas_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps
+
+    with ps.option_context("compute.default_index_type", "distributed"):
+        pdf = load_table(spark, sf_dir, "orders").pandas_api()
+        out = (
+            pdf.groupby("o_orderpriority")
+            .agg(
+                n_orders=("o_orderkey", "count"),
+                total_price=("o_totalprice", "sum"),
+                avg_price=("o_totalprice", "mean"),
+            )
+            .reset_index()
+        )
+        res = out.to_spark()
+    return res.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("total_price", 2).alias("total_price"),
+        F.round("avg_price", 2).alias("avg_price"),
+    )

@@ -65,6 +65,7 @@ PORTABLE = [
     "f7b_map_hofs",
     # round-9 additions (plain ANSI oracles; d83 is listed above)
     "s13_state_store_reader", "p18_sql_scripting", "j11_join_strategy_hints",
+    "p19_pandas_api_parity",
 ]
 
 
