@@ -47,7 +47,10 @@ def ordered_prefix_sum(
     # the local-window pass would then see different _pid assignments and
     # silently mis-sum near every boundary (observed at sf0.1 before the
     # persist). The totals collect below materializes the cache, so both
-    # consumers read the same physical partitioning.
+    # consumers read the same physical partitioning. No explicit unpersist
+    # is possible under the lazy-return contract (the returned plan still
+    # reads these blocks) — the ContextCleaner reclaims them once the plan
+    # is dereferenced, and bench.py clears the cache between ops.
     part = (
         df.repartitionByRange(num_partitions, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())

@@ -1221,6 +1221,17 @@ def s15_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         deadline = _time.time() + 120
         total = 0
         while _time.time() < deadline:
+            # Surface a sink/source failure IMMEDIATELY: a dead query will
+            # never commit more batches, so spinning out the full deadline
+            # would bury the real error under a TimeoutError.
+            exc = query.exception()
+            if exc is not None:
+                raise exc
+            if not query.isActive:
+                raise RuntimeError(
+                    f"s15: query terminated without exception after "
+                    f"committing {total}/{n_total} rows"
+                )
             if _os.path.exists(manifest_path):
                 with open(manifest_path, encoding="utf-8") as fh:
                     total = _json.load(fh)["total_rows"]

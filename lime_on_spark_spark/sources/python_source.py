@@ -165,7 +165,17 @@ class JsonManifestSink(DataSource):
     Option ``fail_on_value`` (int): a planted poison — any task whose rows
     contain that value in their first field raises mid-write, driving the
     job down the abort path (used by tests to prove no partial output is
-    ever visible)."""
+    ever visible).
+
+    DEPLOYMENT REQUIREMENT — shared filesystem: executors spool with
+    `open()` and the driver's commit() publishes with `os.replace()`, so
+    `path` must be a filesystem BOTH driver and executors mount (local
+    mode, NFS, a FUSE-mounted object store). On a cluster without one, the
+    driver cannot see the spool files and commit() fails loudly with
+    FileNotFoundError — port write()/commit() to a storage client (S3/HDFS
+    multipart + manifest PUT) to deploy there. The two-phase *protocol*
+    (spool → message → atomic manifest) carries over unchanged; only the
+    byte transport is local-filesystem-specific."""
 
     @classmethod
     def name(cls) -> str:
@@ -322,16 +332,20 @@ class FilteredSeriesReader(DataSourceReader):
         #     non-int value goes back to Spark, whose residual filter then
         #     yields the correct (possibly empty) result.
         for f in filters:
+            # type(...) is int, NOT isinstance: bool is an int subclass, so
+            # isinstance would claim EqualTo(bucket, True) as bucket == 1
+            # and remove the filter from the Spark plan while read()
+            # generates rows for the wrong comparison.
             if (
                 isinstance(f, EqualTo)
                 and f.attribute == ("bucket",)
                 and self.eq_bucket is None
-                and isinstance(f.value, int)
+                and type(f.value) is int
                 and 0 <= f.value <= 7
             ):
                 self.eq_bucket = int(f.value)
-            elif isinstance(f, LessThan) and f.attribute == ("i",) and isinstance(
-                f.value, int
+            elif isinstance(f, LessThan) and f.attribute == ("i",) and (
+                type(f.value) is int
             ):
                 self.lt_i = (
                     int(f.value)
@@ -372,7 +386,10 @@ class FilteredSeriesReader(DataSourceReader):
 # single-threaded per query). Replayed batch ids (checkpoint recovery
 # re-runs the last un-committed batch) are detected in the manifest and
 # SKIPPED — the idempotent-commit discipline that makes the sink
-# exactly-once end-to-end, pinned by the conservation oracle.
+# exactly-once end-to-end, pinned by the conservation oracle. Same
+# shared-filesystem deployment requirement as the batch writer above:
+# the driver renames executor spool files, so `path` must be mounted by
+# both; port the byte transport to a storage client for object stores.
 # ---------------------------------------------------------------------------
 
 from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
