@@ -856,3 +856,91 @@ def s14_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
             "n bigint, sum_v double, min_i bigint, max_i bigint,"
             " filter_pushed boolean",
         )
+
+
+# --------------------------------------------------------------------------
+# S16 — manifest data skipping: the lakehouse zone-map primitive, fusing
+# s12's writer (per-file per-column min/max stats in _MANIFEST.json) with
+# s14's pushFilters machinery into WHOLE-FILE pruning. spark.range's
+# contiguous partitions give 4 files with disjoint id zones [0,2k),
+# [2k,4k), [4k,6k), [6k,8k); the band predicate 2500 <= i < 5500 zone-
+# prunes files 1 and 4, so planning opens 2 of 4 files — the reader
+# emits (n_files_read, n_files_total) on every row and the oracle pins
+# files_read = 2 < files_total = 4, so the artifact FAILS (not just
+# slows down) if skipping stops working. Accepted filters are also
+# applied row-exactly in read() (zone overlap does not imply every row
+# matches), and tests/test_plans.py plants unparseable bytes in a pruned
+# file to prove it is never opened.
+# Scale: stats ride the existing commit messages (O(#files) driver state)
+# and pruning is a driver-side manifest scan before planning — the same
+# shape as Delta/Iceberg data skipping; at 100 TB a clustered predicate
+# reads the zone, not the world.
+# --------------------------------------------------------------------------
+@register(
+    "s16_manifest_data_skipping",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)             AS n,
+           ROUND(SUM((i * i % 97) / 10.0), 4)   AS sum_v,
+           CAST(MIN(i) AS BIGINT)               AS min_i,
+           CAST(MAX(i) AS BIGINT)               AS max_i,
+           CAST(2 AS BIGINT)                    AS files_read,
+           CAST(4 AS BIGINT)                    AS files_total,
+           TRUE                                 AS skipping_effective
+    FROM (SELECT unnest(range(8000)) AS i)
+    WHERE i >= 2500 AND i < 5500
+    """,
+)
+def s16_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass  # already registered in this session
+    # 4 contiguous range partitions -> 4 files with DISJOINT id zones
+    # (spark.range slices [p*2000, (p+1)*2000) per partition id).
+    src = spark.range(0, 8000, 1, 4).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * F.col("id") % 97) / 10.0).alias("v"),
+    )
+    path = _scratch(spark, "s16_skip")
+    (
+        src.write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        back = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+        )
+        # collect() under the enabled conf (the s14 discipline): the conf
+        # is restored on exit so later Python-source scans in the shared
+        # session are not silently re-planned under pushdown.
+        rows = (
+            back.filter((F.col("i") >= 2500) & (F.col("i") < 5500))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("v"), 4).alias("sum_v"),
+                F.min("i").cast("bigint").alias("min_i"),
+                F.max("i").cast("bigint").alias("max_i"),
+                F.min("n_files_read").cast("bigint").alias("files_read"),
+                F.min("n_files_total").cast("bigint").alias("files_total"),
+                (F.min("n_files_read") < F.min("n_files_total")).alias(
+                    "skipping_effective"
+                ),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(
+        rows,
+        "n bigint, sum_v double, min_i bigint, max_i bigint,"
+        " files_read bigint, files_total bigint, skipping_effective boolean",
+    )

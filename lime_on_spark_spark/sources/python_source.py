@@ -152,10 +152,20 @@ from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
 
 class JsonManifestCommitMessage(WriterCommitMessage):
-    def __init__(self, temp_path: str, final_name: str, n_rows: int) -> None:
+    def __init__(
+        self,
+        temp_path: str,
+        final_name: str,
+        n_rows: int,
+        stats: dict | None = None,
+    ) -> None:
         self.temp_path = temp_path
         self.final_name = final_name
         self.n_rows = n_rows
+        # Per-column {"min": x, "max": x} zone maps over the spooled rows
+        # (None for all-NULL columns) — the data-skipping metadata the s16
+        # reader prunes whole files with.
+        self.stats = stats
 
 
 class JsonManifestSink(DataSource):
@@ -182,9 +192,7 @@ class JsonManifestSink(DataSource):
         return "json_manifest_sink"
 
     def writer(self, schema, overwrite: bool) -> "JsonManifestWriter":
-        return JsonManifestWriter(
-            self.options, [f.name for f in schema.fields], overwrite
-        )
+        return JsonManifestWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> "JsonManifestStreamWriter":
         return JsonManifestStreamWriter(
@@ -193,13 +201,18 @@ class JsonManifestSink(DataSource):
 
 
 class JsonManifestWriter(DataSourceWriter):
-    def __init__(self, options, field_names, overwrite: bool = True) -> None:
+    def __init__(self, options, schema, overwrite: bool = True) -> None:
         import uuid as _uuid
 
         self.path = options.get("path")
         if not self.path:
             raise ValueError("json_manifest_sink requires option 'path'")
-        self.fields = field_names
+        self.fields = [f.name for f in schema.fields]
+        # Column DDL recorded in the manifest so readers are
+        # self-describing (no schema option / inference on read).
+        self.schema_ddl = [
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        ]
         self.overwrite = overwrite
         # Job-unique (full uuid — a truncated id could collide across the
         # lifetime of a long-lived path and silently overwrite a prior
@@ -224,6 +237,12 @@ class JsonManifestWriter(DataSourceWriter):
         _os.makedirs(temp_dir, exist_ok=True)
         temp = _os.path.join(temp_dir, f"attempt-{pid}-{attempt}.json")
         n = 0
+        # Streaming per-column min/max (non-NULL values only; bool excluded
+        # — bool<int comparisons would poison an int column's zone). One
+        # dict update per row, no buffering: the spool stays O(1) memory.
+        mins: dict = {}
+        maxs: dict = {}
+        statable = (int, float, str)
         with open(temp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 vals = row.asDict()
@@ -231,10 +250,20 @@ class JsonManifestWriter(DataSourceWriter):
                     raise RuntimeError(
                         f"planted failure on {self.fields[0]}={self.poison}"
                     )
+                for k, v in vals.items():
+                    if v is None or type(v) is bool or not isinstance(v, statable):
+                        continue
+                    if k not in mins or v < mins[k]:
+                        mins[k] = v
+                    if k not in maxs or v > maxs[k]:
+                        maxs[k] = v
                 fh.write(_json.dumps(vals) + "\n")
                 n += 1
+        stats = {
+            k: {"min": mins.get(k), "max": maxs.get(k)} for k in self.fields
+        }
         return JsonManifestCommitMessage(
-            temp, f"job-{self.job_id}-part-{pid:05d}.json", n
+            temp, f"job-{self.job_id}-part-{pid:05d}.json", n, stats
         )
 
     def commit(self, messages):  # driver-side: publish atomically
@@ -242,7 +271,10 @@ class JsonManifestWriter(DataSourceWriter):
         for m in messages:
             final = _os.path.join(self.path, m.final_name)
             _os.replace(m.temp_path, final)
-            files.append({"name": m.final_name, "n_rows": m.n_rows})
+            entry = {"name": m.final_name, "n_rows": m.n_rows}
+            if getattr(m, "stats", None) is not None:
+                entry["stats"] = m.stats
+            files.append(entry)
         mp = _os.path.join(self.path, "_MANIFEST.json")
         prior_files = []
         if _os.path.exists(mp):
@@ -256,6 +288,7 @@ class JsonManifestWriter(DataSourceWriter):
         manifest = {
             "files": sorted(files, key=lambda f: f["name"]),
             "total_rows": sum(f["n_rows"] for f in files),
+            "schema": self.schema_ddl,
         }
         tmp = mp + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -464,3 +497,176 @@ class JsonManifestStreamWriter(DataSourceStreamWriter):
             _os.path.join(self.path, f"_temp-{self.query_id}"),
             ignore_errors=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-driven batch reader with DATA SKIPPING (S16): the lakehouse
+# zone-map primitive, fusing the two connector halves that already exist —
+# the s12 writer records per-file per-column min/max stats in
+# _MANIFEST.json, and this reader runs the s14 `pushFilters` machinery
+# against those stats to prune WHOLE FILES before partition planning. At
+# 100 TB this is the difference between reading a partition and reading
+# the world: a predicate on a clustered column skips every file whose
+# [min, max] zone excludes it, and the skipped files are never opened
+# (pinned by a test that plants unparseable bytes in a pruned file).
+#
+# Accepted comparison filters are ALSO applied row-level in read() —
+# accepting a filter removes it from the Spark plan, so the connector must
+# execute it exactly, not merely prune with it (zone overlap does not
+# imply every row matches). Every emitted row carries (n_files_read,
+# n_files_total), so the SQL oracle pins files_read < files_total — the
+# correctness artifact fails, not just slows down, if skipping stops
+# working.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThanOrEqual,
+)
+
+
+class JsonManifestSource(DataSource):
+    """`spark.read.format("json_manifest_source").option("path", p)` —
+    reads a `json_manifest_sink` directory: manifest-listed files only,
+    self-describing schema from the manifest, zone-map file skipping from
+    the per-file min/max stats."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "json_manifest_source"
+
+    def _manifest(self) -> dict:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("json_manifest_source requires option 'path'")
+        with open(_os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+            return _json.load(fh)
+
+    def schema(self) -> str:
+        # Data columns from the manifest (written by JsonManifestWriter),
+        # plus two per-row planning-metadata columns that make skipping
+        # self-certifying in query output.
+        cols = list(self._manifest()["schema"])
+        cols += ["n_files_read bigint", "n_files_total bigint"]
+        return ", ".join(cols)
+
+    def reader(self, schema) -> "JsonManifestSourceReader":
+        return JsonManifestSourceReader(self.options)
+
+
+#: Comparison filter -> (tag, zone-overlap test). `lo`/`hi` are a file's
+#: min/max for the filtered column; a file is read only if SOME value in
+#: [lo, hi] could satisfy the predicate.
+_ZONE_TESTS = {
+    EqualTo: ("eq", lambda lo, hi, v: lo <= v <= hi),
+    LessThan: ("lt", lambda lo, hi, v: lo < v),
+    LessThanOrEqual: ("le", lambda lo, hi, v: lo <= v),
+    GreaterThan: ("gt", lambda lo, hi, v: hi > v),
+    GreaterThanOrEqual: ("ge", lambda lo, hi, v: hi >= v),
+}
+
+_ROW_TESTS = {
+    "eq": lambda x, v: x == v,
+    "lt": lambda x, v: x < v,
+    "le": lambda x, v: x <= v,
+    "gt": lambda x, v: x > v,
+    "ge": lambda x, v: x >= v,
+}
+
+
+class JsonManifestSourceReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_manifest_source requires option 'path'")
+        with open(
+            _os.path.join(self.path, "_MANIFEST.json"), encoding="utf-8"
+        ) as fh:
+            manifest = _json.load(fh)
+        self.files = manifest["files"]
+        self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
+        self.accepted: list[tuple[str, str, object]] = []
+
+    def _stat_comparable(self, col: str, v) -> bool:
+        """True iff v can be compared against EVERY file's [min, max] for
+        col: the column is present in each file's stats, and each non-NULL
+        zone bound is the same comparison class as v (numeric vs str) —
+        a mismatched class would raise TypeError mid-planning."""
+        num = (int, float)
+        for f in self.files:
+            stats = f.get("stats")
+            if stats is None or col not in stats:
+                return False  # a pre-stats file: nothing to prune with
+            lo = stats[col]["min"]
+            if lo is None:
+                continue  # all-NULL zone: prunable without comparing
+            if type(lo) is bool:
+                return False
+            if isinstance(v, num) != isinstance(lo, num):
+                return False
+        return True
+
+    def pushFilters(self, filters):
+        # Accept simple comparisons on stats-covered columns; everything
+        # else (In, IsNull, Not, string matchers, multi-part columns) goes
+        # back to Spark. Accepted filters are BOTH the zone-prune key in
+        # partitions() and an exact row filter in read() — never prune-only.
+        for f in filters:
+            tagged = _ZONE_TESTS.get(type(f))
+            v = getattr(f, "value", None)
+            if (
+                tagged is not None
+                and len(f.attribute) == 1
+                and type(v) is not bool
+                and isinstance(v, (int, float, str))
+                and self._stat_comparable(f.attribute[0], v)
+            ):
+                self.accepted.append((tagged[0], f.attribute[0], v))
+            else:
+                yield f
+
+    def _zone_keeps(self, entry: dict) -> bool:
+        for tag, col, v in self.accepted:
+            s = entry["stats"][col]
+            lo, hi = s["min"], s["max"]
+            if lo is None:
+                return False  # all values NULL: no comparison can match
+            if not _ZONE_TESTS_BY_TAG[tag](lo, hi, v):
+                return False
+        return True
+
+    def partitions(self):  # driver-side: prune files, one task per survivor
+        total = len(self.files)
+        keep = [f for f in self.files if self._zone_keeps(f)]
+        if not keep:  # degenerate empty scan (Spark needs >=1 partition)
+            return [InputPartition((None, 0, total))]
+        return [
+            InputPartition((f["name"], len(keep), total)) for f in keep
+        ]
+
+    def read(self, partition: InputPartition):  # executor-side
+        name, n_read, total = partition.value
+        if name is None:
+            return
+        with open(
+            _os.path.join(self.path, name), encoding="utf-8"
+        ) as fh:
+            for line in fh:
+                vals = _json.loads(line)
+                ok = True
+                for tag, col, v in self.accepted:
+                    x = vals.get(col)
+                    # NULL never satisfies a comparison (3VL): accepted
+                    # filters must drop it exactly as Spark would have.
+                    if x is None or not _ROW_TESTS[tag](x, v):
+                        ok = False
+                        break
+                if ok:
+                    yield tuple(vals.get(c) for c in self.fields) + (
+                        n_read,
+                        total,
+                    )
+
+
+_ZONE_TESTS_BY_TAG = {tag: fn for tag, fn in _ZONE_TESTS.values()}

@@ -593,3 +593,99 @@ def test_python_sink_overwrite_supersedes_prior_job(spark, tmp_path):
         [os.path.join(path, f) for f in on_disk]
     )
     assert {r["k"] for r in back.collect()} == set(range(500, 550))
+
+
+def test_manifest_skipping_never_opens_pruned_file(spark, tmp_path):
+    """s16's zone-map contract: a file whose [min, max] zone excludes the
+    pushed predicate is PRUNED AT PLANNING — never opened. Proven by
+    planting unparseable bytes in the pruned file: the filtered scan still
+    answers exactly, while a full scan (which must open it) fails."""
+    import json
+    import os
+
+    import pytest
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    from pyspark.sql import functions as F
+
+    src = spark.range(0, 800, 1, 4).select(
+        F.col("id").alias("i"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    path = str(tmp_path / "skip")
+    src.write.format("json_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    assert len(manifest["files"]) == 4
+    assert manifest["schema"] == ["i bigint", "v double"]
+    # Zones are disjoint range slices; poison the top file [600, 800).
+    top = next(f for f in manifest["files"] if f["stats"]["i"]["min"] == 600)
+    assert top["stats"]["i"]["max"] == 799
+    with open(os.path.join(path, top["name"]), "w", encoding="utf-8") as fh:
+        fh.write("NOT JSON {{{\n")
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        back = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+        )
+        rows = back.filter(F.col("i") < 300).collect()
+        # Row-exact THROUGH the surviving files: [0,200) passes whole, the
+        # accepted filter trims [200,400) to [200,300) inside read().
+        assert sorted(r["i"] for r in rows) == list(range(300))
+        assert all(r["n_files_read"] == 2 and r["n_files_total"] == 4 for r in rows)
+        # The full scan must open the poisoned file — and fail loudly.
+        with pytest.raises(Exception):
+            (
+                spark.read.format("json_manifest_source")
+                .option("path", path)
+                .load()
+                .collect()
+            )
+
+
+def test_manifest_skipping_boolean_filter_not_claimed(spark, tmp_path):
+    """The s14 bool-guard, replayed on s16: EqualTo(flag, True) must NOT be
+    claimed by pushFilters (bool is an int subclass), so Spark's residual
+    filter still produces the right rows."""
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    src = spark.range(0, 100, 1, 2).select(
+        F.col("id").alias("i"), (F.col("id") % 2 == 0).alias("flag")
+    )
+    path = str(tmp_path / "boolskip")
+    src.write.format("json_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        back = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+        )
+        got = sorted(
+            r["i"] for r in back.filter(F.col("flag") == True).collect()  # noqa: E712
+        )
+    assert got == list(range(0, 100, 2))
