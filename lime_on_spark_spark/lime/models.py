@@ -188,3 +188,145 @@ def score_quality(model, df: DataFrame) -> DataFrame:
     return scored.withColumn(
         "p_keep", F.element_at(vector_to_array("probability"), 2)
     ).drop("words", "features", "rawPrediction", "probability", "prediction")
+
+
+#: Per-language fixture vocabularies for the d88 langid trainer — common
+#: function words with genuinely language-distinctive character n-grams
+#: (umlauts, ß, accents, ñ, CJK). Some cross-language collisions (la, un,
+#: de...) are kept deliberately: real stopword lists overlap too, and the
+#: classifier must resolve them from the rest of the doc.
+LANGID_VOCAB = {
+    "de": "der die das und ist nicht ein eine zu mit von auf für den als "
+          "auch ich sie über ß".split(),
+    "en": "the and of to in is was for with that he she it not on as his "
+          "they be at".split(),
+    "es": "el la los las de que y en un una es no por con se su para como "
+          "más años".split(),
+    "fr": "le les et est ne pas un une dans pour que vous avec sur qui au "
+          "plus être cette".split(),
+    "zh": "的 是 不 了 在 人 有 我 他 这 中 大 来 上 国 说 们 为 子 和".split(),
+}
+
+LANGID_LANGS = sorted(LANGID_VOCAB)  # label i <-> LANGID_LANGS[i]
+LANGID_N_FIXTURES = 600
+LANGID_WORDS_PER_DOC = 12
+
+
+def langid_fixtures(spark: SparkSession) -> DataFrame:
+    """Deterministic labeled fixture docs for language-ID training.
+
+    The corpus's `text` column carries NO language signal (measured: a
+    train-on-all multinomial NB ties the majority-class share, 0.41 vs
+    0.41 at sf0.1 — every lang draws from the same 31-word vocabulary), so
+    the labeled set is PLANTED, the d85 fixture discipline: 600 docs,
+    lang = LANGID_LANGS[i % 5], each a bag of LANGID_WORDS_PER_DOC words
+    drawn from that language's distinctive vocabulary by md5(i-j) — fully
+    engine-side (no Python UDF) and md5-keyed, so a DuckDB oracle replays
+    the populations (and the train/holdout split) exactly.
+
+    Columns: i, lang, text, is_holdout (md5-uniform 20% split).
+    """
+    langs = F.array(*[F.lit(x) for x in LANGID_LANGS])
+    vocab_map = F.create_map(
+        *[
+            c
+            for lang in LANGID_LANGS
+            for c in (
+                F.lit(lang),
+                F.array(*[F.lit(w) for w in LANGID_VOCAB[lang]]),
+            )
+        ]
+    )
+    base = spark.range(LANGID_N_FIXTURES).select(
+        F.col("id").alias("i"),
+        F.element_at(langs, (F.col("id") % 5 + 1).cast("int")).alias("lang"),
+    )
+    vocab = F.element_at(vocab_map, F.col("lang"))
+    words = [
+        F.element_at(
+            vocab,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("-", F.col("i"), F.lit(str(j)))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.size(vocab).cast("bigint")
+                + 1
+            ).cast("int"),
+        )
+        for j in range(LANGID_WORDS_PER_DOC)
+    ]
+    holdout = (
+        F.conv(F.substring(F.md5(F.col("i").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 5
+        == 0
+    )
+    return base.select(
+        "i",
+        "lang",
+        F.concat_ws(" ", *words).alias("text"),
+        holdout.alias("is_holdout"),
+    )
+
+
+def train_langid_model(spark: SparkSession, sf_dir: str):
+    """d88's model-based language ID: hashed char-n-gram features -> LBFGS.
+
+    Pipeline NGram(chars, n=2) -> HashingTF -> LogisticRegression, fit on
+    the fixture TRAIN partition only (the md5 holdout never touches the
+    optimizer). Deterministic end-to-end: fixtures are md5-generated,
+    HashingTF is a pure hash, and LBFGS on a fixed dataset has no random
+    draws — pinned by the determinism test.
+
+    Returns the fitted PipelineModel; callers build the `chars` column with
+    `F.split(text, "")` and map prediction i -> LANGID_LANGS[i].
+
+    Scale: training data is the fixture set (O(100) rows — at 100 TB you
+    would train on any labeled sample the same way); scoring is a
+    broadcast-model map stage with no shuffle, linear in the corpus.
+    """
+    key = _cache_key(spark, sf_dir, "langid")
+    if key not in _CACHE:
+        from pyspark.ml import Pipeline
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import HashingTF, NGram
+
+        lang_idx = F.array_position(
+            F.array(*[F.lit(x) for x in LANGID_LANGS]), F.col("lang")
+        )
+        train = (
+            langid_fixtures(spark)
+            .filter(~F.col("is_holdout"))
+            .select(
+                F.split("text", "").alias("chars"),
+                (lang_idx - 1).cast("double").alias("label"),
+            )
+        )
+        pipe = Pipeline(
+            stages=[
+                NGram(n=2, inputCol="chars", outputCol="grams"),
+                HashingTF(
+                    inputCol="grams", outputCol="features", numFeatures=1 << 14
+                ),
+                LogisticRegression(maxIter=60, regParam=0.01),
+            ]
+        )
+        _CACHE[key] = pipe.fit(train)
+    return _CACHE[key]
+
+
+def score_langid(model, df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``pred_lang`` to df: the model's language for each text — one
+    broadcast-model transform, no shuffle."""
+    langs = F.array(*[F.lit(x) for x in LANGID_LANGS])
+    scored = model.transform(
+        df.withColumn("chars", F.split(F.col(text_col), ""))
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.element_at(langs, (F.col("prediction") + 1).cast("int")),
+    ).drop("chars", "grams", "features", "rawPrediction", "probability", "prediction")

@@ -631,3 +631,38 @@ def test_ordered_prefix_sum_matches_global_window(spark):
         for r in ordered_prefix_sum(dbl, "k", ["x"], num_partitions=4).collect()
     }
     assert outd == {1: 0.5, 2: 1.75, 3: 3.75}
+
+
+def test_langid_classifier_deterministic_and_fixture_exact(spark, sf_dir):
+    """d88's langid model is deterministic (two independent fits -> the
+    identical per-doc holdout predictions) and perfectly separates the
+    planted fixture languages (measured acc 1.0 — the suite pins every
+    holdout doc correct, well inside the query's 0.9/0.8 verdict bars).
+    Fixture generation itself is md5-keyed: two builds are row-identical."""
+    from lime_on_spark_spark.lime import models
+    from lime_on_spark_spark.lime.models import (
+        langid_fixtures,
+        score_langid,
+        train_langid_model,
+    )
+
+    fx1 = {(r["i"], r["lang"], r["text"], r["is_holdout"])
+           for r in langid_fixtures(spark).collect()}
+    fx2 = {(r["i"], r["lang"], r["text"], r["is_holdout"])
+           for r in langid_fixtures(spark).collect()}
+    assert fx1 == fx2 and len(fx1) == 600
+
+    def holdout_preds():
+        model = train_langid_model(spark, sf_dir)
+        hold = score_langid(
+            model, langid_fixtures(spark).filter(F.col("is_holdout"))
+        )
+        return {r["i"]: (r["lang"], r["pred_lang"]) for r in hold.collect()}
+
+    first = holdout_preds()
+    models._CACHE.pop(models._cache_key(spark, sf_dir, "langid"))
+    second = holdout_preds()
+    assert first == second
+    # Perfect per-doc separation on the distinctive-vocabulary fixtures.
+    assert all(lang == pred for lang, pred in first.values())
+    assert len(first) > 0
