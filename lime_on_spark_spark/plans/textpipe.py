@@ -2947,3 +2947,186 @@ def d85_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dedup_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# D89 — HTML/markup extraction (the trafilatura/jusText curation stage):
+# real crawl feeds arrive as markup, not clean text. The extractor is ONE
+# Arrow-batched mapInPandas stage: (1) drop <script>/<style>/<title>
+# blocks, (2) split on block-level tags, (3) per block, link density =
+# |anchor text| / |tag-stripped text| — blocks over 0.5 are boilerplate
+# (nav bars, footers, link lists) and are dropped, (4) surviving blocks
+# are tag-stripped, whitespace-collapsed, joined. The corpus is markup-
+# free (the row certifies extraction is an exact no-op on it — the d85
+# no-op discipline), so literal HTML fixture docs are UNIONED IN on both
+# sides: the SAME Python list renders into the oracle's VALUES clause,
+# and the oracle replays the whole pipeline as a DuckDB regexp_replace /
+# string_split_regex chain (RE2 — no backreferences, so script/style/
+# title are three separate replaces). Per-source deltas are therefore
+# nonzero IN THE ROW at every SF, hash-pinned across two independent
+# implementations.
+# Scale: a linear scan stage, no shuffle before the final per-source agg
+# — at 100 TB this fuses exactly where d85 does, before the d1 hash.
+# --------------------------------------------------------------------------
+
+#: (doc_id, source, html) fixture docs — single-line, apostrophe-free so
+#: the same literals embed in the oracle SQL verbatim. Each exercises a
+#: different boilerplate shape: nav+footer link bars, inline low-density
+#: link, link-list <li> items, script/style/title stripping.
+_D89_FIXTURES = [
+    (
+        -(3 * i + 1),
+        "html_fixture",
+        f'<html><head><title>Page {i}</title><style>body {{ color: red; }}'
+        f'</style></head><body><div><a href="/">Home</a> <a href="/about">'
+        f'About</a> <a href="/contact">Contact</a></div><p>spark engine doc '
+        f'{i} discusses shuffle partitions and broadcast joins in depth</p>'
+        f'<div>footer <a href="/terms">Terms</a> <a href="/privacy">Privacy'
+        f'</a></div></body></html>',
+    )
+    for i in range(4)
+] + [
+    (
+        -(3 * i + 2),
+        "html_fixture",
+        f'<html><body><p>the query optimizer for corpus {i} pushes filters '
+        f'below joins and prunes columns at scan time see <a href="/docs">'
+        f'documentation</a> for details on adaptive execution</p>'
+        f'<script>var x = {i};</script></body></html>',
+    )
+    for i in range(4)
+] + [
+    (
+        -(3 * i + 3),
+        "html_fixture",
+        f'<html><body><ul><li><a href="/a">Alpha</a></li><li><a href="/b">'
+        f'Beta</a></li></ul><p>partition pruning round {i} works with '
+        f'dynamic runtime filters</p></body></html>',
+    )
+    for i in range(4)
+]
+
+_D89_BLOCK_SPLIT = r"</?(?:html|head|body|div|p|ul|li|h1)[^>]*>"
+_D89_VALUES = ",\n            ".join(
+    f"({d}, '{s}', '{t}')" for d, s, t in _D89_FIXTURES
+)
+
+_D89_ORACLE = f"""
+    WITH fixtures(doc_id, source, text) AS (VALUES
+            {_D89_VALUES}
+    ), all_docs AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL SELECT doc_id, source, text FROM fixtures
+    ), nos AS (
+        SELECT doc_id, source, text,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '<script[^>]*>.*?</script>', '', 'g'),
+                   '<style[^>]*>.*?</style>', '', 'g'),
+                   '<title[^>]*>.*?</title>', '', 'g') AS clean
+        FROM all_docs
+    ), blocks AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(clean,
+                   '{_D89_BLOCK_SPLIT}')) AS frag
+        FROM nos
+    ), scored AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(regexp_replace(frag,
+                   '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')) AS btxt,
+               COALESCE(array_to_string(regexp_extract_all(frag,
+                   '<a[^>]*>([^<]*)</a>', 1), ''), '') AS ltxt
+        FROM blocks
+    ), kept AS (
+        SELECT doc_id, source,
+               SUM(length(btxt)) + COUNT(*) - 1 AS extracted_len
+        FROM scored
+        WHERE length(btxt) > 0 AND 2 * length(ltxt) <= length(btxt)
+        GROUP BY doc_id, source
+    ), per_doc AS (
+        SELECT d.source,
+               length(d.text) AS raw_len,
+               regexp_matches(d.text, '<[a-zA-Z!/]') AS has_markup,
+               COALESCE(k.extracted_len, 0) AS extracted_len
+        FROM all_docs d LEFT JOIN kept k USING (doc_id, source)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN has_markup THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_markup,
+           CAST(SUM(raw_len) AS BIGINT) AS chars_raw,
+           CAST(SUM(extracted_len) AS BIGINT) AS chars_extracted,
+           CAST(SUM(raw_len - extracted_len) AS BIGINT) AS chars_removed
+    FROM per_doc GROUP BY source
+"""
+
+
+@register("d89_markup_extraction", oracle=_D89_ORACLE)
+def d89_markup_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    fixtures = spark.createDataFrame(
+        _D89_FIXTURES, "doc_id bigint, source string, text string"
+    )
+    all_docs = docs.unionByName(fixtures)
+
+    def extract_batches(batches):
+        import re
+
+        import pandas as pd  # noqa: F401  (module-level under Arrow)
+
+        strip_blocks = [
+            re.compile(r"<script[^>]*>.*?</script>"),
+            re.compile(r"<style[^>]*>.*?</style>"),
+            re.compile(r"<title[^>]*>.*?</title>"),
+        ]
+        block_split = re.compile(_D89_BLOCK_SPLIT)
+        tag = re.compile(r"<[^>]+>")
+        anchor = re.compile(r"<a[^>]*>([^<]*)</a>")
+        spaces = re.compile(r" +")
+
+        def extracted_len(text: str) -> int:
+            clean = text
+            for pat in strip_blocks:
+                clean = pat.sub("", clean)
+            kept = []
+            for frag in block_split.split(clean):
+                btxt = spaces.sub(" ", tag.sub(" ", frag)).strip()
+                if not btxt:
+                    continue
+                ltxt = "".join(anchor.findall(frag))
+                if 2 * len(ltxt) <= len(btxt):
+                    kept.append(btxt)
+            return len(" ".join(kept))
+
+        markup = re.compile(r"<[a-zA-Z!/]")
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "raw_len": pdf["text"].str.len().astype("int64"),
+                    "has_markup": pdf["text"].map(
+                        lambda t: markup.search(t) is not None
+                    ),
+                    "extracted_len": pdf["text"].map(extracted_len).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    per_doc = all_docs.mapInPandas(
+        extract_batches,
+        "source string, raw_len bigint, has_markup boolean,"
+        " extracted_len bigint",
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("has_markup").cast("int")).cast("bigint").alias(
+            "docs_with_markup"
+        ),
+        F.sum("raw_len").cast("bigint").alias("chars_raw"),
+        F.sum("extracted_len").cast("bigint").alias("chars_extracted"),
+        F.sum(F.col("raw_len") - F.col("extracted_len"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )

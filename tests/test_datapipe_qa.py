@@ -145,3 +145,69 @@ def test_unicode_normalize_planted_fixtures(spark, tmp_path):
         d85_unicode_normalize(spark, str(tmp_path)).toPandas()
     )
     assert oracle == mine
+
+
+def test_markup_extraction_fixture_deltas(spark, tmp_path):
+    """d89 on a minimal corpus: the planted HTML fixtures must show a
+    NONZERO extraction delta (markup + boilerplate removed) with the
+    link-density rule keeping content and dropping nav/footer/link-list
+    blocks — and the Arrow-stage result must hash-match the DuckDB
+    regexp-chain oracle on the same corpus."""
+    import duckdb
+
+    from lime_on_spark_spark.plans.registry import oracle_sql
+    from lime_on_spark_spark.plans.textpipe import (
+        _D89_FIXTURES,
+        d89_markup_extraction,
+    )
+    from tests.compare import canon_frame
+
+    docs = [(1, "plain spark words only", "en", "src0", 22)]
+    path = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(path))
+
+    out = {r["source"]: r for r in d89_markup_extraction(spark, str(tmp_path)).collect()}
+    fx = out["html_fixture"]
+    assert fx["n_docs"] == len(_D89_FIXTURES)
+    assert fx["docs_with_markup"] == len(_D89_FIXTURES)
+    # Nonzero extraction delta: tags + script/style/title + link-dense
+    # boilerplate blocks are gone, but real content survives.
+    assert 0 < fx["chars_extracted"] < fx["chars_raw"]
+    assert fx["chars_removed"] == fx["chars_raw"] - fx["chars_extracted"]
+    # The markup-free doc passes through exactly (no-op contract).
+    assert out["src0"]["chars_extracted"] == out["src0"]["chars_raw"] == 22
+    assert out["src0"]["chars_removed"] == 0 and out["src0"]["docs_with_markup"] == 0
+
+    # Rule-level checks on one nav+content+footer fixture: the kept text
+    # is the content paragraph only.
+    import re
+
+    nav_doc = next(t for d, s, t in _D89_FIXTURES if d == -1)
+    assert "Home" in nav_doc and "discusses shuffle partitions" in nav_doc
+    # Expected extracted length for doc -1, computed independently here:
+    content = re.search(r"<p>([^<]*)</p>", nav_doc).group(1)
+    per_fixture = {
+        d: t for d, s, t in _D89_FIXTURES
+    }
+    # doc -1's only surviving block is the <p> content — reuse the plan's
+    # own pipeline via a tiny one-doc corpus write.
+    docs2 = [(99, per_fixture[-1], "en", "fx_only", len(per_fixture[-1]))]
+    path2 = tmp_path / "d2" / "documents.parquet"
+    spark.createDataFrame(
+        docs2,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(path2))
+    out2 = {
+        r["source"]: r
+        for r in d89_markup_extraction(spark, str(tmp_path / "d2")).collect()
+    }
+    assert out2["fx_only"]["chars_extracted"] == len(content)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    oracle = canon_frame(con.execute(oracle_sql()["d89_markup_extraction"]).df())
+    mine = canon_frame(d89_markup_extraction(spark, str(tmp_path)).toPandas())
+    assert oracle == mine
