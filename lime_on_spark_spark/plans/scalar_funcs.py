@@ -1033,3 +1033,71 @@ def f21_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.tok0, t.tok1, t.tok2 "
         "FROM f21_docs, LATERAL f21_lead_tokens(text, 3) AS t"
     )
+
+
+# --------------------------------------------------------------------------
+# F22 — table-argument UDTF (Spark 4 `TABLE(...) PARTITION BY`): the last
+# UDTF quadrant after f12 (fixed schema), f21 (polymorphic analyze()).
+# The function consumes a WHOLE TABLE as its argument, and PARTITION BY
+# lang makes Spark hash-exchange the input so ONE UDTF instance sees ALL
+# rows of a language — per-group state lives in plain Python (__init__
+# accumulators, terminate() emits the summary), the escape hatch for
+# group logic no SQL aggregate expresses. The summary here IS expressible
+# (deliberately: COUNT/SUM/COUNT DISTINCT/MAX), so the plain-SQL oracle
+# pins the Python path exactly and the row joins the PORTABLE parity
+# list; tests pin the hash-partition exchange in the plan and the
+# applyInPandas twin's equality.
+# Scale: one shuffle on the partition key — identical movement to the
+# equivalent groupBy; per-instance state is O(1) scalars + the distinct-
+# source set (bounded: 16 sources).
+# --------------------------------------------------------------------------
+@register(
+    "f22_table_arg_udtf",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)              AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)          AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MAX(n_chars) AS BIGINT)          AS longest_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def f22_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="lang string, n_docs bigint, total_chars bigint,"
+        " n_sources bigint, longest_doc bigint"
+    )
+    class LangSummary:
+        def __init__(self) -> None:
+            self.lang = None
+            self.n = 0
+            self.chars = 0
+            self.sources = set()
+            self.longest = 0
+
+        def eval(self, row):
+            self.lang = row["lang"]
+            self.n += 1
+            self.chars += row["n_chars"]
+            self.sources.add(row["source"])
+            self.longest = max(self.longest, row["n_chars"])
+
+        def terminate(self):
+            # One instance per PARTITION BY group; an instance that saw no
+            # rows (empty partition) emits nothing.
+            if self.lang is not None:
+                yield (
+                    self.lang,
+                    self.n,
+                    self.chars,
+                    len(self.sources),
+                    self.longest,
+                )
+
+    spark.udtf.register("f22_lang_summary", LangSummary)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("f22_docs")
+    return spark.sql(
+        "SELECT * FROM f22_lang_summary(TABLE(f22_docs) PARTITION BY lang)"
+    )

@@ -689,3 +689,41 @@ def test_manifest_skipping_boolean_filter_not_claimed(spark, tmp_path):
             r["i"] for r in back.filter(F.col("flag") == True).collect()  # noqa: E712
         )
     assert got == list(range(0, 100, 2))
+
+
+def test_f22_udtf_partitions_by_key_and_matches_applyinpandas(spark, sf_dir):
+    """f22's TABLE(...) PARTITION BY must hash-exchange the input on the
+    partition key before the Python UDTF (one instance sees one whole
+    group), and the per-group summary must equal the applyInPandas twin."""
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    df = _q(spark, sf_dir, "f22_table_arg_udtf")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(partition_by_0" in plan, plan
+    assert "PythonUDTF" in plan, plan
+
+    def summarize(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "n_sources": [pdf["source"].nunique()],
+                "longest_doc": [int(pdf["n_chars"].max())],
+            }
+        )
+
+    twin = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .applyInPandas(
+            summarize,
+            "lang string, n_docs bigint, total_chars bigint,"
+            " n_sources bigint, longest_doc bigint",
+        )
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in twin.collect()}
+    assert got == want and len(got) == 5
