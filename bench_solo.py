@@ -1,0 +1,75 @@
+"""Solo-floor companion harness (BENCH_NOTES receipts, round-10 verdict
+task 5): measures ONE registered query in a FRESH SparkSession — no shared-
+session cache/GC inheritance, the co-tenancy control the per-round drift
+attributions rely on.
+
+Usage: ``python bench_solo.py <query_name> [more names...]``; each name
+runs in its own subprocess (own JVM), warm-up + best-of-3 with
+clearCache + System.gc() between runs (the bench.py isolation protocol),
+printing one JSON line per name. Env: SPARK_GRAFT_SF_DIR (default sf0.1),
+SPARK_GRAFT_CPUS.
+
+Record the output in BENCH_NOTES.md each round for the ops whose driver-
+artifact numbers drift across sessions (d10/d10b since round 8) so the
+next cross-session comparison has a same-protocol floor to compare with.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _measure(name: str) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from lime_on_spark_spark.plans import registry
+    from lime_on_spark_spark.session import get_spark
+
+    spark = get_spark(f"solo-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = registry.queries()[name]
+
+    def run_once() -> float:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run_once()  # warm-up (class loading, file index)
+    times = [run_once() for _ in range(3)]
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "solo_floor_sec": round(min(times), 4),
+                "runs": [round(t, 4) for t in times],
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+def main() -> None:
+    names = sys.argv[1:] or ["d10_dup_clusters", "d10b_cc_star"]
+    if len(names) == 1 and os.environ.get("_SOLO_CHILD") == "1":
+        _measure(names[0])
+        return
+    for name in names:
+        # One JVM per op: a subprocess, not a loop in this process.
+        env = dict(os.environ, _SOLO_CHILD="1")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            env=env,
+            check=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

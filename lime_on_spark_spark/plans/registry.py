@@ -74,42 +74,44 @@ _CURATED_PREFIX = (
     # q — TPC-H-ish classics (kept first for round-over-round continuity)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue",
-    # p — predicates / projection (r9 rotation: lateral column alias and
-    # SQL scripting, both never-driver-sampled Spark-4 rows)
-    "p18_sql_scripting", "p16_lateral_column_alias",
-    # j — joins (r9: interval-overlap join and the hint row rotate in)
+    # p — predicates / projection (r10 rotation: pandas-API parity was
+    # never driver-sampled)
+    "p18_sql_scripting", "p19_pandas_api_parity",
+    # j — joins
     "j11_join_strategy_hints", "j3_semi", "j9_interval_overlap_join", "j7_asof_tolerance",
-    # a — aggregates (r9: LISTAGG + approx_top_k, never driver-sampled)
-    "a2_count_distinct", "a5_rollup", "a25_listagg",
+    # a — aggregates
+    "a2_count_distinct", "a5_rollup",
     "a26_approx_top_k",
-    # w — window functions (r9: time-range frame rotates in)
+    # w — window functions
     "w1_order_rank_per_customer", "w2_lag_lead", "w3_running_frames",
     "w6_time_range_frame",
-    # o — ordering / physical layout (r9: runtime Bloom-filter join)
+    # o — ordering / physical layout
     "o1_global_sort", "o3_bucketed_join", "o9_bloom_filter_join",
     # u — set operations
     "u1_union_all", "u2_intersect", "u5_snapshot_diff",
-    # f — scalar / array / JSON functions (r9: XML + mapInArrow)
-    "f1_string_funcs", "f4_array_hofs", "f5_json_funcs", "f19_xml_funcs",
-    "f20_map_in_arrow",
-    # t — event-time & streaming (r9: session window rotates in)
+    # f — scalar / array / JSON functions (r10: both UDTF quadrants —
+    # polymorphic analyze() was never driver-sampled, table-arg is new)
+    "f1_string_funcs", "f19_xml_funcs",
+    "f20_map_in_arrow", "f21_polymorphic_udtf", "f22_table_arg_udtf",
+    # t — event-time & streaming
     "t1_tumbling_hour", "t4_watermark_append", "t5_streaming_dedup",
     "t3_session_window",
     # l — LIME (l12 = image-LIME: multimodal + provable-surrogate signal)
     "l1_discretizer", "l2_perturb_tabular", "l12_image_verdict",
     "l6_ridge_verdict",
-    # d — data-pipeline (r9 flagships: the four new curation operators —
-    # learned quality filter, cross-doc span dedup, NFC normalization —
-    # plus the never-sampled bootstrap CI / Welch pair)
-    "d1_exact_dedup", "d3_knn_cosine_topk", "d87_span_removal",
+    # d — data-pipeline (r10 flagships: langid classifier + markup
+    # extraction, plus the never-sampled Mann-Whitney scan)
+    "d1_exact_dedup", "d87_span_removal",
     "d83_quality_classifier", "d84_cross_doc_spans",
-    "d85_unicode_normalize", "d81_bootstrap_ci", "d82_ab_welch_test",
+    "d85_unicode_normalize", "d86_mann_whitney",
+    "d88_langid_classifier", "d89_markup_extraction",
     # m — multimodal
     "m1_multimodal_features", "m2_multimodal_embed_join",
-    # s — sources / sinks / catalog (r9: the Python connector pair —
-    # streaming read + manifest-committed write)
-    "s3_sql_over_views", "s11_python_stream_source",
-    "s12_python_datasource_sink",
+    # s — sources / sinks / catalog (r10: the full never-sampled Spark-4
+    # connector quadrant — state-store reader, pushdown, streaming sink —
+    # plus the new manifest data-skipping row)
+    "s13_state_store_reader", "s14_python_datasource_pushdown",
+    "s15_python_stream_sink", "s16_manifest_data_skipping",
 )
 
 
