@@ -944,3 +944,105 @@ def s16_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n bigint, sum_v double, min_i bigint, max_i bigint,"
         " files_read bigint, files_total bigint, skipping_effective boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S17 — manifest time travel: every commit writes an immutable
+# _MANIFEST-v{N}.json snapshot before updating the latest pointer, and
+# the reader's `version` option plans against any snapshot — the
+# Delta/Iceberg AS OF primitive on the Python connector. Three commits
+# (append v1, append v2, logical-overwrite v3 with retain_history so v1/
+# v2's files survive on disk) and three versioned reads: the oracle pins
+# each version's row count, value sum, and file count closed-form, so
+# the artifact fails if any snapshot drifts, the overwrite clobbers
+# history, or the version pointer skips. Reclaiming retained files is an
+# explicit vacuum, never a write side effect — at 100 TB an overwrite
+# that eagerly deleted history would break every concurrent AS OF reader.
+# --------------------------------------------------------------------------
+@register(
+    "s17_manifest_time_travel",
+    oracle="""
+    SELECT CAST(3 AS BIGINT)  AS latest_version,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(4000)) AS i))          AS v1_rows,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(4000)) AS i))          AS v1_sum,
+           CAST(4 AS BIGINT)  AS v1_files,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(6000)) AS i))          AS v2_rows,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(6000)) AS i))          AS v2_sum,
+           CAST(6 AS BIGINT)  AS v2_files,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(1000)) AS i))          AS v3_rows,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(1000)) AS i))          AS v3_sum,
+           CAST(2 AS BIGINT)  AS v3_files
+    """,
+)
+def s17_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass  # already registered in this session
+
+    def series(lo: int, hi: int, parts: int):
+        return spark.range(lo, hi, 1, parts).select(
+            F.col("id").alias("i"),
+            ((F.col("id") * F.col("id") % 97) / 10.0).alias("v"),
+        )
+
+    path = _scratch(spark, "s17_tt")
+    writes = [
+        (series(0, 4000, 4), "append"),        # -> v1: 4 files, 4000 rows
+        (series(4000, 6000, 2), "append"),     # -> v2: 6 files, 6000 rows
+        (series(0, 1000, 2), "overwrite"),     # -> v3: 2 files, 1000 rows
+    ]
+    for df, mode in writes:
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode(mode)
+            .save()
+        )
+
+    def read_version(version: int | None):
+        rd = spark.read.format("json_manifest_source").option("path", path)
+        if version is not None:
+            rd = rd.option("version", version)
+        return rd.load()
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import _load_manifest
+
+    # Spark refuses to plan a pushFilters-implementing Python source with
+    # the pushdown conf off; collect under it and return a local frame
+    # (the s14/s16 conf-isolation discipline).
+    vals: list = []
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        for version in (1, 2, None):  # None = latest
+            row = (
+                read_version(version)
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.round(F.sum("v"), 4).alias("s"),
+                    F.min("n_files_total").cast("bigint").alias("f"),
+                )
+                .first()
+            )
+            vals += [row["n"], row["s"], row["f"]]
+    latest = _load_manifest(path)["version"]
+    return spark.createDataFrame(
+        [tuple([latest] + vals)],
+        "latest_version bigint,"
+        " v1_rows bigint, v1_sum double, v1_files bigint,"
+        " v2_rows bigint, v2_sum double, v2_files bigint,"
+        " v3_rows bigint, v3_sum double, v3_files bigint",
+    )

@@ -3130,3 +3130,76 @@ def d89_markup_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# D90 — GLOBAL concat packing (the GPT-style pretraining layout): the
+# whole corpus is concatenated in doc_id order and chopped into fixed
+# W-token training windows, docs crossing window boundaries — zero pad
+# waste, the packing most LLM pipelines actually train on. d14 stays
+# document-local precisely because a global cumsum via one window is a
+# single-reducer sort at 100 TB; THIS row removes that funnel with the
+# exact distributed prefix sum (operators/prefix_sum.py: range partition
+# + per-partition windows + O(#partitions) driver offsets) — the same
+# two-pass scan d86 uses, now carrying the packing layout. Per window:
+# docs starting in it, their token mass, and how many docs straddle its
+# right boundary. The DuckDB oracle is the plain global-window spelling
+# (the scan's output is partitioning-invariant, the d86 contract).
+# Scale: one range shuffle on doc_id + one keyed agg; no single-task
+# stage anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "d90_global_concat_pack",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS cum_before
+        FROM toks
+    )
+    SELECT CAST(floor(cum_before / 512) AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT)                AS n_docs_started,
+           CAST(SUM(n_tokens) AS BIGINT)           AS tokens_started,
+           CAST(MIN(doc_id) AS BIGINT)             AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT)             AS last_doc,
+           CAST(SUM(CASE WHEN floor(cum_before / 512)
+                          != floor((cum_before + n_tokens - 1) / 512)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS boundary_crossers
+    FROM cum GROUP BY window_id
+    """,
+)
+def d90_global_concat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.prefix_sum import ordered_prefix_sum
+
+    W = 512
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    cum = ordered_prefix_sum(toks, "doc_id", ["n_tokens"]).withColumn(
+        "cum_before", F.col("cum_n_tokens") - F.col("n_tokens")
+    )
+    win = F.floor(F.col("cum_before") / W)
+    return (
+        cum.withColumn("window_id", win.cast("bigint"))
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_started"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_started"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.sum(
+                (
+                    F.floor(F.col("cum_before") / W)
+                    != F.floor(
+                        (F.col("cum_before") + F.col("n_tokens") - 1) / W
+                    )
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("boundary_crossers"),
+        )
+    )

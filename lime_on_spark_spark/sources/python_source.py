@@ -224,6 +224,14 @@ class JsonManifestWriter(DataSourceWriter):
         self.job_id = _uuid.uuid4().hex
         poison = options.get("fail_on_value")
         self.poison = int(poison) if poison is not None else None
+        # Time travel (s17): overwrite normally deletes superseded files;
+        # with retain_history they stay on disk so every prior
+        # _MANIFEST-v{N}.json remains fully readable (Delta/Iceberg
+        # retention semantics — reclaiming them is an explicit vacuum,
+        # never a side effect of a write).
+        self.retain_history = str(
+            options.get("retain_history", "false")
+        ).lower() in ("true", "1")
 
     def _spool_dir(self) -> str:
         return _os.path.join(self.path, f"_temp-{self.job_id}")
@@ -276,28 +284,40 @@ class JsonManifestWriter(DataSourceWriter):
                 entry["stats"] = m.stats
             files.append(entry)
         mp = _os.path.join(self.path, "_MANIFEST.json")
-        prior_files = []
+        prior_files: list = []
+        prior_version = 0
         if _os.path.exists(mp):
             with open(mp, encoding="utf-8") as fh:
-                prior_files = _json.load(fh)["files"]
+                prior = _json.load(fh)
+            prior_files = prior["files"]
+            prior_version = prior.get("version", 0)
         if not self.overwrite:
             # Append mode: merge with the prior jobs' manifest — replacing
             # it wholesale would silently orphan (and thus "delete", for
             # manifest-driven readers) every previously committed row.
             files = prior_files + files
+        version = prior_version + 1
         manifest = {
             "files": sorted(files, key=lambda f: f["name"]),
             "total_rows": sum(f["n_rows"] for f in files),
             "schema": self.schema_ddl,
+            "version": version,
         }
-        tmp = mp + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            _json.dump(manifest, fh)
-        _os.replace(tmp, mp)
-        if self.overwrite:
+        # Versioned snapshot FIRST, then the latest pointer: a crash
+        # between the two leaves a readable v{N} and a stale latest —
+        # never a latest pointing at a missing snapshot.
+        vp = _os.path.join(self.path, f"_MANIFEST-v{version}.json")
+        for target in (vp, mp):
+            tmp = target + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                _json.dump(manifest, fh)
+            _os.replace(tmp, target)
+        if self.overwrite and not self.retain_history:
             # The new manifest supersedes the old one; delete the files it
             # listed, or every overwrite leaves the "replaced" rows on
             # disk as duplicates for any reader that globs the directory.
+            # (Older _MANIFEST-v*.json become dangling — time travel
+            # requires retain_history.)
             for f in prior_files:
                 try:
                     _os.remove(_os.path.join(self.path, f["name"]))
@@ -526,11 +546,21 @@ from pyspark.sql.datasource import (  # noqa: E402
 )
 
 
+def _load_manifest(path: str, version=None) -> dict:
+    """Load a sink directory's manifest: the latest (_MANIFEST.json) or,
+    for time travel, the immutable snapshot _MANIFEST-v{N}.json. Snapshots
+    are fully readable as long as the writes used retain_history (s17)."""
+    name = "_MANIFEST.json" if version is None else f"_MANIFEST-v{int(version)}.json"
+    with open(_os.path.join(path, name), encoding="utf-8") as fh:
+        return _json.load(fh)
+
+
 class JsonManifestSource(DataSource):
     """`spark.read.format("json_manifest_source").option("path", p)` —
     reads a `json_manifest_sink` directory: manifest-listed files only,
     self-describing schema from the manifest, zone-map file skipping from
-    the per-file min/max stats."""
+    the per-file min/max stats. Option `version` time-travels to the
+    immutable _MANIFEST-v{N}.json snapshot instead of the latest."""
 
     @classmethod
     def name(cls) -> str:
@@ -540,8 +570,7 @@ class JsonManifestSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("json_manifest_source requires option 'path'")
-        with open(_os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
-            return _json.load(fh)
+        return _load_manifest(path, self.options.get("version"))
 
     def schema(self) -> str:
         # Data columns from the manifest (written by JsonManifestWriter),
@@ -580,10 +609,7 @@ class JsonManifestSourceReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("json_manifest_source requires option 'path'")
-        with open(
-            _os.path.join(self.path, "_MANIFEST.json"), encoding="utf-8"
-        ) as fh:
-            manifest = _json.load(fh)
+        manifest = _load_manifest(self.path, options.get("version"))
         self.files = manifest["files"]
         self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
         self.accepted: list[tuple[str, str, object]] = []

@@ -727,3 +727,63 @@ def test_f22_udtf_partitions_by_key_and_matches_applyinpandas(spark, sf_dir):
     got = {tuple(r) for r in df.collect()}
     want = {tuple(r) for r in twin.collect()}
     assert got == want and len(got) == 5
+
+
+def test_manifest_time_travel_and_retention(spark, tmp_path):
+    """s17's snapshot contract: each commit writes an immutable
+    _MANIFEST-v{N}.json; with retain_history an overwrite keeps prior
+    files so old versions stay readable; without it, superseded files are
+    deleted (the pre-s17 glob-reader behavior, unchanged)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+
+    def write(path, lo, hi, mode, retain):
+        (
+            spark.range(lo, hi, 1, 2)
+            .select(F.col("id").alias("i"), (F.col("id") % 9).cast("double").alias("v"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", retain)
+            .mode(mode)
+            .save()
+        )
+
+    # Retained history: overwrite keeps v1's files; both versions read back.
+    p1 = str(tmp_path / "tt")
+    write(p1, 0, 100, "append", "true")
+    write(p1, 500, 560, "overwrite", "true")
+    with open(os.path.join(p1, "_MANIFEST.json"), encoding="utf-8") as fh:
+        assert json.load(fh)["version"] == 2
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        v1 = (
+            spark.read.format("json_manifest_source")
+            .option("path", p1).option("version", 1).load()
+        )
+        assert sorted(r["i"] for r in v1.collect()) == list(range(100))
+        latest = (
+            spark.read.format("json_manifest_source").option("path", p1).load()
+        )
+        assert sorted(r["i"] for r in latest.collect()) == list(range(500, 560))
+
+    # No retention: overwrite deletes superseded data files (v1 dangling).
+    p2 = str(tmp_path / "nott")
+    write(p2, 0, 50, "append", "false")
+    with open(os.path.join(p2, "_MANIFEST-v1.json"), encoding="utf-8") as fh:
+        v1_files = [f["name"] for f in json.load(fh)["files"]]
+    write(p2, 90, 95, "overwrite", "false")
+    for name in v1_files:
+        assert not os.path.exists(os.path.join(p2, name)), name
