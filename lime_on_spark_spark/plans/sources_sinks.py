@@ -1046,3 +1046,171 @@ def s17_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         " v2_rows bigint, v2_sum double, v2_files bigint,"
         " v3_rows bigint, v3_sum double, v3_files bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# S18 — manifest vacuum: the retention-reclaim half of the s17 contract
+# (writes never delete history; VACUUM does, explicitly — the Delta
+# VACUUM / Iceberg expire_snapshots primitive). After s17's three
+# retained commits, vacuum(retain_versions=1) must keep exactly the
+# latest snapshot's files, delete the 6 orphaned data files and the 2
+# expired _MANIFEST-v{N} snapshots, leave the latest read intact, and
+# make the expired version UNREADABLE (pinned as a boolean — the reclaim
+# is real, not bookkeeping). All counts closed-form in the oracle.
+# Scale: driver-side O(#files) metadata pass; no data read, no job run —
+# at 100 TB vacuum cost is listing, which is why retention is a separate
+# explicit operation.
+# --------------------------------------------------------------------------
+@register(
+    "s18_manifest_vacuum",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS files_before,
+           CAST(2 AS BIGINT) AS files_after,
+           CAST(6 AS BIGINT) AS removed_files,
+           CAST(2 AS BIGINT) AS removed_manifests,
+           CAST(3 AS BIGINT) AS version_floor,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(1000)) AS i))   AS latest_rows,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(1000)) AS i))   AS latest_sum,
+           TRUE AS expired_version_unreadable
+    """,
+)
+def s18_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        _load_manifest,
+        vacuum_manifest_path,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass  # already registered in this session
+
+    def series(lo: int, hi: int, parts: int):
+        return spark.range(lo, hi, 1, parts).select(
+            F.col("id").alias("i"),
+            ((F.col("id") * F.col("id") % 97) / 10.0).alias("v"),
+        )
+
+    path = _scratch(spark, "s18_vac")
+    for df, mode in (
+        (series(0, 4000, 4), "append"),
+        (series(4000, 6000, 2), "append"),
+        (series(0, 1000, 2), "overwrite"),
+    ):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode(mode)
+            .save()
+        )
+
+    def data_files() -> int:
+        return sum(
+            1
+            for n in os.listdir(path)
+            if n.endswith(".json") and not n.startswith("_")
+        )
+
+    before = data_files()
+    report = vacuum_manifest_path(path, retain_versions=1)
+    after = data_files()
+    try:
+        _load_manifest(path, 1)
+        expired_unreadable = False
+    except FileNotFoundError:
+        expired_unreadable = True
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        row = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("v"), 4).alias("s"),
+            )
+            .first()
+        )
+    return spark.createDataFrame(
+        [
+            (
+                before,
+                after,
+                report["removed_files"],
+                report["removed_manifests"],
+                report["version_floor"],
+                row["n"],
+                row["s"],
+                expired_unreadable,
+            )
+        ],
+        "files_before bigint, files_after bigint, removed_files bigint,"
+        " removed_manifests bigint, version_floor bigint,"
+        " latest_rows bigint, latest_sum double,"
+        " expired_version_unreadable boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# O10 — nested schema pruning: deep event/telemetry payloads ship as
+# struct columns, and a scan that reads the WHOLE struct to answer a
+# one-leaf query drags every sibling through IO — at 100 TB the nested
+# analogue of q1's top-level column pruning. A struct-typed parquet
+# (payload.vt double + payload.meta.k int, parsed from the events JSON)
+# is written to scratch; the read selects only et and payload.meta.k, and
+# Catalyst's nested-schema pruning must narrow ReadSchema to that leaf —
+# the sibling payload.vt absent. Self-certifying (the o9 discipline): the
+# row carries nested_pruned = "vt missing AND meta.k present in the
+# executed scan's ReadSchema", so the oracle pins TRUE and the artifact
+# fails if a regression widens the scan back to the full struct.
+# --------------------------------------------------------------------------
+@register(
+    "o10_nested_schema_pruning",
+    oracle="""
+    SELECT event_type                                        AS et,
+           CAST(COUNT(*) AS BIGINT)                          AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT)   AS sum_k,
+           TRUE                                              AS nested_pruned
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def o10_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    events = load_table(spark, sf_dir, "events")
+    nested = events.select(
+        "event_id",
+        F.col("event_type").alias("et"),
+        F.struct(
+            F.col("value").alias("vt"),
+            F.struct(
+                F.get_json_object("props", "$.k").cast("int").alias("k")
+            ).alias("meta"),
+        ).alias("payload"),
+    )
+    path = _scratch(spark, "o10_nested")
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    res = back.groupBy("et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("payload.meta.k")).cast("bigint").alias("sum_k"),
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    read_schema = m.group(1) if m else ""
+    pruned = (
+        "vt" not in read_schema
+        and "meta" in read_schema
+        and "k:int" in read_schema.replace(" ", "")
+    )
+    rows = [(*r, pruned) for r in res.collect()]
+    return spark.createDataFrame(
+        rows, "et string, n bigint, sum_k bigint, nested_pruned boolean"
+    )

@@ -696,3 +696,56 @@ class JsonManifestSourceReader(DataSourceReader):
 
 
 _ZONE_TESTS_BY_TAG = {tag: fn for tag, fn in _ZONE_TESTS.values()}
+
+
+def vacuum_manifest_path(path: str, retain_versions: int = 1) -> dict:
+    """Explicit retention reclaim for a `json_manifest_sink` directory —
+    the VACUUM half of the s17 time-travel contract (writes never delete
+    history; this does, deliberately).
+
+    Keeps the newest ``retain_versions`` manifest snapshots and every data
+    file they reference; deletes older _MANIFEST-v{N}.json snapshots, any
+    data file no retained snapshot references, and leftover _temp-* spool
+    dirs. Driver-side, O(#files) metadata work — no data is read.
+
+    Returns ``{"removed_files", "removed_manifests", "version_floor"}``.
+    Same single-writer contract as commit(): do not vacuum concurrently
+    with a committing writer.
+    """
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    latest = _load_manifest(path)
+    n = latest.get("version", 0)
+    floor = max(1, n - retain_versions + 1)
+    referenced: set = set()
+    for v in range(floor, n + 1):
+        try:
+            m = _load_manifest(path, v)
+        except FileNotFoundError:
+            continue  # gap from a prior, deeper vacuum
+        referenced |= {f["name"] for f in m["files"]}
+    # The latest pointer's files are always retained, whatever its version
+    # field says (defensive: pre-versioning directories have version 0).
+    referenced |= {f["name"] for f in latest["files"]}
+    removed_files = removed_manifests = 0
+    for name in sorted(_os.listdir(path)):
+        full = _os.path.join(path, name)
+        if name.startswith("_temp-"):
+            _shutil.rmtree(full, ignore_errors=True)
+            continue
+        if name.startswith("_MANIFEST-v"):
+            v = int(name[len("_MANIFEST-v"):-len(".json")])
+            if v < floor:
+                _os.remove(full)
+                removed_manifests += 1
+            continue
+        if name.startswith("_"):
+            continue  # latest pointer, .tmp remnants
+        if name.endswith(".json") and name not in referenced:
+            _os.remove(full)
+            removed_files += 1
+    return {
+        "removed_files": removed_files,
+        "removed_manifests": removed_manifests,
+        "version_floor": floor,
+    }

@@ -787,3 +787,48 @@ def test_manifest_time_travel_and_retention(spark, tmp_path):
     write(p2, 90, 95, "overwrite", "false")
     for name in v1_files:
         assert not os.path.exists(os.path.join(p2, name)), name
+
+
+def test_manifest_vacuum_respects_append_lineage(spark, tmp_path):
+    """vacuum(retain_versions=2) must keep every file a RETAINED snapshot
+    references — and append-mode snapshots reference their ancestors'
+    files (the merge in commit()), so after append/append/overwrite only
+    the v1 manifest expires and ZERO data files are reclaimable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        _load_manifest,
+        vacuum_manifest_path,
+    )
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "vac")
+    for lo, hi, mode in ((0, 40, "append"), (40, 80, "append"), (0, 10, "overwrite")):
+        (
+            spark.range(lo, hi, 1, 2)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode(mode)
+            .save()
+        )
+    report = vacuum_manifest_path(path, retain_versions=2)
+    # v2 (an append) references v1's files, so retaining v2 retains them.
+    assert report == {
+        "removed_files": 0,
+        "removed_manifests": 1,
+        "version_floor": 2,
+    }
+    assert _load_manifest(path, 2)["total_rows"] == 80
+    assert not os.path.exists(os.path.join(path, "_MANIFEST-v1.json"))
+    # A deeper vacuum reclaims what only expired snapshots referenced.
+    report2 = vacuum_manifest_path(path, retain_versions=1)
+    assert report2["removed_files"] == 4  # v1+v2's four part files
+    assert _load_manifest(path)["total_rows"] == 10
