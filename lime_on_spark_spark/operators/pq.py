@@ -1,0 +1,157 @@
+"""Product quantization (Jégou et al. 2011) over embedding columns — the
+memory-compression half of the ANN stack (IVF routes the search,
+`operators/ivf.py`; PQ shrinks what each cell stores: 64 float32 = 256
+bytes -> M=8 one-byte codes, 32x).
+
+Architecture mirrors `operators/kmeans.py`'s distributed Lloyd loop,
+generalized to M independent subspaces trained IN THE SAME JOBS:
+
+* the corpus explodes once to (vec_id, m, subvector) — M rows per vector,
+  subvector length d/M;
+* centroids are DRIVER state keyed (m, cid) — M*K*(d/M) = K*d doubles,
+  bounded by construction — re-broadcast each iteration;
+* assignment is an EQUI-join on the subspace id m (broadcast hash, never a
+  cross join) -> squared-L2 -> per-(vec_id, m) argmin via
+  `min(struct(dist, cid))` (map-side combinable);
+* the centroid update is one shuffle: posexplode -> avg per (m, cid, pos).
+
+Determinism contract (the kmeans.py discipline): init = the K lowest-
+vec_id subvectors per subspace, distances rounded to 6 dp before the
+argmin with lowest-cid tie-break, centroid coordinates rounded to 6 dp per
+iteration — two fits produce identical codes.
+
+ADC (asymmetric distance computation): a query never gets encoded — its
+exact distance to every centroid forms a (m, cid) -> dt lookup table
+(M*K entries, built driver-side from the driver-held centroids), and the
+approximate distance to ANY encoded vector is a SUM OF M TABLE LOOKUPS:
+one equi-join of the codes frame against the broadcast table + one keyed
+agg. At 100 TB the scan touches only the 8-byte codes — the full-precision
+corpus is needed solely to rescore the shortlist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lime_on_spark_spark.functions.vector import sq_l2
+
+
+def _subvectors(emb: DataFrame, m_subspaces: int, sub: int) -> DataFrame:
+    """(vec_id, m, sv): the corpus exploded to per-subspace rows."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    parts = [
+        F.struct(
+            F.lit(m).alias("m"), F.slice(v, m * sub + 1, sub).alias("sv")
+        )
+        for m in range(m_subspaces)
+    ]
+    return emb.select(
+        "vec_id", F.explode(F.array(*parts)).alias("e")
+    ).select("vec_id", "e.m", "e.sv")
+
+
+def train_pq(
+    emb: DataFrame,
+    *,
+    dim: int,
+    m_subspaces: int = 8,
+    k: int = 16,
+    iters: int = 3,
+) -> tuple[DataFrame, dict[tuple[int, int], list[float]]]:
+    """Train M per-subspace codebooks and encode the corpus.
+
+    Returns ``(codes, centroids)``: codes = (vec_id, m, cid, dist) with
+    dist the rounded squared L2 to the winning centroid (the per-subspace
+    quantization error), centroids = {(m, cid): coords} driver state.
+    """
+    spark = emb.sparkSession
+    sub = dim // m_subspaces
+    svf = _subvectors(emb, m_subspaces, sub)
+
+    init = (
+        svf.filter(F.col("vec_id") < k)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cvec"))
+        .collect()
+    )
+    cent: dict[tuple[int, int], list[float]] = {
+        (int(r["m"]), int(r["cid"])): [float(x) for x in r["cvec"]]
+        for r in init
+    }
+
+    codes: DataFrame | None = None
+    for it in range(iters):
+        cent_df = spark.createDataFrame(
+            [(m, c, v) for (m, c), v in sorted(cent.items())],
+            "m int, cid bigint, cvec array<double>",
+        )
+        scored = svf.join(F.broadcast(cent_df), "m").select(
+            "vec_id",
+            "m",
+            "cid",
+            F.round(sq_l2(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+        )
+        codes = (
+            scored.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("dist", "cid")).alias("x"))
+            .select(
+                "vec_id", "m",
+                F.col("x.cid").alias("cid"),
+                F.col("x.dist").alias("dist"),
+            )
+        )
+        if it < iters - 1:
+            rows = (
+                codes.join(svf, ["vec_id", "m"])
+                .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("m", "cid", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("cv"))
+                .collect()
+            )
+            nxt: dict[tuple[int, int], dict[int, float]] = {}
+            for r in rows:
+                nxt.setdefault((int(r["m"]), int(r["cid"])), {})[
+                    int(r["pos"])
+                ] = float(r["cv"])
+            # Empty clusters drop out per subspace, deterministically.
+            cent = {
+                key: [dims[p] for p in sorted(dims)]
+                for key, dims in sorted(nxt.items())
+            }
+    assert codes is not None
+    return codes, cent
+
+
+def adc_distances(
+    codes: DataFrame,
+    cent: dict[tuple[int, int], list[float]],
+    queries: list[tuple[int, list[float]]],
+    *,
+    m_subspaces: int,
+    sub: int,
+) -> DataFrame:
+    """(qid, vec_id, approx): ADC distance of every query to every encoded
+    vector — one broadcast equi-join on (m, cid) + one keyed sum, the scan
+    touching only codes."""
+    spark = codes.sparkSession
+    table = [
+        (
+            qid,
+            m,
+            cid,
+            round(
+                sum(
+                    (qv[m * sub + j] - cv[j]) ** 2 for j in range(len(cv))
+                ),
+                6,
+            ),
+        )
+        for qid, qv in queries
+        for (m, cid), cv in cent.items()
+    ]
+    dt = spark.createDataFrame(table, "qid bigint, m int, cid bigint, dt double")
+    return (
+        codes.join(F.broadcast(dt), ["m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dt").alias("approx"))
+    )

@@ -1329,3 +1329,126 @@ def d80_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pd2") / F.col("od2"), 6).alias("dist_ratio"),
         (F.abs(F.col("pd2") / F.col("od2") - 1) <= 0.9).alias("jl_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# D91 — product quantization (Jégou et al. 2011): the memory-compression
+# half of the ANN stack next to d32's int8 scalar quantizer and d63b's IVF
+# router — 64 float32 (256 B) -> 8 one-byte codes (32x), searched by ADC
+# (sum of M table lookups; the scan touches only codes, full vectors are
+# needed solely to rescore the shortlist). Training is the kmeans.py Lloyd
+# loop generalized to M subspaces in the same jobs (operators/pq.py).
+# Verdict conversion (the l10v/d83 pattern): structural scalars are
+# SQL-exact; model-dependent facts are booleans with wide measured margins
+# on this structureless corpus —
+#   * mse_capacity_monotone: K=16 quantization MSE < K=4 (measured 0.58
+#     vs 0.81);
+#   * shortlist_recall_ok: ADC shortlist L=100 captures exact top-10 at
+#     >= 0.35 and >= 2x the L/n random baseline (measured 0.62 at
+#     sf0.1 vs baseline 0.05; 0.86 at n=500 vs 0.20);
+#   * exact_regime_ok: on a 16-vector sub-corpus with K=16 every
+#     subvector is its own centroid — MSE exactly 0 and ADC distances
+#     equal exact distances (the a26 exact-regime discipline).
+# Determinism (two fits -> identical codes) is pinned in pytest.
+# --------------------------------------------------------------------------
+@register(
+    "d91_pq_quantization",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(8 AS BIGINT)        AS m_subspaces,
+           CAST(16 AS BIGINT)       AS k_centroids,
+           CAST(8 AS BIGINT)        AS code_bytes,
+           CAST(256 AS BIGINT)      AS raw_bytes,
+           32.0                     AS compression_ratio,
+           TRUE                     AS mse_capacity_monotone,
+           TRUE                     AS shortlist_recall_ok,
+           TRUE                     AS exact_regime_ok
+    FROM embeddings
+    """,
+)
+def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.pq import adc_distances, train_pq
+
+    DIM, M, K, L, TOPK = 64, 8, 16, 100, 10
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+
+    codes16, cent16 = train_pq(emb, dim=DIM, m_subspaces=M, k=K)
+    codes16 = codes16.persist()  # consumed by MSE agg + ADC join
+    codes4, _ = train_pq(emb, dim=DIM, m_subspaces=M, k=4)
+    mse16 = codes16.agg(F.avg("dist")).first()[0]
+    mse4 = codes4.agg(F.avg("dist")).first()[0]
+
+    # 10 deterministic probe queries spread over the id range.
+    step = max(1, n // 10)
+    qids = [i * step for i in range(10)]
+    qrows = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in qrows]
+    approx = adc_distances(
+        codes16, cent16, queries, m_subspaces=M, sub=DIM // M
+    ).filter(F.col("qid") != F.col("vec_id"))
+    wa = Window.partitionBy("qid").orderBy("approx", "vec_id")
+    shortlist = approx.withColumn("rn", F.row_number().over(wa)).filter(
+        F.col("rn") <= L
+    )
+    qdf = spark.createDataFrame(queries, "qid bigint, qv array<double>")
+    from lime_on_spark_spark.functions.vector import sq_l2
+
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    exact = (
+        emb.crossJoin(F.broadcast(qdf))
+        .select(
+            "qid", "vec_id",
+            F.round(sq_l2(vd, F.col("qv")), 6).alias("d2"),
+        )
+        .filter(F.col("qid") != F.col("vec_id"))
+    )
+    we = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    exact_top = exact.withColumn("rn", F.row_number().over(we)).filter(
+        F.col("rn") <= TOPK
+    )
+    hits = exact_top.join(
+        shortlist.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
+    ).count()
+    recall = hits / (len(queries) * TOPK)
+
+    # Exact regime: 16 vectors, K=16 -> zero quantization error and ADC
+    # distances equal to the exact ones for every (query, vector) pair.
+    mini = emb.filter(F.col("vec_id") < 16)
+    mcodes, mcent = train_pq(mini, dim=DIM, m_subspaces=M, k=16, iters=2)
+    mini_mse = mcodes.agg(F.sum("dist")).first()[0]
+    mq = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in (
+        mini.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")).collect()
+    )]
+    mapprox = adc_distances(mcodes, mcent, mq, m_subspaces=M, sub=DIM // M)
+    mexact = (
+        mini.crossJoin(
+            F.broadcast(spark.createDataFrame(mq, "qid bigint, qv array<double>"))
+        )
+        .select("qid", "vec_id", F.round(sq_l2(vd, F.col("qv")), 6).alias("d2"))
+    )
+    mism = (
+        mapprox.join(mexact, ["qid", "vec_id"])
+        .filter(F.abs(F.col("approx") - F.col("d2")) > 1e-4)
+        .count()
+    )
+    exact_regime_ok = (mini_mse == 0.0) and (mism == 0)
+
+    return spark.createDataFrame(
+        [
+            (
+                n, M, K, M, 4 * DIM, (4.0 * DIM) / M,
+                bool(mse16 < mse4),
+                bool(recall >= 0.35 and recall >= 2.0 * L / n),
+                bool(exact_regime_ok),
+            )
+        ],
+        "n_vectors bigint, m_subspaces bigint, k_centroids bigint,"
+        " code_bytes bigint, raw_bytes bigint, compression_ratio double,"
+        " mse_capacity_monotone boolean, shortlist_recall_ok boolean,"
+        " exact_regime_ok boolean",
+    )

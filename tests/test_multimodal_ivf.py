@@ -126,3 +126,34 @@ def test_frame_sampling_every_k(spark):
     assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 2, 4]
     sizes = {r["frame_idx"]: r["frame_bytes"] for r in rows}
     assert sizes == {0: 64, 2: 64, 4: 44}
+
+
+def test_pq_codes_deterministic_and_exact_regime(spark, sf_dir):
+    """d91's PQ trainer is deterministic (two independent fits -> identical
+    (vec_id, m) -> cid code assignments) and exact in its exact regime: on
+    a 16-vector sub-corpus with K=16 every subvector is its own centroid,
+    so total quantization error is exactly zero."""
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.pq import train_pq
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def fit_codes():
+        codes, cent = train_pq(emb, dim=64, m_subspaces=8, k=16, iters=2)
+        return (
+            {(r["vec_id"], r["m"]): r["cid"] for r in codes.collect()},
+            cent,
+        )
+
+    c1, cent1 = fit_codes()
+    c2, cent2 = fit_codes()
+    assert c1 == c2
+    assert cent1 == cent2
+    assert len(c1) == emb.count() * 8  # one code per (vector, subspace)
+    assert all(0 <= cid < 16 for cid in c1.values())
+
+    mini = emb.filter(F.col("vec_id") < 16)
+    mcodes, _ = train_pq(mini, dim=64, m_subspaces=8, k=16, iters=2)
+    assert mcodes.agg(F.sum("dist")).first()[0] == 0.0
