@@ -78,6 +78,14 @@ EXTENDED = (
     "d84_cross_doc_spans",
     "d87_span_removal",
     "d86_mann_whitney",
+    # round-10 additions: the Arrow extraction stage (d89), the global
+    # prefix-sum packing scan (d90), PQ training + ADC (d91 — the
+    # iterative multi-subspace Lloyd family), and the langid pipeline
+    # (d88 — fixture fit + corpus broadcast scoring).
+    "d88_langid_classifier",
+    "d89_markup_extraction",
+    "d90_global_concat_pack",
+    "d91_pq_quantization",
 )
 
 

@@ -51,6 +51,87 @@ def _subvectors(emb: DataFrame, m_subspaces: int, sub: int) -> DataFrame:
     ).select("vec_id", "e.m", "e.sv")
 
 
+def train_pq_variants(
+    emb: DataFrame,
+    *,
+    dim: int,
+    m_subspaces: int = 8,
+    ks: tuple[int, ...] = (16,),
+    iters: int = 3,
+) -> tuple[DataFrame, dict[tuple[int, int, int], list[float]]]:
+    """Train per-subspace codebooks for EVERY K in ``ks`` in the SAME jobs
+    (centroids tagged by their variant, so the capacity-comparison
+    training d91 needs costs one pass, not one per K).
+
+    Returns ``(codes, centroids)``: codes = (kk, vec_id, m, cid, dist)
+    with dist the rounded squared L2 to the winning centroid (the
+    per-subspace quantization error), centroids = {(kk, m, cid): coords}
+    driver state (bounded: sum(K)*dim doubles).
+    """
+    spark = emb.sparkSession
+    sub = dim // m_subspaces
+    # Every iteration's assignment AND update re-reads the exploded
+    # subvector frame; persist so the scan+explode runs once, not once
+    # per action. Stays cached for the returned codes' lineage too — the
+    # ContextCleaner reclaims it on dereference (the prefix_sum.py note).
+    svf = _subvectors(emb, m_subspaces, sub).persist()
+
+    init = (
+        svf.filter(F.col("vec_id") < max(ks))
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cvec"))
+        .collect()
+    )
+    cent: dict[tuple[int, int, int], list[float]] = {
+        (kk, int(r["m"]), int(r["cid"])): [float(x) for x in r["cvec"]]
+        for r in init
+        for kk in ks
+        if int(r["cid"]) < kk
+    }
+
+    codes: DataFrame | None = None
+    for it in range(iters):
+        cent_df = spark.createDataFrame(
+            [(kk, m, c, v) for (kk, m, c), v in sorted(cent.items())],
+            "kk int, m int, cid bigint, cvec array<double>",
+        )
+        scored = svf.join(F.broadcast(cent_df), "m").select(
+            "kk",
+            "vec_id",
+            "m",
+            "cid",
+            F.round(sq_l2(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+        )
+        codes = (
+            scored.groupBy("kk", "vec_id", "m")
+            .agg(F.min(F.struct("dist", "cid")).alias("x"))
+            .select(
+                "kk", "vec_id", "m",
+                F.col("x.cid").alias("cid"),
+                F.col("x.dist").alias("dist"),
+            )
+        )
+        if it < iters - 1:
+            rows = (
+                codes.join(svf, ["vec_id", "m"])
+                .select("kk", "m", "cid", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("kk", "m", "cid", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("cv"))
+                .collect()
+            )
+            nxt: dict[tuple[int, int, int], dict[int, float]] = {}
+            for r in rows:
+                nxt.setdefault(
+                    (int(r["kk"]), int(r["m"]), int(r["cid"])), {}
+                )[int(r["pos"])] = float(r["cv"])
+            # Empty clusters drop out per (variant, subspace), deterministically.
+            cent = {
+                key: [dims[p] for p in sorted(dims)]
+                for key, dims in sorted(nxt.items())
+            }
+    assert codes is not None
+    return codes, cent
+
+
 def train_pq(
     emb: DataFrame,
     *,
@@ -59,67 +140,18 @@ def train_pq(
     k: int = 16,
     iters: int = 3,
 ) -> tuple[DataFrame, dict[tuple[int, int], list[float]]]:
-    """Train M per-subspace codebooks and encode the corpus.
+    """Single-K convenience wrapper around :func:`train_pq_variants`.
 
-    Returns ``(codes, centroids)``: codes = (vec_id, m, cid, dist) with
-    dist the rounded squared L2 to the winning centroid (the per-subspace
-    quantization error), centroids = {(m, cid): coords} driver state.
+    Returns ``(codes, centroids)``: codes = (vec_id, m, cid, dist),
+    centroids = {(m, cid): coords} driver state.
     """
-    spark = emb.sparkSession
-    sub = dim // m_subspaces
-    svf = _subvectors(emb, m_subspaces, sub)
-
-    init = (
-        svf.filter(F.col("vec_id") < k)
-        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cvec"))
-        .collect()
+    codes, cent = train_pq_variants(
+        emb, dim=dim, m_subspaces=m_subspaces, ks=(k,), iters=iters
     )
-    cent: dict[tuple[int, int], list[float]] = {
-        (int(r["m"]), int(r["cid"])): [float(x) for x in r["cvec"]]
-        for r in init
-    }
-
-    codes: DataFrame | None = None
-    for it in range(iters):
-        cent_df = spark.createDataFrame(
-            [(m, c, v) for (m, c), v in sorted(cent.items())],
-            "m int, cid bigint, cvec array<double>",
-        )
-        scored = svf.join(F.broadcast(cent_df), "m").select(
-            "vec_id",
-            "m",
-            "cid",
-            F.round(sq_l2(F.col("sv"), F.col("cvec")), 6).alias("dist"),
-        )
-        codes = (
-            scored.groupBy("vec_id", "m")
-            .agg(F.min(F.struct("dist", "cid")).alias("x"))
-            .select(
-                "vec_id", "m",
-                F.col("x.cid").alias("cid"),
-                F.col("x.dist").alias("dist"),
-            )
-        )
-        if it < iters - 1:
-            rows = (
-                codes.join(svf, ["vec_id", "m"])
-                .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
-                .groupBy("m", "cid", "pos")
-                .agg(F.round(F.avg("val"), 6).alias("cv"))
-                .collect()
-            )
-            nxt: dict[tuple[int, int], dict[int, float]] = {}
-            for r in rows:
-                nxt.setdefault((int(r["m"]), int(r["cid"])), {})[
-                    int(r["pos"])
-                ] = float(r["cv"])
-            # Empty clusters drop out per subspace, deterministically.
-            cent = {
-                key: [dims[p] for p in sorted(dims)]
-                for key, dims in sorted(nxt.items())
-            }
-    assert codes is not None
-    return codes, cent
+    return (
+        codes.drop("kk"),
+        {(m, c): v for (_, m, c), v in cent.items()},
+    )
 
 
 def adc_distances(

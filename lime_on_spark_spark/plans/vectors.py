@@ -1367,17 +1367,28 @@ def d80_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lime_on_spark_spark.operators.pq import adc_distances, train_pq
+    from lime_on_spark_spark.operators.pq import (
+        adc_distances,
+        train_pq,
+        train_pq_variants,
+    )
 
     DIM, M, K, L, TOPK = 64, 8, 16, 100, 10
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
 
-    codes16, cent16 = train_pq(emb, dim=DIM, m_subspaces=M, k=K)
-    codes16 = codes16.persist()  # consumed by MSE agg + ADC join
-    codes4, _ = train_pq(emb, dim=DIM, m_subspaces=M, k=4)
+    # K=16 and the K=4 capacity foil train in the SAME jobs (variant-
+    # tagged centroids) — one Lloyd pass, not one per K.
+    codes, cent = train_pq_variants(emb, dim=DIM, m_subspaces=M, ks=(K, 4))
+    # Consumed by both MSE aggs AND the ADC join; persist so encoding runs
+    # once. No explicit unpersist under the lazy-return contract — the
+    # ContextCleaner reclaims the blocks on dereference and bench.py
+    # clears the cache between ops (the prefix_sum.py note).
+    codes = codes.persist()
+    codes16 = codes.filter(F.col("kk") == K).drop("kk")
+    cent16 = {(m, c): v for (kk, m, c), v in cent.items() if kk == K}
     mse16 = codes16.agg(F.avg("dist")).first()[0]
-    mse4 = codes4.agg(F.avg("dist")).first()[0]
+    mse4 = codes.filter(F.col("kk") == 4).agg(F.avg("dist")).first()[0]
 
     # 10 deterministic probe queries spread over the id range.
     step = max(1, n // 10)
@@ -1419,7 +1430,10 @@ def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact regime: 16 vectors, K=16 -> zero quantization error and ADC
     # distances equal to the exact ones for every (query, vector) pair.
     mini = emb.filter(F.col("vec_id") < 16)
-    mcodes, mcent = train_pq(mini, dim=DIM, m_subspaces=M, k=16, iters=2)
+    # iters=1: init IS the 16 vectors, so the first assignment is already
+    # the fixed point (every subvector its own centroid, dist 0) — no
+    # update pass needed to prove the exact regime.
+    mcodes, mcent = train_pq(mini, dim=DIM, m_subspaces=M, k=16, iters=1)
     mini_mse = mcodes.agg(F.sum("dist")).first()[0]
     mq = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in (
         mini.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")).collect()
