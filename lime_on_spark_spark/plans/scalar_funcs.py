@@ -1101,3 +1101,59 @@ def f22_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM f22_lang_summary(TABLE(f22_docs) PARTITION BY lang)"
     )
+
+
+# --------------------------------------------------------------------------
+# F23 — grouped applyInArrow (Spark 4): the last cell of the Python
+# boundary matrix — pandas row (f13-era UDFs), pandas grouped
+# (applyInPandas, t6/f22-twin), pandas grouped-agg (a24), raw Arrow map
+# (f20 mapInArrow) — and now raw Arrow GROUPED: each l_returnflag group
+# arrives as ONE pyarrow.Table and is reduced with pyarrow.compute
+# kernels, no pandas materialization, no per-row Python. The summary is
+# deliberately SQL-expressible so the plain GROUP BY oracle pins the
+# Arrow path exactly (PORTABLE row).
+# Scale: one hash exchange on the group key — identical movement to the
+# equivalent groupBy; groups must fit an Arrow table each (3 flags here;
+# for high-cardinality keys use mapInArrow + partial aggs instead).
+# --------------------------------------------------------------------------
+@register(
+    "f23_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)            AS n_rows,
+           ROUND(SUM(l_quantity), 2)           AS sum_qty,
+           ROUND(MAX(l_extendedprice), 2)      AS max_price,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def f23_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def summarize(table: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "n_rows": [table.num_rows],
+                "sum_qty": [
+                    round(pc.sum(table.column("l_quantity")).as_py(), 2)
+                ],
+                "max_price": [
+                    round(pc.max(table.column("l_extendedprice")).as_py(), 2)
+                ],
+                "n_orders": [
+                    pc.count_distinct(table.column("l_orderkey")).as_py()
+                ],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        summarize,
+        "l_returnflag string, n_rows bigint, sum_qty double,"
+        " max_price double, n_orders bigint",
+    )

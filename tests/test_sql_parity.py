@@ -66,9 +66,9 @@ PORTABLE = [
     # round-9 additions (plain ANSI oracles; d83 is listed above)
     "s13_state_store_reader", "p18_sql_scripting", "j11_join_strategy_hints",
     "p19_pandas_api_parity",
-    # round-10 additions (f22's oracle is a plain ANSI GROUP BY; the
-    # UDTF-vs-SQL equality IS the parity claim)
-    "f22_table_arg_udtf",
+    # round-10 additions (f22/f23 oracles are plain ANSI GROUP BYs; the
+    # Python-path-vs-SQL equality IS the parity claim)
+    "f22_table_arg_udtf", "f23_apply_in_arrow",
 ]
 
 
