@@ -1256,3 +1256,83 @@ def s15_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("i").cast("bigint").alias("min_i"),
         F.max("i").cast("bigint").alias("max_i"),
     )
+
+
+# --------------------------------------------------------------------------
+# T23 — RocksDB state store (always-on provider row): t15 needs RocksDB
+# but is protobuf-gated out of this sandbox, so until now no REGISTERED
+# row proved the provider the 100 TB deployment actually runs — HDFS-
+# backed state lives on executor heap and dies when keyed state outgrows
+# it; RocksDB spills to local disk with changelog (incremental)
+# checkpointing. Same tumbling-window agg as t1's streaming twin under
+# the RocksDB provider + changelog checkpointing, so the batch SQL
+# oracle carries over; self-certifying (the o9/s14 discipline):
+# rocksdb_engaged is read from the terminated query's state-operator
+# customMetrics, so the oracle FAILS if a conf regression silently falls
+# back to the default provider.
+# --------------------------------------------------------------------------
+@register(
+    "t23_rocksdb_state_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts)  AS hour_start,
+           event_type,
+           COUNT(*)                AS n_events,
+           ROUND(SUM(value), 2)    AS total_value,
+           TRUE                    AS rocksdb_engaged
+    FROM events
+    GROUP BY hour_start, event_type
+    """,
+)
+def t23_rocksdb_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+    from contextlib import ExitStack
+
+    from lime_on_spark_spark.session import temp_conf
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    with ExitStack() as stack:
+        for k, v in (
+            ("spark.sql.streaming.stateStore.providerClass", provider),
+            (
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            ),
+        ):
+            stack.enter_context(temp_conf(spark, k, v))
+        events = read_events_stream(spark, sf_dir)
+        agg = (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("hour_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        name = f"t23_rocks_{uuid.uuid4().hex[:8]}"
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+            progress = query.lastProgress
+        finally:
+            query.stop()
+    metrics = (progress or {}).get("stateOperators", [{}])[0].get(
+        "customMetrics", {}
+    )
+    engaged = any(k.startswith("rocksdb") for k in metrics)
+    return spark.table(name).withColumn("rocksdb_engaged", F.lit(engaged))
