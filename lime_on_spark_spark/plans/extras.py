@@ -818,3 +818,47 @@ def p19_pandas_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_price", 2).alias("total_price"),
         F.round("avg_price", 2).alias("avg_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# P20 — dynamic SQL: session variables (SQL:2016 DECLARE VARIABLE /
+# SET VAR, Spark 4) + EXECUTE IMMEDIATE with USING parameters and INTO
+# capture — the feature pair behind parameterized dashboards and
+# metadata-driven query generation, and the session-scope complement to
+# p18's scripting-local DECLARE. The flow: an aggregate lands INTO a
+# session variable (driver-held scalar), then a parameterized query text
+# executes USING it — every data-touching statement is a full Catalyst
+# query; the variable is O(1) driver state. The oracle spells the same
+# logic with a scalar subquery (plain ANSI — PORTABLE row), so the
+# dynamic path is value-pinned against the declarative twin.
+# --------------------------------------------------------------------------
+@register(
+    "p20_dynamic_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)          AS n_above,
+           ROUND(AVG(o_totalprice), 2)       AS avg_above
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def p20_dynamic_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("p20_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE p20_cut DOUBLE")
+    # Aggregate INTO the session variable: one Catalyst query, one scalar.
+    spark.sql(
+        "EXECUTE IMMEDIATE"
+        " 'SELECT AVG(o_totalprice) FROM p20_orders' INTO p20_cut"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT)    AS n_above,
+                  ROUND(AVG(o_totalprice), 2) AS avg_above
+           FROM p20_orders WHERE o_totalprice > ?
+           GROUP BY o_orderpriority'
+        USING p20_cut
+        """
+    )

@@ -68,7 +68,7 @@ PORTABLE = [
     "p19_pandas_api_parity",
     # round-10 additions (f22/f23 oracles are plain ANSI GROUP BYs; the
     # Python-path-vs-SQL equality IS the parity claim)
-    "f22_table_arg_udtf", "f23_apply_in_arrow",
+    "f22_table_arg_udtf", "f23_apply_in_arrow", "p20_dynamic_sql",
 ]
 
 
