@@ -55,6 +55,16 @@ REPRESENTATIVE = (
     "d84_cross_doc_spans",
     "d87_span_removal",
     "d86_mann_whitney",
+    # round-10 additions: the global prefix-sum packing scan (per-
+    # partition offsets must cancel exactly — the d86 risk class on a
+    # second consumer), PQ (per-subspace argmin + driver-state centroid
+    # updates — assignment must not depend on fan-out), the langid
+    # pipeline (broadcast-model scoring), and the markup extraction
+    # Arrow stage (batch-boundary-sensitive by construction).
+    "d90_global_concat_pack",
+    "d91_pq_quantization",
+    "d88_langid_classifier",
+    "d89_markup_extraction",
 )
 
 
