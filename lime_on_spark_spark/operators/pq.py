@@ -76,16 +76,30 @@ def train_pq_variants(
     # ContextCleaner reclaims it on dereference (the prefix_sum.py note).
     svf = _subvectors(emb, m_subspaces, sub).persist()
 
+    # Init = the K lowest DISTINCT vec_ids, ranked 0..K-1 as cids — never
+    # `vec_id < K`, which silently trains fewer (or zero) centroids on any
+    # corpus whose ids are 1-based, offset, or non-contiguous after an
+    # upstream filter. Driver state is O(K) ids.
+    kmax = max(ks)
+    low_ids = sorted(
+        r[0]
+        for r in svf.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(kmax)
+        .collect()
+    )
+    rank = {vid: i for i, vid in enumerate(low_ids)}
     init = (
-        svf.filter(F.col("vec_id") < max(ks))
-        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cvec"))
+        svf.filter(F.col("vec_id").isin(low_ids))
+        .select("m", "vec_id", F.col("sv").alias("cvec"))
         .collect()
     )
     cent: dict[tuple[int, int, int], list[float]] = {
-        (kk, int(r["m"]), int(r["cid"])): [float(x) for x in r["cvec"]]
+        (kk, int(r["m"]), rank[r["vec_id"]]): [float(x) for x in r["cvec"]]
         for r in init
         for kk in ks
-        if int(r["cid"]) < kk
+        if rank[r["vec_id"]] < kk
     }
 
     codes: DataFrame | None = None

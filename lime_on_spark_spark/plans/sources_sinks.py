@@ -858,6 +858,50 @@ def s14_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
 
+def _register_manifest_classes(spark: SparkSession) -> None:
+    """Register the sink+source pair (idempotent per session) — the shared
+    prologue of every manifest-connector row (s16/s17/s18)."""
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass  # already registered in this session
+
+
+def _synthetic_series(spark: SparkSession, lo: int, hi: int, parts: int):
+    """(i, v) over [lo, hi) in `parts` contiguous range partitions — the
+    closed-form series every manifest row writes and every oracle replays
+    as `(i * i % 97) / 10.0`."""
+    return spark.range(lo, hi, 1, parts).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * F.col("id") % 97) / 10.0).alias("v"),
+    )
+
+
+def _seed_retained_dir(spark: SparkSession, path: str) -> None:
+    """Three retained commits — append 4000/4 files, append 2000/2,
+    logical-overwrite 1000/2 — the directory state BOTH s17 (time travel)
+    and s18 (vacuum) assert closed-form counts against. One definition so
+    the two rows can never drift onto different seeds."""
+    for df, mode in (
+        (_synthetic_series(spark, 0, 4000, 4), "append"),      # -> v1
+        (_synthetic_series(spark, 4000, 6000, 2), "append"),   # -> v2
+        (_synthetic_series(spark, 0, 1000, 2), "overwrite"),   # -> v3
+    ):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode(mode)
+            .save()
+        )
+
+
 # --------------------------------------------------------------------------
 # S16 — manifest data skipping: the lakehouse zone-map primitive, fusing
 # s12's writer (per-file per-column min/max stats in _MANIFEST.json) with
@@ -892,22 +936,11 @@ def s14_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def s16_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.session import temp_conf
-    from lime_on_spark_spark.sources.python_source import (
-        JsonManifestSink,
-        JsonManifestSource,
-    )
 
-    for cls in (JsonManifestSink, JsonManifestSource):
-        try:
-            spark.dataSource.register(cls)
-        except Exception:
-            pass  # already registered in this session
+    _register_manifest_classes(spark)
     # 4 contiguous range partitions -> 4 files with DISJOINT id zones
     # (spark.range slices [p*2000, (p+1)*2000) per partition id).
-    src = spark.range(0, 8000, 1, 4).select(
-        F.col("id").alias("i"),
-        ((F.col("id") * F.col("id") % 97) / 10.0).alias("v"),
-    )
+    src = _synthetic_series(spark, 0, 8000, 4)
     path = _scratch(spark, "s16_skip")
     (
         src.write.format("json_manifest_sink")
@@ -981,37 +1014,11 @@ def s16_manifest_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s17_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lime_on_spark_spark.sources.python_source import (
-        JsonManifestSink,
-        JsonManifestSource,
-    )
-
-    for cls in (JsonManifestSink, JsonManifestSource):
-        try:
-            spark.dataSource.register(cls)
-        except Exception:
-            pass  # already registered in this session
-
-    def series(lo: int, hi: int, parts: int):
-        return spark.range(lo, hi, 1, parts).select(
-            F.col("id").alias("i"),
-            ((F.col("id") * F.col("id") % 97) / 10.0).alias("v"),
-        )
-
+    _register_manifest_classes(spark)
     path = _scratch(spark, "s17_tt")
-    writes = [
-        (series(0, 4000, 4), "append"),        # -> v1: 4 files, 4000 rows
-        (series(4000, 6000, 2), "append"),     # -> v2: 6 files, 6000 rows
-        (series(0, 1000, 2), "overwrite"),     # -> v3: 2 files, 1000 rows
-    ]
-    for df, mode in writes:
-        (
-            df.write.format("json_manifest_sink")
-            .option("path", path)
-            .option("retain_history", "true")
-            .mode(mode)
-            .save()
-        )
+    # v1: 4 files / 4000 rows; v2: 6 files / 6000 rows; v3 (overwrite,
+    # retained): 2 files / 1000 rows — see _seed_retained_dir.
+    _seed_retained_dir(spark, path)
 
     def read_version(version: int | None):
         rd = spark.read.format("json_manifest_source").option("path", path)
@@ -1079,37 +1086,13 @@ def s17_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s18_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lime_on_spark_spark.session import temp_conf
     from lime_on_spark_spark.sources.python_source import (
-        JsonManifestSink,
-        JsonManifestSource,
         _load_manifest,
         vacuum_manifest_path,
     )
 
-    for cls in (JsonManifestSink, JsonManifestSource):
-        try:
-            spark.dataSource.register(cls)
-        except Exception:
-            pass  # already registered in this session
-
-    def series(lo: int, hi: int, parts: int):
-        return spark.range(lo, hi, 1, parts).select(
-            F.col("id").alias("i"),
-            ((F.col("id") * F.col("id") % 97) / 10.0).alias("v"),
-        )
-
+    _register_manifest_classes(spark)
     path = _scratch(spark, "s18_vac")
-    for df, mode in (
-        (series(0, 4000, 4), "append"),
-        (series(4000, 6000, 2), "append"),
-        (series(0, 1000, 2), "overwrite"),
-    ):
-        (
-            df.write.format("json_manifest_sink")
-            .option("path", path)
-            .option("retain_history", "true")
-            .mode(mode)
-            .save()
-        )
+    _seed_retained_dir(spark, path)
 
     def data_files() -> int:
         return sum(

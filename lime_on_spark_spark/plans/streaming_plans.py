@@ -1217,26 +1217,39 @@ def s15_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     manifest_path = _os.path.join(path, "_STREAM_MANIFEST.json")
+
+    def _committed() -> int:
+        if not _os.path.exists(manifest_path):
+            return 0
+        with open(manifest_path, encoding="utf-8") as fh:
+            return _json.load(fh)["total_rows"]
+
     try:
         deadline = _time.time() + 120
         total = 0
         while _time.time() < deadline:
-            # Surface a sink/source failure IMMEDIATELY: a dead query will
-            # never commit more batches, so spinning out the full deadline
-            # would bury the real error under a TimeoutError.
-            exc = query.exception()
-            if exc is not None:
-                raise exc
-            if not query.isActive:
+            # Manifest FIRST: the final batch may commit in the same poll
+            # interval the query terminates, and complete sink output is
+            # success regardless of how the query ended.
+            total = _committed()
+            if total == n_total:
+                break
+            # Then surface a sink/source failure immediately: a dead query
+            # will never commit more batches, so spinning out the full
+            # deadline would bury the real error under a TimeoutError. The
+            # manifest is re-read first — the commit may have landed
+            # between the read above and the liveness check.
+            if query.exception() is not None or not query.isActive:
+                total = _committed()
+                if total == n_total:
+                    break
+                exc = query.exception()
+                if exc is not None:
+                    raise exc
                 raise RuntimeError(
                     f"s15: query terminated without exception after "
                     f"committing {total}/{n_total} rows"
                 )
-            if _os.path.exists(manifest_path):
-                with open(manifest_path, encoding="utf-8") as fh:
-                    total = _json.load(fh)["total_rows"]
-                if total == n_total:
-                    break
             _time.sleep(0.5)
         else:
             raise TimeoutError(f"s15: sink committed {total}/{n_total} rows")
@@ -1331,8 +1344,10 @@ def t23_rocksdb_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             progress = query.lastProgress
         finally:
             query.stop()
-    metrics = (progress or {}).get("stateOperators", [{}])[0].get(
-        "customMetrics", {}
-    )
+    # `or [{}]` (not a .get default): an empty stateOperators LIST — a
+    # no-data final progress entry — must degrade to engaged=False and a
+    # legible oracle failure, never an IndexError.
+    ops = (progress or {}).get("stateOperators") or [{}]
+    metrics = ops[0].get("customMetrics", {})
     engaged = any(k.startswith("rocksdb") for k in metrics)
     return spark.table(name).withColumn("rocksdb_engaged", F.lit(engaged))

@@ -3091,7 +3091,10 @@ def d89_markup_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 clean = pat.sub("", clean)
             kept = []
             for frag in block_split.split(clean):
-                btxt = spaces.sub(" ", tag.sub(" ", frag)).strip()
+                # strip(" "), not strip(): DuckDB's trim() removes spaces
+                # only, and this row is hash-pinned against that oracle —
+                # bare strip() would diverge on a block edged by \n or \t.
+                btxt = spaces.sub(" ", tag.sub(" ", frag)).strip(" ")
                 if not btxt:
                     continue
                 ltxt = "".join(anchor.findall(frag))

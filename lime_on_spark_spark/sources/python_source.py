@@ -246,10 +246,13 @@ class JsonManifestWriter(DataSourceWriter):
         temp = _os.path.join(temp_dir, f"attempt-{pid}-{attempt}.json")
         n = 0
         # Streaming per-column min/max (non-NULL values only; bool excluded
-        # — bool<int comparisons would poison an int column's zone). One
-        # dict update per row, no buffering: the spool stays O(1) memory.
+        # — bool<int comparisons would poison an int column's zone; NaN
+        # excluded — `v < NaN` is always False, so a leading NaN would
+        # freeze the zone at NaN and prune files that match). One dict
+        # update per row, no buffering: the spool stays O(1) memory.
         mins: dict = {}
         maxs: dict = {}
+        nans: set = set()
         statable = (int, float, str)
         with open(temp, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -261,6 +264,9 @@ class JsonManifestWriter(DataSourceWriter):
                 for k, v in vals.items():
                     if v is None or type(v) is bool or not isinstance(v, statable):
                         continue
+                    if isinstance(v, float) and v != v:
+                        nans.add(k)  # flagged so the reader declines filters
+                        continue
                     if k not in mins or v < mins[k]:
                         mins[k] = v
                     if k not in maxs or v > maxs[k]:
@@ -268,7 +274,12 @@ class JsonManifestWriter(DataSourceWriter):
                 fh.write(_json.dumps(vals) + "\n")
                 n += 1
         stats = {
-            k: {"min": mins.get(k), "max": maxs.get(k)} for k in self.fields
+            k: {
+                "min": mins.get(k),
+                "max": maxs.get(k),
+                "has_nan": k in nans,
+            }
+            for k in self.fields
         }
         return JsonManifestCommitMessage(
             temp, f"job-{self.job_id}-part-{pid:05d}.json", n, stats
@@ -618,12 +629,18 @@ class JsonManifestSourceReader(DataSourceReader):
         """True iff v can be compared against EVERY file's [min, max] for
         col: the column is present in each file's stats, and each non-NULL
         zone bound is the same comparison class as v (numeric vs str) —
-        a mismatched class would raise TypeError mid-planning."""
+        a mismatched class would raise TypeError mid-planning. Files whose
+        stats predate NaN tracking, or that contain a NaN in col, decline
+        the filter entirely: Python comparisons say NaN matches nothing,
+        while Spark SQL orders NaN above every double and NaN = NaN true —
+        the filter must stay in the Spark plan to keep those semantics."""
         num = (int, float)
         for f in self.files:
             stats = f.get("stats")
             if stats is None or col not in stats:
                 return False  # a pre-stats file: nothing to prune with
+            if stats[col].get("has_nan", True):
+                return False  # NaN present (or unknown): Spark filters it
             lo = stats[col]["min"]
             if lo is None:
                 continue  # all-NULL zone: prunable without comparing
@@ -646,6 +663,10 @@ class JsonManifestSourceReader(DataSourceReader):
                 and len(f.attribute) == 1
                 and type(v) is not bool
                 and isinstance(v, (int, float, str))
+                # A NaN literal never goes through Python comparison paths:
+                # Spark's NaN ordering (NaN = NaN, NaN > any double) and
+                # Python's (NaN matches nothing) disagree on every test.
+                and not (isinstance(v, float) and v != v)
                 and self._stat_comparable(f.attribute[0], v)
             ):
                 self.accepted.append((tagged[0], f.attribute[0], v))
@@ -734,6 +755,8 @@ def vacuum_manifest_path(path: str, retain_versions: int = 1) -> dict:
             _shutil.rmtree(full, ignore_errors=True)
             continue
         if name.startswith("_MANIFEST-v"):
+            if not name.endswith(".json"):
+                continue  # '.json.tmp' crash remnant: inert, never parsed
             v = int(name[len("_MANIFEST-v"):-len(".json")])
             if v < floor:
                 _os.remove(full)

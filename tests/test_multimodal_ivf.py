@@ -157,3 +157,34 @@ def test_pq_codes_deterministic_and_exact_regime(spark, sf_dir):
     mini = emb.filter(F.col("vec_id") < 16)
     mcodes, _ = train_pq(mini, dim=64, m_subspaces=8, k=16, iters=2)
     assert mcodes.agg(F.sum("dist")).first()[0] == 0.0
+
+
+def test_pq_init_invariant_to_vec_id_base(spark, sf_dir):
+    """PQ init must seed from the K LOWEST vec_ids, not `vec_id < K`: on a
+    corpus whose ids start at 10_000 the codebook still trains all K
+    centroids and assigns codes identical (modulo the id shift) to the
+    0-based twin's."""
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.pq import train_pq
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 64)
+    )
+    base_codes, base_cent = train_pq(emb, dim=64, m_subspaces=8, k=8, iters=2)
+    shifted = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    shift_codes, shift_cent = train_pq(
+        shifted, dim=64, m_subspaces=8, k=8, iters=2
+    )
+    assert shift_cent == base_cent  # full K-centroid codebook, not empty
+    got = {
+        (r["vec_id"] - 10_000, r["m"]): r["cid"]
+        for r in shift_codes.collect()
+    }
+    want = {(r["vec_id"], r["m"]): r["cid"] for r in base_codes.collect()}
+    assert got == want

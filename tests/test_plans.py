@@ -832,3 +832,83 @@ def test_manifest_vacuum_respects_append_lineage(spark, tmp_path):
     report2 = vacuum_manifest_path(path, retain_versions=1)
     assert report2["removed_files"] == 4  # v1+v2's four part files
     assert _load_manifest(path)["total_rows"] == 10
+
+
+def test_manifest_nan_column_declines_pushdown(spark, tmp_path):
+    """NaN values diverge between Python comparisons (NaN matches nothing)
+    and Spark SQL (NaN > any double; NaN = NaN). The writer flags NaN
+    columns in the zone stats, the reader declines filters on them, and
+    Spark's residual filter keeps its own semantics — NaN rows survive
+    `v > 0.0` exactly as they would on a parquet scan."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.plans.sources_sinks import (
+        _register_manifest_classes,
+    )
+    from lime_on_spark_spark.session import temp_conf
+
+    _register_manifest_classes(spark)
+    src = spark.range(0, 20, 1, 2).select(
+        F.col("id").alias("i"),
+        F.when(F.col("id") % 5 == 0, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    path = str(tmp_path / "nanskip")
+    src.write.format("json_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        back = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+        )
+        rows = back.filter(F.col("v") > 0.0).collect()
+        # Spark NaN ordering: NaN > 0.0 is TRUE, so i in {0,5,10,15} stays
+        # (v=NaN), plus every i>0 with v=i. Only i=0's... v=NaN too: kept.
+        assert sorted(r["i"] for r in rows) == list(range(20))
+        assert sum(1 for r in rows if math.isnan(r["v"])) == 4
+        # A filter on the NaN-free column is still claimed and row-exact.
+        rows_i = back.filter(F.col("i") >= 10).collect()
+        assert sorted(r["i"] for r in rows_i) == list(range(10, 20))
+        assert all(r["n_files_read"] == 1 for r in rows_i)  # zone-pruned
+
+
+def test_manifest_vacuum_skips_tmp_crash_remnant(spark, tmp_path):
+    """A driver crash between writing _MANIFEST-v{N}.json.tmp and its
+    os.replace leaves the .tmp on disk; vacuum must skip it (not crash on
+    int('N.json')) and still reclaim expired versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.plans.sources_sinks import (
+        _register_manifest_classes,
+    )
+    from lime_on_spark_spark.sources.python_source import (
+        _load_manifest,
+        vacuum_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = str(tmp_path / "tmpvac")
+    for lo, hi, mode in ((0, 20, "append"), (0, 4, "overwrite")):
+        (
+            spark.range(lo, hi, 1, 2)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode(mode)
+            .save()
+        )
+    remnant = os.path.join(path, "_MANIFEST-v2.json.tmp")
+    with open(remnant, "w", encoding="utf-8") as fh:
+        fh.write("{")  # truncated write: exactly what a crash leaves
+    report = vacuum_manifest_path(path, retain_versions=1)
+    assert report["removed_manifests"] == 1  # v1 expired despite remnant
+    assert os.path.exists(remnant)  # inert, untouched
+    assert _load_manifest(path)["total_rows"] == 4
