@@ -57,16 +57,18 @@ def _measure(name: str) -> None:
 
 
 def main() -> None:
-    names = sys.argv[1:] or ["d10_dup_clusters", "d10b_cc_star"]
-    if len(names) == 1 and os.environ.get("_SOLO_CHILD") == "1":
-        _measure(names[0])
+    # The child role is marked by an explicit argv flag, NOT an environment
+    # variable: an inherited _SOLO_CHILD=1 in the caller's environment would
+    # silently run the measurement in-process and lose fresh-JVM isolation.
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--child":
+        _measure(argv[1])
         return
+    names = argv or ["d10_dup_clusters", "d10b_cc_star"]
     for name in names:
         # One JVM per op: a subprocess, not a loop in this process.
-        env = dict(os.environ, _SOLO_CHILD="1")
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__), name],
-            env=env,
+            [sys.executable, os.path.abspath(__file__), "--child", name],
             check=True,
         )
 

@@ -1137,12 +1137,12 @@ def f23_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "l_returnflag": [table.column("l_returnflag")[0].as_py()],
                 "n_rows": [table.num_rows],
-                "sum_qty": [
-                    round(pc.sum(table.column("l_quantity")).as_py(), 2)
-                ],
-                "max_price": [
-                    round(pc.max(table.column("l_extendedprice")).as_py(), 2)
-                ],
+                # Unrounded here: Python round() is half-to-even while the
+                # DuckDB/Spark ROUND is half-away-from-zero, so rounding is
+                # deferred to F.round on the Spark side (parity with the
+                # oracle's ROUND regardless of midpoint values).
+                "sum_qty": [pc.sum(table.column("l_quantity")).as_py()],
+                "max_price": [pc.max(table.column("l_extendedprice")).as_py()],
                 "n_orders": [
                     pc.count_distinct(table.column("l_orderkey")).as_py()
                 ],
@@ -1152,8 +1152,15 @@ def f23_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_quantity", "l_extendedprice"
     )
-    return li.groupBy("l_returnflag").applyInArrow(
+    out = li.groupBy("l_returnflag").applyInArrow(
         summarize,
         "l_returnflag string, n_rows bigint, sum_qty double,"
         " max_price double, n_orders bigint",
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("max_price", 2).alias("max_price"),
+        "n_orders",
     )

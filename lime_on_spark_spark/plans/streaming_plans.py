@@ -1341,13 +1341,16 @@ def t23_rocksdb_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             query.awaitTermination()
-            progress = query.lastProgress
+            # Scan ALL progress entries, not just lastProgress: under
+            # trigger(availableNow) the final entry can be a no-data batch
+            # with an empty stateOperators list even though RocksDB was
+            # engaged in earlier batches — engagement anywhere counts.
+            progresses = list(query.recentProgress or [])
         finally:
             query.stop()
-    # `or [{}]` (not a .get default): an empty stateOperators LIST — a
-    # no-data final progress entry — must degrade to engaged=False and a
-    # legible oracle failure, never an IndexError.
-    ops = (progress or {}).get("stateOperators") or [{}]
-    metrics = ops[0].get("customMetrics", {})
-    engaged = any(k.startswith("rocksdb") for k in metrics)
+    engaged = any(
+        any(k.startswith("rocksdb") for k in (op or {}).get("customMetrics", {}))
+        for p in progresses
+        for op in (p or {}).get("stateOperators") or []
+    )
     return spark.table(name).withColumn("rocksdb_engaged", F.lit(engaged))

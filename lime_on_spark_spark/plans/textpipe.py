@@ -3011,6 +3011,12 @@ _D89_VALUES = ",\n            ".join(
     f"({d}, '{s}', '{t}')" for d, s, t in _D89_FIXTURES
 )
 
+# CONTRACT: doc_id is unique within `documents` (and the fixture ids are
+# negative, disjoint from the corpus). The oracle aggregates kept blocks by
+# (doc_id, source) and left-joins back per document row, so a duplicate
+# doc_id would double-count extracted_len on the oracle side only. The same
+# uniqueness assumption orders d90's prefix sum. Pinned by
+# tests/test_properties.py::test_documents_doc_id_unique.
 _D89_ORACLE = f"""
     WITH fixtures(doc_id, source, text) AS (VALUES
             {_D89_VALUES}

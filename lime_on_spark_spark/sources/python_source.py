@@ -578,10 +578,18 @@ class JsonManifestSource(DataSource):
         return "json_manifest_source"
 
     def _manifest(self) -> dict:
+        # Loaded ONCE and cached: schema() and reader() are separate
+        # planning calls, and a commit landing between them could pair
+        # v(N+1)'s schema with v(N)'s file list. Both now derive from the
+        # same snapshot regardless of concurrent commits.
+        cached = getattr(self, "_manifest_cache", None)
+        if cached is not None:
+            return cached
         path = self.options.get("path")
         if not path:
             raise ValueError("json_manifest_source requires option 'path'")
-        return _load_manifest(path, self.options.get("version"))
+        self._manifest_cache = _load_manifest(path, self.options.get("version"))
+        return self._manifest_cache
 
     def schema(self) -> str:
         # Data columns from the manifest (written by JsonManifestWriter),
@@ -592,7 +600,7 @@ class JsonManifestSource(DataSource):
         return ", ".join(cols)
 
     def reader(self, schema) -> "JsonManifestSourceReader":
-        return JsonManifestSourceReader(self.options)
+        return JsonManifestSourceReader(self.options, manifest=self._manifest())
 
 
 #: Comparison filter -> (tag, zone-overlap test). `lo`/`hi` are a file's
@@ -616,11 +624,12 @@ _ROW_TESTS = {
 
 
 class JsonManifestSourceReader(DataSourceReader):
-    def __init__(self, options) -> None:
+    def __init__(self, options, manifest: dict | None = None) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("json_manifest_source requires option 'path'")
-        manifest = _load_manifest(self.path, options.get("version"))
+        if manifest is None:
+            manifest = _load_manifest(self.path, options.get("version"))
         self.files = manifest["files"]
         self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
         self.accepted: list[tuple[str, str, object]] = []

@@ -465,3 +465,13 @@ def test_merged_interval_lengths_matches_set_union(spark):
         ).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# d89/d90 corpus contract: doc_id is unique in `documents`. The d89 oracle
+# left-joins kept-block sums back per (doc_id, source) and d90's prefix sum
+# orders by doc_id — a duplicate would silently desynchronize both pins.
+# --------------------------------------------------------------------------
+def test_documents_doc_id_unique(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.count() == docs.select("doc_id").distinct().count()
