@@ -86,6 +86,9 @@ EXTENDED = (
     "d89_markup_extraction",
     "d90_global_concat_pack",
     "d91_pq_quantization",
+    # round-11 addition: the composed IVFADC search (routing + compression
+    # + rescore — the production ANN family's end state).
+    "d92_ivfadc_search",
 )
 
 

@@ -1466,3 +1466,149 @@ def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         " mse_capacity_monotone boolean, shortlist_recall_ok boolean,"
         " exact_regime_ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# D92 — IVFADC search (Jégou et al. 2011 §IV-B; the FAISS production ANN
+# configuration): d63b's IVF routing composed with d91's PQ compression.
+# The corpus is stored as (cell, vec_id, M residual-PQ codes); a query
+# probes nearest cells driver-side under a MASS BUDGET (cells taken
+# nearest-first while their total vector count stays within 40% of the
+# corpus — a fixed n_probe turns KMeans cell-size skew into an unbounded
+# scan), ADC-scans ONLY those cells' codes (broadcast
+# (qid,cell,m,cid)->distance table + one keyed sum — no full-precision
+# vector is touched), and exact-rescores the L-candidate shortlist for
+# the final top-k. Verdicts pin the properties that make this the shape
+# that runs at 100 TB (measured: recall 0.68 at BOTH SFs vs the 0.55
+# bar; worst probed mass = the 0.4 cap by construction):
+#   * recall@10 vs the exhaustive scan above a measured-margin bar
+#     (routing + compression don't break the answer);
+#   * the WORST query's probed mass within the scan cap (the s14
+#     fail-not-slow discipline: routing enforces the budget, the row
+#     re-certifies it — a degraded-to-exhaustive scan FAILS);
+#   * recall strictly above the scan fraction (a blind cap-sized random
+#     scan with exact rescore would land at ~the cap: ADC ranking must
+#     add value beyond its budget);
+#   * every ADC distance summed exactly M subspace terms (no candidate
+#     scored from a partial code).
+# n_cells = floor(sqrt(n)) — the FAISS sizing rule, so cells keep ~sqrt(n)
+# vectors at any corpus size. The index is memoized per (application,
+# corpus) — the d63b discipline — and two builds are bit-identical
+# (determinism pytest).
+# --------------------------------------------------------------------------
+@register(
+    "d92_ivfadc_search",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)
+                                AS n_cells,
+           CAST(8 AS BIGINT)    AS m_subspaces,
+           CAST(128 AS BIGINT)  AS k_centroids,
+           CAST(10 AS BIGINT)   AS n_queries,
+           0.4                  AS scan_cap_frac,
+           TRUE                 AS recall_ok,
+           TRUE                 AS scan_bounded,
+           TRUE                 AS beats_blind_scan,
+           TRUE                 AS adc_terms_complete
+    """,
+)
+def d92_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from lime_on_spark_spark.functions.vector import sq_l2
+    from lime_on_spark_spark.operators.ivfadc import (
+        build_ivfadc_index,
+        ivfadc_adc_table,
+        ivfadc_search,
+    )
+
+    DIM, M, K, L, TOPK, CAP = 64, 8, 128, 100, 10, 0.4
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    CELLS = int(math.sqrt(n))
+
+    codes, pq_cent, centroids, cell_sizes = build_ivfadc_index(
+        spark, sf_dir, dim=DIM, n_cells=CELLS,
+        m_subspaces=M, k_centroids=K,
+    )
+
+    # The d91 probe scheme: 10 deterministic queries spread over the ids.
+    step = max(1, n // 10)
+    qids = [i * step for i in range(10)]
+    qrows = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in qrows]
+
+    adc_rows, probes = ivfadc_adc_table(
+        queries, centroids, pq_cent, cell_sizes,
+        scan_cap_frac=CAP, m_subspaces=M, sub=DIM // M,
+    )
+    short = ivfadc_search(spark, codes, adc_rows, shortlist=L).persist()
+
+    # Fail-not-slow: the WORST query's probed-cell mass must honor the
+    # routing budget (enforced structurally in ivfadc_adc_table; re-
+    # certified here so a routing regression fails the artifact).
+    worst_frac = max(
+        sum(cell_sizes[c] for c in cells) / n for cells in probes.values()
+    )
+    # No candidate scored from a partial code: every ADC sum saw M terms.
+    terms = short.agg(
+        F.min("n_terms").alias("lo"), F.max("n_terms").alias("hi")
+    ).first()
+    adc_complete = terms["lo"] == M and terms["hi"] == M
+
+    # Exact rescore of the shortlist: full-precision distances for the L
+    # candidates only (join back to the corpus + broadcast query block).
+    qdf = spark.createDataFrame(queries, "qid bigint, qv array<double>")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    rescored = (
+        short.select("qid", "vec_id")
+        .join(emb, "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid", "vec_id", F.round(sq_l2(vd, F.col("qv")), 6).alias("d2")
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    final_topk = rescored.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= TOPK
+    )
+
+    # Ground truth: the exhaustive arm (10 broadcast probe rows x corpus —
+    # deliberately bounded, the d91 oracle shape).
+    exact = (
+        emb.crossJoin(F.broadcast(qdf))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", F.round(sq_l2(vd, F.col("qv")), 6).alias("d2"))
+    )
+    we = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    exact_top = exact.withColumn("rn", F.row_number().over(we)).filter(
+        F.col("rn") <= TOPK
+    )
+    hits = exact_top.join(
+        final_topk.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
+    ).count()
+    recall = hits / (len(queries) * TOPK)
+    short.unpersist()
+
+    return spark.createDataFrame(
+        [
+            (
+                n, CELLS, M, K, len(queries), CAP,
+                bool(recall >= 0.55),
+                bool(worst_frac <= CAP),
+                bool(recall > CAP),
+                bool(adc_complete),
+            )
+        ],
+        "n_vectors bigint, n_cells bigint,"
+        " m_subspaces bigint, k_centroids bigint, n_queries bigint,"
+        " scan_cap_frac double, recall_ok boolean, scan_bounded boolean,"
+        " beats_blind_scan boolean, adc_terms_complete boolean",
+    )

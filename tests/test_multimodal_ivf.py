@@ -188,3 +188,63 @@ def test_pq_init_invariant_to_vec_id_base(spark, sf_dir):
     }
     want = {(r["vec_id"], r["m"]): r["cid"] for r in base_codes.collect()}
     assert got == want
+
+
+def test_ivfadc_two_builds_identical_and_budget_enforced(spark, sf_dir):
+    """d92's composed index is deterministic: two independent builds (cache
+    cleared between) produce identical (cell, vec_id, m) -> cid codes and
+    identical codebooks; and the mass-bounded router never exceeds its
+    scan budget while always probing at least one cell."""
+    from lime_on_spark_spark.operators import ivfadc as mod
+    from lime_on_spark_spark.operators import ivf as ivf_mod
+    from lime_on_spark_spark.operators.ivfadc import (
+        build_ivfadc_index,
+        ivfadc_adc_table,
+    )
+
+    def build():
+        mod._IVFADC_CACHE.clear()
+        ivf_mod._INDEX_CACHE.clear()
+        codes, pq_cent, centroids, cell_sizes = build_ivfadc_index(
+            spark, sf_dir, dim=64, n_cells=8, m_subspaces=8, k_centroids=16
+        )
+        return (
+            {
+                (r["cell"], r["vec_id"], r["m"]): r["cid"]
+                for r in codes.collect()
+            },
+            pq_cent,
+            centroids.tolist(),
+            cell_sizes,
+        )
+
+    c1, p1, cen1, sz1 = build()
+    c2, p2, cen2, sz2 = build()
+    assert c1 == c2
+    assert p1 == p2
+    assert cen1 == cen2
+    assert sz1 == sz2
+    # one code per (vector, subspace), every vector in exactly one cell
+    assert len(c1) == sum(sz1.values()) * 8
+
+    # Mass budget: with one fat cell holding 90% of the corpus, a router
+    # that probed it alongside others would blow the cap; the budget must
+    # hold for every query, and a query whose NEAREST cell is the fat one
+    # must still probe it (>= 1 cell always).
+    import numpy as np
+
+    centroids = np.array([[0.0] * 64, [10.0] * 64, [20.0] * 64])
+    sizes = {0: 900, 1: 50, 2: 50}
+    queries = [(1, [0.0] * 64), (2, [20.0] * 64)]
+    pq_cent = {(m, c): [0.0] * 8 for m in range(8) for c in range(2)}
+    _, probes = ivfadc_adc_table(
+        queries, centroids, pq_cent, sizes,
+        scan_cap_frac=0.2, m_subspaces=8, sub=8,
+    )
+    # query 1's nearest cell is the fat one (over budget on its own):
+    # probed anyway, nothing else fits after it.
+    assert probes[1] == [0]
+    # query 2 fits both small cells (100 <= 200 budget), never the fat one.
+    assert probes[2] == [2, 1]
+    for cells in probes.values():
+        assert len(cells) >= 1
