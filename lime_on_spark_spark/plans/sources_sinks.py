@@ -1197,3 +1197,112 @@ def o10_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "et string, n bigint, sum_k bigint, nested_pruned boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# S19 — manifest row-level DELETE via deletion vectors: the Delta/Iceberg
+# merge-on-read primitive (the missing half of GDPR-at-scale next to
+# d50's purge audit). DELETE WHERE writes a position-list sidecar per
+# affected file plus a new manifest snapshot — data files are NEVER
+# rewritten (md5-pinned byte-identical in this row AND in pytest); the
+# reader anti-applies the DVs; time travel still reads the pre-delete
+# snapshot in full; vacuum reclaims DVs with the snapshots that
+# reference them (pinned in pytest). The matching-position scan runs
+# distributed, one task per candidate file, and composes with s16's zone
+# maps: the band predicate [1500, 4500) provably cannot touch file 4's
+# [6000, 8000) zone, so files_scanned = 3 < files_total = 4 is pinned —
+# the artifact fails if DELETE stops skipping or starts rewriting.
+# Scale: driver state is O(#deleted positions) — the Delta DV-bitmap
+# asymptotics; commit is a metadata publish.
+# --------------------------------------------------------------------------
+@register(
+    "s19_manifest_delete_vectors",
+    oracle="""
+    WITH s AS (SELECT unnest(range(8000)) AS i),
+         live AS (SELECT * FROM s WHERE i < 1500 OR i >= 4500)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM live)       AS n_live,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4) FROM live) AS sum_v,
+           (SELECT CAST(MIN(i) AS BIGINT) FROM live)         AS min_i,
+           (SELECT CAST(MAX(i) AS BIGINT) FROM live)         AS max_i,
+           CAST(0 AS BIGINT)                                 AS band_rows,
+           CAST(8000 AS BIGINT)                              AS v1_rows,
+           CAST(3000 AS BIGINT)                              AS rows_deleted,
+           CAST(3 AS BIGINT)                                 AS dv_files,
+           CAST(3 AS BIGINT)                                 AS files_scanned,
+           CAST(4 AS BIGINT)                                 AS files_total,
+           TRUE                                              AS data_files_byte_identical
+    """,
+)
+def s19_manifest_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        delete_where_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s19_dv")
+    (
+        _synthetic_series(spark, 0, 8000, 4)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+
+    def _data_md5s() -> dict:
+        return {
+            n: hashlib.md5(
+                open(os.path.join(path, n), "rb").read()
+            ).hexdigest()
+            for n in sorted(os.listdir(path))
+            if n.endswith(".json") and not n.startswith(("_", "dv-"))
+        }
+
+    before = _data_md5s()
+    report = delete_where_manifest_path(
+        spark, path, [("i", "ge", 1500), ("i", "lt", 4500)]
+    )
+    byte_identical = _data_md5s() == before
+
+    def _read(version=None):
+        rd = spark.read.format("json_manifest_source").option("path", path)
+        if version is not None:
+            rd = rd.option("version", version)
+        return rd.load()
+
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        live = (
+            _read()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_live"),
+                F.round(F.sum("v"), 4).alias("sum_v"),
+                F.min("i").cast("bigint").alias("min_i"),
+                F.max("i").cast("bigint").alias("max_i"),
+            )
+            .first()
+        )
+        # The deleted band is UNREADABLE through the latest snapshot...
+        band = (
+            _read()
+            .filter((F.col("i") >= 1500) & (F.col("i") < 4500))
+            .count()
+        )
+        # ...while time travel to the pre-delete snapshot reads every row.
+        v1_rows = _read(version=1).count()
+    return spark.createDataFrame(
+        [
+            (
+                live["n_live"], live["sum_v"], live["min_i"], live["max_i"],
+                band, v1_rows,
+                report["rows_deleted"], report["dv_files_written"],
+                report["files_scanned"], report["files_total"],
+                bool(byte_identical),
+            )
+        ],
+        "n_live bigint, sum_v double, min_i bigint, max_i bigint,"
+        " band_rows bigint, v1_rows bigint, rows_deleted bigint,"
+        " dv_files bigint, files_scanned bigint, files_total bigint,"
+        " data_files_byte_identical boolean",
+    )

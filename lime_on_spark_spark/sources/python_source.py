@@ -310,30 +310,31 @@ class JsonManifestWriter(DataSourceWriter):
         version = prior_version + 1
         manifest = {
             "files": sorted(files, key=lambda f: f["name"]),
-            "total_rows": sum(f["n_rows"] for f in files),
+            # Live rows = physical rows minus deletion-vector rows; append-
+            # carried prior entries keep their "dv"/"n_deleted" keys, so an
+            # append after a DELETE must not resurrect the deleted count.
+            "total_rows": sum(
+                f["n_rows"] - f.get("n_deleted", 0) for f in files
+            ),
             "schema": self.schema_ddl,
             "version": version,
         }
-        # Versioned snapshot FIRST, then the latest pointer: a crash
-        # between the two leaves a readable v{N} and a stale latest —
-        # never a latest pointing at a missing snapshot.
-        vp = _os.path.join(self.path, f"_MANIFEST-v{version}.json")
-        for target in (vp, mp):
-            tmp = target + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as fh:
-                _json.dump(manifest, fh)
-            _os.replace(tmp, target)
+        _publish_manifest(self.path, manifest)
         if self.overwrite and not self.retain_history:
             # The new manifest supersedes the old one; delete the files it
-            # listed, or every overwrite leaves the "replaced" rows on
-            # disk as duplicates for any reader that globs the directory.
-            # (Older _MANIFEST-v*.json become dangling — time travel
-            # requires retain_history.)
+            # listed (and their deletion-vector sidecars), or every
+            # overwrite leaves the "replaced" rows on disk as duplicates
+            # for any reader that globs the directory. (Older
+            # _MANIFEST-v*.json become dangling — time travel requires
+            # retain_history.)
             for f in prior_files:
-                try:
-                    _os.remove(_os.path.join(self.path, f["name"]))
-                except OSError:
-                    pass
+                for name in (f["name"], f.get("dv")):
+                    if name is None:
+                        continue
+                    try:
+                        _os.remove(_os.path.join(self.path, name))
+                    except OSError:
+                        pass
         # Spool litter from failed/speculative task attempts is invisible
         # to readers but accumulates; the job is done with its spool dir.
         _shutil.rmtree(self._spool_dir(), ignore_errors=True)
@@ -566,6 +567,152 @@ def _load_manifest(path: str, version=None) -> dict:
         return _json.load(fh)
 
 
+def _publish_manifest(path: str, manifest: dict) -> None:
+    """Atomically publish a manifest: versioned snapshot FIRST, then the
+    latest pointer — a crash between the two leaves a readable v{N} and a
+    stale latest, never a latest pointing at a missing snapshot. Shared by
+    the batch writer's commit() and DELETE (single-writer contract)."""
+    vp = _os.path.join(path, f"_MANIFEST-v{manifest['version']}.json")
+    mp = _os.path.join(path, "_MANIFEST.json")
+    for target in (vp, mp):
+        tmp = target + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump(manifest, fh)
+        _os.replace(tmp, target)
+
+
+def _scan_file_for_deletes(
+    path: str,
+    name: str,
+    conjuncts: list,
+    prior_dv: set,
+) -> list[int]:
+    """Executor-side: line positions in one data file matching EVERY
+    (column, tag, value) conjunct (NULL never matches any — 3VL),
+    excluding already-deleted rows. Runs where the reader runs (shared-fs
+    contract, python_source.py:180); returns O(#matches) positions — the
+    deletion-vector payload."""
+    out: list[int] = []
+    with open(_os.path.join(path, name), encoding="utf-8") as fh:
+        for pos, line in enumerate(fh):
+            if pos in prior_dv:
+                continue
+            vals = _json.loads(line)
+            ok = True
+            for column, tag, value in conjuncts:
+                x = vals.get(column)
+                if x is None or not _ROW_TESTS[tag](x, value):
+                    ok = False
+                    break
+            if ok:
+                out.append(pos)
+    return out
+
+
+def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
+    """Row-level DELETE on a `json_manifest_sink` directory via DELETION
+    VECTORS — the Delta/Iceberg merge-on-read primitive: data files are
+    NEVER rewritten (pinned byte-identical in pytest); each affected file
+    gains a position-list sidecar (`dv-v{N}-{file}`) and a new manifest
+    snapshot references it. Readers anti-apply the DV; time travel to the
+    pre-delete snapshot still reads every row; vacuum reclaims DVs with
+    the snapshots that reference them.
+
+    ``conjuncts`` is a list of (column, tag, value) triples ANDed
+    together, each tag one of the _ROW_TESTS comparisons (eq/lt/le/gt/
+    ge); predicate semantics are exactly the reader's accepted-filter
+    semantics (NULL never matches).
+
+    Scale shape: the matching-position scan runs DISTRIBUTED (one task
+    per candidate file, zone-pruned first — a clustered predicate scans
+    the zone, not the world); the driver holds O(#deleted) positions —
+    the same asymptotics as Delta's DV bitmaps — and the commit is a
+    driver-side metadata publish. Same single-writer contract as the
+    writer's commit().
+    """
+    manifest = _load_manifest(path)
+    files = [dict(f) for f in manifest["files"]]
+
+    def _zone_may_match(entry: dict) -> bool:
+        # Every conjunct must overlap the file's zone; any conjunct that
+        # provably excludes the whole zone skips the file. A conjunct
+        # without usable stats is simply inconclusive (scan, never skip
+        # unsoundly).
+        for column, tag, value in conjuncts:
+            stats = (entry.get("stats") or {}).get(column)
+            if stats is None or stats.get("has_nan", True):
+                continue
+            lo, hi = stats.get("min"), stats.get("max")
+            if lo is None:
+                return False  # all-NULL zone: the conjunct matches nothing
+            if type(lo) is bool or isinstance(value, bool):
+                continue
+            if isinstance(value, (int, float)) != isinstance(
+                lo, (int, float)
+            ):
+                continue
+            if not _ZONE_TESTS_BY_TAG[tag](lo, hi, value):
+                return False
+        return True
+
+    candidates = [f for f in files if _zone_may_match(f)]
+    prior_dvs = {
+        f["name"]: set(_load_dv(path, f["dv"])) if f.get("dv") else set()
+        for f in candidates
+    }
+    scanned = (
+        spark.sparkContext.parallelize(
+            [f["name"] for f in candidates], max(1, len(candidates))
+        )
+        .map(
+            lambda name: (
+                name,
+                _scan_file_for_deletes(
+                    path, name, conjuncts, prior_dvs[name]
+                ),
+            )
+        )
+        .collect()
+    )
+    new_hits = {name: pos for name, pos in scanned if pos}
+    version = manifest.get("version", 0) + 1
+    n_new_deleted = 0
+    dv_written = 0
+    for f in files:
+        hits = new_hits.get(f["name"])
+        if not hits:
+            continue
+        merged = sorted(set(prior_dvs.get(f["name"], set())) | set(hits))
+        dv_name = f"dv-v{version}-{f['name']}"
+        tmp = _os.path.join(path, dv_name + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump({"file": f["name"], "positions": merged}, fh)
+        _os.replace(tmp, _os.path.join(path, dv_name))
+        f["dv"] = dv_name
+        f["n_deleted"] = len(merged)
+        n_new_deleted += len(hits)
+        dv_written += 1
+    manifest = {
+        "files": files,
+        "total_rows": sum(f["n_rows"] - f.get("n_deleted", 0) for f in files),
+        "schema": manifest["schema"],
+        "version": version,
+    }
+    _publish_manifest(path, manifest)
+    return {
+        "version": version,
+        "rows_deleted": n_new_deleted,
+        "dv_files_written": dv_written,
+        "files_scanned": len(candidates),
+        "files_total": len(files),
+    }
+
+
+def _load_dv(path: str, dv_name: str) -> list[int]:
+    with open(_os.path.join(path, dv_name), encoding="utf-8") as fh:
+        return _json.load(fh)["positions"]
+
+
 class JsonManifestSource(DataSource):
     """`spark.read.format("json_manifest_source").option("path", p)` —
     reads a `json_manifest_sink` directory: manifest-listed files only,
@@ -696,19 +843,26 @@ class JsonManifestSourceReader(DataSourceReader):
         total = len(self.files)
         keep = [f for f in self.files if self._zone_keeps(f)]
         if not keep:  # degenerate empty scan (Spark needs >=1 partition)
-            return [InputPartition((None, 0, total))]
+            return [InputPartition((None, None, 0, total))]
         return [
-            InputPartition((f["name"], len(keep), total)) for f in keep
+            InputPartition((f["name"], f.get("dv"), len(keep), total))
+            for f in keep
         ]
 
     def read(self, partition: InputPartition):  # executor-side
-        name, n_read, total = partition.value
+        name, dv_name, n_read, total = partition.value
         if name is None:
             return
+        # Merge-on-read: the deletion-vector sidecar's positions are
+        # anti-applied while scanning — the data file itself is immutable
+        # (byte-identical across DELETEs, pinned in pytest).
+        deleted = set(_load_dv(self.path, dv_name)) if dv_name else set()
         with open(
             _os.path.join(self.path, name), encoding="utf-8"
         ) as fh:
-            for line in fh:
+            for pos, line in enumerate(fh):
+                if pos in deleted:
+                    continue
                 vals = _json.loads(line)
                 ok = True
                 for tag, col, v in self.accepted:
@@ -748,15 +902,24 @@ def vacuum_manifest_path(path: str, retain_versions: int = 1) -> dict:
     n = latest.get("version", 0)
     floor = max(1, n - retain_versions + 1)
     referenced: set = set()
+
+    def _names(m: dict):
+        # Data files AND their deletion-vector sidecars: a DV lives and
+        # dies with the snapshots that reference it (s19).
+        for f in m["files"]:
+            yield f["name"]
+            if f.get("dv"):
+                yield f["dv"]
+
     for v in range(floor, n + 1):
         try:
             m = _load_manifest(path, v)
         except FileNotFoundError:
             continue  # gap from a prior, deeper vacuum
-        referenced |= {f["name"] for f in m["files"]}
+        referenced |= set(_names(m))
     # The latest pointer's files are always retained, whatever its version
     # field says (defensive: pre-versioning directories have version 0).
-    referenced |= {f["name"] for f in latest["files"]}
+    referenced |= set(_names(latest))
     removed_files = removed_manifests = 0
     for name in sorted(_os.listdir(path)):
         full = _os.path.join(path, name)

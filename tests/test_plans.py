@@ -912,3 +912,107 @@ def test_manifest_vacuum_skips_tmp_crash_remnant(spark, tmp_path):
     assert report["removed_manifests"] == 1  # v1 expired despite remnant
     assert os.path.exists(remnant)  # inert, untouched
     assert _load_manifest(path)["total_rows"] == 4
+
+
+def test_manifest_delete_vectors_lifecycle(spark, tmp_path):
+    """s19's DV contract end-to-end: DELETE never rewrites a data file
+    (byte-identical), a second DELETE merges into a fresh sidecar while
+    the old snapshot keeps its own, appends after a DELETE don't
+    resurrect deleted rows in total_rows, and vacuum reclaims DVs exactly
+    when their last referencing snapshot expires."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        _load_manifest,
+        delete_where_manifest_path,
+        vacuum_manifest_path,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "dv")
+    (
+        spark.range(0, 100, 1, 2)
+        .select(F.col("id").alias("i"))
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+
+    def data_bytes():
+        return {
+            n: hashlib.md5(open(os.path.join(path, n), "rb").read()).hexdigest()
+            for n in sorted(os.listdir(path))
+            if n.endswith(".json") and not n.startswith(("_", "dv-"))
+        }
+
+    before = data_bytes()
+    r1 = delete_where_manifest_path(spark, path, [("i", "lt", 10)])
+    assert r1["rows_deleted"] == 10
+    # Zone pruning composed into the delete scan: [0,50)/[50,100) files,
+    # i < 10 can only touch the first.
+    assert r1["files_scanned"] == 1 and r1["files_total"] == 2
+    assert data_bytes() == before  # merge-on-read: nothing rewritten
+
+    # Second DELETE overlapping file 1 again: merged sidecar, new version.
+    r2 = delete_where_manifest_path(spark, path, [("i", "ge", 5), ("i", "lt", 20)])
+    assert r2["rows_deleted"] == 10  # 10..19 (0..9 already deleted)
+    assert data_bytes() == before
+    m = _load_manifest(path)
+    assert m["total_rows"] == 80
+    dvs = {f["name"]: f.get("dv") for f in m["files"]}
+    assert sum(1 for v in dvs.values() if v) == 1
+    # v2's sidecar still exists and is referenced by the v2 snapshot.
+    v2 = _load_manifest(path, 2)
+    old_dv = next(f["dv"] for f in v2["files"] if f.get("dv"))
+    assert os.path.exists(os.path.join(path, old_dv))
+
+    # Append after DELETE: total_rows counts live rows only.
+    (
+        spark.range(100, 110, 1, 1)
+        .select(F.col("id").alias("i"))
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    assert _load_manifest(path)["total_rows"] == 90
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        got = sorted(
+            r["i"]
+            for r in spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .collect()
+        )
+        # Time travel to v1 (pre-delete) still reads all 100 rows.
+        v1_n = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .option("version", 1)
+            .load()
+            .count()
+        )
+    assert got == list(range(20, 110))
+    assert v1_n == 100
+
+    # Vacuum to the latest snapshot only: v2's superseded sidecar is
+    # reclaimed with its snapshot; the live sidecar survives.
+    report = vacuum_manifest_path(path, retain_versions=1)
+    assert not os.path.exists(os.path.join(path, old_dv))
+    live_dv = next(f["dv"] for f in _load_manifest(path)["files"] if f.get("dv"))
+    assert os.path.exists(os.path.join(path, live_dv))
+    assert report["removed_files"] == 1  # exactly the expired sidecar
+    with open(os.path.join(path, live_dv), encoding="utf-8") as fh:
+        assert json.load(fh)["positions"] == list(range(20))
