@@ -1306,3 +1306,94 @@ def s19_manifest_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         " dv_files bigint, files_scanned bigint, files_total bigint,"
         " data_files_byte_identical boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S20 — manifest schema evolution: add-a-column across commits, the
+# month-one need of every long-lived lake. The v2 append carries an
+# extra column w; commit() reconciles (prior columns must survive with
+# identical types — dropping or retyping is refused loudly, pinned in
+# pytest) and publishes the superset schema; the reader NULL-fills old
+# files for the added column, so COUNT(w) counts exactly the v2 rows
+# while SUM(v) spans both epochs. Time travel still reads v1 UNDER V1'S
+# SCHEMA (2 data columns — snapshots are immutable, so the old epoch
+# never widens retroactively). All counts closed-form in the oracle;
+# n_cols are read from the manifests, so a reconcile regression fails
+# the artifact, not just a test.
+# Scale: evolution is pure metadata (no file rewritten, no backfill job)
+# — the Delta/Iceberg semantics that make adding a column O(1) at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "s20_manifest_schema_evolution",
+    oracle="""
+    WITH v1 AS (SELECT unnest(range(4000)) AS i),
+         v2 AS (SELECT unnest(range(4000, 6000)) AS i)
+    SELECT CAST(6000 AS BIGINT)                              AS n_total,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT i FROM v1 UNION ALL SELECT i FROM v2)) AS sum_v,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v2)         AS n_with_w,
+           (SELECT CAST(SUM(i % 7) AS BIGINT) FROM v2)       AS sum_w,
+           CAST(4000 AS BIGINT)                              AS null_w_rows,
+           CAST(3 AS BIGINT)                                 AS latest_cols,
+           CAST(4000 AS BIGINT)                              AS v1_rows,
+           CAST(2 AS BIGINT)                                 AS v1_cols
+    """,
+)
+def s20_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import _load_manifest
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s20_evo")
+    (
+        _synthetic_series(spark, 0, 4000, 4)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    (
+        _synthetic_series(spark, 4000, 6000, 2)
+        .withColumn("w", F.col("i") % 7)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    # Manifest-declared DATA columns per epoch (metadata cols excluded):
+    # the reconcile result itself, not an inference artifact.
+    latest_cols = len(_load_manifest(path)["schema"])
+    v1_cols = len(_load_manifest(path, 1)["schema"])
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        back = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+        )
+        row = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+            F.count("w").cast("bigint").alias("n_with_w"),
+            F.sum("w").cast("bigint").alias("sum_w"),
+            F.sum(F.col("w").isNull().cast("int")).cast("bigint").alias(
+                "null_w_rows"
+            ),
+        ).first()
+        v1_rows = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .option("version", 1)
+            .load()
+            .count()
+        )
+    return spark.createDataFrame(
+        [
+            (
+                row["n_total"], row["sum_v"], row["n_with_w"], row["sum_w"],
+                row["null_w_rows"], latest_cols, v1_rows, v1_cols,
+            )
+        ],
+        "n_total bigint, sum_v double, n_with_w bigint, sum_w bigint,"
+        " null_w_rows bigint, latest_cols bigint, v1_rows bigint,"
+        " v1_cols bigint",
+    )

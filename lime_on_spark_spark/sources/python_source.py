@@ -295,6 +295,7 @@ class JsonManifestWriter(DataSourceWriter):
                 entry["stats"] = m.stats
             files.append(entry)
         mp = _os.path.join(self.path, "_MANIFEST.json")
+        prior: dict | None = None
         prior_files: list = []
         prior_version = 0
         if _os.path.exists(mp):
@@ -302,11 +303,33 @@ class JsonManifestWriter(DataSourceWriter):
                 prior = _json.load(fh)
             prior_files = prior["files"]
             prior_version = prior.get("version", 0)
+        schema_ddl = self.schema_ddl
         if not self.overwrite:
             # Append mode: merge with the prior jobs' manifest — replacing
             # it wholesale would silently orphan (and thus "delete", for
             # manifest-driven readers) every previously committed row.
             files = prior_files + files
+            if prior is not None:
+                # SCHEMA EVOLUTION (s20): an append may ADD columns — the
+                # committed schema becomes the new superset and readers
+                # NULL-fill old files for the added columns. Dropping or
+                # retyping an existing column is refused loudly: silently
+                # narrowing the schema would hide committed data.
+                prior_cols = dict(
+                    ddl.split(" ", 1) for ddl in prior.get("schema", [])
+                )
+                new_cols = dict(ddl.split(" ", 1) for ddl in schema_ddl)
+                for c, t in prior_cols.items():
+                    if c not in new_cols:
+                        raise ValueError(
+                            f"append drops committed column '{c}'; "
+                            "schema evolution only adds columns"
+                        )
+                    if new_cols[c] != t:
+                        raise ValueError(
+                            f"append retypes committed column '{c}': "
+                            f"{t} -> {new_cols[c]}"
+                        )
         version = prior_version + 1
         manifest = {
             "files": sorted(files, key=lambda f: f["name"]),
@@ -316,7 +339,7 @@ class JsonManifestWriter(DataSourceWriter):
             "total_rows": sum(
                 f["n_rows"] - f.get("n_deleted", 0) for f in files
             ),
-            "schema": self.schema_ddl,
+            "schema": schema_ddl,
             "version": version,
         }
         _publish_manifest(self.path, manifest)

@@ -1016,3 +1016,69 @@ def test_manifest_delete_vectors_lifecycle(spark, tmp_path):
     assert report["removed_files"] == 1  # exactly the expired sidecar
     with open(os.path.join(path, live_dv), encoding="utf-8") as fh:
         assert json.load(fh)["positions"] == list(range(20))
+
+
+def test_manifest_schema_evolution_guards_and_pruning(spark, tmp_path):
+    """s20's reconcile contract: appends may only ADD columns — dropping
+    or retyping a committed column is refused; and zone-map pruning on a
+    pre-evolution column still skips files after the schema widens."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "evo")
+
+    def write(df, mode="append"):
+        df.write.format("json_manifest_sink").option("path", path).mode(
+            mode
+        ).save()
+
+    base = spark.range(0, 40, 1, 2).select(
+        F.col("id").alias("i"), (F.col("id") % 3).alias("v")
+    )
+    write(base)
+    # Evolution: add w.
+    write(
+        spark.range(40, 60, 1, 1).select(
+            F.col("id").alias("i"),
+            (F.col("id") % 3).alias("v"),
+            F.lit("tag").alias("w"),
+        )
+    )
+    # Drop: v missing -> refused.
+    with pytest.raises(Exception, match="drops committed column"):
+        write(spark.range(60, 70, 1, 1).select(F.col("id").alias("i")))
+    # Retype: v becomes string -> refused.
+    with pytest.raises(Exception, match="retypes committed column"):
+        write(
+            spark.range(60, 70, 1, 1).select(
+                F.col("i" "d").alias("i"), F.lit("x").alias("v")
+            )
+        )
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        back = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+        )
+        # Old files NULL-fill w; new file carries it.
+        assert back.filter(F.col("w").isNull()).count() == 40
+        assert back.filter(F.col("w") == "tag").count() == 20
+        # Zone pruning on the pre-evolution column i: the band [0, 20)
+        # lives in one of the three files.
+        pruned = (
+            back.filter(F.col("i") < 20)
+            .agg(F.min("n_files_read"), F.min("n_files_total"))
+            .first()
+        )
+        assert pruned[0] == 1 and pruned[1] == 3
