@@ -2076,21 +2076,7 @@ def d45_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# D49 — the END-TO-END curation pipeline as one funnel query: quality gate
-# -> exact dedup -> near-dup dedup -> decontamination -> packing, emitting
-# the per-stage survivor counts a dataset report publishes. Each stage is
-# the registry operator's exact rule (d5 quality metrics, d1 min-id
-# survivorship, d2 exact 3-gram Jaccard with smaller-id-wins, d15
-# benchmark shingle semi-join, d13 token chunking), so this is the
-# composition proof: the operators pipeline into one DataFrame program
-# with no driver round-trips between stages. Scale = the max of its
-# stages (the near-dup self-join dominates; same skeleton as
-# d2_ngram_jaccard — at web scale, prepend the d45 banded prefilter).
-# --------------------------------------------------------------------------
-@register(
-    "d49_curation_funnel",
-    oracle="""
+_D49_FUNNEL_CTES = """
     WITH train AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0
     ), quality AS (
@@ -2149,24 +2135,26 @@ def d45_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN contaminated c ON n.doc_id = c.doc_id
         WHERE c.doc_id IS NULL
     )
-    SELECT stage, n FROM (
-        SELECT ' 1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM train
-        UNION ALL
-        SELECT ' 2_quality', CAST(COUNT(*) AS BIGINT) FROM quality
-        UNION ALL
-        SELECT ' 3_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM exact
-        UNION ALL
-        SELECT ' 4_near_dedup', CAST(COUNT(*) AS BIGINT) FROM neardup
-        UNION ALL
-        SELECT ' 5_decontaminated', CAST(COUNT(*) AS BIGINT) FROM clean
-        UNION ALL
-        SELECT ' 6_chunks',
-               CAST(SUM(CEIL(len(string_split(text, ' ')) / 128.0)) AS BIGINT)
-        FROM clean
-    ) f
-    """,
-)
-def d49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+# --------------------------------------------------------------------------
+# D49 — the END-TO-END curation pipeline as one funnel query: quality gate
+# -> exact dedup -> near-dup dedup -> decontamination -> packing, emitting
+# the per-stage survivor counts a dataset report publishes. Each stage is
+# the registry operator's exact rule (d5 quality metrics, d1 min-id
+# survivorship, d2 exact 3-gram Jaccard with smaller-id-wins, d15
+# benchmark shingle semi-join, d13 token chunking), so this is the
+# composition proof: the operators pipeline into one DataFrame program
+# with no driver round-trips between stages. Scale = the max of its
+# stages (the near-dup self-join dominates; same skeleton as
+# d2_ngram_jaccard — at web scale, prepend the d45 banded prefilter).
+# --------------------------------------------------------------------------
+def _curation_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """The d49 funnel's stage frames (train/quality/exact/neardup/clean),
+    shared with d93's lakehouse composition so the two rows can never
+    drift onto different curation rules. Stage outputs are cached (see
+    the persistence note below); `clean` is the curated corpus."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
 
@@ -2212,6 +2200,39 @@ def d49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = neardup.join(contaminated, "doc_id", "left_anti").cache()
+    return {
+        "train": train,
+        "quality": quality,
+        "exact": exact,
+        "neardup": neardup,
+        "clean": clean,
+    }
+
+
+@register(
+    "d49_curation_funnel",
+    oracle=_D49_FUNNEL_CTES + """
+    SELECT stage, n FROM (
+        SELECT ' 1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM train
+        UNION ALL
+        SELECT ' 2_quality', CAST(COUNT(*) AS BIGINT) FROM quality
+        UNION ALL
+        SELECT ' 3_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM exact
+        UNION ALL
+        SELECT ' 4_near_dedup', CAST(COUNT(*) AS BIGINT) FROM neardup
+        UNION ALL
+        SELECT ' 5_decontaminated', CAST(COUNT(*) AS BIGINT) FROM clean
+        UNION ALL
+        SELECT ' 6_chunks',
+               CAST(SUM(CEIL(len(string_split(text, ' ')) / 128.0)) AS BIGINT)
+        FROM clean
+    ) f
+    """,
+)
+def d49_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _curation_stages(spark, sf_dir)
+    train, quality, exact = st["train"], st["quality"], st["exact"]
+    neardup, clean = st["neardup"], st["clean"]
 
     def count_row(stage: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -3211,4 +3232,95 @@ def d90_global_concat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("boundary_crossers"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# D93 — curated-lakehouse flagship: the composition a real pipeline IS.
+# The d49 funnel's survivors are written THROUGH the s12 manifest sink
+# (range-partitioned by doc_id into 4 files, so the s16 writer zone maps
+# are disjoint) and the analytics question is answered via the SKIPPING
+# READER: a doc_id band predicate zone-prunes whole files on the read
+# back (skipping_effective pinned TRUE — the connector stack serves the
+# pipeline, not just itself). The full readback count re-proves write
+# conservation; the band aggregate is SQL-exact (the oracle replays the
+# funnel CTEs verbatim — shared _D49_FUNNEL_CTES, so the two rows can
+# never drift onto different curation rules).
+# Scale: curate once, land with stats, answer every later band query by
+# reading the zone — the 100 TB shape this registry's connector rows
+# exist for.
+# --------------------------------------------------------------------------
+@register(
+    "d93_curated_lakehouse",
+    oracle=_D49_FUNNEL_CTES + """
+    , toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM clean
+    ), thresh AS (
+        SELECT CAST(FLOOR(MAX(doc_id) / 4.0) AS BIGINT) AS t FROM toks
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks)     AS n_curated,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM toks) AS total_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM toks WHERE doc_id < (SELECT t FROM thresh)) AS band_docs,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT)
+            FROM toks WHERE doc_id < (SELECT t FROM thresh)) AS band_tokens,
+           CAST(4 AS BIGINT)                                AS files_total,
+           TRUE                                             AS skipping_effective
+    """,
+)
+def d93_curated_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.sources_sinks import (
+        _register_manifest_classes,
+        _scratch,
+    )
+    from lime_on_spark_spark.session import temp_conf
+
+    _register_manifest_classes(spark)
+    clean = _curation_stages(spark, sf_dir)["clean"]
+    curated = clean.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"), "text"
+    )
+    path = _scratch(spark, "d93_lake")
+    (
+        # Range partitioning by doc_id -> 4 files with DISJOINT doc_id
+        # zones in the manifest stats (the s16 layout rule: cluster the
+        # column you band-filter on).
+        curated.repartitionByRange(4, "doc_id")
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    threshold = curated.agg(F.max("doc_id")).first()[0] // 4
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        back = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+        )
+        # Write conservation: every curated row is readable back.
+        n_curated = back.count()
+        total_tokens = back.agg(F.sum("n_tokens")).first()[0]
+        band = (
+            back.filter(F.col("doc_id") < threshold)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("band_docs"),
+                F.sum("n_tokens").cast("bigint").alias("band_tokens"),
+                F.min("n_files_read").cast("bigint").alias("files_read"),
+                F.min("n_files_total").cast("bigint").alias("files_total"),
+            )
+            .first()
+        )
+    return spark.createDataFrame(
+        [
+            (
+                n_curated, total_tokens,
+                band["band_docs"], band["band_tokens"],
+                band["files_total"],
+                bool(band["files_read"] < band["files_total"]),
+            )
+        ],
+        "n_curated bigint, total_tokens bigint, band_docs bigint,"
+        " band_tokens bigint, files_total bigint,"
+        " skipping_effective boolean",
     )
