@@ -1354,3 +1354,228 @@ def t23_rocksdb_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         for op in (p or {}).get("stateOperators") or []
     )
     return spark.table(name).withColumn("rocksdb_engaged", F.lit(engaged))
+
+
+# --------------------------------------------------------------------------
+# T24 — streaming state TTL: per-key state EXPIRY via event-time timeouts
+# (applyInPandasWithState + EventTimeTimeout) under the t23 RocksDB
+# provider — the discipline that prevents the #1 streaming production
+# incident (unbounded keyed state). Sessionization with a 12 h inactivity
+# gap: a key's state carries (n, start_us, last_us); a new event more
+# than the gap after last_us closes the session in-function; a key
+# SILENT past the gap is closed by the TIMEOUT path (state.remove() — the
+# TTL) when the watermark passes last_us + gap, including the final
+# no-data batch. The events parquet is pre-split into 4 day-block files
+# streamed oldest-first (maxFilesPerTrigger=1, mtime-stamped), so 4 REAL
+# incremental batches advance the watermark between arrivals; the output
+# is batching-invariant (the full-replay twin contract).
+# Self-certifying on three axes: (a) closed-session counts/sizes are the
+# SQL gap-sessionization the oracle replays exactly (µs integer
+# arithmetic; timeout fires iff last_ms + gap_ms < final watermark_ms,
+# strictly — Spark's eviction comparison); (b) open_in_state comes from
+# the s13 STATE-STORE READBACK of the checkpoint, so the oracle match
+# proves expired keys are ABSENT from the store, not merely silent;
+# (c) rocksdb_engaged + multi_batch pinned TRUE. State is bounded by
+# (keys active within the gap horizon) — the invariant that matters on
+# an unbounded stream.
+# --------------------------------------------------------------------------
+@register(
+    "t24_state_ttl",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    wm AS (SELECT MAX(us) // 1000 - 3600000 AS wm_ms FROM e),
+    seq AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                         > 43200000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ), sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ), agg AS (
+        SELECT user_id, sid, COUNT(*) AS n_events, MAX(us) AS last_us
+        FROM sess GROUP BY user_id, sid
+    ), marked AS (
+        SELECT user_id, sid, n_events,
+               (sid < MAX(sid) OVER (PARTITION BY user_id))
+               OR (last_us // 1000 + 43200000 < (SELECT wm_ms FROM wm))
+                   AS closed
+        FROM agg
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN closed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_closed_sessions,
+           CAST(COALESCE(SUM(CASE WHEN closed THEN n_events END), 0)
+                AS BIGINT) AS closed_events,
+           BOOL_OR(NOT closed) AS open_in_state,
+           TRUE AS multi_batch,
+           TRUE AS rocksdb_engaged
+    FROM marked GROUP BY user_id
+    """,
+)
+def t24_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+    from contextlib import ExitStack
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lime_on_spark_spark.plans.sources_sinks import _scratch
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    G_US = 12 * 3600 * 1_000_000
+    G_MS = G_US // 1000
+
+    # Pre-split into 4 day-block files with stamped mtimes: the file
+    # source streams oldest-first, so blocks arrive in event-time order
+    # and no row is ever below the watermark (late-data semantics stay
+    # out of scope of this row — t4 owns them).
+    src = _scratch(spark, "t24_src")
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    os.makedirs(src, exist_ok=True)
+    for k in range(4):
+        block = events.filter(
+            ((F.dayofmonth("ts") - 1) / 8).cast("int") == k
+        )
+        block.coalesce(1).write.mode("append").parquet(src)
+        for n in sorted(os.listdir(src)):
+            fp = os.path.join(src, n)
+            if n.endswith(".parquet") and os.path.getmtime(fp) > 1e9:
+                os.utime(fp, (1_000_000 + k, 1_000_000 + k))
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            # TTL: the watermark passed last_us + gap while the key was
+            # silent — emit the frozen session and DROP the state.
+            n, start_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n]}
+            )
+            return
+        rows = pd.concat(list(pdf_iter))
+        # Explicit ns normalization before the integer cast: the µs gap
+        # arithmetic below must not depend on the pandas/Arrow unit.
+        us = (
+            rows["ts"].astype("datetime64[ns]").astype("int64").sort_values()
+            // 1000
+        )
+        if state.exists:
+            n, start_us, last_us = state.get
+        else:
+            n, start_us, last_us = 0, None, None
+        out = []
+        for t in us:
+            t = int(t)
+            if last_us is not None and t - last_us > G_US:
+                out.append((key[0], n))  # gap-closed session
+                n, start_us = 0, t
+            if start_us is None:
+                start_us = t
+            n += 1
+            last_us = t
+        state.update((n, start_us, last_us))
+        # Event-time TTL: fires when the watermark (ms) passes this,
+        # strictly — mirrored in the oracle's `< wm_ms` comparison.
+        state.setTimeoutTimestamp(last_us // 1000 + G_MS)
+        if out:
+            yield pd.DataFrame(
+                [{"user_id": u, "n_events": c} for u, c in out]
+            )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    closed_stream = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint, start_us bigint, last_us bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    ckpt = _scratch(spark, "t24_ckpt")
+    name = f"t24_sink_{uuid.uuid4().hex[:8]}"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    with ExitStack() as stack:
+        for k, v in (
+            ("spark.sql.streaming.stateStore.providerClass", provider),
+            (
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            ),
+        ):
+            stack.enter_context(temp_conf(spark, k, v))
+        query = (
+            closed_stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+            progresses = list(query.recentProgress or [])
+        finally:
+            query.stop()
+        # The s13 readback: whatever survived TTL is IN the store, every
+        # expired key is absent — joined below so the oracle pins it.
+        open_users = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(F.col("key.user_id").alias("user_id"))
+            .withColumn("open_in_state", F.lit(True))
+        )
+        open_rows = open_users.collect()
+    multi_batch = (
+        sum(1 for p in progresses if (p or {}).get("numInputRows", 0) > 0)
+        >= 4
+    )
+    rocks = any(
+        any(kk.startswith("rocksdb") for kk in (op or {}).get("customMetrics", {}))
+        for p in progresses
+        for op in (p or {}).get("stateOperators") or []
+    )
+    closed = spark.table(name)
+    open_df = spark.createDataFrame(
+        open_rows, "user_id bigint, open_in_state boolean"
+    )
+    users = events.select("user_id").distinct()
+    return (
+        users.join(
+            closed.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_closed_sessions"),
+                F.sum("n_events").alias("closed_events"),
+            ),
+            "user_id",
+            "left",
+        )
+        .join(open_df, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("n_closed_sessions", F.lit(0))
+            .cast("bigint")
+            .alias("n_closed_sessions"),
+            F.coalesce("closed_events", F.lit(0))
+            .cast("bigint")
+            .alias("closed_events"),
+            F.coalesce("open_in_state", F.lit(False)).alias("open_in_state"),
+            F.lit(bool(multi_batch)).alias("multi_batch"),
+            F.lit(bool(rocks)).alias("rocksdb_engaged"),
+        )
+    )
