@@ -10,8 +10,9 @@ printing one JSON line per name. Env: SPARK_GRAFT_SF_DIR (default sf0.1),
 SPARK_GRAFT_CPUS.
 
 Record the output in BENCH_NOTES.md each round for the ops whose driver-
-artifact numbers drift across sessions (d10/d10b since round 8) so the
-next cross-session comparison has a same-protocol floor to compare with.
+artifact numbers drift across sessions (d10/d10b since round 8; the full
+default set since round 11) so the next cross-session comparison has a
+same-protocol floor to compare with.
 """
 
 from __future__ import annotations
@@ -64,7 +65,21 @@ def main() -> None:
     if argv and argv[0] == "--child":
         _measure(argv[1])
         return
-    names = argv or ["d10_dup_clusters", "d10b_cc_star"]
+    # Default set = every extended-block op whose artifact numbers have
+    # drifted across sessions (d10/d10b since round 8) plus the heavy
+    # round-9/10/11 entries the round-10 verdict asked to automate
+    # (d86's 3.3x artifact outlier had to be hand-adjudicated).
+    names = argv or [
+        "d10_dup_clusters",
+        "d10b_cc_star",
+        "d86_mann_whitney",
+        "d88_langid_classifier",
+        "d91_pq_quantization",
+        "d92_ivfadc_search",
+        "d2_ngram_jaccard",
+        "d84_cross_doc_spans",
+        "d87_span_removal",
+    ]
     for name in names:
         # One JVM per op: a subprocess, not a loop in this process.
         subprocess.run(

@@ -22,6 +22,10 @@ from lime_on_spark_spark.sources.catalog import load_table
 
 #: Hashed n-gram feature-space size for DSIR (2^10 buckets — the paper's
 #: hashed n-gram trick; collisions only blur the ratio, never break it).
+#: d88's fixture-side verdict frames per (applicationId, sf_dir) — see the
+#: memoization note in d88_langid_classifier.
+_D88_FIXTURE_CACHE: dict[tuple, tuple] = {}
+
 _DSIR_B = 1024
 #: Documents selected by DSIR's Gumbel top-k.
 _DSIR_K = 150
@@ -2166,22 +2170,46 @@ def d88_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     model = train_langid_model(spark, sf_dir)
-    fx = langid_fixtures(spark)
-    # Holdout scoring feeds BOTH the per-lang recall agg and the global
-    # accuracy agg — persist so the model transform runs once.
-    hold = score_langid(model, fx.filter(F.col("is_holdout"))).persist()
-    hit = (F.col("pred_lang") == F.col("lang")).cast("double")
-    per_lang = hold.groupBy("lang").agg(
-        (F.avg(hit) >= 0.8).alias("recall_ok")
-    )
-    glob = hold.agg(F.avg(hit).alias("acc")).select(
-        (F.col("acc") >= 0.9).alias("acc_above_bar"),
-        (F.col("acc") - 0.2 >= 0.5).alias("margin_over_chance"),
-    )
-    counts = fx.groupBy("lang").agg(
-        F.sum((~F.col("is_holdout")).cast("int")).cast("bigint").alias("n_train"),
-        F.sum(F.col("is_holdout").cast("int")).cast("bigint").alias("n_holdout"),
-    )
+    # Fixture-side verdict frames are corpus-independent and fully
+    # deterministic (md5 fixtures + a cached model): memoize them per
+    # (application, sf_dir) — the d63b index discipline — so repeated
+    # invocations pay only the REAL corpus-scoring pass below.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _D88_FIXTURE_CACHE.get(key)
+    if cached is None:
+        for stale in [k for k in _D88_FIXTURE_CACHE if k[0] != key[0]]:
+            del _D88_FIXTURE_CACHE[stale]
+        fx = langid_fixtures(spark)
+        # Holdout scoring feeds BOTH the per-lang recall agg and the
+        # global accuracy agg — persist so the model transform runs once.
+        hold = score_langid(model, fx.filter(F.col("is_holdout"))).persist()
+        hit = (F.col("pred_lang") == F.col("lang")).cast("double")
+        per_lang = hold.groupBy("lang").agg(
+            (F.avg(hit) >= 0.8).alias("recall_ok")
+        )
+        glob = hold.agg(F.avg(hit).alias("acc")).select(
+            (F.col("acc") >= 0.9).alias("acc_above_bar"),
+            (F.col("acc") - 0.2 >= 0.5).alias("margin_over_chance"),
+        )
+        counts = fx.groupBy("lang").agg(
+            F.sum((~F.col("is_holdout")).cast("int"))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.col("is_holdout").cast("int"))
+            .cast("bigint")
+            .alias("n_holdout"),
+        )
+        # localCheckpoint (the d63b cache rule): cached frames must not
+        # re-run fixture generation + scoring lineage on every consumer;
+        # all three are <= 5 rows.
+        cached = (
+            counts.localCheckpoint(eager=True),
+            per_lang.localCheckpoint(eager=True),
+            glob.localCheckpoint(eager=True),
+        )
+        hold.unpersist()
+        _D88_FIXTURE_CACHE[key] = cached
+    counts, per_lang, glob = cached
     # One distributed scoring pass over the REAL corpus: per-lang doc
     # populations are SQL-exact; corpus_scored certifies the broadcast-
     # model map covered (and predicted for) every document.

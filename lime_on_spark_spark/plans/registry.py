@@ -74,44 +74,44 @@ _CURATED_PREFIX = (
     # q — TPC-H-ish classics (kept first for round-over-round continuity)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue",
-    # p — predicates / projection (r10 rotation: pandas-API parity was
-    # never driver-sampled)
-    "p18_sql_scripting", "p19_pandas_api_parity",
+    # p — predicates / projection (r11 rotation: dynamic SQL was never
+    # driver-sampled)
+    "p18_sql_scripting", "p20_dynamic_sql",
     # j — joins
-    "j11_join_strategy_hints", "j3_semi", "j9_interval_overlap_join", "j7_asof_tolerance",
+    "j3_semi", "j7_asof_tolerance", "j9_interval_overlap_join",
+    "j11_join_strategy_hints",
     # a — aggregates
-    "a2_count_distinct", "a5_rollup",
-    "a26_approx_top_k",
+    "a2_count_distinct", "a5_rollup", "a26_approx_top_k",
     # w — window functions
-    "w1_order_rank_per_customer", "w2_lag_lead", "w3_running_frames",
-    "w6_time_range_frame",
-    # o — ordering / physical layout
-    "o1_global_sort", "o3_bucketed_join", "o9_bloom_filter_join",
+    "w1_order_rank_per_customer", "w2_lag_lead", "w6_time_range_frame",
+    # o — ordering / physical layout (r11: nested pruning was never
+    # driver-sampled)
+    "o1_global_sort", "o9_bloom_filter_join", "o10_nested_schema_pruning",
     # u — set operations
     "u1_union_all", "u2_intersect", "u5_snapshot_diff",
-    # f — scalar / array / JSON functions (r10: both UDTF quadrants —
-    # polymorphic analyze() was never driver-sampled, table-arg is new)
-    "f1_string_funcs", "f19_xml_funcs",
-    "f20_map_in_arrow", "f21_polymorphic_udtf", "f22_table_arg_udtf",
-    # t — event-time & streaming
-    "t1_tumbling_hour", "t4_watermark_append", "t5_streaming_dedup",
-    "t3_session_window",
+    # f — scalar / array / JSON functions (r11: grouped applyInArrow was
+    # never driver-sampled; both UDTF quadrants stay)
+    "f1_string_funcs", "f21_polymorphic_udtf", "f22_table_arg_udtf",
+    "f23_apply_in_arrow",
+    # t — event-time & streaming (r11: the RocksDB provider row was never
+    # driver-sampled; t24 state TTL is new)
+    "t1_tumbling_hour", "t3_session_window", "t23_rocksdb_state_agg",
+    "t24_state_ttl",
     # l — LIME (l12 = image-LIME: multimodal + provable-surrogate signal)
-    "l1_discretizer", "l2_perturb_tabular", "l12_image_verdict",
-    "l6_ridge_verdict",
-    # d — data-pipeline (r10 flagships: langid classifier + markup
-    # extraction, plus the never-sampled Mann-Whitney scan)
-    "d1_exact_dedup", "d87_span_removal",
-    "d83_quality_classifier", "d84_cross_doc_spans",
-    "d85_unicode_normalize", "d86_mann_whitney",
+    "l1_discretizer", "l6_ridge_verdict", "l12_image_verdict",
+    # d — data-pipeline (r11 flagships: IVFADC + curated lakehouse; d90/
+    # d91 were never driver-sampled)
+    "d1_exact_dedup", "d84_cross_doc_spans", "d86_mann_whitney",
     "d88_langid_classifier", "d89_markup_extraction",
+    "d90_global_concat_pack", "d91_pq_quantization", "d92_ivfadc_search",
+    "d93_curated_lakehouse",
     # m — multimodal
     "m1_multimodal_features", "m2_multimodal_embed_join",
-    # s — sources / sinks / catalog (r10: the full never-sampled Spark-4
-    # connector quadrant — state-store reader, pushdown, streaming sink —
-    # plus the new manifest data-skipping row)
-    "s13_state_store_reader", "s14_python_datasource_pushdown",
-    "s15_python_stream_sink", "s16_manifest_data_skipping",
+    # s — sources / sinks / catalog (r11: the full never-sampled manifest
+    # lifecycle — time travel, vacuum, deletion vectors, schema evolution)
+    "s13_state_store_reader", "s16_manifest_data_skipping",
+    "s17_manifest_time_travel", "s18_manifest_vacuum",
+    "s19_manifest_delete_vectors", "s20_manifest_schema_evolution",
 )
 
 
