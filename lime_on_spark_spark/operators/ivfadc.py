@@ -132,7 +132,6 @@ def ivfadc_adc_table(
     cell_sizes: dict[int, int],
     *,
     scan_cap_frac: float,
-    m_subspaces: int,
     sub: int,
 ) -> tuple[list[tuple], dict[int, list[int]]]:
     """Driver-side ADC lookup rows for every (query, probed cell).
@@ -163,6 +162,10 @@ def ivfadc_adc_table(
         mass = 0
         for c in np.argsort(d, kind="stable"):
             size = cell_sizes.get(int(c), 0)
+            if size == 0:
+                # KMeans can leave a cell empty (k centroids, no members):
+                # probing it buys nothing and costs M*K broadcast rows.
+                continue
             if cells and mass + size > budget:
                 continue  # a later, smaller cell may still fit the budget
             cells.append(int(c))

@@ -22,13 +22,13 @@ from lime_on_spark_spark.sources.catalog import load_table
 
 #: Hashed n-gram feature-space size for DSIR (2^10 buckets — the paper's
 #: hashed n-gram trick; collisions only blur the ratio, never break it).
-#: d88's fixture-side verdict frames per (applicationId, sf_dir) — see the
-#: memoization note in d88_langid_classifier.
-_D88_FIXTURE_CACHE: dict[tuple, tuple] = {}
-
 _DSIR_B = 1024
 #: Documents selected by DSIR's Gumbel top-k.
 _DSIR_K = 150
+
+#: d88's fixture-side verdict frames per (applicationId, sf_dir) — see the
+#: memoization note in d88_langid_classifier.
+_D88_FIXTURE_CACHE: dict[tuple, tuple] = {}
 
 
 def _md5_uniform(key_col):

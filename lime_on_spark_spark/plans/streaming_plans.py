@@ -1451,7 +1451,7 @@ def t24_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         if state.hasTimedOut:
             # TTL: the watermark passed last_us + gap while the key was
             # silent — emit the frozen session and DROP the state.
-            n, start_us, last_us = state.get
+            n, last_us = state.get
             state.remove()
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n]}
@@ -1464,21 +1464,22 @@ def t24_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows["ts"].astype("datetime64[ns]").astype("int64").sort_values()
             // 1000
         )
+        # State is exactly what the TTL discipline needs and nothing more
+        # (count + last event time) — on an unbounded stream every extra
+        # state byte is multiplied by the live key count.
         if state.exists:
-            n, start_us, last_us = state.get
+            n, last_us = state.get
         else:
-            n, start_us, last_us = 0, None, None
+            n, last_us = 0, None
         out = []
         for t in us:
             t = int(t)
             if last_us is not None and t - last_us > G_US:
                 out.append((key[0], n))  # gap-closed session
-                n, start_us = 0, t
-            if start_us is None:
-                start_us = t
+                n = 0
             n += 1
             last_us = t
-        state.update((n, start_us, last_us))
+        state.update((n, last_us))
         # Event-time TTL: fires when the watermark (ms) passes this,
         # strictly — mirrored in the oracle's `< wm_ms` comparison.
         state.setTimeoutTimestamp(last_us // 1000 + G_MS)
@@ -1499,7 +1500,7 @@ def t24_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandasWithState(
             update,
             outputStructType="user_id bigint, n_events bigint",
-            stateStructType="n bigint, start_us bigint, last_us bigint",
+            stateStructType="n bigint, last_us bigint",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

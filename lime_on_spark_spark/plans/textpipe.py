@@ -3288,6 +3288,9 @@ def d93_curated_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         curated.repartitionByRange(4, "doc_id")
         .write.format("json_manifest_sink")
         .option("path", path)
+        # Zone stats only on the band-filter columns: min/max over `text`
+        # would embed two full document bodies per file in every snapshot.
+        .option("stats_columns", "doc_id,n_tokens")
         .mode("append")
         .save()
     )

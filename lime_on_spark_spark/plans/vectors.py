@@ -1547,7 +1547,7 @@ def d92_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     adc_rows, probes = ivfadc_adc_table(
         queries, centroids, pq_cent, cell_sizes,
-        scan_cap_frac=CAP, m_subspaces=M, sub=DIM // M,
+        scan_cap_frac=CAP, sub=DIM // M,
     )
     short = ivfadc_search(spark, codes, adc_rows, shortlist=L).persist()
 
@@ -1555,7 +1555,8 @@ def d92_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # routing budget (enforced structurally in ivfadc_adc_table; re-
     # certified here so a routing regression fails the artifact).
     worst_frac = max(
-        sum(cell_sizes[c] for c in cells) / n for cells in probes.values()
+        sum(cell_sizes.get(c, 0) for c in cells) / n
+        for cells in probes.values()
     )
     # No candidate scored from a partial code: every ADC sum saw M terms.
     terms = short.agg(

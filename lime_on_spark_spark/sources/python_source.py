@@ -232,6 +232,17 @@ class JsonManifestWriter(DataSourceWriter):
         self.retain_history = str(
             options.get("retain_history", "false")
         ).lower() in ("true", "1")
+        # Optional stats allowlist (csv of column names): zone maps over a
+        # long text column embed its full min/max VALUES in every manifest
+        # snapshot — useless for pruning and heavy to parse. Callers that
+        # write document bodies restrict stats to the columns they band-
+        # filter on (d93). Default: stats on every column (s12/s16).
+        sc = options.get("stats_columns")
+        self.stats_columns = (
+            {c.strip() for c in sc.split(",") if c.strip()}
+            if sc is not None
+            else None
+        )
 
     def _spool_dir(self) -> str:
         return _os.path.join(self.path, f"_temp-{self.job_id}")
@@ -262,6 +273,8 @@ class JsonManifestWriter(DataSourceWriter):
                         f"planted failure on {self.fields[0]}={self.poison}"
                     )
                 for k, v in vals.items():
+                    if self.stats_columns is not None and k not in self.stats_columns:
+                        continue
                     if v is None or type(v) is bool or not isinstance(v, statable):
                         continue
                     if isinstance(v, float) and v != v:
@@ -273,6 +286,10 @@ class JsonManifestWriter(DataSourceWriter):
                         maxs[k] = v
                 fh.write(_json.dumps(vals) + "\n")
                 n += 1
+        # Columns excluded by the stats allowlist must be ABSENT from the
+        # dict, not present with min=None: a None zone reads as "all NULL,
+        # prunable", which would unsoundly skip files for filters on a
+        # merely-untracked column (absence makes the reader decline).
         stats = {
             k: {
                 "min": mins.get(k),
@@ -280,6 +297,7 @@ class JsonManifestWriter(DataSourceWriter):
                 "has_nan": k in nans,
             }
             for k in self.fields
+            if self.stats_columns is None or k in self.stats_columns
         }
         return JsonManifestCommitMessage(
             temp, f"job-{self.job_id}-part-{pid:05d}.json", n, stats
@@ -644,7 +662,10 @@ def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
     ``conjuncts`` is a list of (column, tag, value) triples ANDed
     together, each tag one of the _ROW_TESTS comparisons (eq/lt/le/gt/
     ge); predicate semantics are exactly the reader's accepted-filter
-    semantics (NULL never matches).
+    semantics (NULL never matches; a NaN cell never matches — Python
+    comparison semantics, NOT Spark's NaN-orders-above-all). Conjuncts
+    are validated against the committed schema before any task runs —
+    a class-mismatched value is a loud driver-side ValueError.
 
     Scale shape: the matching-position scan runs DISTRIBUTED (one task
     per candidate file, zone-pruned first — a clustered predicate scans
@@ -655,6 +676,34 @@ def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
     """
     manifest = _load_manifest(path)
     files = [dict(f) for f in manifest["files"]]
+    # Validate conjuncts against the committed schema UP FRONT: a value
+    # whose comparison class mismatches its column would otherwise raise a
+    # bare TypeError inside an executor task mid-DELETE (the reader can
+    # silently decline such a filter back to Spark; a DELETE has no one to
+    # decline to, so it must refuse loudly before any work runs).
+    numeric_ddl = (
+        "tinyint", "smallint", "int", "bigint", "long",
+        "float", "double", "decimal",
+    )
+    col_types = {
+        ddl.split(" ", 1)[0]: ddl.split(" ", 1)[1]
+        for ddl in manifest["schema"]
+    }
+    for column, tag, value in conjuncts:
+        if tag not in _ROW_TESTS:
+            raise ValueError(f"unsupported DELETE comparison tag: {tag!r}")
+        if column not in col_types:
+            raise ValueError(f"DELETE on unknown column: {column!r}")
+        if type(value) is bool or not isinstance(value, (int, float, str)):
+            raise ValueError(
+                f"unsupported DELETE value for {column!r}: {value!r}"
+            )
+        want_numeric = col_types[column].split("(")[0] in numeric_ddl
+        if want_numeric != isinstance(value, (int, float)):
+            raise ValueError(
+                f"DELETE value class mismatches column {column!r} "
+                f"({col_types[column]}): {value!r}"
+            )
 
     def _zone_may_match(entry: dict) -> bool:
         # Every conjunct must overlap the file's zone; any conjunct that

@@ -239,8 +239,20 @@ def test_ivfadc_two_builds_identical_and_budget_enforced(spark, sf_dir):
     pq_cent = {(m, c): [0.0] * 8 for m in range(8) for c in range(2)}
     _, probes = ivfadc_adc_table(
         queries, centroids, pq_cent, sizes,
-        scan_cap_frac=0.2, m_subspaces=8, sub=8,
+        scan_cap_frac=0.2, sub=8,
     )
+    # An empty cell (size 0) must never be probed — it buys nothing and
+    # costs M*K broadcast rows; and the worst-frac re-certification in
+    # d92 must not KeyError on it.
+    _, probes_empty = ivfadc_adc_table(
+        queries,
+        np.array([[0.0] * 64, [10.0] * 64, [20.0] * 64, [0.1] * 64]),
+        pq_cent,
+        {0: 900, 1: 50, 2: 50, 3: 0},
+        scan_cap_frac=0.2,
+        sub=8,
+    )
+    assert all(3 not in cells for cells in probes_empty.values())
     # query 1's nearest cell is the fat one (over budget on its own):
     # probed anyway, nothing else fits after it.
     assert probes[1] == [0]
