@@ -65,6 +65,15 @@ REPRESENTATIVE = (
     "d91_pq_quantization",
     "d88_langid_classifier",
     "d89_markup_extraction",
+    # round-11 additions: IVFADC search (the index is cache-stable by the
+    # two-build pytest; THIS covers the per-query ADC join + shortlist
+    # windows + rescore under different fan-outs), the lakehouse flagship
+    # (funnel -> range-partitioned manifest write -> skipping readback),
+    # and the state-TTL sessionizer (state-store partitioning must not
+    # leak into which sessions close or stay open).
+    "d92_ivfadc_search",
+    "d93_curated_lakehouse",
+    "t24_state_ttl",
 )
 
 
