@@ -1397,3 +1397,219 @@ def s20_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         " null_w_rows bigint, latest_cols bigint, v1_rows bigint,"
         " v1_cols bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# S21 — manifest compaction + physical purge (the Delta OPTIMIZE /
+# Iceberg rewrite_data_files primitive): s19's deletion vectors are
+# LOGICAL — the bytes stay on disk, which is half of GDPR. Compaction
+# reads the live rows (DVs anti-applied) and rewrites them as a fresh
+# overwrite commit (retain_history, so pre-compact snapshots stay
+# readable until an explicit vacuum); vacuum then reclaims the old files
+# AND the DVs. The purge pin is on RAW BYTES: after compact + vacuum,
+# the deleted sentinel ids appear in NO remaining data file — physically
+# erased, not just unreadable. Live values are pinned identical across
+# the rewrite (counts + sums), file count drops 4 -> 2, and the DV
+# sidecars are gone.
+# Scale: the rewrite is one distributed read -> write over live rows
+# only (never touches deleted bytes except to skip them); at 100 TB you
+# compact per partition/zone on a schedule — the same two jobs.
+# --------------------------------------------------------------------------
+@register(
+    "s21_manifest_compaction_purge",
+    oracle="""
+    WITH s AS (SELECT unnest(range(8000)) AS i),
+         live AS (SELECT * FROM s WHERE i < 1500 OR i >= 4500)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM live)       AS n_live,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4) FROM live) AS sum_v,
+           CAST(4 AS BIGINT)                                 AS files_before,
+           CAST(2 AS BIGINT)                                 AS files_after,
+           CAST(0 AS BIGINT)                                 AS dv_files_after,
+           TRUE                                              AS history_readable_before_vacuum,
+           TRUE                                              AS purged_bytes_absent
+    """,
+)
+def s21_manifest_compaction_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        delete_where_manifest_path,
+        vacuum_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s21_opt")
+    (
+        _synthetic_series(spark, 0, 8000, 4)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    delete_where_manifest_path(
+        spark, path, [("i", "ge", 1500), ("i", "lt", 4500)]
+    )
+
+    def data_files() -> list:
+        return sorted(
+            n
+            for n in os.listdir(path)
+            if n.endswith(".json") and not n.startswith(("_", "dv-"))
+        )
+
+    files_before = len(data_files())
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        live = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .drop("n_files_read", "n_files_total")
+        )
+        # COMPACT: rewrite the live rows (DVs applied by the read) as one
+        # retained overwrite commit — 2 consolidated files, range-
+        # partitioned so the zone maps stay disjoint for later skipping.
+        (
+            live.repartitionByRange(2, "i")
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("overwrite")
+            .save()
+        )
+        # Pre-compact history is still readable until vacuum (v2 = the
+        # post-delete snapshot: 5000 live of 8000 physical rows).
+        v2_n = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .option("version", 2)
+            .load()
+            .count()
+        )
+        history_ok = v2_n == 5000
+        # PURGE: vacuum to the compacted snapshot only — old files and
+        # their DV sidecars are reclaimed.
+        vacuum_manifest_path(path, retain_versions=1)
+        after = data_files()
+        dv_after = sum(1 for n in os.listdir(path) if n.startswith("dv-"))
+        row = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_live"),
+                F.round(F.sum("v"), 4).alias("sum_v"),
+            )
+            .first()
+        )
+    # RAW-BYTES pin: the deleted band's ids appear in no remaining data
+    # file — the difference between unreadable and erased.
+    blobs = "".join(
+        open(os.path.join(path, n), encoding="utf-8").read() for n in after
+    )
+    purged = all(
+        f'"i": {k},' not in blobs for k in (1500, 2999, 4499)
+    ) and '"i": 1499,' in blobs
+    return spark.createDataFrame(
+        [
+            (
+                row["n_live"], row["sum_v"],
+                files_before, len(after), dv_after,
+                bool(history_ok), bool(purged),
+            )
+        ],
+        "n_live bigint, sum_v double, files_before bigint,"
+        " files_after bigint, dv_files_after bigint,"
+        " history_readable_before_vacuum boolean,"
+        " purged_bytes_absent boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# S22 — manifest MERGE upsert: the Delta MERGE INTO primitive completing
+# the connector's DML triad (s19 DELETE, s21 OPTIMIZE, s22 MERGE).
+# Matched keys are logically deleted via deletion vectors and the update
+# rows land as new executor-spooled data files; BOTH changes publish as
+# ONE atomic snapshot, so no reader can observe the delete without the
+# insert. The update batch [4000, 8000) half-overlaps the seeded
+# [0, 6000): 2000 updates (value formula changes — pinned by the band
+# sum), 2000 inserts; time travel to the pre-merge snapshot still reads
+# all 6000 original values. Schema and key-uniqueness contracts are
+# validated loudly (pytest); data files stay byte-identical (merge-on-
+# read, pinned in pytest with the s19 md5 discipline).
+# Scale: the matched scan is one task per data file with the update key
+# set (bounded by the CDC batch); the insert path is the s12 two-phase
+# spool; the commit is a metadata publish.
+# --------------------------------------------------------------------------
+@register(
+    "s22_manifest_merge_upsert",
+    oracle="""
+    WITH old AS (SELECT unnest(range(6000)) AS i),
+         upd AS (SELECT unnest(range(4000, 8000)) AS i),
+         merged AS (
+             SELECT i, (i * i % 97) / 10.0 AS v FROM old WHERE i < 4000
+             UNION ALL
+             SELECT i, (i * i % 89) / 10.0 AS v FROM upd
+         )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM merged)  AS n_total,
+           (SELECT ROUND(SUM(v), 4) FROM merged)          AS sum_v,
+           (SELECT ROUND(SUM(v), 4) FROM merged
+            WHERE i >= 4000 AND i < 6000)                 AS updated_band_sum,
+           CAST(2000 AS BIGINT)                           AS rows_updated,
+           CAST(2000 AS BIGINT)                           AS rows_inserted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM old)     AS v1_rows,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4) FROM old) AS v1_sum
+    """,
+)
+def s22_manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s22_merge")
+    (
+        _synthetic_series(spark, 0, 6000, 3)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    updates = spark.range(4000, 8000, 1, 2).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * F.col("id") % 89) / 10.0).alias("v"),
+    )
+    report = merge_into_manifest_path(spark, path, updates, "i")
+
+    def _read(version=None):
+        rd = spark.read.format("json_manifest_source").option("path", path)
+        if version is not None:
+            rd = rd.option("version", version)
+        return rd.load()
+
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        row = _read().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+        ).first()
+        band = (
+            _read()
+            .filter((F.col("i") >= 4000) & (F.col("i") < 6000))
+            .agg(F.round(F.sum("v"), 4))
+            .first()[0]
+        )
+        v1 = _read(version=1).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("v"), 4).alias("s"),
+        ).first()
+    return spark.createDataFrame(
+        [
+            (
+                row["n_total"], row["sum_v"], band,
+                report["rows_updated"], report["rows_inserted"],
+                v1["n"], v1["s"],
+            )
+        ],
+        "n_total bigint, sum_v double, updated_band_sum double,"
+        " rows_updated bigint, rows_inserted bigint,"
+        " v1_rows bigint, v1_sum double",
+    )

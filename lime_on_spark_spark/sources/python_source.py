@@ -785,6 +785,211 @@ def _load_dv(path: str, dv_name: str) -> list[int]:
         return _json.load(fh)["positions"]
 
 
+def _scan_file_for_keys(
+    path: str, name: str, key_col: str, keys: frozenset, prior_dv: set
+) -> tuple[list[int], list]:
+    """Executor-side: (line positions, matched key values) for rows whose
+    key is in ``keys`` (the MERGE matched-row scan), excluding
+    already-deleted rows."""
+    out: list[int] = []
+    matched: list = []
+    with open(_os.path.join(path, name), encoding="utf-8") as fh:
+        for pos, line in enumerate(fh):
+            if pos in prior_dv:
+                continue
+            k = _json.loads(line).get(key_col)
+            if k in keys:
+                out.append(pos)
+                matched.append(k)
+    return out, matched
+
+
+def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
+    """MERGE (upsert) into a `json_manifest_sink` directory — the Delta
+    MERGE INTO primitive on the merge-on-read connector: matched keys are
+    logically deleted via s19 deletion vectors, the updates land as new
+    data files, and BOTH changes publish as ONE atomic snapshot (readers
+    never observe the delete without the insert).
+
+    Contract: ``updates`` must carry exactly the committed schema (MERGE
+    does not evolve — s20 owns that) and be unique on ``key_col``; both
+    are validated loudly before any file is touched. The matched-position
+    scan ships the update KEY SET to one task per candidate data file —
+    sized by the update batch, the CDC shape (at true 100 TB-batch scale
+    you'd swap the set for a join against a keyed index; the snapshot
+    protocol is unchanged). Updates spool per-partition on executors
+    (task-unique temp names, retry/speculation-safe) and only
+    driver-confirmed spools are renamed in — the s12 two-phase commit.
+
+    Returns {"version", "rows_updated", "rows_inserted", "files_added"}.
+    Same single-writer contract as commit().
+    """
+    import uuid as _uuid
+
+    manifest = _load_manifest(path)
+    files = [dict(f) for f in manifest["files"]]
+    schema_ddl = manifest["schema"]
+    got_ddl = [
+        f"{f.name} {f.dataType.simpleString()}" for f in updates.schema.fields
+    ]
+    if got_ddl != schema_ddl:
+        raise ValueError(
+            f"MERGE schema mismatch: table {schema_ddl} vs updates {got_ddl}"
+        )
+    fields = [ddl.split(" ", 1)[0] for ddl in schema_ddl]
+    if key_col not in fields:
+        raise ValueError(f"MERGE key column not in schema: {key_col!r}")
+
+    from pyspark.sql import functions as _F
+
+    counts = updates.agg(
+        _F.count(_F.lit(1)).alias("n"),
+        _F.countDistinct(key_col).alias("d"),
+        _F.count(key_col).alias("nn"),
+    ).first()
+    if counts["n"] != counts["d"] or counts["nn"] != counts["n"]:
+        raise ValueError(
+            f"MERGE updates must be non-NULL-unique on {key_col!r}: "
+            f"{counts['n']} rows, {counts['d']} distinct keys"
+        )
+
+    # Matched-row scan: one task per candidate file, update key set in the
+    # task closure (bounded by the update batch — the CDC contract).
+    keys = frozenset(
+        r[0] for r in updates.select(key_col).collect()
+    )
+    prior_dvs = {
+        f["name"]: set(_load_dv(path, f["dv"])) if f.get("dv") else set()
+        for f in files
+    }
+    scanned = (
+        spark.sparkContext.parallelize(
+            [f["name"] for f in files], max(1, len(files))
+        )
+        .map(
+            lambda name: (
+                name,
+                _scan_file_for_keys(
+                    path, name, key_col, keys, prior_dvs[name]
+                ),
+            )
+        )
+        .collect()
+    )
+    new_hits = {name: pos for name, (pos, _) in scanned if pos}
+    # Matched = by KEY (the table side may legitimately hold several live
+    # rows per key — e.g. pre-dedup appends; every one is DV'd).
+    matched_keys = {k for _, (_, ks) in scanned for k in ks}
+    version = manifest.get("version", 0) + 1
+
+    # Spool the update rows on executors (two-phase: only messages the
+    # driver receives get renamed in; retried attempts leave inert litter
+    # in the spool dir, removed after publish).
+    job_id = _uuid.uuid4().hex
+    spool = _os.path.join(path, f"_temp-{job_id}")
+    _os.makedirs(spool, exist_ok=True)
+    statable = (int, float, str)
+
+    def _spool_partition(pdf_iter):
+        import json as j
+        import os as o
+
+        import pandas as p
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        temp = o.path.join(spool, f"attempt-{pid}-{attempt}.json")
+        n = 0
+        mins: dict = {}
+        maxs: dict = {}
+        nans: set = set()
+        with open(temp, "w", encoding="utf-8") as fh:
+            for pdf in pdf_iter:
+                for rec in pdf.to_dict(orient="records"):
+                    vals = {
+                        k: (v.item() if hasattr(v, "item") else v)
+                        for k, v in rec.items()
+                    }
+                    for k, v in vals.items():
+                        if (
+                            v is None
+                            or type(v) is bool
+                            or not isinstance(v, statable)
+                        ):
+                            continue
+                        if isinstance(v, float) and v != v:
+                            nans.add(k)
+                            continue
+                        if k not in mins or v < mins[k]:
+                            mins[k] = v
+                        if k not in maxs or v > maxs[k]:
+                            maxs[k] = v
+                    fh.write(j.dumps(vals) + "\n")
+                    n += 1
+        stats = {
+            k: {
+                "min": mins.get(k),
+                "max": maxs.get(k),
+                "has_nan": k in nans,
+            }
+            for k in fields
+        }
+        yield p.DataFrame(
+            {
+                "temp": [temp],
+                "final": [f"merge-{job_id}-part-{pid:05d}.json"],
+                "n": [n],
+                "stats": [j.dumps(stats)],
+            }
+        )
+
+    messages = updates.mapInPandas(
+        _spool_partition, "temp string, final string, n bigint, stats string"
+    ).collect()
+
+    for f in files:
+        hits = new_hits.get(f["name"])
+        if not hits:
+            continue
+        merged = sorted(set(prior_dvs.get(f["name"], set())) | set(hits))
+        dv_name = f"dv-v{version}-{f['name']}"
+        tmp = _os.path.join(path, dv_name + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            _json.dump({"file": f["name"], "positions": merged}, fh)
+        _os.replace(tmp, _os.path.join(path, dv_name))
+        f["dv"] = dv_name
+        f["n_deleted"] = len(merged)
+    for m in messages:
+        if m["n"] == 0:
+            continue  # empty partition: no file spooled worth publishing
+        _os.replace(m["temp"], _os.path.join(path, m["final"]))
+        files.append(
+            {
+                "name": m["final"],
+                "n_rows": int(m["n"]),
+                "stats": _json.loads(m["stats"]),
+            }
+        )
+    rows_updated = len(matched_keys)
+    rows_inserted = int(counts["n"]) - rows_updated
+    manifest = {
+        "files": sorted(files, key=lambda f: f["name"]),
+        "total_rows": sum(f["n_rows"] - f.get("n_deleted", 0) for f in files),
+        "schema": schema_ddl,
+        "version": version,
+    }
+    _publish_manifest(path, manifest)
+    _shutil.rmtree(spool, ignore_errors=True)
+    return {
+        "version": version,
+        "rows_updated": rows_updated,
+        "rows_inserted": rows_inserted,
+        "files_added": sum(1 for m in messages if m["n"] > 0),
+    }
+
+
 class JsonManifestSource(DataSource):
     """`spark.read.format("json_manifest_source").option("path", p)` —
     reads a `json_manifest_sink` directory: manifest-listed files only,

@@ -1082,3 +1082,108 @@ def test_manifest_schema_evolution_guards_and_pruning(spark, tmp_path):
             .first()
         )
         assert pruned[0] == 1 and pruned[1] == 3
+
+
+def test_manifest_merge_upsert_contracts_and_atomicity(spark, tmp_path):
+    """s22's MERGE contract: schema mismatch / duplicate keys / NULL keys
+    refuse loudly before any file is touched; a merge is ONE snapshot
+    (version +1) that never rewrites existing data files; prior DVs (from
+    an earlier DELETE) are merged, not clobbered; and a key updated twice
+    resolves to the latest value."""
+    import hashlib
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        _load_manifest,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "merge")
+    (
+        spark.range(0, 100, 1, 2)
+        .select(F.col("id").alias("i"), (F.col("id") % 7).alias("v"))
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+
+    def data_bytes():
+        return {
+            n: hashlib.md5(open(os.path.join(path, n), "rb").read()).hexdigest()
+            for n in sorted(os.listdir(path))
+            if n.endswith(".json")
+            and not n.startswith(("_", "dv-", "merge-"))
+        }
+
+    # Contract guards fire before any mutation.
+    with pytest.raises(Exception, match="schema mismatch"):
+        merge_into_manifest_path(
+            spark, path, spark.range(3).select(F.col("id").alias("i")), "i"
+        )
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "i bigint, v bigint")
+    with pytest.raises(Exception, match="unique"):
+        merge_into_manifest_path(spark, path, dup, "i")
+    nulls = spark.createDataFrame([(None, 1)], "i bigint, v bigint")
+    with pytest.raises(Exception, match="unique"):
+        merge_into_manifest_path(spark, path, nulls, "i")
+    assert _load_manifest(path)["version"] == 1  # nothing published
+
+    before = data_bytes()
+    # DELETE first (prior DV), then MERGE overlapping it.
+    delete_where_manifest_path(spark, path, [("i", "lt", 10)])
+    upd = spark.createDataFrame(
+        [(5, 100), (50, 200), (150, 300)], "i bigint, v bigint"
+    )
+    report = merge_into_manifest_path(spark, path, upd, "i")
+    # i=5 was already deleted -> INSERT; i=50 live -> UPDATE; i=150 new.
+    assert report == {
+        "version": 3,
+        "rows_updated": 1,
+        "rows_inserted": 2,
+        "files_added": report["files_added"],
+    }
+    assert data_bytes() == before  # merge-on-read: originals untouched
+    m = _load_manifest(path)
+    assert m["version"] == 3
+    # 100 seeded - 10 deleted - 1 updated old row + 3 merge rows = 92.
+    assert m["total_rows"] == 92
+
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        back = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+        )
+        got = {r["i"]: r["v"] for r in back.collect()}
+    assert got[5] == 100 and got[50] == 200 and got[150] == 300
+    assert got[49] == 49 % 7 and 9 not in got and len(got) == 92
+
+    # Second MERGE on the same key: latest value wins, old merge file DV'd.
+    merge_into_manifest_path(
+        spark,
+        path,
+        spark.createDataFrame([(50, 999)], "i bigint, v bigint"),
+        "i",
+    )
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        v50 = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .filter(F.col("i") == 50)
+            .collect()
+        )
+    assert [r["v"] for r in v50] == [999]
