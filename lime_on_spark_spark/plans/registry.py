@@ -86,9 +86,9 @@ _CURATED_PREFIX = (
     "w1_order_rank_per_customer", "w2_lag_lead", "w6_time_range_frame",
     # o — ordering / physical layout (r11: nested pruning was never
     # driver-sampled)
-    "o1_global_sort", "o9_bloom_filter_join", "o10_nested_schema_pruning",
+    "o9_bloom_filter_join", "o10_nested_schema_pruning",
     # u — set operations
-    "u1_union_all", "u2_intersect", "u5_snapshot_diff",
+    "u1_union_all", "u5_snapshot_diff",
     # f — scalar / array / JSON functions (r11: grouped applyInArrow was
     # never driver-sampled; both UDTF quadrants stay)
     "f1_string_funcs", "f21_polymorphic_udtf", "f22_table_arg_udtf",
@@ -112,6 +112,7 @@ _CURATED_PREFIX = (
     "s13_state_store_reader", "s16_manifest_data_skipping",
     "s17_manifest_time_travel", "s18_manifest_vacuum",
     "s19_manifest_delete_vectors", "s20_manifest_schema_evolution",
+    "s21_manifest_compaction_purge", "s22_manifest_merge_upsert",
 )
 
 

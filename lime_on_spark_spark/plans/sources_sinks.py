@@ -1613,3 +1613,98 @@ def s22_manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         " rows_updated bigint, rows_inserted bigint,"
         " v1_rows bigint, v1_sum double",
     )
+
+
+# --------------------------------------------------------------------------
+# S23 — STREAMING reads from the manifest connector (the lakehouse-ingest
+# quadrant; offsets ARE manifest versions): a Structured Streaming source
+# over a json_manifest_sink path where each micro-batch reads exactly the
+# data files added between two snapshots — the Delta/Iceberg streaming-
+# source semantics for append-only tables. Run 1 drains the three seeded
+# commits into a checkpointed parquet sink; a FOURTH commit lands while
+# the query is down; run 2 restarts from the checkpoint and must process
+# ONLY the new commit (pinned: run 2's input-row count == the new
+# commit's rows). The oracle is the closed-form union of all four
+# commits — a duplicate (re-read commit) or gap (skipped commit) at any
+# restart boundary breaks the value hash. Append-only is a loud
+# contract: a removed file raises (pinned in pytest alongside the
+# per-commit batching).
+# Scale: offset planning is a driver-side manifest diff (O(#files));
+# each added file is one executor task — ingest throughput scales with
+# commit width, and recovery cost is reading ONE version pointer.
+# --------------------------------------------------------------------------
+@register(
+    "s23_manifest_stream_read",
+    oracle="""
+    SELECT CAST(i % 8 AS INT)                          AS bucket,
+           COUNT(*)                                    AS n,
+           ROUND(SUM((i * i % 97) / 10.0), 4)          AS sum_v,
+           CAST(MIN(i) AS BIGINT)                      AS min_i,
+           CAST(MAX(i) AS BIGINT)                      AS max_i,
+           TRUE                                        AS run2_incremental
+    FROM (SELECT unnest(range(8000)) AS i)
+    GROUP BY bucket
+    """,
+)
+def s23_manifest_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import (
+        ManifestStreamSource,
+    )
+
+    _register_manifest_classes(spark)
+    try:
+        spark.dataSource.register(ManifestStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    path = _scratch(spark, "s23_src")
+    out = _scratch(spark, "s23_out")
+    ck = _scratch(spark, "s23_ckpt")
+
+    def commit(lo: int, hi: int, parts: int) -> None:
+        (
+            _synthetic_series(spark, lo, hi, parts)
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+
+    def run_stream() -> list:
+        q = (
+            spark.readStream.format("json_manifest_stream_source")
+            .option("path", path)
+            .load()
+            .select("i", "v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = list(q.recentProgress or [])
+        q.stop()
+        return progresses
+
+    # Run 1: three commits exist; the stream bootstraps them all.
+    commit(0, 1000, 2)
+    commit(1000, 3000, 2)
+    commit(3000, 6000, 2)
+    run_stream()
+    # A commit lands while the query is DOWN; the restart must consume
+    # exactly it — version offsets live in Spark's checkpoint.
+    commit(6000, 8000, 2)
+    p2 = run_stream()
+    run2_rows = sum(int((p or {}).get("numInputRows", 0)) for p in p2)
+    run2_incremental = run2_rows == 2000
+
+    sink = spark.read.parquet(out)
+    return sink.groupBy(
+        F.pmod("i", F.lit(8)).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 4).alias("sum_v"),
+        F.min("i").cast("bigint").alias("min_i"),
+        F.max("i").cast("bigint").alias("max_i"),
+        F.lit(bool(run2_incremental)).alias("run2_incremental"),
+    )

@@ -1221,3 +1221,95 @@ def vacuum_manifest_path(path: str, retain_versions: int = 1) -> dict:
         "removed_manifests": removed_manifests,
         "version_floor": floor,
     }
+
+
+# ---------------------------------------------------------------------------
+# Streaming reads FROM the manifest connector (S23): the lakehouse-ingest
+# quadrant — a Structured Streaming source whose OFFSETS ARE MANIFEST
+# VERSIONS. Each micro-batch reads exactly the data files added between
+# two snapshots (the Delta/Iceberg streaming-source semantics for
+# append-only tables), so a downstream pipeline consumes commits
+# incrementally and checkpoint recovery is exactly-once by construction:
+# a restarted query resumes from the last committed VERSION, never
+# re-reading or skipping a commit.
+#
+# Contract: append-only paths (an overwrite/compaction that removes a
+# file raises loudly — at that point a real pipeline re-bootstraps or
+# consumes a CDF); DVs added AFTER a row was streamed do not retract it
+# (streaming reads are at-commit-time semantics); schema is pinned at
+# planning (s20 evolution mid-stream is out of scope).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader as _DSSR  # noqa: E402
+
+
+class ManifestStreamSource(DataSource):
+    """`spark.readStream.format("json_manifest_stream_source")` over a
+    `json_manifest_sink` directory — micro-batches = manifest commits."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "json_manifest_stream_source"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("json_manifest_stream_source requires 'path'")
+        return ", ".join(_load_manifest(path)["schema"])
+
+    def streamReader(self, schema) -> "ManifestStreamReader":
+        return ManifestStreamReader(self.options)
+
+
+class ManifestStreamReader(_DSSR):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_manifest_stream_source requires 'path'")
+        self.fields = [
+            ddl.split(" ", 1)[0] for ddl in _load_manifest(self.path)["schema"]
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}  # before the first commit: stream everything
+
+    def latestOffset(self) -> dict:
+        # Stateless: the current manifest version. Correct across restarts
+        # (Spark supplies the start offset from its checkpoint; pacing
+        # state held here would desync from it).
+        return {"version": _load_manifest(self.path)["version"]}
+
+    def _files_at(self, version: int) -> dict:
+        if version <= 0:
+            return {}
+        m = _load_manifest(self.path, version)
+        return {f["name"]: f for f in m["files"]}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        old = self._files_at(lo)
+        new = self._files_at(hi)
+        missing = sorted(set(old) - set(new))
+        if missing:
+            raise ValueError(
+                "json_manifest_stream_source requires an append-only "
+                f"path; files removed between v{lo} and v{hi}: {missing}"
+            )
+        added = sorted(set(new) - set(old))
+        if not added:  # no-data batch: Spark still needs >= 1 partition
+            return [InputPartition((None,))]
+        return [InputPartition((name,)) for name in added]
+
+    def read(self, partition: InputPartition):  # executor-side
+        (name,) = partition.value
+        if name is None:
+            return
+        with open(
+            _os.path.join(self.path, name), encoding="utf-8"
+        ) as fh:
+            for line in fh:
+                vals = _json.loads(line)
+                yield tuple(vals.get(c) for c in self.fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing to reclaim

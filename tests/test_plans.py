@@ -1187,3 +1187,60 @@ def test_manifest_merge_upsert_contracts_and_atomicity(spark, tmp_path):
             .collect()
         )
     assert [r["v"] for r in v50] == [999]
+
+
+def test_manifest_stream_source_append_only_guard(spark, tmp_path):
+    """s23's contract: a restarted stream over a path whose files were
+    REMOVED (overwrite/compaction) fails loudly with the append-only
+    error instead of silently re-bootstrapping or skipping."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        ManifestStreamSource,
+    )
+
+    for cls in (JsonManifestSink, ManifestStreamSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def write(lo, hi, mode):
+        (
+            spark.range(lo, hi, 1, 1)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .mode(mode)
+            .save()
+        )
+
+    def run():
+        q = (
+            spark.readStream.format("json_manifest_stream_source")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    write(0, 10, "append")
+    write(10, 30, "append")
+    run()
+    assert spark.read.parquet(out).count() == 30
+    # Overwrite removes the committed files -> the next run must refuse.
+    write(100, 105, "overwrite")
+    with pytest.raises(Exception, match="append-only"):
+        run()
