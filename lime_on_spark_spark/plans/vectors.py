@@ -1613,3 +1613,181 @@ def d92_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         " scan_cap_frac double, recall_ok boolean, scan_bounded boolean,"
         " beats_blind_scan boolean, adc_terms_complete boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# D94 — retrieval-quality evaluation (the BEIR/MTEB harness shape): every
+# embedding-stack choice upstream (quantization, routing, dedup) is
+# ultimately judged by ranking metrics, so the engine ships the metrics
+# as an operator. Queries = every 17th vector (the d63b scheme),
+# relevance = same label (planted structure), ranking = rounded cosine
+# with vec_id tie-break (the d3 determinism rule). MRR@10 and nDCG@10
+# are computed in INTEGER MICRO-UNITS with the 10 rank discounts
+# PRECOMPUTED once and injected into both engines as literals — no
+# runtime log2/rounding parity risk, and integer sums are order-free, so
+# the metrics hash EXACTLY across engines (every label has >= 10
+# relevant docs, making IDCG@10 the same constant for all queries).
+# The ANN arm re-runs a query subset (every 170th) through the d92
+# IVFADC index (memoized) and pins MRR(ann) >= 0.5 x MRR(exact) on that
+# subset — the quality bar that makes the compressed/routed stack
+# usable for evaluation work, measured with margin at both SFs.
+# Scale: the exact arm is |Q| broadcast rows x corpus (the deliberately
+# bounded d3 shape — at 100 TB you'd run it through d92 itself); the
+# metric aggregation is one keyed pass.
+# --------------------------------------------------------------------------
+_D94_RR_UNITS = (1000000, 500000, 333333, 250000, 200000,
+                 166667, 142857, 125000, 111111, 100000)
+_D94_DISC_UNITS = (1000000, 630930, 500000, 430677, 386853,
+                   356207, 333333, 315465, 301030, 289065)
+_D94_IDCG = sum(_D94_DISC_UNITS)
+
+
+@register(
+    "d94_retrieval_eval",
+    oracle=f"""
+    WITH units(rank, rr_u, disc_u) AS (VALUES
+        {", ".join(f"({p + 1}, {_D94_RR_UNITS[p]}, {_D94_DISC_UNITS[p]})" for p in range(10))}
+    ), q AS (
+        SELECT vec_id AS qid, label AS q_label, embedding AS q_emb
+        FROM embeddings WHERE vec_id % 17 = 0
+    ), ranked AS (
+        SELECT q.qid, q.q_label, e.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.q_emb AS DOUBLE[])), 6) DESC, e.vec_id
+               ) AS rank
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    ), top AS (
+        SELECT r.qid, r.q_label,
+               CASE WHEN r.label = r.q_label THEN u.rr_u ELSE 0 END AS rr_u,
+               CASE WHEN r.label = r.q_label THEN u.disc_u ELSE 0 END AS dcg_u
+        FROM ranked r JOIN units u USING (rank)
+        WHERE r.rank <= 10
+    ), per_q AS (
+        SELECT qid, q_label, MAX(rr_u) AS rr_u, SUM(dcg_u) AS dcg_u
+        FROM top GROUP BY qid, q_label
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(SUM(rr_u) / (COUNT(*) * 1000000.0), 5)  AS mrr_at10,
+           ROUND(SUM(dcg_u) / (COUNT(*) * {_D94_IDCG}.0), 5) AS ndcg_at10,
+           TRUE AS ann_mrr_ok
+    FROM per_q GROUP BY q_label
+    """,
+)
+def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from lime_on_spark_spark.operators.ivfadc import (
+        build_ivfadc_index,
+        ivfadc_adc_table,
+        ivfadc_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    rr_u = F.array(*[F.lit(v) for v in _D94_RR_UNITS])
+    disc_u = F.array(*[F.lit(v) for v in _D94_DISC_UNITS])
+
+    def topk_metrics(scored: DataFrame) -> DataFrame:
+        """(qid, q_label, rr_u, dcg_u) from a (qid, q_label, label,
+        cos_sim, vec_id) frame — rounded-cosine rank, literal unit
+        lookups, integer sums (order-free, hash-exact)."""
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("cos_sim"), F.asc("vec_id")
+        )
+        top = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= 10
+        )
+        rel = F.col("label") == F.col("q_label")
+        return top.groupBy("qid", "q_label").agg(
+            F.max(
+                F.when(rel, F.element_at(rr_u, F.col("rank"))).otherwise(0)
+            ).alias("rr_u"),
+            F.sum(
+                F.when(rel, F.element_at(disc_u, F.col("rank"))).otherwise(0)
+            ).alias("dcg_u"),
+        )
+
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "q_label", "vec_id", "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    per_q = topk_metrics(exact).persist()
+
+    # ANN arm: the %170 query subset through the memoized IVFADC index,
+    # rescored by cosine; MRR(ann) must hold >= 0.5 x MRR(exact) on the
+    # SAME subset (measured ratio 0.98-1.17 across both SFs — the routed
+    # shortlist occasionally ranks a same-label neighbor higher than the
+    # exhaustive arm's rounded-tie order, so >1 is possible).
+    DIM, M, K, CAP, L = 64, 8, 128, 0.4, 100
+    n = emb.count()
+    codes, pq_cent, centroids, cell_sizes = build_ivfadc_index(
+        spark, sf_dir, dim=DIM, n_cells=int(math.sqrt(n)),
+        m_subspaces=M, k_centroids=K,
+    )
+    sub_rows = (
+        q.filter(F.col("qid") % 170 == 0)
+        .select(
+            "qid",
+            F.transform("q_emb", lambda x: x.cast("double")).alias("v"),
+        )
+        .collect()
+    )
+    queries = [(int(r["qid"]), [float(x) for x in r["v"]]) for r in sub_rows]
+    adc_rows, _ = ivfadc_adc_table(
+        queries, centroids, pq_cent, cell_sizes,
+        scan_cap_frac=CAP, sub=DIM // M,
+    )
+    short = ivfadc_search(spark, codes, adc_rows, shortlist=L)
+    ann_scored = (
+        short.select("qid", "vec_id")
+        .join(emb.select("vec_id", "label", "embedding"), "vec_id")
+        .join(
+            F.broadcast(q.select("qid", "q_label", "q_emb")), "qid"
+        )
+        .select(
+            "qid", "q_label", "vec_id", "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    ann_mrr = (
+        topk_metrics(ann_scored).agg(F.avg("rr_u")).first()[0] or 0.0
+    )
+    exact_sub_mrr = (
+        per_q.filter(F.col("qid") % 170 == 0).agg(F.avg("rr_u")).first()[0]
+    )
+    ann_ok = ann_mrr >= 0.5 * exact_sub_mrr
+
+    out = per_q.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum("rr_u") / (F.count(F.lit(1)) * 1000000.0), 5
+        ).alias("mrr_at10"),
+        F.round(
+            F.sum("dcg_u") / (F.count(F.lit(1)) * float(_D94_IDCG)), 5
+        ).alias("ndcg_at10"),
+        F.lit(bool(ann_ok)).alias("ann_mrr_ok"),
+    )
+    rows = out.collect()
+    per_q.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "label int, n_queries bigint, mrr_at10 double, ndcg_at10 double,"
+        " ann_mrr_ok boolean",
+    )
