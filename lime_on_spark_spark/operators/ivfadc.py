@@ -219,3 +219,96 @@ def ivfadc_search(
     return approx.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= shortlist
     )
+
+
+def ivfadc_adc_table_df(
+    spark: SparkSession,
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    pq_cent: dict[tuple[int, int], list[float]],
+    cell_sizes: dict[int, int],
+    *,
+    scan_cap_frac: float,
+    sub: int,
+):
+    """DataFrame variant of :func:`ivfadc_adc_table` for LARGER query
+    sets (d94 runs every 17th vector): the driver holds only the probe
+    list and per-(query, cell, m) residual SUBVECTORS — |Q| * probes * M
+    rows — and the K-way codebook expansion happens in a DISTRIBUTED
+    broadcast join against the (m, cid, cvec) codebook frame, so the
+    O(|Q| * probes * M * K) distance table never materializes on the
+    driver. Same mass-budgeted probe selection, same rounded distances
+    (both variants fold the squared L2 left-to-right, so they agree
+    bit-for-bit before the 6-dp round).
+
+    Returns ``(dt, probes)``: dt = a DataFrame (qid, cell, m, cid, dt).
+    """
+    from lime_on_spark_spark.functions.vector import sq_l2
+
+    n_total = sum(cell_sizes.values())
+    budget = scan_cap_frac * n_total
+    rows: list[tuple] = []
+    probes: dict[int, list[int]] = {}
+    m_subspaces = len(centroids[0]) // sub if len(centroids) else 0
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        d = np.round(np.linalg.norm(centroids - q, axis=1), 6)
+        cells: list[int] = []
+        mass = 0
+        for c in np.argsort(d, kind="stable"):
+            size = cell_sizes.get(int(c), 0)
+            if size == 0:
+                continue
+            if cells and mass + size > budget:
+                continue
+            cells.append(int(c))
+            mass += size
+        probes[qid] = cells
+        for cell in cells:
+            qr = q - centroids[cell]
+            for m in range(m_subspaces):
+                rows.append(
+                    (
+                        qid,
+                        cell,
+                        m,
+                        [float(x) for x in qr[m * sub:(m + 1) * sub]],
+                    )
+                )
+    qsub = spark.createDataFrame(
+        rows, "qid bigint, cell int, m int, qr array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(m, c, v) for (m, c), v in sorted(pq_cent.items())],
+        "m int, cid bigint, cvec array<double>",
+    )
+    dt = qsub.join(F.broadcast(cb), "m").select(
+        "qid",
+        "cell",
+        "m",
+        "cid",
+        F.round(sq_l2(F.col("qr"), F.col("cvec")), 6).alias("dt"),
+    )
+    return dt, probes
+
+
+def ivfadc_search_df(
+    codes: DataFrame, dt: DataFrame, *, shortlist: int
+) -> DataFrame:
+    """:func:`ivfadc_search` over a DataFrame distance table (no forced
+    broadcast — the table scales with |Q| and AQE picks the strategy)."""
+    from pyspark.sql import Window
+
+    approx = (
+        codes.join(dt, ["cell", "m", "cid"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.round(F.sum("dt"), 6).alias("approx"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("approx", "vec_id")
+    return approx.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shortlist
+    )

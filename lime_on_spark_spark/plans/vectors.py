@@ -1683,8 +1683,8 @@ def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lime_on_spark_spark.operators.ivfadc import (
         build_ivfadc_index,
-        ivfadc_adc_table,
-        ivfadc_search,
+        ivfadc_adc_table_df,
+        ivfadc_search_df,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1728,31 +1728,29 @@ def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_q = topk_metrics(exact).persist()
 
-    # ANN arm: the %170 query subset through the memoized IVFADC index,
-    # rescored by cosine; MRR(ann) must hold >= 0.5 x MRR(exact) on the
-    # SAME subset (measured ratio 0.98-1.17 across both SFs — the routed
-    # shortlist occasionally ranks a same-label neighbor higher than the
-    # exhaustive arm's rounded-tie order, so >1 is possible).
+    # ANN arm: EVERY evaluation query through the memoized IVFADC index
+    # (the DataFrame ADC-table variant — the driver holds probe-residual
+    # rows only, the K-way codebook expansion is a distributed join),
+    # rescored by cosine; MRR(ann) must hold >= 0.5 x MRR(exact) over the
+    # same query set (measured ratio 0.70 / 0.88 / 0.90 at sf0.001 /
+    # sf0.01 / sf0.1 — the 0.5 bar keeps margin even on the weakest-
+    # structured corpus).
     DIM, M, K, CAP, L = 64, 8, 128, 0.4, 100
     n = emb.count()
     codes, pq_cent, centroids, cell_sizes = build_ivfadc_index(
         spark, sf_dir, dim=DIM, n_cells=int(math.sqrt(n)),
         m_subspaces=M, k_centroids=K,
     )
-    sub_rows = (
-        q.filter(F.col("qid") % 170 == 0)
-        .select(
-            "qid",
-            F.transform("q_emb", lambda x: x.cast("double")).alias("v"),
-        )
-        .collect()
-    )
+    sub_rows = q.select(
+        "qid",
+        F.transform("q_emb", lambda x: x.cast("double")).alias("v"),
+    ).collect()
     queries = [(int(r["qid"]), [float(x) for x in r["v"]]) for r in sub_rows]
-    adc_rows, _ = ivfadc_adc_table(
-        queries, centroids, pq_cent, cell_sizes,
+    dt, _ = ivfadc_adc_table_df(
+        spark, queries, centroids, pq_cent, cell_sizes,
         scan_cap_frac=CAP, sub=DIM // M,
     )
-    short = ivfadc_search(spark, codes, adc_rows, shortlist=L)
+    short = ivfadc_search_df(codes, dt, shortlist=L)
     ann_scored = (
         short.select("qid", "vec_id")
         .join(emb.select("vec_id", "label", "embedding"), "vec_id")
@@ -1769,10 +1767,8 @@ def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_mrr = (
         topk_metrics(ann_scored).agg(F.avg("rr_u")).first()[0] or 0.0
     )
-    exact_sub_mrr = (
-        per_q.filter(F.col("qid") % 170 == 0).agg(F.avg("rr_u")).first()[0]
-    )
-    ann_ok = ann_mrr >= 0.5 * exact_sub_mrr
+    exact_mrr = per_q.agg(F.avg("rr_u")).first()[0]
+    ann_ok = ann_mrr >= 0.5 * exact_mrr
 
     out = per_q.groupBy(F.col("q_label").alias("label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
