@@ -86,9 +86,12 @@ EXTENDED = (
     "d89_markup_extraction",
     "d90_global_concat_pack",
     "d91_pq_quantization",
-    # round-11 addition: the composed IVFADC search (routing + compression
-    # + rescore — the production ANN family's end state).
+    # round-11 additions: the composed IVFADC search (routing + compression
+    # + rescore — the production ANN family's end state) and the retrieval
+    # evaluation harness that grades it (exact metric arm + distributed
+    # ADC table; ~11.5 s warm at sf0.1, the heaviest non-d91 entry).
     "d92_ivfadc_search",
+    "d94_retrieval_eval",
 )
 
 
