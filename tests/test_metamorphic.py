@@ -74,6 +74,9 @@ REPRESENTATIVE = (
     "d92_ivfadc_search",
     "d93_curated_lakehouse",
     "t24_state_ttl",
+    # (also round 11) the retrieval harness: rank windows + integer-unit
+    # metric sums + the distributed ADC join — all order-free claims.
+    "d94_retrieval_eval",
 )
 
 
