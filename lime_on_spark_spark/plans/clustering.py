@@ -189,3 +189,142 @@ def d55_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("modal_n") / F.col("sz"), 4).alias("purity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D96 — weighted PageRank (Brin & Page 1998; the d10/d10b iterative-graph
+# family's centrality member): influence scores over the supplier
+# co-order graph — nodes = suppliers, edge weight = how often two
+# suppliers ship within the same order (a keyed equi-join on l_orderkey,
+# never a cross join). The recurrence runs in INTEGER UNITS so it is
+# exact and order-free in both engines: r0 = 1e9 // N, and each round
+# r'(v) = B + Σ_u (85 * r(u) * w(u,v)) // (100 * wdeg(u)) with
+# B = (15 * (1e9 // N)) // 100 — floor divisions replayed verbatim by
+# DuckDB's `//`, so 10 unrolled iterations hash exactly (the d39
+# unrolled-CTE discipline; no float accumulation anywhere).
+# Scale: each round is two keyed shuffles (contribution join + node
+# aggregate) with O(1) driver state; lineage is truncated per round
+# (localCheckpoint, the d10 rule). Co-order multiplicity is the weight,
+# so the complete-at-small-SF topology still carries signal.
+# --------------------------------------------------------------------------
+_D96_ITERS = 10
+_D96_GRAPH_CTES = """
+    WITH pairs AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS w
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ), sym AS (
+        SELECT sa AS a, sb AS b, w FROM pairs
+        UNION ALL
+        SELECT sb, sa, w FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT a AS node FROM sym
+    ), wdeg AS (
+        SELECT a AS node, SUM(w) AS wd FROM sym GROUP BY a
+    ), consts AS (
+        SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS r0,
+               CAST((15 * (1000000000 // COUNT(*))) // 100 AS BIGINT) AS b
+        FROM nodes
+    ), r0 AS (
+        SELECT node, (SELECT r0 FROM consts) AS r FROM nodes
+    )"""
+_D96_ITER_CTES = "".join(
+    f""", r{i} AS (
+        SELECT n.node,
+               (SELECT b FROM consts)
+               + COALESCE(SUM((85 * r.r * s.w) // (100 * g.wd)), 0) AS r
+        FROM nodes n
+        LEFT JOIN sym s ON s.b = n.node
+        LEFT JOIN r{i - 1} r ON r.node = s.a
+        LEFT JOIN wdeg g ON g.node = s.a
+        GROUP BY n.node
+    )"""
+    for i in range(1, _D96_ITERS + 1)
+)
+
+
+@register(
+    "d96_supplier_pagerank",
+    oracle=_D96_GRAPH_CTES + _D96_ITER_CTES + f"""
+    SELECT CAST(node AS BIGINT) AS l_suppkey,
+           CAST(r AS BIGINT) AS rank_u,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges
+    FROM r{_D96_ITERS}
+    ORDER BY r DESC, node
+    LIMIT 10
+    """,
+)
+def d96_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("sa"),
+            F.col("b.l_suppkey").alias("sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = pairs.selectExpr("sa AS a", "sb AS b", "w").unionAll(
+        pairs.selectExpr("sb AS a", "sa AS b", "w")
+    )
+    # Graph metadata is bounded (|suppliers| nodes): one shuffle each,
+    # then reused every round — persist via localCheckpoint so the
+    # co-order self-join runs once, not once per iteration.
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    wdeg = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.sum("w").alias("wd"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    n_edges = pairs.count()
+    r0_val = 10**9 // n_nodes
+    b_val = (15 * r0_val) // 100
+    r = nodes.select("node", F.lit(r0_val).cast("bigint").alias("r"))
+    for _ in range(_D96_ITERS):
+        contrib = (
+            sym.join(r, sym["a"] == r["node"])
+            .join(wdeg.withColumnRenamed("node", "gn"), F.col("a") == F.col("gn"))
+            .select(
+                F.col("b").alias("node"),
+                F.expr("(85 * r * w) DIV (100 * wd)").alias("c"),
+            )
+        )
+        r = (
+            nodes.join(
+                contrib.groupBy("node").agg(F.sum("c").alias("s")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (F.lit(b_val) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+            # Truncate the per-round lineage (the d10 discipline): 10
+            # chained joins would otherwise replan the whole history.
+            .localCheckpoint(eager=True)
+        )
+    return (
+        r.orderBy(F.desc("r"), F.asc("node"))
+        .limit(10)
+        .select(
+            F.col("node").alias("l_suppkey"),
+            F.col("r").alias("rank_u"),
+            F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+            F.lit(n_edges).cast("bigint").alias("n_edges"),
+        )
+    )
