@@ -77,6 +77,11 @@ REPRESENTATIVE = (
     # (also round 11) the retrieval harness: rank windows + integer-unit
     # metric sums + the distributed ADC join — all order-free claims.
     "d94_retrieval_eval",
+    # (also round 11) truncated-dim ranking (slice + window under two
+    # fan-outs) and the integer PageRank loop (per-round keyed shuffles —
+    # the classic place partition-dependent accumulation could leak).
+    "d95_matryoshka_eval",
+    "d96_supplier_pagerank",
 )
 
 
@@ -123,6 +128,14 @@ EMPTY_SAFE = (
     "d58_temperature_mix",
     "d61_span_corruption",
     "d64_winnowing_fingerprints",
+    # round-11: markup extraction (fixtures are UNIONed in, so the result
+    # is the fixture-only pipeline), global packing (zero windows), and
+    # the pure-SQL retrieval eval (no queries -> no metric rows).
+    # d92/d94/d96 are deliberately absent: training an index / ranking a
+    # graph on a zero-row corpus is a caller error (the d60 rule).
+    "d89_markup_extraction",
+    "d90_global_concat_pack",
+    "d95_matryoshka_eval",
 )
 
 
