@@ -92,6 +92,11 @@ EXTENDED = (
     # ADC table; ~11.5 s warm at sf0.1, the heaviest non-d91 entry).
     "d92_ivfadc_search",
     "d94_retrieval_eval",
+    # round-11 wave 2: truncated-dim ranking (double-fan-out window
+    # family, ~10.5 s warm) and the integer PageRank loop (iterative
+    # keyed-shuffle family alongside d39/d10, ~9 s warm).
+    "d95_matryoshka_eval",
+    "d96_supplier_pagerank",
 )
 
 
