@@ -475,3 +475,112 @@ def test_merged_interval_lengths_matches_set_union(spark):
 def test_documents_doc_id_unique(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert docs.count() == docs.select("doc_id").distinct().count()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [0xD11, 0xBEEF])
+def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
+    """Model-based check of the connector's DML surface: a seeded random
+    walk of append / DELETE / MERGE / compact / vacuum operations is
+    applied BOTH to a json_manifest_sink directory and to a plain Python
+    dict model {key: value}; after every operation the connector readback
+    must equal the model exactly. Catches the interaction-bug class no
+    single-operation test sees (a DELETE after a MERGE after a compaction
+    crossing a vacuumed snapshot boundary, DV merging across mixed file
+    generations, live-row accounting drift)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        _load_manifest,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+        vacuum_manifest_path,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / f"walk{seed}")
+    rng = random.Random(seed)
+    model: dict[int, int] = {}
+    next_key = 0
+
+    def spark_df(rows):
+        return spark.createDataFrame(rows, "i bigint, v bigint")
+
+    def do_append():
+        nonlocal next_key
+        k = rng.randint(3, 20)
+        rows = [(next_key + j, rng.randint(0, 99)) for j in range(k)]
+        next_key += k
+        spark_df(rows).repartition(rng.randint(1, 3)).write.format(
+            "json_manifest_sink"
+        ).option("path", path).mode("append").save()
+        model.update(dict(rows))
+
+    def do_delete():
+        lo = rng.randint(0, max(1, next_key))
+        hi = lo + rng.randint(1, 15)
+        delete_where_manifest_path(
+            spark, path, [("i", "ge", lo), ("i", "lt", hi)]
+        )
+        for k in [k for k in model if lo <= k < hi]:
+            del model[k]
+
+    def do_merge():
+        nonlocal next_key
+        keys = rng.sample(range(next_key + 5), k=rng.randint(1, 8))
+        rows = [(k, rng.randint(100, 199)) for k in sorted(set(keys))]
+        merge_into_manifest_path(spark, path, spark_df(rows), "i")
+        model.update(dict(rows))
+        next_key = max(next_key, max(k for k, _ in rows) + 1)
+
+    def do_compact():
+        with temp_conf(
+            spark, "spark.sql.python.filterPushdown.enabled", "true"
+        ):
+            live = (
+                spark.read.format("json_manifest_source")
+                .option("path", path)
+                .load()
+                .drop("n_files_read", "n_files_total")
+            )
+            (
+                live.repartition(2)
+                .write.format("json_manifest_sink")
+                .option("path", path)
+                .option("retain_history", "true")
+                .mode("overwrite")
+                .save()
+            )
+
+    def do_vacuum():
+        vacuum_manifest_path(path, retain_versions=1)
+
+    do_append()  # the walk starts from a committed table
+    ops = [do_append, do_delete, do_merge, do_compact, do_vacuum]
+    for step in range(14):
+        rng.choice(ops)()
+        with temp_conf(
+            spark, "spark.sql.python.filterPushdown.enabled", "true"
+        ):
+            got = {
+                r["i"]: r["v"]
+                for r in spark.read.format("json_manifest_source")
+                .option("path", path)
+                .load()
+                .collect()
+            }
+        assert got == model, f"divergence after step {step}"
+        assert _load_manifest(path)["total_rows"] == len(model), (
+            f"live-row accounting drift after step {step}"
+        )
