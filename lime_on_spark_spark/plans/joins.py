@@ -958,3 +958,88 @@ def j11_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("segment_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O11 — AQE runtime skew-join splitting: the OTHER half of the skew story
+# next to j8's manual salting — for plain shuffle joins, Spark's adaptive
+# engine detects an oversized partition AT RUNTIME from the map-output
+# statistics and splits it across reducers, no query rewrite needed (the
+# reason AQE is always on in this engine's 100 TB posture). The fact side
+# plants a hot key carrying 50% of 200k rows; thresholds are tuned so the
+# hot partition trips the detector under the closed-form data. Self-
+# certifying (the o9/o10 discipline): the row executes the join, then
+# reads the FINAL adaptive plan and pins skew_split_engaged = both the
+# SortMergeJoin's skew=true marker AND a skewed AQEShuffleRead present —
+# a conf regression that silently stops splitting FAILS the artifact.
+# Broadcast is disabled for this row only (temp_conf): skew splitting
+# applies to shuffle joins; a dim this small would otherwise broadcast
+# (which is the RIGHT plan — j5/q5 pin that path; this row pins the
+# fallback when the build side is too big to broadcast).
+# --------------------------------------------------------------------------
+@register(
+    "o11_aqe_skew_join",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN i % 2 = 0 THEN 0 ELSE i % 997 END AS k,
+               (i * i) % 97 AS x
+        FROM (SELECT unnest(range(200000)) AS i)
+    ), dim AS (
+        SELECT i AS k, i % 7 AS grp
+        FROM (SELECT unnest(range(997)) AS i)
+    )
+    SELECT CAST(grp AS BIGINT)      AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT)   AS sx,
+           TRUE                     AS skew_split_engaged
+    FROM fact JOIN dim USING (k)
+    GROUP BY grp
+    """,
+)
+def o11_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contextlib import ExitStack
+
+    from lime_on_spark_spark.session import temp_conf
+
+    with ExitStack() as stack:
+        for k, v in (
+            ("spark.sql.adaptive.enabled", "true"),
+            ("spark.sql.adaptive.skewJoin.enabled", "true"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"),
+            (
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "100KB",
+            ),
+            ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"),
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.shuffle.partitions", "8"),
+        ):
+            stack.enter_context(temp_conf(spark, k, v))
+        fact = spark.range(0, 200000, 1, 8).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            ((F.col("id") * F.col("id")) % 97).alias("x"),
+        )
+        dim = spark.range(0, 997).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        )
+        res = fact.join(dim, "k").groupBy("grp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+        )
+        # collect() under the confs finalizes THIS QueryExecution's
+        # adaptive plan; the markers are read from the same execution.
+        rows = res.collect()
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    engaged = (
+        "isFinalPlan=true" in plan
+        and "skew=true" in plan
+        and "skewed" in plan
+    )
+    return spark.createDataFrame(
+        [(r["grp"], r["n"], r["sx"], bool(engaged)) for r in rows],
+        "grp bigint, n bigint, sx bigint, skew_split_engaged boolean",
+    )
