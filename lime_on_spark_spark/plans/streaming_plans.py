@@ -1580,3 +1580,107 @@ def t24_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(rocks)).alias("rocksdb_engaged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T25 — late-data DROP OBSERVABILITY: t4 pins the append-mode semantics of
+# lateness; this row pins the ops surface — a production stream's "are we
+# silently losing data" counter. The events table is split into three
+# time-ordered blocks (days 1-10 even-id / 11-20 / 21-31) plus a PLANTED
+# LATE block (days 1-10, odd ids) streamed LAST, after the watermark has
+# advanced to day 31: every late row is dropped by the aggregation's
+# watermark filter, and the row pins BOTH sides of that event — the
+# result equals the batch aggregate over the on-time rows only (windows
+# finalized by the final watermark, the t4 twin), AND the drop counter
+# is read back EXACTLY from the state operator's
+# numRowsDroppedByWatermark across all progress entries. The counter
+# meters the STATE OPERATOR'S input — rows arriving after the map-side
+# partial aggregation — so the closed-form expectation is the number of
+# DISTINCT LATE WINDOWS (10 days x 24 h), not raw late events (verified:
+# batch 3 ingests 1653 late events, partial-aggregates them to 240
+# hourly groups, and the counter reads exactly 240). A regression that
+# stops dropping (wrong results) or stops counting (blind ops) fails
+# the artifact.
+# --------------------------------------------------------------------------
+@register(
+    "t25_late_drop_metrics",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           (SELECT CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+            FROM events
+            WHERE date_part('day', ts) <= 10 AND event_id % 2 = 1)
+               AS dropped_windows,
+           TRUE AS drop_metric_matches
+    FROM events
+    WHERE NOT (date_part('day', ts) <= 10 AND event_id % 2 = 1)
+    GROUP BY hour_start
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+           (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def t25_late_drop_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from lime_on_spark_spark.plans.sources_sinks import _scratch
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    src = _scratch(spark, "t25_src")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    early = F.dayofmonth("ts") <= 10
+    blocks = (
+        events.filter(early & (F.col("event_id") % 2 == 0)),   # on-time
+        events.filter(
+            (F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20)
+        ),
+        events.filter(F.dayofmonth("ts") > 20),
+        events.filter(early & (F.col("event_id") % 2 == 1)),   # LATE
+    )
+    os.makedirs(src, exist_ok=True)
+    n_late_windows = (
+        blocks[3].select(F.date_trunc("hour", "ts")).distinct().count()
+    )
+    for k, block in enumerate(blocks):
+        block.coalesce(1).write.mode("append").parquet(src)
+        for n in sorted(os.listdir(src)):
+            fp = os.path.join(src, n)
+            if n.endswith(".parquet") and os.path.getmtime(fp) > 1e9:
+                os.utime(fp, (1_000_000 + k, 1_000_000 + k))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("hour_start"), "n_events")
+    )
+    name = f"t25_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+        progresses = list(query.recentProgress or [])
+    finally:
+        query.stop()
+    dropped = sum(
+        int((op or {}).get("numRowsDroppedByWatermark", 0))
+        for p in progresses
+        for op in (p or {}).get("stateOperators") or []
+    )
+    return spark.table(name).select(
+        "hour_start",
+        "n_events",
+        F.lit(dropped).cast("bigint").alias("dropped_windows"),
+        F.lit(dropped == n_late_windows).alias("drop_metric_matches"),
+    )
