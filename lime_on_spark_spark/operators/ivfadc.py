@@ -125,6 +125,43 @@ def build_ivfadc_index(
     return _IVFADC_CACHE[key]
 
 
+def _select_probes(
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    cell_sizes: dict[int, int],
+    scan_cap_frac: float,
+) -> dict[int, list[int]]:
+    """MASS-BOUNDED probe selection, shared by both ADC-table variants so
+    their routing can never drift: for each query, cells are taken
+    nearest-first (centroid L2, ties broken on cell id via argsort's
+    stable order over the rounded distances) while the probed cells'
+    total vector count stays within ``scan_cap_frac`` of the corpus —
+    always at least one non-empty cell. A fixed n_probe turns KMeans
+    cell-size skew into an unbounded scan (one fat cell can hold half a
+    small corpus); the mass budget makes the sub-linear-scan guarantee
+    STRUCTURAL — routing enforces it, query rows only re-certify it.
+    Empty cells are never probed (nothing to gain, M*K table rows to
+    pay)."""
+    n_total = sum(cell_sizes.values())
+    budget = scan_cap_frac * n_total
+    probes: dict[int, list[int]] = {}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        d = np.round(np.linalg.norm(centroids - q, axis=1), 6)
+        cells: list[int] = []
+        mass = 0
+        for c in np.argsort(d, kind="stable"):
+            size = cell_sizes.get(int(c), 0)
+            if size == 0:
+                continue
+            if cells and mass + size > budget:
+                continue  # a later, smaller cell may still fit the budget
+            cells.append(int(c))
+            mass += size
+        probes[qid] = cells
+    return probes
+
+
 def ivfadc_adc_table(
     queries: list[tuple[int, list[float]]],
     centroids: np.ndarray,
@@ -136,41 +173,18 @@ def ivfadc_adc_table(
 ) -> tuple[list[tuple], dict[int, list[int]]]:
     """Driver-side ADC lookup rows for every (query, probed cell).
 
-    MASS-BOUNDED probing: for each query, cells are taken nearest-first
-    (centroid L2, ties broken on cell id via argsort's stable order over
-    the rounded distances) while the probed cells' total vector count
-    stays within ``scan_cap_frac`` of the corpus — always at least one
-    cell. A fixed n_probe turns KMeans cell-size skew into an unbounded
-    scan (one fat cell can hold half a small corpus); the mass budget
-    makes the sub-linear-scan guarantee STRUCTURAL — routing enforces it,
-    the query row only has to re-certify it.
-
+    Probing = :func:`_select_probes` (the shared mass-budgeted router).
     Per probed cell the QUERY RESIDUAL to that cell is cut into
     subvectors and its squared L2 to every codebook entry tabulated.
     Returns ``(rows, probes)``: rows = (qid, cell, m, cid, dt) —
     O(n_queries * probed_cells * M * K), broadcast-sized by construction;
     probes = {qid: [cell, ...]}.
     """
-    n_total = sum(cell_sizes.values())
-    budget = scan_cap_frac * n_total
+    probes = _select_probes(queries, centroids, cell_sizes, scan_cap_frac)
     rows: list[tuple] = []
-    probes: dict[int, list[int]] = {}
     for qid, qv in queries:
         q = np.asarray(qv, dtype=np.float64)
-        d = np.round(np.linalg.norm(centroids - q, axis=1), 6)
-        cells: list[int] = []
-        mass = 0
-        for c in np.argsort(d, kind="stable"):
-            size = cell_sizes.get(int(c), 0)
-            if size == 0:
-                # KMeans can leave a cell empty (k centroids, no members):
-                # probing it buys nothing and costs M*K broadcast rows.
-                continue
-            if cells and mass + size > budget:
-                continue  # a later, smaller cell may still fit the budget
-            cells.append(int(c))
-            mass += size
-        probes[qid] = cells
+        cells = probes[qid]
         for cell in cells:
             qr = q - centroids[cell]
             for (m, cid), cv in pq_cent.items():
@@ -199,26 +213,14 @@ def ivfadc_search(
     keyed sum — with the per-query shortlist rank. The join against the
     per-query table restricts the scan to probed cells BY CONSTRUCTION
     (a cell absent from the table contributes no rows), so candidate
-    counts derived from this frame certify the probe bound.
+    counts derived from this frame certify the probe bound. The join/
+    agg/rank body is :func:`ivfadc_search_df` — the driver-tuple variant
+    only adds the broadcast hint (its table is bounded by construction).
     """
-    from pyspark.sql import Window
-
     dt = spark.createDataFrame(
         adc_rows, "qid bigint, cell int, m int, cid bigint, dt double"
     )
-    approx = (
-        codes.join(F.broadcast(dt), ["cell", "m", "cid"])
-        .filter(F.col("qid") != F.col("vec_id"))
-        .groupBy("qid", "vec_id")
-        .agg(
-            F.round(F.sum("dt"), 6).alias("approx"),
-            F.count("*").alias("n_terms"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy("approx", "vec_id")
-    return approx.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= shortlist
-    )
+    return ivfadc_search_df(codes, F.broadcast(dt), shortlist=shortlist)
 
 
 def ivfadc_adc_table_df(
@@ -245,25 +247,12 @@ def ivfadc_adc_table_df(
     """
     from lime_on_spark_spark.functions.vector import sq_l2
 
-    n_total = sum(cell_sizes.values())
-    budget = scan_cap_frac * n_total
+    probes = _select_probes(queries, centroids, cell_sizes, scan_cap_frac)
     rows: list[tuple] = []
-    probes: dict[int, list[int]] = {}
     m_subspaces = len(centroids[0]) // sub if len(centroids) else 0
     for qid, qv in queries:
         q = np.asarray(qv, dtype=np.float64)
-        d = np.round(np.linalg.norm(centroids - q, axis=1), 6)
-        cells: list[int] = []
-        mass = 0
-        for c in np.argsort(d, kind="stable"):
-            size = cell_sizes.get(int(c), 0)
-            if size == 0:
-                continue
-            if cells and mass + size > budget:
-                continue
-            cells.append(int(c))
-            mass += size
-        probes[qid] = cells
+        cells = probes[qid]
         for cell in cells:
             qr = q - centroids[cell]
             for m in range(m_subspaces):

@@ -273,13 +273,14 @@ def d96_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # Graph metadata is bounded (|suppliers| nodes): checkpoint PAIRS
+    # first so the heavy co-order self-join runs exactly once — both
+    # unionAll branches of sym and the n_edges count below would
+    # otherwise each recompute it.
+    pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.selectExpr("sa AS a", "sb AS b", "w").unionAll(
         pairs.selectExpr("sb AS a", "sa AS b", "w")
-    )
-    # Graph metadata is bounded (|suppliers| nodes): one shuffle each,
-    # then reused every round — persist via localCheckpoint so the
-    # co-order self-join runs once, not once per iteration.
-    sym = sym.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
     nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
         eager=True
     )

@@ -1627,10 +1627,12 @@ def d92_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runtime log2/rounding parity risk, and integer sums are order-free, so
 # the metrics hash EXACTLY across engines (every label has >= 10
 # relevant docs, making IDCG@10 the same constant for all queries).
-# The ANN arm re-runs a query subset (every 170th) through the d92
-# IVFADC index (memoized) and pins MRR(ann) >= 0.5 x MRR(exact) on that
-# subset — the quality bar that makes the compressed/routed stack
-# usable for evaluation work, measured with margin at both SFs.
+# The ANN arm re-runs EVERY evaluation query through the d92 IVFADC
+# index (memoized; the DataFrame ADC table keeps the driver to
+# probe-residual rows) and pins MRR(ann) >= 0.5 x MRR(exact) over the
+# same query set AND the same denominator (empty shortlists score 0) —
+# the quality bar that makes the compressed/routed stack usable for
+# evaluation work, measured with margin at all three SFs.
 # Scale: the exact arm is |Q| broadcast rows x corpus (the deliberately
 # bounded d3 shape — at 100 TB you'd run it through d92 itself); the
 # metric aggregation is one keyed pass.
@@ -1764,8 +1766,15 @@ def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # SAME denominator on both sides of the ratio: a query whose routed
+    # shortlist came back empty contributes rr_u = 0 to the ANN average
+    # (a left join against the full query set), never silently drops out
+    # — otherwise ANN MRR would be biased upward over fewer queries.
     ann_mrr = (
-        topk_metrics(ann_scored).agg(F.avg("rr_u")).first()[0] or 0.0
+        per_q.select("qid")
+        .join(topk_metrics(ann_scored).select("qid", "rr_u"), "qid", "left")
+        .agg(F.avg(F.coalesce(F.col("rr_u"), F.lit(0))))
+        .first()[0]
     )
     exact_mrr = per_q.agg(F.avg("rr_u")).first()[0]
     ann_ok = ann_mrr >= 0.5 * exact_mrr

@@ -842,6 +842,12 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
 
     from pyspark.sql import functions as _F
 
+    # Pin ONE evaluation of the updates plan: validation, the key-set
+    # collect, and the spool job below would otherwise each recompute it —
+    # a nondeterministic source (sample(), a re-read of a changing table)
+    # could then be validated against different rows than it spools,
+    # publishing a silently torn snapshot.
+    updates = updates.localCheckpoint(eager=True)
     counts = updates.agg(
         _F.count(_F.lit(1)).alias("n"),
         _F.countDistinct(key_col).alias("d"),
@@ -854,17 +860,41 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
         )
 
     # Matched-row scan: one task per candidate file, update key set in the
-    # task closure (bounded by the update batch — the CDC contract).
+    # task closure (bounded by the update batch — the CDC contract). The
+    # candidate list is ZONE-PRUNED first with the key column's manifest
+    # stats (the s16/s19 machinery): a file whose [min, max] zone holds
+    # none of the update keys is never opened.
     keys = frozenset(
         r[0] for r in updates.select(key_col).collect()
     )
+    sorted_keys = sorted(keys)
+
+    def _zone_has_key(entry: dict) -> bool:
+        import bisect as _bisect
+
+        stats = (entry.get("stats") or {}).get(key_col)
+        if stats is None or stats.get("has_nan", True):
+            return True  # no usable stats: scan, never skip unsoundly
+        lo, hi = stats.get("min"), stats.get("max")
+        if lo is None:
+            return False  # all-NULL zone: no key can match
+        if type(lo) is bool or isinstance(sorted_keys[0], bool):
+            return True
+        if isinstance(sorted_keys[0], (int, float)) != isinstance(
+            lo, (int, float)
+        ):
+            return True
+        i = _bisect.bisect_left(sorted_keys, lo)
+        return i < len(sorted_keys) and sorted_keys[i] <= hi
+
+    candidates = [f for f in files if _zone_has_key(f)]
     prior_dvs = {
         f["name"]: set(_load_dv(path, f["dv"])) if f.get("dv") else set()
-        for f in files
+        for f in candidates
     }
     scanned = (
         spark.sparkContext.parallelize(
-            [f["name"] for f in files], max(1, len(files))
+            [f["name"] for f in candidates], max(1, len(candidates))
         )
         .map(
             lambda name: (
@@ -945,48 +975,68 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             }
         )
 
-    messages = updates.mapInPandas(
-        _spool_partition, "temp string, final string, n bigint, stats string"
-    ).collect()
-
-    for f in files:
-        hits = new_hits.get(f["name"])
-        if not hits:
-            continue
-        merged = sorted(set(prior_dvs.get(f["name"], set())) | set(hits))
-        dv_name = f"dv-v{version}-{f['name']}"
-        tmp = _os.path.join(path, dv_name + ".tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            _json.dump({"file": f["name"], "positions": merged}, fh)
-        _os.replace(tmp, _os.path.join(path, dv_name))
-        f["dv"] = dv_name
-        f["n_deleted"] = len(merged)
-    for m in messages:
-        if m["n"] == 0:
-            continue  # empty partition: no file spooled worth publishing
-        _os.replace(m["temp"], _os.path.join(path, m["final"]))
-        files.append(
-            {
-                "name": m["final"],
-                "n_rows": int(m["n"]),
-                "stats": _json.loads(m["stats"]),
-            }
-        )
-    rows_updated = len(matched_keys)
-    rows_inserted = int(counts["n"]) - rows_updated
-    manifest = {
-        "files": sorted(files, key=lambda f: f["name"]),
-        "total_rows": sum(f["n_rows"] - f.get("n_deleted", 0) for f in files),
-        "schema": schema_ddl,
-        "version": version,
-    }
-    _publish_manifest(path, manifest)
+    # Abort discipline (the JsonManifestWriter.abort contract): a failure
+    # anywhere before the atomic publish must not strand this attempt's
+    # DV sidecars, renamed-in data files, or the spool dir. Orphans would
+    # be invisible to readers (manifest-driven) and vacuum would reclaim
+    # them eventually, but the two-phase protocol cleans up eagerly.
+    written: list[str] = []
+    try:
+        messages = updates.mapInPandas(
+            _spool_partition,
+            "temp string, final string, n bigint, stats string",
+        ).collect()
+        for f in files:
+            hits = new_hits.get(f["name"])
+            if not hits:
+                continue
+            merged = sorted(set(prior_dvs.get(f["name"], set())) | set(hits))
+            dv_name = f"dv-v{version}-{f['name']}"
+            tmp = _os.path.join(path, dv_name + ".tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                _json.dump({"file": f["name"], "positions": merged}, fh)
+            _os.replace(tmp, _os.path.join(path, dv_name))
+            written.append(dv_name)
+            f["dv"] = dv_name
+            f["n_deleted"] = len(merged)
+        for m in messages:
+            if m["n"] == 0:
+                continue  # empty partition: nothing spooled to publish
+            _os.replace(m["temp"], _os.path.join(path, m["final"]))
+            written.append(m["final"])
+            files.append(
+                {
+                    "name": m["final"],
+                    "n_rows": int(m["n"]),
+                    "stats": _json.loads(m["stats"]),
+                }
+            )
+        rows_updated = len(matched_keys)
+        rows_inserted = int(counts["n"]) - rows_updated
+        manifest = {
+            "files": sorted(files, key=lambda f: f["name"]),
+            "total_rows": sum(
+                f["n_rows"] - f.get("n_deleted", 0) for f in files
+            ),
+            "schema": schema_ddl,
+            "version": version,
+        }
+        _publish_manifest(path, manifest)
+    except BaseException:
+        for name in written:
+            try:
+                _os.remove(_os.path.join(path, name))
+            except OSError:
+                pass
+        _shutil.rmtree(spool, ignore_errors=True)
+        raise
     _shutil.rmtree(spool, ignore_errors=True)
     return {
         "version": version,
         "rows_updated": rows_updated,
         "rows_inserted": rows_inserted,
         "files_added": sum(1 for m in messages if m["n"] > 0),
+        "files_scanned": len(candidates),
     }
 
 
@@ -1251,24 +1301,36 @@ class ManifestStreamSource(DataSource):
     def name(cls) -> str:
         return "json_manifest_stream_source"
 
-    def schema(self) -> str:
+    def _manifest(self) -> dict:
+        # Loaded ONCE and cached (the JsonManifestSource._manifest rule):
+        # schema() and streamReader() are separate planning calls, and a
+        # concurrent schema-evolving commit landing between them would
+        # pair v(N)'s planned schema with v(N+1)'s field list — every
+        # micro-batch would then misbind columns.
+        cached = getattr(self, "_manifest_cache", None)
+        if cached is not None:
+            return cached
         path = self.options.get("path")
         if not path:
             raise ValueError("json_manifest_stream_source requires 'path'")
-        return ", ".join(_load_manifest(path)["schema"])
+        self._manifest_cache = _load_manifest(path)
+        return self._manifest_cache
+
+    def schema(self) -> str:
+        return ", ".join(self._manifest()["schema"])
 
     def streamReader(self, schema) -> "ManifestStreamReader":
-        return ManifestStreamReader(self.options)
+        return ManifestStreamReader(self.options, manifest=self._manifest())
 
 
 class ManifestStreamReader(_DSSR):
-    def __init__(self, options) -> None:
+    def __init__(self, options, manifest: dict | None = None) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("json_manifest_stream_source requires 'path'")
-        self.fields = [
-            ddl.split(" ", 1)[0] for ddl in _load_manifest(self.path)["schema"]
-        ]
+        if manifest is None:
+            manifest = _load_manifest(self.path)
+        self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
 
     def initialOffset(self) -> dict:
         return {"version": 0}  # before the first commit: stream everything
@@ -1282,7 +1344,18 @@ class ManifestStreamReader(_DSSR):
     def _files_at(self, version: int) -> dict:
         if version <= 0:
             return {}
-        m = _load_manifest(self.path, version)
+        try:
+            m = _load_manifest(self.path, version)
+        except FileNotFoundError:
+            # The checkpointed offset points at a vacuumed snapshot: a
+            # contract error, not a raw IO crash — retention must cover
+            # every version an active stream may resume from.
+            raise ValueError(
+                f"json_manifest_stream_source: snapshot v{version} has "
+                "been vacuumed; keep retain_versions covering the oldest "
+                "checkpointed stream offset, or restart the stream with a "
+                "fresh checkpoint to re-bootstrap"
+            ) from None
         return {f["name"]: f for f in m["files"]}
 
     def partitions(self, start: dict, end: dict):

@@ -1149,12 +1149,10 @@ def test_manifest_merge_upsert_contracts_and_atomicity(spark, tmp_path):
     )
     report = merge_into_manifest_path(spark, path, upd, "i")
     # i=5 was already deleted -> INSERT; i=50 live -> UPDATE; i=150 new.
-    assert report == {
-        "version": 3,
-        "rows_updated": 1,
-        "rows_inserted": 2,
-        "files_added": report["files_added"],
-    }
+    assert report["version"] == 3
+    assert report["rows_updated"] == 1
+    assert report["rows_inserted"] == 2
+    assert report["files_scanned"] == 2  # keys hit both files' zones
     assert data_bytes() == before  # merge-on-read: originals untouched
     m = _load_manifest(path)
     assert m["version"] == 3
@@ -1171,13 +1169,16 @@ def test_manifest_merge_upsert_contracts_and_atomicity(spark, tmp_path):
     assert got[5] == 100 and got[50] == 200 and got[150] == 300
     assert got[49] == 49 % 7 and 9 not in got and len(got) == 92
 
-    # Second MERGE on the same key: latest value wins, old merge file DV'd.
-    merge_into_manifest_path(
+    # Second MERGE on the same key: latest value wins, old merge file
+    # DV'd — and the matched scan ZONE-PRUNES the [0, 49] file whose
+    # stats provably exclude key 50.
+    r2 = merge_into_manifest_path(
         spark,
         path,
         spark.createDataFrame([(50, 999)], "i bigint, v bigint"),
         "i",
     )
+    assert r2["files_scanned"] < 4  # 4 files on disk, [0,49] pruned
     with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
         v50 = (
             spark.read.format("json_manifest_source")
