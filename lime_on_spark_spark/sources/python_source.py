@@ -151,6 +151,23 @@ import shutil as _shutil
 from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
 
+def _bloom_bit_positions(column: str, value, m: int, k: int) -> list[int]:
+    """The k bloom bit positions for one (column, value) pair — md5-keyed
+    (the repo-wide determinism discipline) and shared verbatim by the
+    writer's insert and the reader's membership probe, so the two sides
+    can never drift. Values are serialized as str(value); only str/int
+    values are bloomable (see JsonManifestWriter._bloomable)."""
+    import hashlib as _hashlib
+
+    out = []
+    for j in range(k):
+        h = _hashlib.md5(
+            f"{column}|{value}|{j}".encode("utf-8")
+        ).hexdigest()
+        out.append(int(h, 16) % m)
+    return out
+
+
 class JsonManifestCommitMessage(WriterCommitMessage):
     def __init__(
         self,
@@ -158,6 +175,7 @@ class JsonManifestCommitMessage(WriterCommitMessage):
         final_name: str,
         n_rows: int,
         stats: dict | None = None,
+        blooms: dict | None = None,
     ) -> None:
         self.temp_path = temp_path
         self.final_name = final_name
@@ -166,6 +184,10 @@ class JsonManifestCommitMessage(WriterCommitMessage):
         # (None for all-NULL columns) — the data-skipping metadata the s16
         # reader prunes whole files with.
         self.stats = stats
+        # Per-column bloom filters ({"m", "k", "bits": hex}) for the
+        # writer's bloom_columns allowlist — the s26 point-lookup skipping
+        # metadata (zone maps can't prune scattered/hash-like values).
+        self.blooms = blooms
 
 
 class JsonManifestSink(DataSource):
@@ -243,9 +265,48 @@ class JsonManifestWriter(DataSourceWriter):
             if sc is not None
             else None
         )
+        # OPTIMISTIC CONCURRENCY (s25): a writer declares the snapshot
+        # version its plan was BASED ON; commit() refuses loudly if another
+        # commit landed in between (the Delta/Iceberg commit-protocol
+        # check). Without it, last-writer-wins silently drops the
+        # interleaved commit's rows from append lineage.
+        ev = options.get("expected_version")
+        self.expected_version = int(ev) if ev is not None else None
+        # IDEMPOTENT TRANSACTIONS (t26): (txn_app, txn_version) is the
+        # Delta `txn` primitive — the manifest records the highest version
+        # committed per app, and a replayed commit (streaming batch retry
+        # after checkpoint rollback) with version <= recorded is a NO-OP,
+        # making foreachBatch sinks exactly-once.
+        self.txn_app = options.get("txn_app")
+        tv = options.get("txn_version")
+        self.txn_version = int(tv) if tv is not None else None
+        if (self.txn_app is None) != (self.txn_version is None):
+            raise ValueError(
+                "txn_app and txn_version must be provided together"
+            )
+        # PER-FILE BLOOM FILTERS (s26): point-lookup skipping for columns
+        # whose values are scattered (a zone map on a hash-like string
+        # spans the whole domain in every file and prunes nothing). One
+        # bloom per (file, column); the reader prunes files whose bloom
+        # provably lacks an EqualTo literal. False positives only — a
+        # bloom can admit a dead file, never skip a live one.
+        bc = options.get("bloom_columns")
+        self.bloom_columns = (
+            {c.strip() for c in bc.split(",") if c.strip()}
+            if bc is not None
+            else set()
+        )
+        self.bloom_bits = int(options.get("bloom_bits", 16384))
+        self.bloom_k = int(options.get("bloom_k", 6))
 
     def _spool_dir(self) -> str:
         return _os.path.join(self.path, f"_temp-{self.job_id}")
+
+    @staticmethod
+    def _bloomable(v) -> bool:
+        # str/int only: floats have no canonical text form shared between
+        # writer and reader (repr drift), bools would alias 0/1.
+        return type(v) is not bool and isinstance(v, (int, str))
 
     def write(self, iterator):  # executor-side: spool one partition
         from pyspark import TaskContext
@@ -265,6 +326,15 @@ class JsonManifestWriter(DataSourceWriter):
         maxs: dict = {}
         nans: set = set()
         statable = (int, float, str)
+        # Streaming bloom build: one bitarray per allowlisted column,
+        # k md5-derived bit inserts per row — O(m/8) memory per column,
+        # never a value set (the 100 TB shape: the filter IS the state).
+        bloom_bits = {
+            c: bytearray(self.bloom_bits // 8)
+            for c in self.bloom_columns
+            if c in self.fields
+        }
+        bloom_partial: set = set()
         with open(temp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 vals = row.asDict()
@@ -272,6 +342,20 @@ class JsonManifestWriter(DataSourceWriter):
                     raise RuntimeError(
                         f"planted failure on {self.fields[0]}={self.poison}"
                     )
+                for c, bits in bloom_bits.items():
+                    v = vals.get(c)
+                    if v is None:
+                        continue  # NULL never matches an eq probe (3VL)
+                    if not self._bloomable(v):
+                        # A non-insertable value (float/bool) could still
+                        # equal an int probe (5.0 == 5): mark the bloom
+                        # PARTIAL so the reader declines to prune with it.
+                        bloom_partial.add(c)
+                        continue
+                    for pos in _bloom_bit_positions(
+                        c, v, self.bloom_bits, self.bloom_k
+                    ):
+                        bits[pos // 8] |= 1 << (pos % 8)
                 for k, v in vals.items():
                     if self.stats_columns is not None and k not in self.stats_columns:
                         continue
@@ -299,19 +383,24 @@ class JsonManifestWriter(DataSourceWriter):
             for k in self.fields
             if self.stats_columns is None or k in self.stats_columns
         }
+        blooms = {
+            c: {
+                "m": self.bloom_bits,
+                "k": self.bloom_k,
+                "partial": c in bloom_partial,
+                "bits": bytes(bits).hex(),
+            }
+            for c, bits in bloom_bits.items()
+        }
         return JsonManifestCommitMessage(
-            temp, f"job-{self.job_id}-part-{pid:05d}.json", n, stats
+            temp,
+            f"job-{self.job_id}-part-{pid:05d}.json",
+            n,
+            stats,
+            blooms or None,
         )
 
     def commit(self, messages):  # driver-side: publish atomically
-        files = []
-        for m in messages:
-            final = _os.path.join(self.path, m.final_name)
-            _os.replace(m.temp_path, final)
-            entry = {"name": m.final_name, "n_rows": m.n_rows}
-            if getattr(m, "stats", None) is not None:
-                entry["stats"] = m.stats
-            files.append(entry)
         mp = _os.path.join(self.path, "_MANIFEST.json")
         prior: dict | None = None
         prior_files: list = []
@@ -321,6 +410,39 @@ class JsonManifestWriter(DataSourceWriter):
                 prior = _json.load(fh)
             prior_files = prior["files"]
             prior_version = prior.get("version", 0)
+        # OPTIMISTIC CONCURRENCY (s25): validated BEFORE any spool file is
+        # renamed in — a refused commit leaves the directory exactly as the
+        # winning writer published it (the spool is reclaimed below).
+        if (
+            self.expected_version is not None
+            and prior_version != self.expected_version
+        ):
+            _shutil.rmtree(self._spool_dir(), ignore_errors=True)
+            raise ValueError(
+                "concurrent commit conflict: this write was based on "
+                f"version {self.expected_version}, but the table is now at "
+                f"version {prior_version}; re-plan against the current "
+                "snapshot and retry"
+            )
+        # IDEMPOTENT TRANSACTION (t26): a replayed (txn_app, txn_version)
+        # commit is a silent NO-OP — the exactly-once contract for
+        # foreachBatch sinks retrying after checkpoint rollback.
+        txns = dict((prior or {}).get("txns", {}))
+        if self.txn_app is not None:
+            if txns.get(self.txn_app, -1) >= self.txn_version:
+                _shutil.rmtree(self._spool_dir(), ignore_errors=True)
+                return
+            txns[self.txn_app] = self.txn_version
+        files = []
+        for m in messages:
+            final = _os.path.join(self.path, m.final_name)
+            _os.replace(m.temp_path, final)
+            entry = {"name": m.final_name, "n_rows": m.n_rows}
+            if getattr(m, "stats", None) is not None:
+                entry["stats"] = m.stats
+            if getattr(m, "blooms", None):
+                entry["bloom"] = m.blooms
+            files.append(entry)
         schema_ddl = self.schema_ddl
         if not self.overwrite:
             # Append mode: merge with the prior jobs' manifest — replacing
@@ -360,6 +482,8 @@ class JsonManifestWriter(DataSourceWriter):
             "schema": schema_ddl,
             "version": version,
         }
+        if txns:
+            manifest["txns"] = txns
         _publish_manifest(self.path, manifest)
         if self.overwrite and not self.retain_history:
             # The new manifest supersedes the old one; delete the files it
@@ -764,13 +888,15 @@ def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
         f["n_deleted"] = len(merged)
         n_new_deleted += len(hits)
         dv_written += 1
-    manifest = {
+    new_manifest = {
         "files": files,
         "total_rows": sum(f["n_rows"] - f.get("n_deleted", 0) for f in files),
         "schema": manifest["schema"],
         "version": version,
     }
-    _publish_manifest(path, manifest)
+    if manifest.get("txns"):
+        new_manifest["txns"] = manifest["txns"]
+    _publish_manifest(path, new_manifest)
     return {
         "version": version,
         "rows_deleted": n_new_deleted,
@@ -1013,7 +1139,7 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             )
         rows_updated = len(matched_keys)
         rows_inserted = int(counts["n"]) - rows_updated
-        manifest = {
+        new_manifest = {
             "files": sorted(files, key=lambda f: f["name"]),
             "total_rows": sum(
                 f["n_rows"] - f.get("n_deleted", 0) for f in files
@@ -1021,7 +1147,9 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             "schema": schema_ddl,
             "version": version,
         }
-        _publish_manifest(path, manifest)
+        if manifest.get("txns"):
+            new_manifest["txns"] = manifest["txns"]
+        _publish_manifest(path, new_manifest)
     except BaseException:
         for name in written:
             try:
@@ -1038,6 +1166,115 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
         "files_added": sum(1 for m in messages if m["n"] > 0),
         "files_scanned": len(candidates),
     }
+
+
+def _scan_file_changes(
+    path: str,
+    name: str,
+    mode: str,
+    positions: frozenset,
+    fields: list,
+    casts: list,
+    change_type: str,
+):
+    """Executor-side CDF scan of one data file: yield rows at ``positions``
+    (mode="include") or rows NOT at them (mode="exclude"), tagged with
+    ``change_type``, cast per the manifest schema (JSON carries no type
+    tags; the latest-superset schema NULL-fills columns an old epoch
+    lacked — the s20 reconcile semantics)."""
+    with open(_os.path.join(path, name), encoding="utf-8") as fh:
+        for pos, line in enumerate(fh):
+            hit = pos in positions
+            if (mode == "include") != hit:
+                continue
+            vals = _json.loads(line)
+            out = []
+            for col, cast in zip(fields, casts):
+                x = vals.get(col)
+                out.append(cast(x) if x is not None and cast else x)
+            yield tuple(out) + (change_type,)
+
+
+def changes_between_manifest_path(spark, path: str, v_from: int, v_to: int):
+    """CHANGE DATA FEED over a `json_manifest_sink` directory — the Delta
+    CDF / Iceberg changelog primitive: the row-level changes between two
+    snapshots, as a DataFrame under v_to's schema plus a `_change_type`
+    column ('insert' | 'delete'); an update (s22 MERGE) appears as the
+    delete of the old row plus the insert of the new one, the CDC pair.
+
+    Computed as a pure MANIFEST DIFF — no per-commit change files:
+    * files in v_to but not v_from: their live rows (v_to DV anti-applied)
+      are inserts;
+    * files in v_from but not v_to (a compaction rewrite): their live rows
+      at v_from are deletes — paired with the rewritten copies' inserts
+      they cancel in any downstream aggregate (d97 IVM), so a compaction
+      is churn, never corruption;
+    * files in both: positions in dv(v_to) - dv(v_from) are deletes. A
+      position deleted at v_from but live at v_to is impossible under the
+      DML surface (DVs only grow on a fixed file) and raises loudly.
+
+    ``v_from`` = 0 means "from empty" (every live v_to row is an insert).
+    Requires retain_history writes (s17): both snapshots and every file
+    they reference must still exist — vacuumed history raises
+    FileNotFoundError, never silently under-reports.
+
+    Scale shape: the diff is driver-side O(#files + #DV positions)
+    metadata work; row materialization is one executor task per changed
+    file — cost scales with the CHANGE, not the table.
+    """
+    v_from, v_to = int(v_from), int(v_to)
+    if not 0 <= v_from < v_to:
+        raise ValueError(f"need 0 <= v_from < v_to, got {v_from}, {v_to}")
+    new = _load_manifest(path, v_to)
+    old = (
+        {"files": [], "schema": new["schema"]}
+        if v_from == 0
+        else _load_manifest(path, v_from)
+    )
+    old_by_name = {f["name"]: f for f in old["files"]}
+    new_by_name = {f["name"]: f for f in new["files"]}
+    # v_to's schema is the superset (s20 evolution only adds columns).
+    fields = [ddl.split(" ", 1)[0] for ddl in new["schema"]]
+    _CASTS = {"bigint": int, "long": int, "int": int, "smallint": int,
+              "tinyint": int, "double": float, "float": float}
+    casts = [
+        _CASTS.get(ddl.split(" ", 1)[1].split("(")[0])
+        for ddl in new["schema"]
+    ]
+
+    def _dv(entry: dict) -> frozenset:
+        return frozenset(
+            _load_dv(path, entry["dv"]) if entry.get("dv") else ()
+        )
+
+    tasks: list[tuple[str, str, frozenset, str]] = []
+    for name, f in new_by_name.items():
+        if name not in old_by_name:
+            tasks.append((name, "exclude", _dv(f), "insert"))
+            continue
+        dv_old, dv_new = _dv(old_by_name[name]), _dv(f)
+        resurrected = dv_old - dv_new
+        if resurrected:
+            raise ValueError(
+                f"manifest lineage violation: {len(resurrected)} positions "
+                f"of {name} are deleted at v{v_from} but live at v{v_to}"
+            )
+        newly_deleted = dv_new - dv_old
+        if newly_deleted:
+            tasks.append((name, "include", newly_deleted, "delete"))
+    for name, f in old_by_name.items():
+        if name not in new_by_name:
+            tasks.append((name, "exclude", _dv(f), "delete"))
+
+    ddl = ", ".join(new["schema"]) + ", _change_type string"
+    if not tasks:
+        return spark.createDataFrame([], ddl)
+    rdd = spark.sparkContext.parallelize(tasks, len(tasks)).flatMap(
+        lambda t: _scan_file_changes(
+            path, t[0], t[1], t[2], fields, casts, t[3]
+        )
+    )
+    return spark.createDataFrame(rdd, ddl)
 
 
 class JsonManifestSource(DataSource):
@@ -1107,6 +1344,11 @@ class JsonManifestSourceReader(DataSourceReader):
         self.files = manifest["files"]
         self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
         self.accepted: list[tuple[str, str, object]] = []
+        # Zone-prunable subset of accepted (stat-comparable across ALL
+        # files) and bloom-probe subset (bloom-covered across ALL files) —
+        # a filter can be in either, both, or row-test-only via accepted.
+        self.zone_filters: list[tuple[str, str, object]] = []
+        self.bloom_probes: list[tuple[str, object]] = []
 
     def _stat_comparable(self, col: str, v) -> bool:
         """True iff v can be compared against EVERY file's [min, max] for
@@ -1133,15 +1375,29 @@ class JsonManifestSourceReader(DataSourceReader):
                 return False
         return True
 
+    def _bloom_covered(self, col: str, v) -> bool:
+        """True iff EVERY file carries a complete (non-partial) bloom for
+        col — only then is "bits absent => value absent" sound to prune
+        with — and v is a writer-insertable value class (str/int)."""
+        if type(v) is bool or not isinstance(v, (int, str)):
+            return False
+        for f in self.files:
+            b = (f.get("bloom") or {}).get(col)
+            if b is None or b.get("partial", True):
+                return False
+        return True
+
     def pushFilters(self, filters):
-        # Accept simple comparisons on stats-covered columns; everything
-        # else (In, IsNull, Not, string matchers, multi-part columns) goes
-        # back to Spark. Accepted filters are BOTH the zone-prune key in
-        # partitions() and an exact row filter in read() — never prune-only.
+        # Accept simple comparisons on stats-covered columns, plus EqualTo
+        # on bloom-covered columns (s26 — point lookups zone maps can't
+        # prune); everything else (In, IsNull, Not, string matchers,
+        # multi-part columns) goes back to Spark. Accepted filters are
+        # BOTH a file-prune key in partitions() and an exact row filter in
+        # read() — never prune-only.
         for f in filters:
             tagged = _ZONE_TESTS.get(type(f))
             v = getattr(f, "value", None)
-            if (
+            if not (
                 tagged is not None
                 and len(f.attribute) == 1
                 and type(v) is not bool
@@ -1150,14 +1406,23 @@ class JsonManifestSourceReader(DataSourceReader):
                 # Spark's NaN ordering (NaN = NaN, NaN > any double) and
                 # Python's (NaN matches nothing) disagree on every test.
                 and not (isinstance(v, float) and v != v)
-                and self._stat_comparable(f.attribute[0], v)
             ):
-                self.accepted.append((tagged[0], f.attribute[0], v))
-            else:
                 yield f
+                continue
+            col = f.attribute[0]
+            zone_ok = self._stat_comparable(col, v)
+            bloom_ok = tagged[0] == "eq" and self._bloom_covered(col, v)
+            if not zone_ok and not bloom_ok:
+                yield f
+                continue
+            self.accepted.append((tagged[0], col, v))
+            if zone_ok:
+                self.zone_filters.append((tagged[0], col, v))
+            if bloom_ok:
+                self.bloom_probes.append((col, v))
 
     def _zone_keeps(self, entry: dict) -> bool:
-        for tag, col, v in self.accepted:
+        for tag, col, v in self.zone_filters:
             s = entry["stats"][col]
             lo, hi = s["min"], s["max"]
             if lo is None:
@@ -1166,9 +1431,24 @@ class JsonManifestSourceReader(DataSourceReader):
                 return False
         return True
 
+    def _bloom_keeps(self, entry: dict) -> bool:
+        # False positives only: a set bit can admit a dead file (read it,
+        # row-filter exactly), a clear bit PROVES the value is absent.
+        for col, v in self.bloom_probes:
+            b = entry["bloom"][col]
+            bits = bytes.fromhex(b["bits"])
+            for pos in _bloom_bit_positions(col, v, b["m"], b["k"]):
+                if not (bits[pos // 8] >> (pos % 8)) & 1:
+                    return False
+        return True
+
     def partitions(self):  # driver-side: prune files, one task per survivor
         total = len(self.files)
-        keep = [f for f in self.files if self._zone_keeps(f)]
+        keep = [
+            f
+            for f in self.files
+            if self._zone_keeps(f) and self._bloom_keeps(f)
+        ]
         if not keep:  # degenerate empty scan (Spark needs >=1 partition)
             return [InputPartition((None, None, 0, total))]
         return [
