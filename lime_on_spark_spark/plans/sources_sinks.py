@@ -1708,3 +1708,409 @@ def s23_manifest_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("i").cast("bigint").alias("max_i"),
         F.lit(bool(run2_incremental)).alias("run2_incremental"),
     )
+
+
+# --------------------------------------------------------------------------
+# S24 — CHANGE DATA FEED between manifest snapshots (the Delta CDF /
+# Iceberg changelog primitive — the read half of CDC, completing the DML
+# surface: s19 DELETE, s21 OPTIMIZE, s22 MERGE all become *consumable*
+# as row-level changes). Lineage here: v1 seeds 6000 rows, v2 DELETEs
+# the [1000, 2000) band, v3 MERGEs [5000, 7000) (2000 updates split as
+# 1000 matched + 1000 inserts under the merge value formula). The feed
+# v1 -> v3 must therefore contain EXACTLY 2000 deletes (the DELETE band
+# + the MERGE-matched band, under the ORIGINAL value formula — CDC
+# emits the pre-image) and 2000 inserts (the update batch under the NEW
+# formula). The oracle replays that closed form; a feed that re-reads
+# unchanged rows, misses a DV, or emits post-image deletes breaks the
+# value hash. Bootstrap completeness is pinned separately: CDF 0 -> 1
+# is all-inserts with count 6000.
+# Scale: the feed is a driver-side manifest diff (O(#files + #DV
+# positions)) + one executor task per CHANGED file — cost scales with
+# the change, not the table (the property that makes downstream
+# incremental consumers viable at 100 TB).
+# --------------------------------------------------------------------------
+@register(
+    "s24_manifest_change_data_feed",
+    oracle="""
+    WITH del AS (
+        SELECT i, (i * i % 97) / 10.0 AS v
+        FROM (SELECT unnest(range(1000, 2000)) AS i)
+        UNION ALL
+        SELECT i, (i * i % 97) / 10.0
+        FROM (SELECT unnest(range(5000, 6000)) AS i)
+    ), ins AS (
+        SELECT i, (i * i % 89) / 10.0 AS v
+        FROM (SELECT unnest(range(5000, 7000)) AS i)
+    )
+    SELECT 'delete' AS change_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM del) AS n,
+           (SELECT CAST(MIN(i) AS BIGINT) FROM del)   AS min_i,
+           (SELECT CAST(MAX(i) AS BIGINT) FROM del)   AS max_i,
+           (SELECT ROUND(SUM(v), 4) FROM del)         AS sum_v,
+           CAST(6000 AS BIGINT)                       AS bootstrap_inserts
+    UNION ALL
+    SELECT 'insert',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ins),
+           (SELECT CAST(MIN(i) AS BIGINT) FROM ins),
+           (SELECT CAST(MAX(i) AS BIGINT) FROM ins),
+           (SELECT ROUND(SUM(v), 4) FROM ins),
+           CAST(6000 AS BIGINT)
+    """,
+)
+def s24_manifest_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import (
+        changes_between_manifest_path,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s24_cdf")
+    (
+        _synthetic_series(spark, 0, 6000, 3)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    delete_where_manifest_path(
+        spark, path, [("i", "ge", 1000), ("i", "lt", 2000)]
+    )
+    updates = spark.range(5000, 7000, 1, 2).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * F.col("id") % 89) / 10.0).alias("v"),
+    )
+    merge_into_manifest_path(spark, path, updates, "i")
+    # Bootstrap completeness: "from empty" is all-inserts, full count.
+    boot = changes_between_manifest_path(spark, path, 0, 1)
+    bootstrap_inserts = boot.filter(
+        F.col("_change_type") == "insert"
+    ).count()
+    assert boot.count() == bootstrap_inserts  # no phantom deletes
+    feed = changes_between_manifest_path(spark, path, 1, 3)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("i").cast("bigint").alias("min_i"),
+            F.max("i").cast("bigint").alias("max_i"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+        )
+        .withColumn(
+            "bootstrap_inserts", F.lit(int(bootstrap_inserts)).cast("bigint")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# S25 — OPTIMISTIC CONCURRENCY on manifest commits (the Delta/Iceberg
+# commit-protocol check): a writer declares the snapshot version its
+# plan was based on (`expected_version`); if another commit landed in
+# between, commit() refuses LOUDLY — before a single spool file is
+# renamed in — and the loser re-plans against the current snapshot and
+# retries. Without the check, interleaved appends are last-writer-wins:
+# the loser's manifest read-modify-write would silently drop the
+# winner's files from the table. The row stages exactly that race
+# (writer B based on v1 commits after A already advanced the table to
+# v2), pins that the conflict is detected, that the directory holds no
+# conflict litter (no spool dirs, exactly the committed data files),
+# and that B's retry lands as v3 with nothing lost.
+# Scale: the check is one version comparison at commit — O(1) metadata,
+# the same cost at 100 TB as at 9000 rows.
+# --------------------------------------------------------------------------
+@register(
+    "s25_manifest_occ_conflict",
+    oracle="""
+    SELECT CAST(9000 AS BIGINT)                        AS n_total,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(9000)) AS i))    AS sum_v,
+           CAST(3 AS BIGINT)                           AS final_version,
+           TRUE                                        AS conflict_detected,
+           TRUE                                        AS no_spool_litter,
+           CAST(6 AS BIGINT)                           AS data_files
+    """,
+)
+def s25_manifest_occ_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import _load_manifest
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s25_occ")
+
+    def append(lo: int, hi: int, expected: int | None) -> None:
+        w = (
+            _synthetic_series(spark, lo, hi, 2)
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .mode("append")
+        )
+        if expected is not None:
+            w = w.option("expected_version", str(expected))
+        w.save()
+
+    append(0, 4000, None)  # v1 seed
+    append(4000, 6000, 1)  # writer A, based on v1 -> lands v2
+    conflict_detected = False
+    try:
+        # Writer B also planned against v1; A's commit landed first.
+        append(6000, 9000, 1)
+    except Exception as exc:  # surfaces through Py4J — match the message
+        conflict_detected = "concurrent commit conflict" in str(exc)
+    # B re-plans against the CURRENT snapshot and retries.
+    append(6000, 9000, _load_manifest(path)["version"])
+    manifest = _load_manifest(path)
+    names = os.listdir(path)
+    no_litter = not any(n.startswith("_temp-") for n in names)
+    data_files = sum(
+        1
+        for n in names
+        if n.endswith(".json") and not n.startswith(("_", "dv-"))
+    )
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        back = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                F.round(F.sum("v"), 4).alias("sum_v"),
+            )
+            .first()
+        )
+    return spark.createDataFrame(
+        [
+            (
+                back["n_total"], back["sum_v"],
+                manifest["version"], bool(conflict_detected),
+                bool(no_litter), data_files,
+            )
+        ],
+        "n_total bigint, sum_v double, final_version bigint,"
+        " conflict_detected boolean, no_spool_litter boolean,"
+        " data_files bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# S26 — per-file BLOOM FILTER skipping on the manifest connector: the
+# point-lookup half of data skipping. Zone maps (s16) prune RANGES; on a
+# hash-like key column every file's [min, max] spans nearly the whole
+# domain, so an equality probe prunes NOTHING by zones — exactly the
+# lookup shape (find one document by content hash in a 100 TB lake)
+# where Delta/Iceberg deploy blooms. The writer streams each row's key
+# into a fixed 16 KiB-bit filter per file (O(m) memory, never a value
+# set); the reader probes the k md5-derived bits and skips files that
+# provably lack the literal. Pinned: the bloom lookup reads 1 of 4
+# files while the SAME probe against a bloom-less copy of the table
+# reads all 4 (the zone-only control — proof blooms do the work), and
+# an absent key returns zero rows (false positives may cost a read,
+# never a wrong row: accepted probes are also exact row filters).
+# Scale: filters live in the manifest (KBs/file); probing is driver-side
+# planning — a point lookup opens O(1) files instead of O(#files).
+# --------------------------------------------------------------------------
+@register(
+    "s26_manifest_bloom_skipping",
+    oracle="""
+    SELECT CAST(1234 AS BIGINT)                       AS i,
+           ROUND((1234 * 1234 % 97) / 10.0, 4)        AS v,
+           CAST(1 AS BIGINT)                          AS bloom_files_read,
+           CAST(4 AS BIGINT)                          AS files_total,
+           CAST(4 AS BIGINT)                          AS zone_only_files_read,
+           CAST(0 AS BIGINT)                          AS absent_key_rows
+    """,
+)
+def s26_manifest_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from lime_on_spark_spark.session import temp_conf
+
+    _register_manifest_classes(spark)
+    bloomed = _scratch(spark, "s26_bloom")
+    control = _scratch(spark, "s26_zone")
+
+    def keyed():
+        # spark.range with 4 partitions splits deterministically: file p
+        # holds i in [p*2000, (p+1)*2000) — but the KEY is md5(i), so each
+        # file's key zone spans ~the whole hex domain (zones can't prune).
+        return spark.range(0, 8000, 1, 4).select(
+            F.col("id").alias("i"),
+            F.md5(F.col("id").cast("string")).alias("key"),
+            F.round((F.col("id") * F.col("id") % 97) / 10.0, 4).alias("v"),
+        )
+
+    (
+        keyed().write.format("json_manifest_sink")
+        .option("path", bloomed)
+        .option("bloom_columns", "key")
+        .mode("append")
+        .save()
+    )
+    (
+        keyed().write.format("json_manifest_sink")
+        .option("path", control)
+        .mode("append")
+        .save()
+    )
+    probe = hashlib.md5(b"1234").hexdigest()
+
+    def lookup(path: str):
+        return (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .filter(F.col("key") == probe)
+        )
+
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        hit = lookup(bloomed).first()
+        zone_only = lookup(control).first()
+        absent = (
+            spark.read.format("json_manifest_source")
+            .option("path", bloomed)
+            .load()
+            .filter(F.col("key") == "not-a-real-md5-key")
+            .count()
+        )
+    return spark.createDataFrame(
+        [
+            (
+                hit["i"], hit["v"],
+                hit["n_files_read"], hit["n_files_total"],
+                zone_only["n_files_read"], absent,
+            )
+        ],
+        "i bigint, v double, bloom_files_read bigint, files_total bigint,"
+        " zone_only_files_read bigint, absent_key_rows bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# D97 — INCREMENTAL VIEW MAINTENANCE from the change data feed: the
+# production consumer CDF exists for. A per-bucket aggregate (COUNT +
+# SUM — self-maintainable deltas) is materialized at snapshot v1, the
+# table then takes a DELETE (v2) and a MERGE (v3), and the view is
+# brought current by applying ONLY the s24 feed: +1/+v per insert,
+# -1/-v per delete (CDC pre-images make the delete side subtractable).
+# The row pins the maintained view cell-for-cell against a full
+# recompute over the latest snapshot (matches_full, 1e-6 tolerance) AND
+# hash-pins the values against the closed-form oracle — an IVM that
+# drops a delta, double-applies a change, or misses a pre-image
+# diverges from both.
+# Scale: the refresh touches O(|change|) rows + O(#buckets) state — at
+# 100 TB the difference between a view you can afford to keep current
+# (read 4000 changed rows) and one you cannot (re-aggregate 7000 — or
+# 10^11 — live rows). Deletes-as-negative-rows is the classic
+# self-maintainable-aggregate construction (Gupta & Mumick).
+# --------------------------------------------------------------------------
+@register(
+    "d97_incremental_view_maintenance",
+    oracle="""
+    WITH live AS (
+        SELECT i, (i * i % 97) / 10.0 AS v
+        FROM (SELECT unnest(range(1000)) AS i)
+        UNION ALL
+        SELECT i, (i * i % 97) / 10.0
+        FROM (SELECT unnest(range(2000, 5000)) AS i)
+        UNION ALL
+        SELECT i, (i * i % 89) / 10.0
+        FROM (SELECT unnest(range(5000, 7000)) AS i)
+    )
+    SELECT CAST(i % 8 AS INT)        AS bucket,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           ROUND(SUM(v), 4)          AS sum_v,
+           TRUE                      AS matches_full
+    FROM live GROUP BY bucket
+    """,
+)
+def d97_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        changes_between_manifest_path,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "d97_ivm")
+    (
+        _synthetic_series(spark, 0, 6000, 3)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+
+    def read_version(version: int | None):
+        rd = spark.read.format("json_manifest_source").option("path", path)
+        if version is not None:
+            rd = rd.option("version", version)
+        return rd.load().select("i", "v")
+
+    bucket = (F.col("i") % 8).cast("int").alias("bucket")
+    # Materialize the view at v1 (in a real pipeline this is a stored
+    # table; localCheckpoint pins one evaluation so the "old" view can't
+    # silently re-read a mutated path).
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        mv0 = (
+            read_version(1)
+            .groupBy(bucket)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    delete_where_manifest_path(
+        spark, path, [("i", "ge", 1000), ("i", "lt", 2000)]
+    )
+    updates = spark.range(5000, 7000, 1, 2).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * F.col("id") % 89) / 10.0).alias("v"),
+    )
+    merge_into_manifest_path(spark, path, updates, "i")
+    # REFRESH: deltas from the feed only — deletes as negative rows.
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    deltas = (
+        changes_between_manifest_path(spark, path, 1, 3)
+        .select(bucket, sign.alias("w"), "v")
+        .groupBy("bucket")
+        .agg(
+            F.sum("w").cast("long").alias("n"),
+            F.sum(F.col("w") * F.col("v")).alias("s"),
+        )
+    )
+    mv1 = (
+        mv0.unionByName(deltas)
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"), F.sum("s").alias("s"))
+        .filter(F.col("n") > 0)
+    )
+    # Verify against a FULL recompute over the latest snapshot. Collected
+    # HERE: the manifest reads must run under the pushdown conf, which
+    # does not outlive this function — the driver evaluates the returned
+    # frame later, so it must be a literal.
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        full = read_version(None).groupBy(bucket).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_full"),
+            F.sum("v").alias("s_full"),
+        )
+        rows = (
+            mv1.join(full, "bucket", "full_outer")
+            .select(
+                "bucket",
+                F.col("n").cast("bigint").alias("n"),
+                F.round("s", 4).alias("sum_v"),
+                (
+                    (F.col("n") == F.col("n_full"))
+                    & (F.abs(F.col("s") - F.col("s_full")) < 1e-6)
+                ).alias("matches_full"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(
+        rows, "bucket int, n bigint, sum_v double, matches_full boolean"
+    )

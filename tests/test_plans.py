@@ -1245,3 +1245,315 @@ def test_manifest_stream_source_append_only_guard(spark, tmp_path):
     write(100, 105, "overwrite")
     with pytest.raises(Exception, match="append-only"):
         run()
+
+
+def test_manifest_cdf_contracts(spark, tmp_path):
+    """s24's change-data-feed contracts: bad version ranges raise, a
+    compaction between the endpoints appears as delete+reinsert churn
+    whose signed aggregate cancels exactly (the d97 IVM invariant), a
+    resurrected DV position raises loudly, and vacuumed history fails
+    with FileNotFoundError rather than under-reporting."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        _load_manifest,
+        changes_between_manifest_path,
+        delete_where_manifest_path,
+        vacuum_manifest_path,
+    )
+    from lime_on_spark_spark.session import temp_conf
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "cdf")
+    series = spark.range(0, 200, 1, 2).select(
+        F.col("id").alias("i"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    series.write.format("json_manifest_sink").option("path", path).mode(
+        "append"
+    ).save()  # v1
+
+    with pytest.raises(ValueError, match="v_from < v_to"):
+        changes_between_manifest_path(spark, path, 1, 1)
+    with pytest.raises(ValueError, match="v_from < v_to"):
+        changes_between_manifest_path(spark, path, -1, 1)
+
+    # DELETE then COMPACT (overwrite rewrite with retained history): the
+    # feed across the compaction is full churn — every pre-image deleted,
+    # every live row re-inserted — and the signed totals cancel to the
+    # post-delete live state.
+    delete_where_manifest_path(spark, path, [("i", "lt", 50)])  # v2
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        live = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .select("i", "v")
+        )
+        (
+            live.repartition(2)
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("overwrite")
+            .save()
+        )  # v3
+    feed = changes_between_manifest_path(spark, path, 1, 3)
+    net = feed.select(
+        F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        ).alias("dn"),
+        F.sum(
+            F.when(F.col("_change_type") == "insert", F.col("v")).otherwise(
+                -F.col("v")
+            )
+        ).alias("dv"),
+    ).first()
+    assert net["dn"] == -50  # net change = the 50 deleted rows
+    deletes = feed.filter(F.col("_change_type") == "delete")
+    inserts = feed.filter(F.col("_change_type") == "insert")
+    assert deletes.count() == 200  # all v1 rows (churn: rewritten files)
+    assert inserts.count() == 150  # live rows re-inserted by the compact
+
+    # Resurrected DV position -> loud lineage error. Forge a v4 whose DV
+    # for a v3 file is a strict SUBSET of nothing (v3 has no DVs, so
+    # instead forge the FROM side: hand-write a manifest pair).
+    m3 = _load_manifest(path, 3)
+    forged_from = json.loads(json.dumps(m3))
+    target = forged_from["files"][0]["name"]
+    dv_name = f"dv-v99-{target}"
+    with open(os.path.join(path, dv_name), "w", encoding="utf-8") as fh:
+        json.dump({"file": target, "positions": [0]}, fh)
+    forged_from["files"][0]["dv"] = dv_name
+    forged_from["version"] = 4
+    with open(
+        os.path.join(path, "_MANIFEST-v4.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(forged_from, fh)
+    m5 = json.loads(json.dumps(m3))
+    m5["version"] = 5
+    with open(
+        os.path.join(path, "_MANIFEST-v5.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(m5, fh)
+    with pytest.raises(ValueError, match="lineage violation"):
+        changes_between_manifest_path(spark, path, 4, 5).count()
+
+    # Vacuumed history: the FROM snapshot is gone -> loud, never silent.
+    for n in ("_MANIFEST-v4.json", "_MANIFEST-v5.json", dv_name):
+        os.remove(os.path.join(path, n))
+    vacuum_manifest_path(path, retain_versions=1)
+    with pytest.raises(FileNotFoundError):
+        changes_between_manifest_path(spark, path, 1, 3)
+
+
+def test_manifest_occ_expected_version(spark, tmp_path):
+    """s25's optimistic-concurrency contract: expected_version=0 admits
+    the bootstrap commit, a stale base refuses BEFORE any file lands (no
+    spool litter, winner's manifest untouched), and the retry at the
+    refreshed version commits."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        _load_manifest,
+    )
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "occ")
+
+    def append(lo, hi, expected):
+        w = (
+            spark.range(lo, hi, 1, 1)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .mode("append")
+        )
+        if expected is not None:
+            w = w.option("expected_version", str(expected))
+        w.save()
+
+    append(0, 10, 0)  # bootstrap: empty table is version 0
+    assert _load_manifest(path)["version"] == 1
+    append(10, 20, 1)  # v2
+    listing_before = sorted(os.listdir(path))
+    with pytest.raises(Exception, match="concurrent commit conflict"):
+        append(20, 30, 1)  # stale base
+    assert sorted(os.listdir(path)) == listing_before  # nothing landed
+    assert _load_manifest(path)["version"] == 2
+    append(20, 30, 2)  # retry against the current snapshot
+    m = _load_manifest(path)
+    assert m["version"] == 3 and m["total_rows"] == 30
+
+
+def test_manifest_txn_idempotency(spark, tmp_path):
+    """t26's transaction contract: a replayed (txn_app, txn_version) is a
+    silent no-op at-or-below the recorded version, independent apps don't
+    interfere, the txn table survives DELETE, and a lone txn option
+    raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        _load_manifest,
+        delete_where_manifest_path,
+    )
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "txn")
+
+    def append(lo, hi, app=None, ver=None):
+        w = (
+            spark.range(lo, hi, 1, 1)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .mode("append")
+        )
+        if app is not None:
+            w = w.option("txn_app", app)
+        if ver is not None:
+            w = w.option("txn_version", str(ver))
+        return w.save()
+
+    append(0, 10, "a", 0)
+    append(0, 10, "a", 0)  # exact replay: no-op
+    assert _load_manifest(path)["total_rows"] == 10
+    append(10, 30, "a", 1)
+    append(5, 8, "a", 0)  # stale replay below the recorded version: no-op
+    assert _load_manifest(path)["total_rows"] == 30
+    append(100, 110, "b", 0)  # independent app commits fine
+    m = _load_manifest(path)
+    assert m["total_rows"] == 40 and m["txns"] == {"a": 1, "b": 0}
+    delete_where_manifest_path(spark, path, [("i", "lt", 5)])
+    m = _load_manifest(path)
+    assert m["txns"] == {"a": 1, "b": 0}  # txn table survives DML
+    append(30, 40, "a", 1)  # still a no-op AFTER the delete snapshot
+    assert _load_manifest(path)["total_rows"] == 35
+    with pytest.raises(Exception, match="together"):
+        append(0, 1, "a", None)
+
+
+def test_manifest_bloom_soundness(spark, tmp_path):
+    """s26's bloom soundness edges: a double column's bloom is PARTIAL
+    (values not insertable) so the reader declines to prune with it; a
+    table with one bloom-less file loses coverage entirely (prune only
+    when EVERY file is provably complete); and a probe that bloom-hits a
+    file is still row-filtered exactly."""
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        _load_manifest,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+
+    # PARTIAL: bloom requested on a double column -> every value skipped,
+    # marked partial, reader must read ALL files (an int probe could
+    # equal a double cell: 5 == 5.0).
+    pd_path = str(tmp_path / "partial")
+    (
+        spark.range(0, 40, 1, 2)
+        .select(F.col("id").alias("i"), F.col("id").cast("double").alias("x"))
+        .write.format("json_manifest_sink")
+        .option("path", pd_path)
+        .option("bloom_columns", "x")
+        .mode("append")
+        .save()
+    )
+    m = _load_manifest(pd_path)
+    assert all(f["bloom"]["x"]["partial"] for f in m["files"])
+    # Reader-level: a PARTIAL bloom must never be accepted as a prune
+    # source, whatever the probe class (through Spark SQL a literal
+    # arrives cast to the column type, so this is the defense-in-depth
+    # layer; zone maps may still prune the same probe legitimately).
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSourceReader,
+    )
+
+    rd = JsonManifestSourceReader({"path": pd_path})
+    assert not rd._bloom_covered("x", 5)
+    assert not rd._bloom_covered("x", "5")
+    assert not rd._bloom_covered("x", 5.0)  # float probes never bloomable
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        got = (
+            spark.read.format("json_manifest_source")
+            .option("path", pd_path)
+            .load()
+            .filter(F.col("x") == 5.0)
+            .collect()
+        )
+        # Zone maps (complete, sound) may prune; values must be exact.
+        assert [r["i"] for r in got] == [5]
+
+        # COVERAGE: one bloomed commit + one bloom-less append -> the
+        # probe column is no longer provably complete in every file, so
+        # pruning is declined (reads all 3 files) but rows stay exact.
+        cv_path = str(tmp_path / "coverage")
+        keyed = spark.range(0, 40, 1, 2).select(
+            F.col("id").alias("i"), F.md5(F.col("id").cast("string")).alias("k")
+        )
+        (
+            keyed.write.format("json_manifest_sink")
+            .option("path", cv_path)
+            .option("bloom_columns", "k")
+            .mode("append")
+            .save()
+        )
+        import hashlib
+
+        probe = hashlib.md5(b"7").hexdigest()
+        hit = (
+            spark.read.format("json_manifest_source")
+            .option("path", cv_path)
+            .load()
+            .filter(F.col("k") == probe)
+            .collect()
+        )
+        assert [(r["i"], r["n_files_read"]) for r in hit] == [(7, 1)]
+        (
+            spark.range(40, 60, 1, 1)
+            .select(
+                F.col("id").alias("i"),
+                F.md5(F.col("id").cast("string")).alias("k"),
+            )
+            .write.format("json_manifest_sink")
+            .option("path", cv_path)
+            .mode("append")
+            .save()
+        )
+        hit2 = (
+            spark.read.format("json_manifest_source")
+            .option("path", cv_path)
+            .load()
+            .filter(F.col("k") == probe)
+            .collect()
+        )
+        assert [(r["i"], r["n_files_read"]) for r in hit2] == [(7, 3)]
