@@ -1684,3 +1684,152 @@ def t25_late_drop_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(dropped).cast("bigint").alias("dropped_windows"),
         F.lit(dropped == n_late_windows).alias("drop_metric_matches"),
     )
+
+
+# --------------------------------------------------------------------------
+# T26 — EXACTLY-ONCE foreachBatch sink via idempotent manifest
+# transactions: the production pattern for transactional streaming
+# writes (Delta's `txn` appId/version). Structured Streaming's
+# foreachBatch is at-least-once — after a failure between the sink
+# commit and the checkpoint commit, the SAME (batch_id, data) is
+# replayed — so a non-idempotent sink double-writes. Here every batch
+# commits into the manifest connector with (txn_app, txn_version =
+# batch_id), and the row SIMULATES the retry storm: each foreachBatch
+# invocation deliberately writes its batch TWICE, and after the stream
+# drains, the final batch is replayed once more cold (the
+# restart-after-crash shape). Pinned: the manifest holds EXACTLY one
+# copy of the source (per-bucket counts and min/max hash-pinned against
+# the events table), the recorded txn high-water equals the last batch
+# id, and all three batches actually ran (maxFilesPerTrigger=1 over 3
+# stamped files).
+# Scale: idempotency is one version comparison at commit — O(1)
+# metadata per batch; no dedup scan of the sink, which at 100 TB is the
+# difference between exactly-once and un-reprocessable.
+# --------------------------------------------------------------------------
+@register(
+    "t26_exactly_once_sink",
+    oracle="""
+    SELECT CAST(user_id % 4 AS BIGINT)          AS bucket,
+           CAST(COUNT(*) AS BIGINT)             AS n,
+           CAST(MIN(epoch_us(ts)) AS BIGINT)    AS min_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT)    AS max_us,
+           ROUND(SUM(value), 4)                 AS sum_value,
+           TRUE                                 AS exactly_once,
+           CAST(2 AS BIGINT)                    AS txn_high_water,
+           TRUE                                 AS three_batches
+    FROM events GROUP BY bucket
+    """,
+)
+def t26_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from lime_on_spark_spark.plans.sources_sinks import (
+        _register_manifest_classes,
+        _scratch,
+    )
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.catalog import load_table
+    from lime_on_spark_spark.sources.python_source import _load_manifest
+
+    _register_manifest_classes(spark)
+    src = _scratch(spark, "t26_src")
+    sink = _scratch(spark, "t26_sink")
+    ckpt = _scratch(spark, "t26_ckpt")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # Exact µs as a JSON-safe integer (a double would round the
+        # sub-second part; a timestamp doesn't survive the JSON spool).
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    n_events = events.count()
+    # 3 stamped day-block files -> 3 deterministic batches under
+    # maxFilesPerTrigger=1 (the t24 discipline).
+    os.makedirs(src, exist_ok=True)
+    for k in range(3):
+        block = events.filter(
+            (
+                (F.dayofmonth(F.timestamp_micros("us")) - 1) / 11
+            ).cast("int")
+            == k
+        )
+        block.coalesce(1).write.mode("append").parquet(src)
+        for n in sorted(os.listdir(src)):
+            fp = os.path.join(src, n)
+            if n.endswith(".parquet") and os.path.getmtime(fp) > 1e9:
+                os.utime(fp, (1_000_000 + k, 1_000_000 + k))
+
+    app = f"t26-{uuid.uuid4().hex[:8]}"
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.write.format("json_manifest_sink")
+            .option("path", sink)
+            .option("txn_app", app)
+            .option("txn_version", str(batch_id))
+            .mode("append")
+            .save()
+        )
+
+    def write_twice(batch_df, batch_id: int) -> None:
+        # The at-least-once storm, in-line: a sink failure after commit
+        # replays the identical (data, batch_id) — the second write MUST
+        # be a no-op or the table double-counts.
+        commit_batch(batch_df, batch_id)
+        commit_batch(batch_df, batch_id)
+
+    schema = spark.read.parquet(src).schema
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(write_twice)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+        progresses = list(query.recentProgress or [])
+    finally:
+        query.stop()
+    three_batches = (
+        sum(1 for p in progresses if (p or {}).get("numInputRows", 0) > 0)
+        == 3
+    )
+    # Cold replay after restart: the final committed batch arrives AGAIN
+    # (checkpoint rolled back past the sink commit) — still a no-op.
+    last_block = spark.read.parquet(src)
+    commit_batch(last_block.limit(50), 2)
+    manifest = _load_manifest(sink)
+    txn_high = manifest["txns"][app]
+    exactly_once = manifest["total_rows"] == n_events
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        rows = (
+            spark.read.format("json_manifest_source")
+            .option("path", sink)
+            .load()
+            .groupBy((F.col("user_id") % 4).cast("bigint").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("us").cast("bigint").alias("min_us"),
+                F.max("us").cast("bigint").alias("max_us"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(
+        [
+            (
+                r["bucket"], r["n"], r["min_us"], r["max_us"],
+                r["sum_value"], bool(exactly_once), int(txn_high),
+                bool(three_batches),
+            )
+            for r in rows
+        ],
+        "bucket bigint, n bigint, min_us bigint, max_us bigint,"
+        " sum_value double, exactly_once boolean, txn_high_water bigint,"
+        " three_batches boolean",
+    )
