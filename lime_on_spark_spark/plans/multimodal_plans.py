@@ -289,3 +289,121 @@ def m5_magic_byte_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("detected_fmt") != F.col("gen_fmt")).cast("int")) == 0
         ).alias("all_routed_correctly"),
     )
+
+
+# --------------------------------------------------------------------------
+# M6 — audio-modality plumbing: PCM framing + the classic VAD features
+# (per-frame energy, zero-crossing rate). The decode step is the honest
+# stub (operators/multimodal.py:decode_blob — a real wav/mp3 codec is
+# absent from this container and raises NotImplementedError; the 'raw'
+# format deterministically yields the byte stream as unsigned 8-bit
+# PCM). Everything AROUND the stub is the real audio pipeline and is
+# differentially checked: samples center at 128, frames are W=32/hop=16
+# sliding windows (tail dropped), energy is the integer sum of squared
+# deviations per frame (exact in both engines — one float division at
+# the very end), and ZCR counts sign flips across the whole clip. The
+# oracle re-derives every number from hex-expanded bytes with 1-based
+# list arithmetic — an off-by-one in the window indexing, a dropped
+# tail frame, or a batch-boundary bug in mapInPandas breaks the hash.
+# Scale: map-only over Arrow batches — blobs never shuffle; only the
+# per-source feature aggregates do (the m1 contract).
+# --------------------------------------------------------------------------
+@register(
+    "m6_audio_features",
+    oracle=_BYTES_CTE
+    + """
+    , framed AS (
+        SELECT doc_id, nb, vals,
+               GREATEST(0, (nb - 32) // 16 + 1) AS n_frames
+        FROM bytes
+    ), per_doc AS (
+        SELECT doc_id, n_frames,
+               CASE WHEN n_frames = 0 THEN 0 ELSE
+                   list_sum(list_transform(range(0, n_frames), f ->
+                       list_sum(list_transform(range(1, 33), i ->
+                           (vals[f * 16 + i] - 128)
+                           * (vals[f * 16 + i] - 128)))))
+               END AS sq_energy,
+               CASE WHEN nb < 2 THEN 0 ELSE
+                   list_sum(list_transform(range(1, nb), i ->
+                       CASE WHEN (vals[i] < 128) != (vals[i + 1] < 128)
+                            THEN 1 ELSE 0 END))
+               END AS zero_crossings
+        FROM framed
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT)                    AS n_clips,
+           CAST(SUM(CASE WHEN p.n_frames > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS framed_clips,
+           CAST(SUM(p.n_frames) AS BIGINT)             AS total_frames,
+           CAST(SUM(p.zero_crossings) AS BIGINT)       AS total_zcr,
+           ROUND(SUM(p.sq_energy) * 1.0
+                 / (SUM(p.n_frames) * 32), 6)          AS avg_frame_energy
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def m6_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from lime_on_spark_spark.operators.multimodal import (
+        attach_fake_blobs,
+        decode_blob,
+    )
+
+    W, HOP = 32, 16
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_fake_blobs(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(
+                pdf["doc_id"], pdf["blob"], pdf["meta"]
+            ):
+                pcm = decode_blob(meta["fmt"], blob).astype(np.int64)
+                n = pcm.size
+                n_frames = max(0, (n - W) // HOP + 1)
+                s = pcm - 128
+                sq = 0
+                for f in range(n_frames):
+                    w = s[f * HOP : f * HOP + W]
+                    sq += int((w * w).sum())
+                zc = (
+                    int(((pcm[:-1] < 128) != (pcm[1:] < 128)).sum())
+                    if n >= 2
+                    else 0
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": n_frames,
+                        "sq_energy": sq,
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    feats = blobs.mapInPandas(
+        run,
+        "doc_id bigint, n_frames bigint, sq_energy bigint,"
+        " zero_crossings bigint",
+    )
+    return (
+        feats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.sum((F.col("n_frames") > 0).cast("int"))
+            .cast("bigint")
+            .alias("framed_clips"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+            F.sum("zero_crossings").cast("bigint").alias("total_zcr"),
+            F.round(
+                F.sum("sq_energy") / (F.sum("n_frames") * W), 6
+            ).alias("avg_frame_energy"),
+        )
+    )
