@@ -1833,3 +1833,203 @@ def t26_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         " sum_value double, exactly_once boolean, txn_high_water bigint,"
         " three_batches boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# T27 — STREAMING incremental view maintenance from the change data
+# feed: the full production CDC loop, composing four primitives this
+# engine ships — the CDF streaming source (offsets = manifest versions,
+# batches = row-level changes incl. delete pre-images), foreachBatch,
+# idempotent manifest transactions (t26), and delta-log IVM (d97).
+# Run 1 bootstraps the seeded table (one batch of 6000 inserts) into
+# per-bucket (Δn, Δsum) delta rows appended to a VIEW delta-log with
+# (txn_app, txn_version = batch_id) — and every append runs TWICE, the
+# at-least-once replay storm the txn makes a no-op. While the stream is
+# DOWN, the source takes a DELETE (s19) and a MERGE (s22); the restart
+# consumes EXACTLY those changes (pinned: run 2 = 4000 change rows —
+# 2000 pre-image deletes + 2000 inserts) from the checkpointed version
+# offset. The queryable view — a groupBy over the delta log — is pinned
+# cell-for-cell against a full recompute of the latest snapshot AND the
+# closed-form oracle. A double-applied replay, a missed DV, a re-read
+# commit, or a lost pre-image all break the hash.
+# Scale: each refresh reads O(|change|) rows; view state is
+# O(#buckets); replay safety is one version comparison per commit.
+# --------------------------------------------------------------------------
+@register(
+    "t27_streaming_ivm",
+    oracle="""
+    WITH live AS (
+        SELECT i, (i * i % 97) / 10.0 AS v
+        FROM (SELECT unnest(range(1000)) AS i)
+        UNION ALL
+        SELECT i, (i * i % 97) / 10.0
+        FROM (SELECT unnest(range(2000, 5000)) AS i)
+        UNION ALL
+        SELECT i, (i * i % 89) / 10.0
+        FROM (SELECT unnest(range(5000, 7000)) AS i)
+    )
+    SELECT CAST(i % 8 AS INT)        AS bucket,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           ROUND(SUM(v), 4)          AS sum_v,
+           TRUE                      AS matches_full,
+           TRUE                      AS restart_incremental
+    FROM live GROUP BY bucket
+    """,
+)
+def t27_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from lime_on_spark_spark.plans.sources_sinks import (
+        _register_manifest_classes,
+        _scratch,
+        _synthetic_series,
+    )
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        ManifestCDFStreamSource,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    try:
+        spark.dataSource.register(ManifestCDFStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    src = _scratch(spark, "t27_src")
+    log = _scratch(spark, "t27_log")
+    ck = _scratch(spark, "t27_ckpt")
+    app = f"t27-{uuid.uuid4().hex[:8]}"
+
+    (
+        _synthetic_series(spark, 0, 6000, 3)
+        .write.format("json_manifest_sink")
+        .option("path", src)
+        .mode("append")
+        .save()
+    )
+
+    # foreachBatch runs on the driver: the log records what each batch
+    # actually contained, which is the honest restart pin (numInputRows
+    # over-counts here — every ACTION in foreachBatch re-reads a Python
+    # streaming source's partitions, so two commits triple the metric).
+    batch_log: list = []
+
+    def apply_deltas(batch_df, batch_id: int) -> None:
+        # One evaluation of the source scan per batch, not one per action.
+        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_log.append(
+            (
+                batch_id,
+                {
+                    r["_change_type"]: r["n"]
+                    for r in batch_df.groupBy("_change_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                },
+            )
+        )
+        deltas = batch_df.groupBy(
+            (F.col("i") % 8).cast("bigint").alias("bucket")
+        ).agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).cast("bigint").alias("dn"),
+            F.sum(
+                F.when(
+                    F.col("_change_type") == "insert", F.col("v")
+                ).otherwise(-F.col("v"))
+            ).alias("ds"),
+        )
+
+        def commit() -> None:
+            (
+                deltas.write.format("json_manifest_sink")
+                .option("path", log)
+                .option("txn_app", app)
+                .option("txn_version", str(batch_id))
+                .mode("append")
+                .save()
+            )
+
+        commit()
+        commit()  # the at-least-once replay storm: MUST be a no-op
+
+    def run_stream() -> list:
+        q = (
+            spark.readStream.format("json_manifest_cdf_stream_source")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(apply_deltas)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = list(q.recentProgress or [])
+        q.stop()
+        return progresses
+
+    run_stream()  # bootstrap: the whole seeded table as inserts
+    n_boot_batches = len(batch_log)
+    # The stream is DOWN while the source takes row-level DML.
+    delete_where_manifest_path(
+        spark, src, [("i", "ge", 1000), ("i", "lt", 2000)]
+    )
+    updates = spark.range(5000, 7000, 1, 2).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * F.col("id") % 89) / 10.0).alias("v"),
+    )
+    merge_into_manifest_path(spark, src, updates, "i")
+    run_stream()  # restart: exactly the v1 -> v3 changes
+    run2 = batch_log[n_boot_batches:]
+    run2_counts: dict = {}
+    for _, counts in run2:
+        for k, n in counts.items():
+            run2_counts[k] = run2_counts.get(k, 0) + n
+    restart_incremental = run2_counts == {"delete": 2000, "insert": 2000}
+
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        view = (
+            spark.read.format("json_manifest_source")
+            .option("path", log)
+            .load()
+            .groupBy("bucket")
+            .agg(
+                F.sum("dn").cast("bigint").alias("n"),
+                F.sum("ds").alias("s"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        full = (
+            spark.read.format("json_manifest_source")
+            .option("path", src)
+            .load()
+            .groupBy((F.col("i") % 8).cast("bigint").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_full"),
+                F.sum("v").alias("s_full"),
+            )
+        )
+        rows = (
+            view.join(full, "bucket", "full_outer")
+            .select(
+                F.col("bucket").cast("int").alias("bucket"),
+                F.col("n").cast("bigint").alias("n"),
+                F.round("s", 4).alias("sum_v"),
+                (
+                    (F.col("n") == F.col("n_full"))
+                    & (F.abs(F.col("s") - F.col("s_full")) < 1e-6)
+                ).alias("matches_full"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(
+        [
+            (r["bucket"], r["n"], r["sum_v"], r["matches_full"],
+             bool(restart_incremental))
+            for r in rows
+        ],
+        "bucket int, n bigint, sum_v double, matches_full boolean,"
+        " restart_incremental boolean",
+    )

@@ -1223,6 +1223,35 @@ def changes_between_manifest_path(spark, path: str, v_from: int, v_to: int):
     file — cost scales with the CHANGE, not the table.
     """
     v_from, v_to = int(v_from), int(v_to)
+    tasks, new = _cdf_tasks(path, v_from, v_to)
+    # v_to's schema is the superset (s20 evolution only adds columns).
+    fields = [ddl.split(" ", 1)[0] for ddl in new["schema"]]
+    casts = [
+        _CDF_CASTS.get(ddl.split(" ", 1)[1].split("(")[0])
+        for ddl in new["schema"]
+    ]
+    ddl = ", ".join(new["schema"]) + ", _change_type string"
+    if not tasks:
+        return spark.createDataFrame([], ddl)
+    rdd = spark.sparkContext.parallelize(tasks, len(tasks)).flatMap(
+        lambda t: _scan_file_changes(
+            path, t[0], t[1], t[2], fields, casts, t[3]
+        )
+    )
+    return spark.createDataFrame(rdd, ddl)
+
+
+_CDF_CASTS = {"bigint": int, "long": int, "int": int, "smallint": int,
+              "tinyint": int, "double": float, "float": float}
+
+
+def _cdf_tasks(
+    path: str, v_from: int, v_to: int
+) -> tuple[list[tuple[str, str, frozenset, str]], dict]:
+    """Plan the change-data-feed scan between two snapshots: the list of
+    (file, include|exclude, positions, insert|delete) tasks plus v_to's
+    manifest. Driver-side O(#files + #DV positions) metadata work, shared
+    by the batch feed (s24) and the CDF streaming source (t27)."""
     if not 0 <= v_from < v_to:
         raise ValueError(f"need 0 <= v_from < v_to, got {v_from}, {v_to}")
     new = _load_manifest(path, v_to)
@@ -1233,14 +1262,6 @@ def changes_between_manifest_path(spark, path: str, v_from: int, v_to: int):
     )
     old_by_name = {f["name"]: f for f in old["files"]}
     new_by_name = {f["name"]: f for f in new["files"]}
-    # v_to's schema is the superset (s20 evolution only adds columns).
-    fields = [ddl.split(" ", 1)[0] for ddl in new["schema"]]
-    _CASTS = {"bigint": int, "long": int, "int": int, "smallint": int,
-              "tinyint": int, "double": float, "float": float}
-    casts = [
-        _CASTS.get(ddl.split(" ", 1)[1].split("(")[0])
-        for ddl in new["schema"]
-    ]
 
     def _dv(entry: dict) -> frozenset:
         return frozenset(
@@ -1265,16 +1286,7 @@ def changes_between_manifest_path(spark, path: str, v_from: int, v_to: int):
     for name, f in old_by_name.items():
         if name not in new_by_name:
             tasks.append((name, "exclude", _dv(f), "delete"))
-
-    ddl = ", ".join(new["schema"]) + ", _change_type string"
-    if not tasks:
-        return spark.createDataFrame([], ddl)
-    rdd = spark.sparkContext.parallelize(tasks, len(tasks)).flatMap(
-        lambda t: _scan_file_changes(
-            path, t[0], t[1], t[2], fields, casts, t[3]
-        )
-    )
-    return spark.createDataFrame(rdd, ddl)
+    return tasks, new
 
 
 class JsonManifestSource(DataSource):
@@ -1663,6 +1675,104 @@ class ManifestStreamReader(_DSSR):
             for line in fh:
                 vals = _json.loads(line)
                 yield tuple(vals.get(c) for c in self.fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing to reclaim
+
+
+# ---------------------------------------------------------------------------
+# STREAMING CHANGE DATA FEED (t27): `spark.readStream.format(
+# "json_manifest_cdf_stream_source")` — the Delta `readChangeFeed`
+# streaming shape. Offsets are manifest versions (the s23 machinery), but
+# each micro-batch carries the ROW-LEVEL CHANGES between two snapshots
+# (`_change_type` = insert | delete, deletes as CDC pre-images) instead of
+# only appended files — so DELETE (s19) and MERGE (s22) commits flow to
+# downstream consumers, and an incremental view (d97) can be maintained
+# from the stream. Unlike the append-only s23 source, a compaction is NOT
+# an error here: it streams as delete+reinsert churn that cancels in any
+# additive consumer. Requires retain_history writes: every snapshot an
+# active checkpoint may resume from must still exist (vacuumed -> loud
+# ValueError, the s23 contract).
+# ---------------------------------------------------------------------------
+
+
+class ManifestCDFStreamSource(DataSource):
+    """Streaming change-data-feed over a `json_manifest_sink` directory —
+    micro-batches = row-level changes between manifest versions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "json_manifest_cdf_stream_source"
+
+    def _manifest(self) -> dict:
+        cached = getattr(self, "_manifest_cache", None)
+        if cached is not None:
+            return cached
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("json_manifest_cdf_stream_source requires 'path'")
+        self._manifest_cache = _load_manifest(path)
+        return self._manifest_cache
+
+    def schema(self) -> str:
+        return ", ".join(self._manifest()["schema"]) + ", _change_type string"
+
+    def streamReader(self, schema) -> "ManifestCDFStreamReader":
+        return ManifestCDFStreamReader(self.options, manifest=self._manifest())
+
+
+class ManifestCDFStreamReader(_DSSR):
+    def __init__(self, options, manifest: dict | None = None) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_manifest_cdf_stream_source requires 'path'")
+        if manifest is None:
+            manifest = _load_manifest(self.path)
+        # Fields pinned at planning under the LATEST schema (the s20
+        # superset): older epochs NULL-fill added columns, exactly as the
+        # batch feed does.
+        self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
+        self.casts = [
+            _CDF_CASTS.get(ddl.split(" ", 1)[1].split("(")[0])
+            for ddl in manifest["schema"]
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}  # bootstrap: the whole table as inserts
+
+    def latestOffset(self) -> dict:
+        return {"version": _load_manifest(self.path)["version"]}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        if lo == hi:  # Spark plans empty (start == end) batches routinely
+            return [InputPartition(None)]
+        try:
+            tasks, _ = _cdf_tasks(self.path, lo, hi)
+        except FileNotFoundError:
+            raise ValueError(
+                f"json_manifest_cdf_stream_source: a snapshot in (v{lo}, "
+                f"v{hi}] has been vacuumed; keep retain_versions covering "
+                "the oldest checkpointed stream offset, or restart with a "
+                "fresh checkpoint to re-bootstrap"
+            ) from None
+        if not tasks:  # no-data batch: Spark still needs >= 1 partition
+            return [InputPartition(None)]
+        # Positions ship as a sorted tuple: InputPartition pickles to the
+        # executor, and a frozenset's pickle is order-unstable across runs.
+        return [
+            InputPartition((name, mode, tuple(sorted(pos)), kind))
+            for name, mode, pos, kind in tasks
+        ]
+
+    def read(self, partition: InputPartition):  # executor-side
+        if partition.value is None:
+            return
+        name, mode, positions, kind = partition.value
+        yield from _scan_file_changes(
+            self.path, name, mode, frozenset(positions),
+            self.fields, self.casts, kind,
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing to reclaim

@@ -1557,3 +1557,101 @@ def test_manifest_bloom_soundness(spark, tmp_path):
             .collect()
         )
         assert [(r["i"], r["n_files_read"]) for r in hit2] == [(7, 3)]
+
+
+def test_manifest_cdf_stream_source_contracts(spark, tmp_path):
+    """t27's source-level contracts, distinct from the s23 append-only
+    source: a compaction between offsets streams as delete+reinsert
+    churn (NOT an error), the schema carries _change_type, and a
+    vacuumed checkpointed offset raises the loud retention error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        ManifestCDFStreamSource,
+        vacuum_manifest_path,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource, ManifestCDFStreamSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    src = str(tmp_path / "src")
+    (
+        spark.range(0, 100, 1, 2)
+        .select(F.col("id").alias("i"), (F.col("id") % 5).cast("double").alias("v"))
+        .write.format("json_manifest_sink")
+        .option("path", src)
+        .option("retain_history", "true")
+        .mode("append")
+        .save()
+    )  # v1
+
+    seen: list = []
+
+    def collect_batch(df, bid):
+        seen.append(
+            {
+                r["_change_type"]: r["n"]
+                for r in df.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        )
+
+    def run(ck):
+        q = (
+            spark.readStream.format("json_manifest_cdf_stream_source")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    ck = str(tmp_path / "ck")
+    run(ck)
+    assert seen == [{"insert": 100}]
+    # COMPACTION between offsets: an overwrite rewrite. The s23 source
+    # refuses this; the CDF source streams it as cancelling churn.
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        live = (
+            spark.read.format("json_manifest_source")
+            .option("path", src)
+            .load()
+            .select("i", "v")
+        )
+        (
+            live.repartition(1)
+            .write.format("json_manifest_sink")
+            .option("path", src)
+            .option("retain_history", "true")
+            .mode("overwrite")
+            .save()
+        )  # v2
+    seen.clear()
+    run(ck)
+    assert seen == [{"delete": 100, "insert": 100}]
+
+    # Vacuumed offset: a restart whose checkpointed version is gone must
+    # fail loudly with the retention message, never under-report.
+    (
+        spark.range(100, 120, 1, 1)
+        .select(F.col("id").alias("i"), (F.col("id") % 5).cast("double").alias("v"))
+        .write.format("json_manifest_sink")
+        .option("path", src)
+        .option("retain_history", "true")
+        .mode("append")
+        .save()
+    )  # v3
+    vacuum_manifest_path(src, retain_versions=1)  # drops v1, v2
+    seen.clear()
+    with pytest.raises(Exception, match="vacuumed"):
+        run(ck)
