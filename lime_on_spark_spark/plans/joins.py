@@ -1043,3 +1043,64 @@ def o11_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["grp"], r["n"], r["sx"], bool(engaged)) for r in rows],
         "grp bigint, n bigint, sx bigint, skew_split_engaged boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# O12 — exchange reuse (TPC-H Q15's top-supplier shape): the per-supplier
+# revenue aggregate is consumed TWICE — once to find the global maximum,
+# once to select the supplier(s) achieving it. A naive planner runs the
+# whole scan+shuffle+aggregate pipeline twice; Spark's physical planner
+# (and AQE's stage cache) detects the identical subplan and feeds the
+# second consumer from the FIRST shuffle's output — pinned here with a
+# plan-derived self-certifying boolean (the o10 discipline): the row
+# FAILS if `ReusedExchange` ever drops out of the executed plan. Revenue
+# is rounded to 2dp BEFORE the max-equality join so the float-sum
+# last-ulp never decides the winner differently across engines.
+# Scale: at 100 TB the reused exchange halves the dominant cost (the
+# lineitem scan + hash shuffle) of every self-referential query — the
+# single most common OLAP anti-pattern when hand-materialized instead.
+# --------------------------------------------------------------------------
+@register(
+    "o12_exchange_reuse",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate <  DATE '1995-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, total_rev, TRUE AS exchange_reused
+    FROM rev WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def o12_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("total_rev")
+        )
+    )
+    best = rev.agg(F.max("total_rev").alias("mx"))
+    out = rev.join(best, rev["total_rev"] == best["mx"]).select(
+        "l_suppkey", "total_rev"
+    )
+    rows = out.collect()
+    # Self-certifying: read the EXECUTED plan (post-AQE) — the reuse is
+    # an artifact fact, not a code comment.
+    reused = "ReusedExchange" in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    return spark.createDataFrame(
+        [(r["l_suppkey"], r["total_rev"], bool(reused)) for r in rows],
+        "l_suppkey bigint, total_rev double, exchange_reused boolean",
+    )

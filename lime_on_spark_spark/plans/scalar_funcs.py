@@ -1164,3 +1164,78 @@ def f23_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_price", 2).alias("max_price"),
         "n_orders",
     )
+
+
+# --------------------------------------------------------------------------
+# F24 — the VARIANT type (Spark 4's semi-structured column): JSON-shaped
+# order records round-trip through parse_json into variant storage and
+# are read back with typed-path extraction. Exercised quadrants:
+# variant_get with a nested object path ($.cust.key) and an array index
+# ($.prices[1]); JSON-null vs absent semantics (is_variant_null over an
+# explicit null field — ignoreNullFields=false keeps it in the JSON);
+# try_variant_get's NULL-on-miscast contract (a 'pri' string never casts
+# to bigint); and schema_of_variant introspection, pinned on the
+# constant-shaped $.cust subobject (OBJECT<key: BIGINT, seg: VOID> —
+# price values would infer per-row DECIMAL precision, deliberately
+# excluded from the pin). The oracle reconstructs every aggregate from
+# the base columns: a path-resolution or cast bug anywhere in the
+# variant plumbing breaks the hash.
+# Scale: variant extraction is whole-stage-codegen JVM work, no Python
+# boundary; the shape is how 100 TB of heterogeneous event payloads stay
+# queryable without a schema migration per producer change.
+# --------------------------------------------------------------------------
+@register(
+    "f24_variant_type",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                    AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT)             AS sum_id,
+           CAST(SUM(o_custkey) AS BIGINT)              AS sum_cust_key,
+           ROUND(SUM(o_totalprice * 2), 2)             AS sum_price2,
+           TRUE                                        AS all_seg_null,
+           CAST(COUNT(*) AS BIGINT)                    AS pri_cast_nulls,
+           'OBJECT<key: BIGINT, seg: VOID>'            AS cust_schema
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def f24_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 500
+    )
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_custkey").alias("key"),
+                F.lit(None).cast("string").alias("seg"),
+            ).alias("cust"),
+            F.array(
+                F.col("o_totalprice"), F.col("o_totalprice") * 2
+            ).alias("prices"),
+            F.col("o_orderpriority").alias("pri"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    v = orders.select(F.parse_json(js).alias("v"))
+    extracted = v.select(
+        F.variant_get("v", "$.id", "bigint").alias("id_back"),
+        F.variant_get("v", "$.cust.key", "bigint").alias("cust_key"),
+        F.variant_get("v", "$.prices[1]", "double").alias("p2"),
+        F.is_variant_null(
+            F.variant_get("v", "$.cust.seg", "variant")
+        ).alias("seg_is_null"),
+        F.try_variant_get("v", "$.pri", "bigint").alias("pri_as_int"),
+        F.schema_of_variant(
+            F.variant_get("v", "$.cust", "variant")
+        ).alias("cust_schema"),
+    )
+    return extracted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("id_back").cast("bigint").alias("sum_id"),
+        F.sum("cust_key").cast("bigint").alias("sum_cust_key"),
+        F.round(F.sum("p2"), 2).alias("sum_price2"),
+        F.bool_and("seg_is_null").alias("all_seg_null"),
+        F.sum(F.col("pri_as_int").isNull().cast("int"))
+        .cast("bigint")
+        .alias("pri_cast_nulls"),
+        F.max("cust_schema").alias("cust_schema"),
+    )
