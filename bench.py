@@ -97,6 +97,14 @@ EXTENDED = (
     # keyed-shuffle family alongside d39/d10, ~9 s warm).
     "d95_matryoshka_eval",
     "d96_supplier_pagerank",
+    # round-12 additions: the CDC composition family — the batch change
+    # feed + IVM consumer (manifest diff + task-per-changed-file scan +
+    # delta re-agg) and the full streaming loop (CDF stream source +
+    # idempotent txns + view maintenance; two availableNow runs). The
+    # fixed-size synthetic lineage makes these constant-cost probes of
+    # connector overhead, not data-scaling entries.
+    "d97_incremental_view_maintenance",
+    "t27_streaming_ivm",
 )
 
 

@@ -71,48 +71,48 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: exercises the whole engine. Names listed but not (yet) registered are
 #: skipped harmlessly; everything not listed follows in registration order.
 _CURATED_PREFIX = (
+    # r12 rotation: EVERY row never yet seen in a driver artifact goes in
+    # — the round-11 additions (s23, d94, d95, d96, o11, t25) plus all
+    # nine round-12 rows (s24-s26, d97, t26, t27, m6, f24, o12). Long-
+    # sampled veterans rotate out; every family keeps >= 2 rows.
     # q — TPC-H-ish classics (kept first for round-over-round continuity)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q6_forecast_revenue",
-    # p — predicates / projection (r11 rotation: dynamic SQL was never
-    # driver-sampled)
+    # p — predicates / projection
     "p18_sql_scripting", "p20_dynamic_sql",
     # j — joins
-    "j3_semi", "j7_asof_tolerance", "j9_interval_overlap_join",
-    "j11_join_strategy_hints",
+    "j3_semi", "j7_asof_tolerance",
     # a — aggregates
-    "a2_count_distinct", "a5_rollup", "a26_approx_top_k",
+    "a2_count_distinct", "a26_approx_top_k",
     # w — window functions
-    "w1_order_rank_per_customer", "w2_lag_lead", "w6_time_range_frame",
-    # o — ordering / physical layout (r11: nested pruning was never
-    # driver-sampled)
-    "o9_bloom_filter_join", "o10_nested_schema_pruning",
+    "w1_order_rank_per_customer", "w6_time_range_frame",
+    # o — physical layout (o11 skew split and o12 exchange reuse were
+    # never driver-sampled)
+    "o10_nested_schema_pruning", "o11_aqe_skew_join", "o12_exchange_reuse",
     # u — set operations
     "u1_union_all", "u5_snapshot_diff",
-    # f — scalar / array / JSON functions (r11: grouped applyInArrow was
-    # never driver-sampled; both UDTF quadrants stay)
-    "f1_string_funcs", "f21_polymorphic_udtf", "f22_table_arg_udtf",
-    "f23_apply_in_arrow",
-    # t — event-time & streaming (r11: the RocksDB provider row was never
-    # driver-sampled; t24 state TTL is new)
-    "t1_tumbling_hour", "t3_session_window", "t23_rocksdb_state_agg",
-    "t24_state_ttl",
+    # f — functions (f24 VARIANT is new; both Arrow quadrants stay)
+    "f22_table_arg_udtf", "f23_apply_in_arrow", "f24_variant_type",
+    # t — event-time & streaming (t25-t27 never driver-sampled)
+    "t23_rocksdb_state_agg", "t24_state_ttl", "t25_late_drop_metrics",
+    "t26_exactly_once_sink", "t27_streaming_ivm",
     # l — LIME (l12 = image-LIME: multimodal + provable-surrogate signal)
-    "l1_discretizer", "l6_ridge_verdict", "l12_image_verdict",
-    # d — data-pipeline (r11 flagships: IVFADC + curated lakehouse; d90/
-    # d91 were never driver-sampled)
-    "d1_exact_dedup", "d84_cross_doc_spans", "d86_mann_whitney",
-    "d88_langid_classifier", "d89_markup_extraction",
-    "d90_global_concat_pack", "d91_pq_quantization", "d92_ivfadc_search",
-    "d93_curated_lakehouse",
-    # m — multimodal
+    "l6_ridge_verdict", "l12_image_verdict",
+    # d — data-pipeline (d94-d97 never driver-sampled)
+    "d1_exact_dedup", "d90_global_concat_pack", "d91_pq_quantization",
+    "d92_ivfadc_search", "d93_curated_lakehouse", "d94_retrieval_eval",
+    "d95_matryoshka_eval", "d96_supplier_pagerank",
+    "d97_incremental_view_maintenance",
+    # m — multimodal (m6 audio is new)
     "m1_multimodal_features", "m2_multimodal_embed_join",
-    # s — sources / sinks / catalog (r11: the full never-sampled manifest
-    # lifecycle — time travel, vacuum, deletion vectors, schema evolution)
+    "m6_audio_features",
+    # s — sources / sinks / catalog (the full manifest lifecycle; s23-s26
+    # never driver-sampled)
     "s13_state_store_reader", "s16_manifest_data_skipping",
     "s17_manifest_time_travel", "s18_manifest_vacuum",
     "s19_manifest_delete_vectors", "s20_manifest_schema_evolution",
     "s21_manifest_compaction_purge", "s22_manifest_merge_upsert",
+    "s23_manifest_stream_read", "s24_manifest_change_data_feed",
+    "s25_manifest_occ_conflict", "s26_manifest_bloom_skipping",
 )
 
 

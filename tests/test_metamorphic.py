@@ -82,6 +82,16 @@ REPRESENTATIVE = (
     # the classic place partition-dependent accumulation could leak).
     "d95_matryoshka_eval",
     "d96_supplier_pagerank",
+    # round-12 additions: the change data feed (task-per-changed-file scan
+    # feeding an RDD createDataFrame — emission must not depend on
+    # fan-out), IVM (delta application over a union+re-agg — float deltas
+    # must cancel identically), the audio Arrow stage (batch-boundary-
+    # sensitive framing), and exchange reuse (pre-rounded max-equality
+    # must pick the same winner under any fan-out).
+    "s24_manifest_change_data_feed",
+    "d97_incremental_view_maintenance",
+    "m6_audio_features",
+    "o12_exchange_reuse",
 )
 
 
@@ -136,6 +146,13 @@ EMPTY_SAFE = (
     "d89_markup_extraction",
     "d90_global_concat_pack",
     "d95_matryoshka_eval",
+    # round-12: audio features (zero clips -> zero feature rows; the
+    # Arrow stage must tolerate empty batches) and exchange reuse (an
+    # empty scan still plans — zero winners, no crash). The manifest rows
+    # are deliberately absent: they synthesize their own tables, so an
+    # empty corpus exercises nothing (the d60 rule's inverse).
+    "m6_audio_features",
+    "o12_exchange_reuse",
 )
 
 

@@ -24,11 +24,13 @@ PORTABLE = [
     "a2_distinct_pairs", "a4_minmax_by", "a5_cube", "a5_grouping_sets",
     "a5_pivot", "a5_rollup", "a5_unpivot", "a6_filtered_agg",
     "a9_corr_regression", "d1_dedup_keep_best", "d1_exact_dedup",
-    "d7_lang_routing", "d83_quality_classifier", "f2_date_extras",
+    "d7_lang_routing", "d83_quality_classifier", "f24_variant_type",
+    "f2_date_extras",
     "f3_math_funcs", "f7_map_funcs",
     "j2_full_outer",
     "j2_left_outer", "j2_right_outer", "j3_anti", "j3_semi", "j5_theta_join",
-    "j6_range_join", "j8_salted_skew_join", "o1_global_sort",
+    "j6_range_join", "j8_salted_skew_join", "o12_exchange_reuse",
+    "o1_global_sort",
     "o3_bucketed_join", "p1_projection", "p2_scalar_subquery", "p4_case_when",
     "p5_nullsafe_eq", "q10_returned_revenue", "q11_important_stock",
     "q12_priority_buckets", "q13_customer_distribution", "q14_promo_revenue",
