@@ -79,6 +79,10 @@ def main() -> None:
         "d2_ngram_jaccard",
         "d84_cross_doc_spans",
         "d87_span_removal",
+        # round-12: the CDC composition probes (constant-size synthetic
+        # lineage — these floor connector/stream overhead, not data cost).
+        "d97_incremental_view_maintenance",
+        "t27_streaming_ivm",
     ]
     for name in names:
         # One JVM per op: a subprocess, not a loop in this process.

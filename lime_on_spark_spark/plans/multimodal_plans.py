@@ -313,8 +313,13 @@ def m5_magic_byte_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_BYTES_CTE
     + """
     , framed AS (
+        -- nb < 32 handled by CASE, not GREATEST over a negative division:
+        -- DuckDB's // truncates toward zero while Python's // floors, so
+        -- (17-32)//16+1 is 1 in SQL but 0 in the implementation. Keeping
+        -- the division non-negative makes the two semantics coincide.
         SELECT doc_id, nb, vals,
-               GREATEST(0, (nb - 32) // 16 + 1) AS n_frames
+               CASE WHEN nb < 32 THEN 0
+                    ELSE (nb - 32) // 16 + 1 END AS n_frames
         FROM bytes
     ), per_doc AS (
         SELECT doc_id, n_frames,

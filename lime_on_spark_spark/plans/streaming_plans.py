@@ -1955,7 +1955,7 @@ def t27_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         commit()
         commit()  # the at-least-once replay storm: MUST be a no-op
 
-    def run_stream() -> list:
+    def run_stream() -> None:
         q = (
             spark.readStream.format("json_manifest_cdf_stream_source")
             .option("path", src)
@@ -1965,10 +1965,12 @@ def t27_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-        progresses = list(q.recentProgress or [])
-        q.stop()
-        return progresses
+        try:
+            q.awaitTermination()
+        finally:
+            # A foreachBatch failure must not leak a running query into
+            # the shared session (the t26 discipline).
+            q.stop()
 
     run_stream()  # bootstrap: the whole seeded table as inserts
     n_boot_batches = len(batch_log)

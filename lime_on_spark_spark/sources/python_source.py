@@ -296,8 +296,26 @@ class JsonManifestWriter(DataSourceWriter):
             if bc is not None
             else set()
         )
+        # Opt-in allowlist: an unknown name is a caller error (a typo'd
+        # column would silently write NO bloom and the reader would
+        # silently never prune — the validate-up-front discipline).
+        unknown = self.bloom_columns - set(self.fields)
+        if unknown:
+            raise ValueError(
+                f"bloom_columns not in schema: {sorted(unknown)}"
+            )
         self.bloom_bits = int(options.get("bloom_bits", 16384))
+        if self.bloom_bits <= 0 or self.bloom_bits % 8:
+            # Positions are computed mod bloom_bits over a bits//8-byte
+            # array: a non-multiple-of-8 would IndexError inside executor
+            # tasks; fail at option parse instead.
+            raise ValueError(
+                f"bloom_bits must be a positive multiple of 8, got "
+                f"{self.bloom_bits}"
+            )
         self.bloom_k = int(options.get("bloom_k", 6))
+        if self.bloom_k <= 0:
+            raise ValueError(f"bloom_k must be positive, got {self.bloom_k}")
 
     def _spool_dir(self) -> str:
         return _os.path.join(self.path, f"_temp-{self.job_id}")
@@ -429,7 +447,14 @@ class JsonManifestWriter(DataSourceWriter):
         # foreachBatch sinks retrying after checkpoint rollback.
         txns = dict((prior or {}).get("txns", {}))
         if self.txn_app is not None:
-            if txns.get(self.txn_app, -1) >= self.txn_version:
+            # "No entry yet" must be distinguished from "entry >= version":
+            # a -1 sentinel would silently no-op an app's FIRST commit when
+            # its version numbering starts negative — data loss, the exact
+            # failure the txn primitive exists to prevent.
+            if (
+                self.txn_app in txns
+                and txns[self.txn_app] >= self.txn_version
+            ):
                 _shutil.rmtree(self._spool_dir(), ignore_errors=True)
                 return
             txns[self.txn_app] = self.txn_version
@@ -1225,11 +1250,7 @@ def changes_between_manifest_path(spark, path: str, v_from: int, v_to: int):
     v_from, v_to = int(v_from), int(v_to)
     tasks, new = _cdf_tasks(path, v_from, v_to)
     # v_to's schema is the superset (s20 evolution only adds columns).
-    fields = [ddl.split(" ", 1)[0] for ddl in new["schema"]]
-    casts = [
-        _CDF_CASTS.get(ddl.split(" ", 1)[1].split("(")[0])
-        for ddl in new["schema"]
-    ]
+    fields, casts = _schema_fields_casts(new)
     ddl = ", ".join(new["schema"]) + ", _change_type string"
     if not tasks:
         return spark.createDataFrame([], ddl)
@@ -1243,6 +1264,18 @@ def changes_between_manifest_path(spark, path: str, v_from: int, v_to: int):
 
 _CDF_CASTS = {"bigint": int, "long": int, "int": int, "smallint": int,
               "tinyint": int, "double": float, "float": float}
+
+
+def _schema_fields_casts(manifest: dict) -> tuple[list, list]:
+    """(field names, per-field Python cast) from a manifest's schema DDL —
+    the one derivation shared by the batch feed and the CDF stream reader
+    so a parsing fix can never drift between them."""
+    fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
+    casts = [
+        _CDF_CASTS.get(ddl.split(" ", 1)[1].split("(")[0])
+        for ddl in manifest["schema"]
+    ]
+    return fields, casts
 
 
 def _cdf_tasks(
@@ -1260,6 +1293,19 @@ def _cdf_tasks(
         if v_from == 0
         else _load_manifest(path, v_from)
     )
+    # Pre-image rows from v_from's files are CAST under v_to's schema, so
+    # the feed is only defined when evolution was additive (the append-path
+    # contract). An overwrite may legally retype/drop columns — refuse
+    # loudly rather than emit a miscast pre-image or crash in an executor.
+    old_cols = dict(ddl.split(" ", 1) for ddl in old["schema"])
+    new_cols = dict(ddl.split(" ", 1) for ddl in new["schema"])
+    for c, t in old_cols.items():
+        if new_cols.get(c) != t:
+            raise ValueError(
+                f"change data feed undefined across non-additive schema "
+                f"change on column {c!r}: {t} -> {new_cols.get(c)} "
+                f"(v{v_from} -> v{v_to})"
+            )
     old_by_name = {f["name"]: f for f in old["files"]}
     new_by_name = {f["name"]: f for f in new["files"]}
 
@@ -1730,12 +1776,8 @@ class ManifestCDFStreamReader(_DSSR):
             manifest = _load_manifest(self.path)
         # Fields pinned at planning under the LATEST schema (the s20
         # superset): older epochs NULL-fill added columns, exactly as the
-        # batch feed does.
-        self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
-        self.casts = [
-            _CDF_CASTS.get(ddl.split(" ", 1)[1].split("(")[0])
-            for ddl in manifest["schema"]
-        ]
+        # batch feed does (non-additive changes raise in _cdf_tasks).
+        self.fields, self.casts = _schema_fields_casts(manifest)
 
     def initialOffset(self) -> dict:
         return {"version": 0}  # bootstrap: the whole table as inserts

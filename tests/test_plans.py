@@ -1355,6 +1355,31 @@ def test_manifest_cdf_contracts(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         changes_between_manifest_path(spark, path, 1, 3)
 
+    # Non-additive schema change (an overwrite may legally retype): the
+    # feed must refuse loudly — pre-images would otherwise be cast under
+    # the wrong type (miscast value or a raw executor crash).
+    rp = str(tmp_path / "retype")
+    (
+        spark.range(0, 10, 1, 1)
+        .select(F.col("id").alias("i"), F.col("id").cast("double").alias("v"))
+        .write.format("json_manifest_sink")
+        .option("path", rp)
+        .option("retain_history", "true")
+        .mode("append")
+        .save()
+    )
+    (
+        spark.range(0, 10, 1, 1)
+        .select(F.col("id").alias("i"), F.col("id").cast("string").alias("v"))
+        .write.format("json_manifest_sink")
+        .option("path", rp)
+        .option("retain_history", "true")
+        .mode("overwrite")
+        .save()
+    )
+    with pytest.raises(ValueError, match="non-additive"):
+        changes_between_manifest_path(spark, rp, 1, 2)
+
 
 def test_manifest_occ_expected_version(spark, tmp_path):
     """s25's optimistic-concurrency contract: expected_version=0 admits
@@ -1450,6 +1475,14 @@ def test_manifest_txn_idempotency(spark, tmp_path):
     assert m["txns"] == {"a": 1, "b": 0}  # txn table survives DML
     append(30, 40, "a", 1)  # still a no-op AFTER the delete snapshot
     assert _load_manifest(path)["total_rows"] == 35
+    # An app's FIRST commit must land whatever its version number — a -1
+    # "nothing recorded" sentinel would silently no-op a negative-versioned
+    # bootstrap (data loss); only a RECORDED >= version is a replay.
+    append(200, 205, "c", -3)
+    m = _load_manifest(path)
+    assert m["total_rows"] == 40 and m["txns"]["c"] == -3
+    append(205, 210, "c", -3)  # now recorded: the replay no-ops
+    assert _load_manifest(path)["total_rows"] == 40
     with pytest.raises(Exception, match="together"):
         append(0, 1, "a", None)
 
