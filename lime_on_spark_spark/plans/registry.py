@@ -107,12 +107,13 @@ _CURATED_PREFIX = (
     "m6_audio_features",
     # s — sources / sinks / catalog (the full manifest lifecycle; s23-s26
     # never driver-sampled)
-    "s13_state_store_reader", "s16_manifest_data_skipping",
+    "s16_manifest_data_skipping",
     "s17_manifest_time_travel", "s18_manifest_vacuum",
     "s19_manifest_delete_vectors", "s20_manifest_schema_evolution",
     "s21_manifest_compaction_purge", "s22_manifest_merge_upsert",
     "s23_manifest_stream_read", "s24_manifest_change_data_feed",
     "s25_manifest_occ_conflict", "s26_manifest_bloom_skipping",
+    "s27_manifest_cdf_updates",
 )
 
 

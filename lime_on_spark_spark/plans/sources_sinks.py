@@ -2114,3 +2114,91 @@ def d97_incremental_view_maintenance(
     return spark.createDataFrame(
         rows, "bucket int, n bigint, sum_v double, matches_full boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# S27 — change-data-feed UPDATE PAIRING (Delta CDF's _change_type
+# refinement): a consumer that treats a MERGE as delete+insert loses the
+# update identity CDC consumers key on (audit trails, SCD2 builders,
+# downstream upserts). With update_key, a key carrying BOTH a delete and
+# an insert in the feed is re-tagged update_preimage/update_postimage —
+# one keyed window over the CHANGE SET (a single shuffle sized by the
+# change, never the table). The s24 lineage splits exactly: the MERGE-
+# matched band [5000, 6000) becomes 1000 pre + 1000 post pairs (old
+# formula on the pre-image, new on the post — value-pinned), the DELETE
+# band stays 1000 pure deletes, the MERGE tail [6000, 7000) stays 1000
+# pure inserts. A pairing bug (missed DV, key joined against the table,
+# tag leakage) breaks the closed-form hash.
+# --------------------------------------------------------------------------
+@register(
+    "s27_manifest_cdf_updates",
+    oracle="""
+    WITH pre AS (
+        SELECT i, (i * i % 97) / 10.0 AS v
+        FROM (SELECT unnest(range(5000, 6000)) AS i)
+    ), post AS (
+        SELECT i, (i * i % 89) / 10.0 AS v
+        FROM (SELECT unnest(range(5000, 6000)) AS i)
+    ), del AS (
+        SELECT i, (i * i % 97) / 10.0 AS v
+        FROM (SELECT unnest(range(1000, 2000)) AS i)
+    ), ins AS (
+        SELECT i, (i * i % 89) / 10.0 AS v
+        FROM (SELECT unnest(range(6000, 7000)) AS i)
+    )
+    SELECT 'delete' AS change_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM del) AS n,
+           (SELECT CAST(MIN(i) AS BIGINT) FROM del)   AS min_i,
+           (SELECT CAST(MAX(i) AS BIGINT) FROM del)   AS max_i,
+           (SELECT ROUND(SUM(v), 4) FROM del)         AS sum_v
+    UNION ALL
+    SELECT 'insert',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ins),
+           (SELECT CAST(MIN(i) AS BIGINT) FROM ins),
+           (SELECT CAST(MAX(i) AS BIGINT) FROM ins),
+           (SELECT ROUND(SUM(v), 4) FROM ins)
+    UNION ALL
+    SELECT 'update_preimage',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pre),
+           (SELECT CAST(MIN(i) AS BIGINT) FROM pre),
+           (SELECT CAST(MAX(i) AS BIGINT) FROM pre),
+           (SELECT ROUND(SUM(v), 4) FROM pre)
+    UNION ALL
+    SELECT 'update_postimage',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM post),
+           (SELECT CAST(MIN(i) AS BIGINT) FROM post),
+           (SELECT CAST(MAX(i) AS BIGINT) FROM post),
+           (SELECT ROUND(SUM(v), 4) FROM post)
+    """,
+)
+def s27_manifest_cdf_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import (
+        changes_between_manifest_path,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s27_upd")
+    (
+        _synthetic_series(spark, 0, 6000, 3)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    delete_where_manifest_path(
+        spark, path, [("i", "ge", 1000), ("i", "lt", 2000)]
+    )
+    updates = spark.range(5000, 7000, 1, 2).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * F.col("id") % 89) / 10.0).alias("v"),
+    )
+    merge_into_manifest_path(spark, path, updates, "i")
+    feed = changes_between_manifest_path(spark, path, 1, 3, update_key="i")
+    return feed.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("i").cast("bigint").alias("min_i"),
+        F.max("i").cast("bigint").alias("max_i"),
+        F.round(F.sum("v"), 4).alias("sum_v"),
+    )

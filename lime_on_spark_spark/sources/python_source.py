@@ -1220,7 +1220,9 @@ def _scan_file_changes(
             yield tuple(out) + (change_type,)
 
 
-def changes_between_manifest_path(spark, path: str, v_from: int, v_to: int):
+def changes_between_manifest_path(
+    spark, path: str, v_from: int, v_to: int, update_key: str | None = None
+):
     """CHANGE DATA FEED over a `json_manifest_sink` directory — the Delta
     CDF / Iceberg changelog primitive: the row-level changes between two
     snapshots, as a DataFrame under v_to's schema plus a `_change_type`
@@ -1243,6 +1245,13 @@ def changes_between_manifest_path(spark, path: str, v_from: int, v_to: int):
     they reference must still exist — vacuumed history raises
     FileNotFoundError, never silently under-reports.
 
+    ``update_key`` (s27) refines the Delta-CDF way: a key with BOTH a
+    delete and an insert in the feed is an in-place update, re-tagged
+    'update_preimage' / 'update_postimage' (one keyed window over the
+    feed — a single shuffle on the change set, never the table). Contract:
+    the key is unique per side within the window (MERGE enforces it on
+    writes); keys touched only one way keep plain insert/delete tags.
+
     Scale shape: the diff is driver-side O(#files + #DV positions)
     metadata work; row materialization is one executor task per changed
     file — cost scales with the CHANGE, not the table.
@@ -1259,7 +1268,31 @@ def changes_between_manifest_path(spark, path: str, v_from: int, v_to: int):
             path, t[0], t[1], t[2], fields, casts, t[3]
         )
     )
-    return spark.createDataFrame(rdd, ddl)
+    feed = spark.createDataFrame(rdd, ddl)
+    if update_key is None:
+        return feed
+    if update_key not in fields:
+        raise ValueError(f"update_key not in schema: {update_key!r}")
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    w = _W.partitionBy(update_key)
+    both = (
+        _F.max((_F.col("_change_type") == "insert").cast("int")).over(w)
+        + _F.max((_F.col("_change_type") == "delete").cast("int")).over(w)
+    ) == 2
+    return feed.withColumn(
+        "_change_type",
+        _F.when(
+            both & (_F.col("_change_type") == "delete"),
+            _F.lit("update_preimage"),
+        )
+        .when(
+            both & (_F.col("_change_type") == "insert"),
+            _F.lit("update_postimage"),
+        )
+        .otherwise(_F.col("_change_type")),
+    )
 
 
 _CDF_CASTS = {"bigint": int, "long": int, "int": int, "smallint": int,

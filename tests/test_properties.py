@@ -566,10 +566,42 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
     def do_vacuum():
         vacuum_manifest_path(path, retain_versions=1)
 
+    from lime_on_spark_spark.sources.python_source import (
+        changes_between_manifest_path,
+    )
+
     do_append()  # the walk starts from a committed table
     ops = [do_append, do_delete, do_merge, do_compact, do_vacuum]
     for step in range(14):
-        rng.choice(ops)()
+        prev_model = dict(model)
+        prev_version = _load_manifest(path)["version"]
+        op = rng.choice(ops)
+        op()
+        cur_version = _load_manifest(path)["version"]
+        # CDF consistency: the change feed between any two adjacent walk
+        # versions, applied to the previous state (deletes first, then
+        # inserts — the merge-update and compaction-churn ordering), must
+        # reproduce the new state exactly. Skipped across a vacuum (it
+        # publishes no new version) and when history was just reclaimed.
+        if op is not do_vacuum and cur_version > prev_version:
+            try:
+                feed = changes_between_manifest_path(
+                    spark, path, prev_version, cur_version
+                ).collect()
+            except FileNotFoundError:
+                feed = None  # prior vacuum reclaimed prev_version
+            if feed is not None:
+                applied = dict(prev_model)
+                for r in feed:
+                    if r["_change_type"] == "delete":
+                        applied.pop(r["i"], None)
+                for r in feed:
+                    if r["_change_type"] == "insert":
+                        applied[r["i"]] = r["v"]
+                assert applied == model, (
+                    f"CDF application diverged after step {step} "
+                    f"(v{prev_version} -> v{cur_version}, {op.__name__})"
+                )
         with temp_conf(
             spark, "spark.sql.python.filterPushdown.enabled", "true"
         ):
