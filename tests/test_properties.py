@@ -616,3 +616,122 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         assert _load_manifest(path)["total_rows"] == len(model), (
             f"live-row accounting drift after step {step}"
         )
+
+
+@given(
+    values=st.lists(
+        st.one_of(st.integers(-10**9, 10**9), st.text(max_size=20)),
+        min_size=0,
+        max_size=200,
+    ),
+    probes=st.lists(
+        st.one_of(st.integers(-10**9, 10**9), st.text(max_size=20)),
+        min_size=1,
+        max_size=50,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_bloom_no_false_negatives(values, probes):
+    """The bloom's one soundness obligation: a value that was inserted is
+    NEVER reported absent, for any mix of int/str values and any probe —
+    false positives cost a file read, a false negative would silently
+    drop rows. Exercises the exact writer-insert / reader-probe pair
+    (_bloom_bit_positions) the connector shares."""
+    from lime_on_spark_spark.sources.python_source import (
+        _bloom_bit_positions,
+    )
+
+    m, k = 1024, 5
+    bits = bytearray(m // 8)
+    for v in values:
+        for pos in _bloom_bit_positions("c", v, m, k):
+            bits[pos // 8] |= 1 << (pos % 8)
+
+    def contains(v) -> bool:
+        return all(
+            (bits[p // 8] >> (p % 8)) & 1
+            for p in _bloom_bit_positions("c", v, m, k)
+        )
+
+    for v in values:
+        assert contains(v), f"false negative for inserted value {v!r}"
+    # Serialization discipline: int 5 and str "5" share str() form — the
+    # writer/reader pair must agree they collide (a false POSITIVE, which
+    # is sound) rather than diverge.
+    for p in probes:
+        if p in values:
+            assert contains(p)
+
+
+@given(
+    n_rows=st.integers(1, 60),
+    dv_a=st.sets(st.integers(0, 59)),
+    dv_extra=st.sets(st.integers(0, 59)),
+    data=st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_cdf_task_plan_model(n_rows, dv_a, dv_extra, data, tmp_path_factory):
+    """Pure-metadata model check of _cdf_tasks: for a synthetic pair of
+    manifests (shared files with growing DVs, added files, removed
+    files), the planned (mode, positions, change_type) tasks must imply
+    exactly the model's row-level delta — without reading any data."""
+    import json as j
+    import os
+
+    from lime_on_spark_spark.sources.python_source import _cdf_tasks
+
+    tmp = tmp_path_factory.mktemp("cdfplan")
+    path = str(tmp)
+    dv_a = {p for p in dv_a if p < n_rows}
+    dv_b = dv_a | {p for p in dv_extra if p < n_rows}
+    removed_file = data.draw(st.booleans())
+    added_file = data.draw(st.booleans())
+
+    def dv_sidecar(name, positions):
+        dv_name = f"dv-{name}"
+        with open(os.path.join(path, dv_name), "w") as fh:
+            j.dump({"file": name, "positions": sorted(positions)}, fh)
+        return dv_name
+
+    schema = ["i bigint"]
+    shared = {"name": "shared.json", "n_rows": n_rows}
+    old_files = [dict(shared)]
+    new_files = [dict(shared)]
+    if dv_a:
+        old_files[0]["dv"] = dv_sidecar("a-shared.json", dv_a)
+    if dv_b:
+        new_files[0]["dv"] = dv_sidecar("b-shared.json", dv_b)
+    if removed_file:
+        gone = {"name": "gone.json", "n_rows": 10}
+        if data.draw(st.booleans()):
+            gone["dv"] = dv_sidecar("gone.json", {1, 3})
+        old_files.append(gone)
+    if added_file:
+        new_files.append({"name": "new.json", "n_rows": 7})
+    for v, files in ((1, old_files), (2, new_files)):
+        with open(os.path.join(path, f"_MANIFEST-v{v}.json"), "w") as fh:
+            j.dump({"files": files, "schema": schema, "version": v}, fh)
+
+    tasks, new_manifest = _cdf_tasks(path, 1, 2)
+    by_file = {(t[0], t[3]): t for t in tasks}
+
+    # Model: shared file contributes include-deletes for dv_b - dv_a.
+    newly = dv_b - dv_a
+    if newly:
+        t = by_file[("shared.json", "delete")]
+        assert t[1] == "include" and set(t[2]) == newly
+    else:
+        assert ("shared.json", "delete") not in by_file
+    # Removed file: exclude-delete of its live rows at v1.
+    if removed_file:
+        t = by_file[("gone.json", "delete")]
+        assert t[1] == "exclude"
+    # Added file: exclude-insert against its v2 DV (none here).
+    if added_file:
+        t = by_file[("new.json", "insert")]
+        assert t[1] == "exclude" and set(t[2]) == set()
+    expected_n = (
+        (1 if newly else 0) + (1 if removed_file else 0)
+        + (1 if added_file else 0)
+    )
+    assert len(tasks) == expected_n
