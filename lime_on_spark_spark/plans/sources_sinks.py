@@ -2202,3 +2202,86 @@ def s27_manifest_cdf_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("i").cast("bigint").alias("max_i"),
         F.round(F.sum("v"), 4).alias("sum_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# S28 — batch CDF through the DSv2 READER (Delta's `readChangeFeed`
+# batch shape): `spark.read.format("json_manifest_source")
+# .option("read_changes", "true").option("starting_version", 1)`.
+# Same planning (_cdf_tasks) and executor scan as the s24 function —
+# this row proves the CONNECTOR SURFACE: schema epoch is the ending
+# snapshot's, the `_change_type` column rides along, and no pushdown
+# session conf is needed (the CDF reader declines filter pushdown
+# entirely). Pinned: the reader's aggregates equal the closed form AND
+# a row-set equality flag against the s24 function path — the two
+# spellings can never drift.
+# --------------------------------------------------------------------------
+@register(
+    "s28_manifest_cdf_reader",
+    oracle="""
+    WITH del AS (
+        SELECT i, (i * i % 97) / 10.0 AS v
+        FROM (SELECT unnest(range(1000, 2000)) AS i)
+        UNION ALL
+        SELECT i, (i * i % 97) / 10.0
+        FROM (SELECT unnest(range(5000, 6000)) AS i)
+    ), ins AS (
+        SELECT i, (i * i % 89) / 10.0 AS v
+        FROM (SELECT unnest(range(5000, 7000)) AS i)
+    )
+    SELECT 'delete' AS change_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM del) AS n,
+           (SELECT ROUND(SUM(v), 4) FROM del)         AS sum_v,
+           TRUE                                       AS reader_matches_function
+    UNION ALL
+    SELECT 'insert',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ins),
+           (SELECT ROUND(SUM(v), 4) FROM ins),
+           TRUE
+    """,
+)
+def s28_manifest_cdf_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import (
+        changes_between_manifest_path,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s28_cdfr")
+    (
+        _synthetic_series(spark, 0, 6000, 3)
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    delete_where_manifest_path(
+        spark, path, [("i", "ge", 1000), ("i", "lt", 2000)]
+    )
+    updates = spark.range(5000, 7000, 1, 2).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * F.col("id") % 89) / 10.0).alias("v"),
+    )
+    merge_into_manifest_path(spark, path, updates, "i")
+    via_reader = (
+        spark.read.format("json_manifest_source")
+        .option("path", path)
+        .option("read_changes", "true")
+        .option("starting_version", 1)
+        .load()
+    )
+    via_fn = changes_between_manifest_path(spark, path, 1, 3)
+    # Row-set equality between the two spellings (order-insensitive).
+    matches = (
+        via_reader.exceptAll(via_fn).count() == 0
+        and via_fn.exceptAll(via_reader).count() == 0
+    )
+    return (
+        via_reader.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("v"), 4).alias("sum_v"),
+        )
+        .withColumn("reader_matches_function", F.lit(bool(matches)))
+    )

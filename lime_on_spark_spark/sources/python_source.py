@@ -1379,6 +1379,19 @@ class JsonManifestSource(DataSource):
     def name(cls) -> str:
         return "json_manifest_source"
 
+    def _read_changes(self) -> bool:
+        return str(self.options.get("read_changes", "false")).lower() in (
+            "true",
+            "1",
+        )
+
+    def _change_versions(self) -> tuple[int, int]:
+        path = self.options["path"]
+        lo = int(self.options.get("starting_version", 0))
+        ev = self.options.get("ending_version")
+        hi = int(ev) if ev is not None else _load_manifest(path)["version"]
+        return lo, hi
+
     def _manifest(self) -> dict:
         # Loaded ONCE and cached: schema() and reader() are separate
         # planning calls, and a commit landing between them could pair
@@ -1390,18 +1403,34 @@ class JsonManifestSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("json_manifest_source requires option 'path'")
-        self._manifest_cache = _load_manifest(path, self.options.get("version"))
+        if self._read_changes():
+            # Batch CDF read (s28 — Delta's readChangeFeed shape): the
+            # schema epoch is the ENDING snapshot's (the s20 superset).
+            self._manifest_cache = _load_manifest(
+                path, self._change_versions()[1]
+            )
+        else:
+            self._manifest_cache = _load_manifest(
+                path, self.options.get("version")
+            )
         return self._manifest_cache
 
     def schema(self) -> str:
+        cols = list(self._manifest()["schema"])
+        if self._read_changes():
+            return ", ".join(cols + ["_change_type string"])
         # Data columns from the manifest (written by JsonManifestWriter),
         # plus two per-row planning-metadata columns that make skipping
         # self-certifying in query output.
-        cols = list(self._manifest()["schema"])
         cols += ["n_files_read bigint", "n_files_total bigint"]
         return ", ".join(cols)
 
-    def reader(self, schema) -> "JsonManifestSourceReader":
+    def reader(self, schema):
+        if self._read_changes():
+            lo, hi = self._change_versions()
+            return ManifestCDFBatchReader(
+                self.options["path"], lo, hi, self._manifest()
+            )
         return JsonManifestSourceReader(self.options, manifest=self._manifest())
 
 
@@ -1575,6 +1604,40 @@ class JsonManifestSourceReader(DataSourceReader):
                         n_read,
                         total,
                     )
+
+
+class ManifestCDFBatchReader(DataSourceReader):
+    """Batch change-data-feed through the DSv2 reader (s28 — the Delta
+    `readChangeFeed` batch shape): `spark.read.format(
+    "json_manifest_source").option("read_changes", "true")
+    .option("starting_version", N)[.option("ending_version", M)]`.
+    Same planning as changes_between_manifest_path (_cdf_tasks), same
+    executor scan, one task per changed file."""
+
+    def __init__(self, path: str, v_from: int, v_to: int, manifest: dict):
+        self.path = path
+        self.v_from, self.v_to = int(v_from), int(v_to)
+        self.fields, self.casts = _schema_fields_casts(manifest)
+
+    def partitions(self):
+        if self.v_from == self.v_to:
+            return [InputPartition(None)]  # empty range: no changes
+        tasks, _ = _cdf_tasks(self.path, self.v_from, self.v_to)
+        if not tasks:
+            return [InputPartition(None)]
+        return [
+            InputPartition((name, mode, tuple(sorted(pos)), kind))
+            for name, mode, pos, kind in tasks
+        ]
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        name, mode, positions, kind = partition.value
+        yield from _scan_file_changes(
+            self.path, name, mode, frozenset(positions),
+            self.fields, self.casts, kind,
+        )
 
 
 _ZONE_TESTS_BY_TAG = {tag: fn for tag, fn in _ZONE_TESTS.values()}
