@@ -2035,3 +2035,75 @@ def t27_streaming_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket int, n bigint, sum_v double, matches_full boolean,"
         " restart_incremental boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# T28 — stream-stream LEFT SEMI join, completing the streaming join
+# matrix (t7 inner, t16 left outer): "purchases preceded by a click
+# within the hour" WITHOUT materializing the pair fan-out — the
+# existence-check shape (fraud screens, attribution gates) where an
+# inner join would duplicate a purchase once per qualifying click.
+# Both sides carry watermarks and the condition bounds event time on
+# both sides, so join state is evicted at the horizon (bounded by the
+# watermark window, not stream length). A semi match emits its LEFT row
+# exactly once in the micro-batch the first match arrives, so a full
+# availableNow replay equals the batch EXISTS twin row-for-row — the
+# oracle replays exactly that. (Left ANTI with a streaming right side
+# is unsupported by Spark; t4/t25 own not-matched observability.)
+# --------------------------------------------------------------------------
+@register(
+    "t28_stream_stream_semi",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.user_id                    AS user_id,
+           CAST(COUNT(*) AS BIGINT)     AS n_gated_purchases,
+           ROUND(SUM(p.value), 2)       AS gated_value,
+           CAST(MIN(p.event_id) AS BIGINT) AS first_purchase_id
+    FROM p
+    WHERE EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR
+          AND c.ts <= p.ts
+    )
+    GROUP BY p.user_id
+    """,
+)
+def t28_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    gated = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_semi",
+    )
+    sink = run_to_memory(gated, output_mode="append")
+    return (
+        sink.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gated_purchases"),
+            F.round(F.sum("p_value"), 2).alias("gated_value"),
+            F.min("purchase_id").cast("bigint").alias("first_purchase_id"),
+        )
+    )

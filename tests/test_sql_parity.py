@@ -30,6 +30,7 @@ PORTABLE = [
     "j2_full_outer",
     "j2_left_outer", "j2_right_outer", "j3_anti", "j3_semi", "j5_theta_join",
     "j6_range_join", "j8_salted_skew_join", "o12_exchange_reuse",
+    "o13_cache_reuse", "t28_stream_stream_semi",
     "o1_global_sort",
     "o3_bucketed_join", "p1_projection", "p2_scalar_subquery", "p4_case_when",
     "p5_nullsafe_eq", "q10_returned_revenue", "q11_important_stock",
