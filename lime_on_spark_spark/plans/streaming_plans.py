@@ -2107,3 +2107,81 @@ def t28_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("purchase_id").cast("bigint").alias("first_purchase_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T29 — CHAINED STATEFUL OPERATORS in one streaming query (Spark 3.4+/4
+# multi-stateful pipelines): a watermarked stream-stream attribution
+# join feeds a tumbling-window aggregation WITHOUT an intermediate sink
+# — historically impossible (one stateful op per query) and still the
+# trickiest watermark-propagation surface in Structured Streaming: the
+# second operator's event-time column (p_ts) flows THROUGH the join,
+# and late-arriving joined rows must stay above the propagated
+# watermark or windows would drop pairs. Append mode: a window emits
+# exactly once when the final watermark passes its end — the oracle
+# replays the batch join + hourly rollup and withholds the final
+# horizon exactly (the t4/t8 discipline).
+# Scale: two bounded state stores in one query (join horizon + open
+# windows), one less materialization hop than the sink-and-rescan
+# workaround — at 100 TB the intermediate sink IS the cost.
+# --------------------------------------------------------------------------
+@register(
+    "t29_chained_stateful",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         j AS (
+             SELECT p.ts, p.value FROM p JOIN c
+               ON p.user_id = c.user_id
+              AND c.ts >= p.ts - INTERVAL 1 HOUR
+              AND c.ts <= p.ts
+         ),
+         -- Propagated watermark: global wm (max ts - 2h delay) MINUS the
+         -- join's output lateness. The condition admits c_ts <= p_ts with
+         -- p_ts - c_ts <= 1h, so a joined row's event time (p_ts) can
+         -- trail the click watermark by up to 1 HOUR — Spark propagates
+         -- wm - 1h to the downstream window operator, and the final
+         -- horizon withholds one extra hour vs a single-operator query.
+         wm AS (SELECT MAX(ts) - INTERVAL 3 HOUR AS w FROM events)
+    SELECT date_trunc('hour', ts)        AS hour_start,
+           CAST(COUNT(*) AS BIGINT)      AS n_pairs,
+           ROUND(SUM(value), 2)          AS pair_value
+    FROM j
+    GROUP BY hour_start
+    HAVING hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def t29_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    agg = joined.groupBy(F.window("p_ts", "1 hour").alias("win")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.sum("p_value"), 2).alias("pair_value"),
+    )
+    out = agg.select(
+        F.col("win.start").alias("hour_start"), "n_pairs", "pair_value"
+    )
+    return run_to_memory(out, output_mode="append")
