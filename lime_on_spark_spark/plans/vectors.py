@@ -1898,3 +1898,95 @@ def d95_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dcg_u") / (F.count(F.lit(1)) * float(_D94_IDCG)), 5
         ).alias("ndcg_at10"),
     )
+
+
+# --------------------------------------------------------------------------
+# D98 — RAG context assembly: the inference-side composition of this
+# engine's retrieval and packing halves (d3/d63b/d92 retrieve; d26/d90
+# pack) that no row composed end-to-end: for each query, rank the
+# corpus by cosine, shortlist top-20, then pack documents into a
+# 2000-char context budget IN RANK ORDER (greedy prefix cut on the
+# running total — the d26 budget shape; n_chars avoids tokenizer-parity
+# risk, d5/d62 own tokenization). Output per query: how many documents
+# made the context, the characters used, the summed similarity of what
+# made it in, and the lead document. The brute cosine arm is the
+# deliberately toy-scale exact baseline (the d3 contract); d63b/d92 own
+# the routed/compressed scale path for the same shortlist.
+# Scale: 10 broadcast probe rows x corpus scan + one per-query window
+# over a 20-row shortlist — the corpus never self-joins or shuffles.
+# --------------------------------------------------------------------------
+@register(
+    "d98_rag_context_assembly",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= 10
+    ), ranked AS (
+        SELECT query_id, doc_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, doc_id) AS rk
+        FROM scored
+    ), shortlist AS (
+        SELECT r.*, d.n_chars,
+               SUM(d.n_chars) OVER (PARTITION BY r.query_id ORDER BY r.rk
+                                    ROWS UNBOUNDED PRECEDING) AS running
+        FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        WHERE r.rk <= 20
+    ), ctx AS (SELECT * FROM shortlist WHERE running <= 2000)
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT)        AS n_ctx_docs,
+           CAST(SUM(n_chars) AS BIGINT)    AS ctx_chars,
+           ROUND(SUM(cos_sim), 6)          AS ctx_sim,
+           CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+                                           AS lead_doc
+    FROM ctx GROUP BY query_id
+    """,
+)
+def d98_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lime_on_spark_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "doc_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    rk_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= 20)
+        .join(docs, "doc_id")
+    )
+    run_w = (
+        Window.partitionBy("query_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctx = shortlist.withColumn(
+        "running", F.sum("n_chars").over(run_w)
+    ).filter(F.col("running") <= 2000)
+    return ctx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ctx_docs"),
+        F.sum("n_chars").cast("bigint").alias("ctx_chars"),
+        F.round(F.sum("cos_sim"), 6).alias("ctx_sim"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("lead_doc"),
+    )
