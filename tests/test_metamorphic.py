@@ -92,6 +92,11 @@ REPRESENTATIVE = (
     "d97_incremental_view_maintenance",
     "m6_audio_features",
     "o12_exchange_reuse",
+    # (also round 12) the chained-stateful pipeline: two state stores'
+    # partitioning must not leak into which windows close, and the RAG
+    # packing cut (rank window + running sum) must be fan-out-free.
+    "t29_chained_stateful",
+    "d98_rag_context_assembly",
 )
 
 

@@ -1688,3 +1688,49 @@ def test_manifest_cdf_stream_source_contracts(spark, tmp_path):
     seen.clear()
     with pytest.raises(Exception, match="vacuumed"):
         run(ck)
+
+
+def test_manifest_cdf_reader_edges(spark, tmp_path):
+    """s28 edge contracts: an empty version range yields zero rows (not an
+    error), ending_version defaults to latest, and the reader needs no
+    pushdown session conf (it declines pushdown entirely)."""
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "cdfr")
+    for lo, hi in ((0, 30), (30, 50)):
+        (
+            spark.range(lo, hi, 1, 1)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+
+    def read_changes(start, end=None):
+        rd = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .option("read_changes", "true")
+            .option("starting_version", start)
+        )
+        if end is not None:
+            rd = rd.option("ending_version", end)
+        return rd.load()
+
+    # Note: NO temp_conf(filterPushdown) anywhere in this test.
+    assert read_changes(2, 2).count() == 0  # empty range
+    assert read_changes(1, 2).count() == 20  # exactly the second commit
+    full = read_changes(0)  # ending defaults to latest
+    assert full.count() == 50
+    assert full.filter(F.col("_change_type") != "insert").count() == 0
