@@ -2264,14 +2264,20 @@ def s28_manifest_cdf_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("id") * F.col("id") % 89) / 10.0).alias("v"),
     )
     merge_into_manifest_path(spark, path, updates, "i")
+    # localCheckpoint pins ONE execution of each feed: the equality pin
+    # below consumes both sides twice and the aggregate a third time —
+    # without it every action re-runs the per-changed-file scan tasks.
     via_reader = (
         spark.read.format("json_manifest_source")
         .option("path", path)
         .option("read_changes", "true")
         .option("starting_version", 1)
         .load()
+        .localCheckpoint(eager=True)
     )
-    via_fn = changes_between_manifest_path(spark, path, 1, 3)
+    via_fn = changes_between_manifest_path(
+        spark, path, 1, 3
+    ).localCheckpoint(eager=True)
     # Row-set equality between the two spellings (order-insensitive).
     matches = (
         via_reader.exceptAll(via_fn).count() == 0

@@ -2136,13 +2136,20 @@ def t28_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND c.ts >= p.ts - INTERVAL 1 HOUR
               AND c.ts <= p.ts
          ),
-         -- Propagated watermark: global wm (max ts - 2h delay) MINUS the
-         -- join's output lateness. The condition admits c_ts <= p_ts with
-         -- p_ts - c_ts <= 1h, so a joined row's event time (p_ts) can
-         -- trail the click watermark by up to 1 HOUR — Spark propagates
-         -- wm - 1h to the downstream window operator, and the final
-         -- horizon withholds one extra hour vs a single-operator query.
-         wm AS (SELECT MAX(ts) - INTERVAL 3 HOUR AS w FROM events)
+         -- Propagated watermark: the GLOBAL watermark is the min over the
+         -- two watermarked substreams (least(max p_ts, max c_ts) - 2h, the
+         -- t16 model — unfiltered MAX(ts) would overestimate it whenever a
+         -- trailing event is not both the latest purchase and the latest
+         -- click), MINUS the join's output lateness: the condition admits
+         -- c_ts <= p_ts with p_ts - c_ts <= 1h, so a joined row's event
+         -- time (p_ts) can trail the click watermark by up to 1 HOUR —
+         -- Spark propagates wm - 1h to the downstream window operator and
+         -- the final horizon withholds one extra hour vs a single-operator
+         -- query.
+         wm AS (SELECT least(
+                    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+                    (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+                ) - INTERVAL 3 HOUR AS w)
     SELECT date_trunc('hour', ts)        AS hour_start,
            CAST(COUNT(*) AS BIGINT)      AS n_pairs,
            ROUND(SUM(value), 2)          AS pair_value

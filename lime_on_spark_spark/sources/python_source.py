@@ -1250,7 +1250,11 @@ def changes_between_manifest_path(
     'update_preimage' / 'update_postimage' (one keyed window over the
     feed — a single shuffle on the change set, never the table). Contract:
     the key is unique per side within the window (MERGE enforces it on
-    writes); keys touched only one way keep plain insert/delete tags.
+    writes); keys touched only one way keep plain insert/delete tags; and
+    the window must contain NO compaction/overwrite — its cancelling
+    delete+insert churn of unchanged keys would read as phantom updates,
+    so a removed file in the range raises loudly (read the plain feed
+    across compactions instead).
 
     Scale shape: the diff is driver-side O(#files + #DV positions)
     metadata work; row materialization is one executor task per changed
@@ -1260,6 +1264,27 @@ def changes_between_manifest_path(
     tasks, new = _cdf_tasks(path, v_from, v_to)
     # v_to's schema is the superset (s20 evolution only adds columns).
     fields, casts = _schema_fields_casts(new)
+    if update_key is not None:
+        # Contract checks run even for an empty feed (a typo'd key must
+        # not pass silently on a zero-change range) ...
+        if update_key not in fields:
+            raise ValueError(f"update_key not in schema: {update_key!r}")
+        # ... and update pairing is only DEFINED over DML windows: a
+        # compaction rewrites live rows as cancelling delete+insert churn
+        # of the SAME key, which whole-feed pairing would re-tag as
+        # thousands of phantom updates for rows that never changed. Churn
+        # deletes are exactly the exclude-mode delete tasks (removed
+        # files); DML deletes are DV position lists (include-mode).
+        if any(
+            mode == "exclude" and kind == "delete"
+            for _, mode, _, kind in tasks
+        ):
+            raise ValueError(
+                "update pairing is undefined across a compaction/"
+                f"overwrite in (v{v_from}, v{v_to}]: read the plain feed "
+                "(update_key=None), or window the feed between compaction "
+                "boundaries"
+            )
     ddl = ", ".join(new["schema"]) + ", _change_type string"
     if not tasks:
         return spark.createDataFrame([], ddl)
@@ -1271,8 +1296,6 @@ def changes_between_manifest_path(
     feed = spark.createDataFrame(rdd, ddl)
     if update_key is None:
         return feed
-    if update_key not in fields:
-        raise ValueError(f"update_key not in schema: {update_key!r}")
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
 
@@ -1386,11 +1409,20 @@ class JsonManifestSource(DataSource):
         )
 
     def _change_versions(self) -> tuple[int, int]:
+        # Resolved ONCE and cached (the _manifest_cache rule): schema()
+        # and reader() are separate planning calls, and re-reading the
+        # latest pointer in each would let a commit in between pin the
+        # declared schema at v(N) while the scan covers v(N+1) — silently
+        # dropping a column added by the interleaved commit.
+        cached = getattr(self, "_versions_cache", None)
+        if cached is not None:
+            return cached
         path = self.options["path"]
         lo = int(self.options.get("starting_version", 0))
         ev = self.options.get("ending_version")
         hi = int(ev) if ev is not None else _load_manifest(path)["version"]
-        return lo, hi
+        self._versions_cache = (lo, hi)
+        return self._versions_cache
 
     def _manifest(self) -> dict:
         # Loaded ONCE and cached: schema() and reader() are separate

@@ -655,12 +655,21 @@ def test_bloom_no_false_negatives(values, probes):
 
     for v in values:
         assert contains(v), f"false negative for inserted value {v!r}"
-    # Serialization discipline: int 5 and str "5" share str() form — the
-    # writer/reader pair must agree they collide (a false POSITIVE, which
-    # is sound) rather than diverge.
-    for p in probes:
-        if p in values:
-            assert contains(p)
+    # Serialization discipline: int and str probes that share a str() form
+    # must COLLIDE (a sound false positive) rather than diverge — a
+    # writer/reader disagreement here would be a pruning false negative
+    # for the twin. Asserted cross-type explicitly: `p in values` would
+    # use Python ==, where 5 != "5", and never exercise the collision.
+    for v in values:
+        if isinstance(v, int):
+            assert contains(str(v)), f"str twin of {v!r} must collide"
+        else:
+            try:  # '²'.isdigit() is True but int('²') raises — just try
+                twin = int(v)
+            except ValueError:
+                continue
+            if str(twin) == v:  # "05" has no int twin with its text form
+                assert contains(twin), f"int twin of {v!r} must collide"
 
 
 @given(
@@ -722,10 +731,16 @@ def test_cdf_task_plan_model(n_rows, dv_a, dv_extra, data, tmp_path_factory):
         assert t[1] == "include" and set(t[2]) == newly
     else:
         assert ("shared.json", "delete") not in by_file
-    # Removed file: exclude-delete of its live rows at v1.
+    # Removed file: exclude-delete of its live rows at v1 — the exclusion
+    # set must be EXACTLY its v1 deletion vector (an empty set here would
+    # resurrect already-deleted rows as churn deletes).
     if removed_file:
         t = by_file[("gone.json", "delete")]
         assert t[1] == "exclude"
+        expected_dv = {1, 3} if any(
+            f["name"] == "gone.json" and f.get("dv") for f in old_files
+        ) else set()
+        assert set(t[2]) == expected_dv
     # Added file: exclude-insert against its v2 DV (none here).
     if added_file:
         t = by_file[("new.json", "insert")]
