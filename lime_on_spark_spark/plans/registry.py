@@ -71,49 +71,47 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: exercises the whole engine. Names listed but not (yet) registered are
 #: skipped harmlessly; everything not listed follows in registration order.
 _CURATED_PREFIX = (
-    # r12 rotation: EVERY row never yet seen in a driver artifact goes in
-    # — the round-11 additions (s23, d94, d95, d96, o11, t25) plus all
-    # nine round-12 rows (s24-s26, d97, t26, t27, m6, f24, o12). Long-
-    # sampled veterans rotate out; every family keeps >= 2 rows.
-    # q — TPC-H-ish classics (kept first for round-over-round continuity)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    # p — predicates / projection
-    "p18_sql_scripting", "p20_dynamic_sql",
+    # r13 rotation: 48 of the 50 slots go to rows that have NEVER appeared
+    # in any driver CORRECTNESS_r*.json (312 of 362 rows were still
+    # unsampled after r12 — the judge's top next-round ask). The five rows
+    # the r12 verdict names explicitly (s28, t28, t29, o13, d98) lead
+    # their families; q1 stays as the round-over-round continuity pin and
+    # u2 keeps the u family at two rows (u4 is its only never-sampled
+    # oracle row). Every family keeps >= 2 rows, all oracle-backed.
+    # q — TPC-H-ish classics
+    "q1_pricing_summary", "q4_priority_check",
+    # p — predicates / projection / SQL surface
+    "p8_null_semantics", "p10_correlated_subqueries", "p15_sql_pipe_syntax",
     # j — joins
-    "j3_semi", "j7_asof_tolerance",
-    # a — aggregates
-    "a2_count_distinct", "a26_approx_top_k",
+    "j10_scd2_join", "j7_asof_nearest",
+    # a — aggregates / sketches
+    "a5_pivot", "a14_count_min_sketch", "a19_decimal_money",
+    "a23_regression_aggs",
     # w — window functions
-    "w1_order_rank_per_customer", "w6_time_range_frame",
-    # o — physical layout (o11 skew split and o12 exchange reuse were
-    # never driver-sampled)
-    "o10_nested_schema_pruning", "o11_aqe_skew_join", "o12_exchange_reuse",
+    "w7_cumulative_distinct_users", "w9_reset_running_sum",
+    "w11_cume_dist_range_frame",
+    # o — physical layout (o13 cache reuse: r12 addition, judge-named)
+    "o13_cache_reuse", "o4_zorder_layout", "o5_observed_metrics",
     # u — set operations
-    "u1_union_all", "u5_snapshot_diff",
-    # f — functions (f24 VARIANT is new; both Arrow quadrants stay)
-    "f22_table_arg_udtf", "f23_apply_in_arrow", "f24_variant_type",
-    # t — event-time & streaming (t25-t27 never driver-sampled)
-    "t23_rocksdb_state_agg", "t24_state_ttl", "t25_late_drop_metrics",
-    "t26_exactly_once_sink", "t27_streaming_ivm",
-    # l — LIME (l12 = image-LIME: multimodal + provable-surrogate signal)
-    "l6_ridge_verdict", "l12_image_verdict",
-    # d — data-pipeline (d94-d97 never driver-sampled)
-    "d1_exact_dedup", "d90_global_concat_pack", "d91_pq_quantization",
-    "d92_ivfadc_search", "d93_curated_lakehouse", "d94_retrieval_eval",
-    "d95_matryoshka_eval", "d96_supplier_pagerank",
-    "d97_incremental_view_maintenance",
-    # m — multimodal (m6 audio is new)
-    "m1_multimodal_features", "m2_multimodal_embed_join",
-    "m6_audio_features",
-    # s — sources / sinks / catalog (the full manifest lifecycle; s23-s26
-    # never driver-sampled)
-    "s16_manifest_data_skipping",
-    "s17_manifest_time_travel", "s18_manifest_vacuum",
-    "s19_manifest_delete_vectors", "s20_manifest_schema_evolution",
-    "s21_manifest_compaction_purge", "s22_manifest_merge_upsert",
-    "s23_manifest_stream_read", "s24_manifest_change_data_feed",
-    "s25_manifest_occ_conflict", "s26_manifest_bloom_skipping",
-    "s27_manifest_cdf_updates",
+    "u4_union_schema_drift", "u2_intersect",
+    # f — functions
+    "f9_variant_json", "f13_url_funcs", "f17_encoding_funcs",
+    # t — event-time & streaming (t28/t29: r12 additions, judge-named)
+    "t28_stream_stream_semi", "t29_chained_stateful",
+    "t7_stream_stream_join", "t12_streaming_topk",
+    "t16_stream_stream_left_outer", "t19_checkpoint_recovery",
+    # l — LIME
+    "l9_sp_lime_verdict", "l11_regression_explain", "l13_lime_stability",
+    # d — data-pipeline (d98 RAG assembly: r12 addition, judge-named)
+    "d98_rag_context_assembly", "d2_ngram_jaccard", "d10_dup_clusters",
+    "d15_decontaminate", "d25_pii_redaction", "d37_incremental_dedup",
+    "d49_curation_funnel", "d68_rrf_hybrid_search", "d72_psi_drift",
+    "d73_ks_test", "d76_zipf_fit", "d78_kmv_cardinality",
+    # m — multimodal
+    "m3_resize_and_frames", "m5_magic_byte_router",
+    # s — sources / sinks (s28 CDF reader: r12 addition, judge-named)
+    "s28_manifest_cdf_reader", "s4_merge_schema", "s6_python_datasource",
+    "s7_corrupt_json_handling", "s8_text_roundtrip",
 )
 
 

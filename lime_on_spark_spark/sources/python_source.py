@@ -428,23 +428,14 @@ class JsonManifestWriter(DataSourceWriter):
                 prior = _json.load(fh)
             prior_files = prior["files"]
             prior_version = prior.get("version", 0)
-        # OPTIMISTIC CONCURRENCY (s25): validated BEFORE any spool file is
-        # renamed in — a refused commit leaves the directory exactly as the
-        # winning writer published it (the spool is reclaimed below).
-        if (
-            self.expected_version is not None
-            and prior_version != self.expected_version
-        ):
-            _shutil.rmtree(self._spool_dir(), ignore_errors=True)
-            raise ValueError(
-                "concurrent commit conflict: this write was based on "
-                f"version {self.expected_version}, but the table is now at "
-                f"version {prior_version}; re-plan against the current "
-                "snapshot and retry"
-            )
         # IDEMPOTENT TRANSACTION (t26): a replayed (txn_app, txn_version)
         # commit is a silent NO-OP — the exactly-once contract for
-        # foreachBatch sinks retrying after checkpoint rollback.
+        # foreachBatch sinks retrying after checkpoint rollback. Checked
+        # BEFORE the OCC gate: a replayed commit is stale by construction
+        # (its work already landed, so the table moved past its snapshot),
+        # and raising a concurrent-commit conflict on it would break
+        # exactly-once whenever txn_* and expected_version are combined —
+        # "already recorded" must win regardless of snapshot staleness.
         txns = dict((prior or {}).get("txns", {}))
         if self.txn_app is not None:
             # "No entry yet" must be distinguished from "entry >= version":
@@ -458,6 +449,23 @@ class JsonManifestWriter(DataSourceWriter):
                 _shutil.rmtree(self._spool_dir(), ignore_errors=True)
                 return
             txns[self.txn_app] = self.txn_version
+        # OPTIMISTIC CONCURRENCY (s25): validated BEFORE any spool file is
+        # renamed in — a refused commit leaves the directory exactly as the
+        # winning writer published it (the spool is reclaimed below). This
+        # read-check catches serialized interleavings early with a precise
+        # message; the ATOMIC guarantee is _publish_manifest's exclusive
+        # create of the version slot, which catches true races too.
+        if (
+            self.expected_version is not None
+            and prior_version != self.expected_version
+        ):
+            _shutil.rmtree(self._spool_dir(), ignore_errors=True)
+            raise ManifestConflictError(
+                "concurrent commit conflict: this write was based on "
+                f"version {self.expected_version}, but the table is now at "
+                f"version {prior_version}; re-plan against the current "
+                "snapshot and retry"
+            )
         files = []
         for m in messages:
             final = _os.path.join(self.path, m.final_name)
@@ -509,7 +517,20 @@ class JsonManifestWriter(DataSourceWriter):
         }
         if txns:
             manifest["txns"] = txns
-        _publish_manifest(self.path, manifest)
+        try:
+            _publish_manifest(self.path, manifest)
+        except ManifestConflictError:
+            # Lost the atomic race for the version slot: un-publish this
+            # commit's data files (they are invisible to manifest readers,
+            # but leaving them would litter the directory for globbers)
+            # and reclaim the spool before surfacing the conflict.
+            for m in messages:
+                try:
+                    _os.remove(_os.path.join(self.path, m.final_name))
+                except OSError:
+                    pass
+            _shutil.rmtree(self._spool_dir(), ignore_errors=True)
+            raise
         if self.overwrite and not self.retain_history:
             # The new manifest supersedes the old one; delete the files it
             # listed (and their deletion-vector sidecars), or every
@@ -757,18 +778,58 @@ def _load_manifest(path: str, version=None) -> dict:
         return _json.load(fh)
 
 
+class ManifestConflictError(ValueError):
+    """A commit lost the race for its version slot (or retried after a
+    crash that already published the slot). Re-plan against the current
+    snapshot and retry with the next version."""
+
+
 def _publish_manifest(path: str, manifest: dict) -> None:
-    """Atomically publish a manifest: versioned snapshot FIRST, then the
-    latest pointer — a crash between the two leaves a readable v{N} and a
-    stale latest, never a latest pointing at a missing snapshot. Shared by
-    the batch writer's commit() and DELETE (single-writer contract)."""
+    """Atomically publish a manifest: versioned snapshot FIRST (via an
+    EXCLUSIVE create), then the latest pointer.
+
+    The versioned snapshot `_MANIFEST-v{N}.json` is the commit record and
+    is claimed atomically — written to a temp file, then hard-linked into
+    place (`os.link` fails with EEXIST if v{N} already exists). This is
+    Delta's putIfAbsent pattern: two concurrent commits that both planned
+    against v{N-1} race for the v{N} slot and exactly one wins; the loser
+    gets :class:`ManifestConflictError` instead of silently overwriting
+    the winner's snapshot and latest pointer (last-writer-wins data loss).
+    Without the exclusive create, the OCC ``expected_version`` gate in
+    commit() only catches SERIALIZED interleavings — its read-check-publish
+    is not atomic.
+
+    Crash semantics: a crash between the two writes leaves a readable
+    v{N} and a stale latest pointer — never a latest pointing at a missing
+    snapshot. A blind retry of that commit then conflicts on v{N} (the
+    slot is taken — the commit IS durable); the caller must re-plan from
+    the current snapshot, exactly as with a lost race.
+
+    Shared by the batch writer's commit(), DELETE, and MERGE (which are
+    otherwise a single-writer contract — this makes a violated contract
+    loud instead of lossy)."""
     vp = _os.path.join(path, f"_MANIFEST-v{manifest['version']}.json")
     mp = _os.path.join(path, "_MANIFEST.json")
-    for target in (vp, mp):
-        tmp = target + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            _json.dump(manifest, fh)
-        _os.replace(tmp, target)
+    tmp = vp + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump(manifest, fh)
+    try:
+        _os.link(tmp, vp)  # atomic claim of the version slot (EEXIST loses)
+    except FileExistsError:
+        raise ManifestConflictError(
+            "concurrent commit conflict: version "
+            f"{manifest['version']} was already published at {vp}; "
+            "re-plan against the current snapshot and retry"
+        ) from None
+    finally:
+        try:
+            _os.remove(tmp)
+        except OSError:
+            pass
+    tmp = mp + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump(manifest, fh)
+    _os.replace(tmp, mp)
 
 
 def _scan_file_for_deletes(
@@ -1241,6 +1302,10 @@ def changes_between_manifest_path(
       DML surface (DVs only grow on a fixed file) and raises loudly.
 
     ``v_from`` = 0 means "from empty" (every live v_to row is an insert).
+    ``v_from`` is an EXCLUSIVE base snapshot — the feed is changes in
+    (v_from, v_to], "what happened after v_from"; Delta's readChangeFeed
+    ``startingVersion`` is INCLUSIVE of that commit, so port Delta's
+    ``startingVersion=N`` as ``v_from=N-1``.
     Requires retain_history writes (s17): both snapshots and every file
     they reference must still exist — vacuumed history raises
     FileNotFoundError, never silently under-reports.
@@ -1409,6 +1474,16 @@ class JsonManifestSource(DataSource):
         )
 
     def _change_versions(self) -> tuple[int, int]:
+        # SEMANTICS — starting_version is EXCLUSIVE (a base snapshot):
+        # the feed returns changes in (starting_version, ending_version],
+        # i.e. "everything that happened AFTER snapshot v{lo}". This
+        # deliberately diverges from Delta Lake's readChangeFeed, whose
+        # startingVersion is INCLUSIVE of that commit's own changes; a
+        # Delta user porting `startingVersion=N` here must pass N-1 (or
+        # read it as "I already hold v{N-1}"). The snapshot-diff spelling
+        # matches how checkpoints are used: a consumer records the version
+        # it has fully applied and asks for changes SINCE it.
+        #
         # Resolved ONCE and cached (the _manifest_cache rule): schema()
         # and reader() are separate planning calls, and re-reading the
         # latest pointer in each would let a commit in between pin the
@@ -1643,6 +1718,13 @@ class ManifestCDFBatchReader(DataSourceReader):
     `readChangeFeed` batch shape): `spark.read.format(
     "json_manifest_source").option("read_changes", "true")
     .option("starting_version", N)[.option("ending_version", M)]`.
+
+    NOTE — `starting_version` is an EXCLUSIVE base snapshot: the feed is
+    changes in (N, M], "what happened after snapshot v{N}". Delta's
+    `startingVersion` is INCLUSIVE of commit N's changes; port Delta's
+    `startingVersion=N` as `starting_version=N-1`. See
+    `_change_versions` for the rationale.
+
     Same planning as changes_between_manifest_path (_cdf_tasks), same
     executor scan, one task per changed file."""
 

@@ -1487,6 +1487,109 @@ def test_manifest_txn_idempotency(spark, tmp_path):
         append(0, 1, "a", None)
 
 
+def test_manifest_occ_atomic_version_slot(spark, tmp_path):
+    """The OCC gate is ATOMIC, not just read-check-publish: a concurrent
+    winner that has published its versioned snapshot but NOT yet the
+    latest pointer (the exact interleaving a read-check cannot see — the
+    loser still reads the old version and passes expected_version) is
+    caught by the exclusive create of the version slot, and the loser's
+    data files are un-published. Delta's putIfAbsent pattern."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        ManifestConflictError,
+        _load_manifest,
+        _publish_manifest,
+    )
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "occ_atomic")
+
+    def append(lo, hi, expected):
+        (
+            spark.range(lo, hi, 1, 1)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("expected_version", str(expected))
+            .mode("append")
+            .save()
+        )
+
+    append(0, 10, 0)  # v1
+    # Simulate the concurrent winner mid-publish: v2 snapshot exists,
+    # latest pointer still at v1. The loser's read-check sees version 1,
+    # matches expected_version=1, and would have overwritten v2 under
+    # last-writer-wins; the exclusive create must refuse instead.
+    winner = dict(_load_manifest(path))
+    winner["version"] = 2
+    with open(os.path.join(path, "_MANIFEST-v2.json"), "w") as fh:
+        json.dump(winner, fh)
+    listing_before = sorted(os.listdir(path))
+    with pytest.raises(Exception, match="concurrent commit conflict"):
+        append(10, 20, 1)
+    # Winner's snapshot untouched, loser fully un-published (no data
+    # files, no spool), latest pointer still the pre-race v1.
+    assert sorted(os.listdir(path)) == listing_before
+    assert json.load(open(os.path.join(path, "_MANIFEST-v2.json"))) == winner
+    assert _load_manifest(path)["version"] == 1
+    # _publish_manifest itself raises the typed conflict on a taken slot.
+    with pytest.raises(ManifestConflictError):
+        _publish_manifest(path, winner)
+
+
+def test_manifest_txn_replay_wins_over_occ(spark, tmp_path):
+    """A replayed (txn_app, txn_version) commit must NO-OP even when its
+    expected_version is stale: the replay is stale by construction (its
+    own first run moved the table), so evaluating the OCC gate first
+    would raise a conflict on every foreachBatch retry that combines
+    txn_* with expected_version — breaking exactly-once."""
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        _load_manifest,
+    )
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "txn_occ")
+
+    def append(lo, hi, app, ver, expected):
+        (
+            spark.range(lo, hi, 1, 1)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("txn_app", app)
+            .option("txn_version", str(ver))
+            .option("expected_version", str(expected))
+            .mode("append")
+            .save()
+        )
+
+    append(0, 10, "etl", 0, 0)  # v1: first run of batch 0
+    assert _load_manifest(path)["version"] == 1
+    append(10, 20, "etl", 1, 1)  # v2: batch 1
+    # Retry of batch 0 after a checkpoint rollback: same options verbatim,
+    # including the now-stale expected_version=0. Recorded txn wins —
+    # silent no-op, never a conflict.
+    append(0, 10, "etl", 0, 0)
+    m = _load_manifest(path)
+    assert m["version"] == 2 and m["total_rows"] == 20
+    assert m["txns"] == {"etl": 1}
+
+
 def test_manifest_bloom_soundness(spark, tmp_path):
     """s26's bloom soundness edges: a double column's bloom is PARTIAL
     (values not insertable) so the reader declines to prune with it; a
