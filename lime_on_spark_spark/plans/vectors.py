@@ -1643,6 +1643,78 @@ _D94_DISC_UNITS = (1000000, 630930, 500000, 430677, 386853,
                    356207, 333333, 315465, 301030, 289065)
 _D94_IDCG = sum(_D94_DISC_UNITS)
 
+#: d94 and d95 both need the SAME exact-scored arm — per-query integer
+#: metric units for the dim-64 brute-cosine ranking over the full corpus
+#: (the two most expensive battery rows, each rescanning queries×corpus).
+#: The arm reduces to a tiny |Q|-row table of plain ints, so the
+#: COLLECTED rows are memoized per (applicationId, sf_dir) — the
+#: operators/ivfadc.py discipline: one corpus-wide scoring pass amortized
+#: across both evaluations; applicationId keys the cache so a stopped
+#: session never leaks rows into a new one (they're plain Python ints,
+#: but the key keeps every memo in the repo eviction-consistent).
+_D94_PERQ_CACHE: dict[tuple, list] = {}
+
+
+def _d94_query_frame(emb: DataFrame) -> DataFrame:
+    """The shared evaluation query set: every 17th vector."""
+    return emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+
+
+def _d94_topk_metrics(scored: DataFrame) -> DataFrame:
+    """(qid, q_label, rr_u, dcg_u) from a (qid, q_label, label, cos_sim,
+    vec_id) frame — rounded-cosine rank, literal unit lookups, integer
+    sums (order-free, hash-exact)."""
+    rr_u = F.array(*[F.lit(v) for v in _D94_RR_UNITS])
+    disc_u = F.array(*[F.lit(v) for v in _D94_DISC_UNITS])
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    rel = F.col("label") == F.col("q_label")
+    return top.groupBy("qid", "q_label").agg(
+        F.max(
+            F.when(rel, F.element_at(rr_u, F.col("rank"))).otherwise(0)
+        ).alias("rr_u"),
+        F.sum(
+            F.when(rel, F.element_at(disc_u, F.col("rank"))).otherwise(0)
+        ).alias("dcg_u"),
+    )
+
+
+def _d94_exact_perq_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, int, int]]:
+    """Memoized (qid, q_label, rr_u, dcg_u) tuples for the dim-64 exact
+    arm: |Q| broadcast queries × corpus scan, run AT MOST ONCE per
+    session per corpus and shared by d94 (its exact baseline + metric
+    output) and d95 (its dim-64 Matryoshka arm — full embeddings are 64-d,
+    so slice(1, 64) scores identically to the unsliced column)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _D94_PERQ_CACHE:
+        return _D94_PERQ_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _d94_query_frame(emb)
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "q_label", "vec_id", "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    rows = [
+        (int(r["qid"]), int(r["q_label"]), int(r["rr_u"]), int(r["dcg_u"]))
+        for r in _d94_topk_metrics(exact).collect()
+    ]
+    _D94_PERQ_CACHE[key] = rows
+    return rows
+
 
 @register(
     "d94_retrieval_eval",
@@ -1690,45 +1762,13 @@ def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 17 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
+    q = _d94_query_frame(emb)
+    # Exact arm: memoized per-query metric units (shared with d95 — one
+    # queries×corpus scoring pass per session per corpus, not one per row).
+    per_q = spark.createDataFrame(
+        _d94_exact_perq_rows(spark, sf_dir),
+        "qid bigint, q_label int, rr_u int, dcg_u bigint",
     )
-    rr_u = F.array(*[F.lit(v) for v in _D94_RR_UNITS])
-    disc_u = F.array(*[F.lit(v) for v in _D94_DISC_UNITS])
-
-    def topk_metrics(scored: DataFrame) -> DataFrame:
-        """(qid, q_label, rr_u, dcg_u) from a (qid, q_label, label,
-        cos_sim, vec_id) frame — rounded-cosine rank, literal unit
-        lookups, integer sums (order-free, hash-exact)."""
-        w = Window.partitionBy("qid").orderBy(
-            F.desc("cos_sim"), F.asc("vec_id")
-        )
-        top = scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= 10
-        )
-        rel = F.col("label") == F.col("q_label")
-        return top.groupBy("qid", "q_label").agg(
-            F.max(
-                F.when(rel, F.element_at(rr_u, F.col("rank"))).otherwise(0)
-            ).alias("rr_u"),
-            F.sum(
-                F.when(rel, F.element_at(disc_u, F.col("rank"))).otherwise(0)
-            ).alias("dcg_u"),
-        )
-
-    exact = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "q_label", "vec_id", "label",
-            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
-                "cos_sim"
-            ),
-        )
-    )
-    per_q = topk_metrics(exact).persist()
 
     # ANN arm: EVERY evaluation query through the memoized IVFADC index
     # (the DataFrame ADC-table variant — the driver holds probe-residual
@@ -1772,7 +1812,11 @@ def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — otherwise ANN MRR would be biased upward over fewer queries.
     ann_mrr = (
         per_q.select("qid")
-        .join(topk_metrics(ann_scored).select("qid", "rr_u"), "qid", "left")
+        .join(
+            _d94_topk_metrics(ann_scored).select("qid", "rr_u"),
+            "qid",
+            "left",
+        )
         .agg(F.avg(F.coalesce(F.col("rr_u"), F.lit(0))))
         .first()[0]
     )
@@ -1789,10 +1833,8 @@ def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ndcg_at10"),
         F.lit(bool(ann_ok)).alias("ann_mrr_ok"),
     )
-    rows = out.collect()
-    per_q.unpersist()
     return spark.createDataFrame(
-        rows,
+        out.collect(),
         "label int, n_queries bigint, mrr_at10 double, ndcg_at10 double,"
         " ann_mrr_ok boolean",
     )
@@ -1849,46 +1891,40 @@ def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d95_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 17 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
+    q = _d94_query_frame(emb)
+    # dim-64 arm: the full embedding is 64-d, so slicing to 64 scores
+    # identically to the unsliced column — this arm IS d94's exact arm
+    # and comes from the shared memo (one queries×corpus pass per session
+    # per corpus across both rows, the #1/#3 battery-cost fix).
+    per_q_64 = spark.createDataFrame(
+        [
+            (64, qid, rr, dcg)
+            for qid, _label, rr, dcg in _d94_exact_perq_rows(spark, sf_dir)
+        ],
+        "dim int, qid bigint, rr_u int, dcg_u bigint",
     )
-    rr_u = F.array(*[F.lit(v) for v in _D94_RR_UNITS])
-    disc_u = F.array(*[F.lit(v) for v in _D94_DISC_UNITS])
-    dims = spark.range(1).select(
-        F.explode(F.array(F.lit(64), F.lit(16))).alias("dim")
-    )
-    scored = (
+    # dim-16 arm: prefix truncation is a list SLICE (scan-width
+    # experiment, zero re-embedding) — only this arm rescans the corpus.
+    scored_16 = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .crossJoin(F.broadcast(dims))
         .select(
-            "dim", "qid", "q_label", "vec_id", "label",
+            "qid", "q_label", "vec_id", "label",
             F.round(
                 cosine(
-                    F.slice("embedding", 1, F.col("dim")),
-                    F.slice("q_emb", 1, F.col("dim")),
+                    F.slice("embedding", 1, 16), F.slice("q_emb", 1, 16)
                 ),
                 6,
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("dim", "qid").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id")
+    per_q_16 = _d94_topk_metrics(scored_16).select(
+        F.lit(16).alias("dim"),
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("rr_u").cast("int").alias("rr_u"),
+        F.col("dcg_u").cast("bigint").alias("dcg_u"),
     )
-    top = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 10
-    )
-    rel = F.col("label") == F.col("q_label")
-    per_q = top.groupBy("dim", "qid").agg(
-        F.max(
-            F.when(rel, F.element_at(rr_u, F.col("rank"))).otherwise(0)
-        ).alias("rr_u"),
-        F.sum(
-            F.when(rel, F.element_at(disc_u, F.col("rank"))).otherwise(0)
-        ).alias("dcg_u"),
-    )
+    per_q = per_q_64.unionByName(per_q_16)
     return per_q.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
         F.round(F.sum("rr_u") / (F.count(F.lit(1)) * 1000000.0), 5).alias(
