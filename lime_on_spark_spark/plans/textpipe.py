@@ -1966,9 +1966,7 @@ def d41_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are one groupBy(doc_id) shuffle over shingles x 12, band keys another
 # keyed agg, and the candidate join is an equi-join on (band, key).
 # --------------------------------------------------------------------------
-@register(
-    "d45_minhash_banded_exact",
-    oracle="""
+_D45_ORACLE_SQL = """
     WITH words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS word,
                generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -2008,8 +2006,10 @@ def d41_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz sa ON it.doc_a = sa.doc_id
     JOIN sz sb ON it.doc_b = sb.doc_id
     WHERE it.i * 1.0 / (sa.n + sb.n - it.i) >= 0.6
-    """,
-)
+"""
+
+
+@register("d45_minhash_banded_exact", oracle=_D45_ORACLE_SQL)
 def d45_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _word_shingles(docs)
@@ -2073,6 +2073,57 @@ def d45_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .filter(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D2-vs-D45 agreement verdict: the MLlib MinHashLSH arm (d2 — hash family
+# not SQL-reproducible, so on its own it only has a rows-only artifact
+# plus a brute-force recall gate) pinned against the hand-rolled
+# SQL-exact banded twin (d45). Closes the last unpinned LSH arm: the two
+# schemes use different hash families (MLlib's universal hashing over
+# HashingTF bins vs md5 over raw shingles) and different band layouts
+# (5 tables vs 4 bands x 3 rows), so agreement is evidence of CORRECTNESS
+# of both, not shared bias. n_ref (d45 pairs at true Jaccard >= 0.7, the
+# d2 similarity threshold) is SQL-exact via d45's own oracle CTEs;
+# recall_ok / precision_ok gate at 0.9 (measured 1.0 / 1.0 at sf0.001,
+# sf0.01 AND sf0.1 — the corpus's planted near-dups sit far enough above
+# threshold that both schemes find exactly the same pairs).
+# Scale: both sides are banded equi-joins on band keys (never all-pairs);
+# the agreement join is |pairs| x |pairs| on (doc_a, doc_b) keys.
+# --------------------------------------------------------------------------
+@register(
+    "d2_vs_d45_agreement",
+    oracle=f"""
+    WITH d45 AS ({_D45_ORACLE_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ref,
+           TRUE AS recall_ok, TRUE AS precision_ok
+    FROM d45 WHERE jaccard >= 0.7
+    """,
+)
+def d2_vs_d45_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.registry import queries
+
+    qs = queries()
+    d2 = (
+        qs["d2_minhash_near_dup"](spark, sf_dir)
+        .filter(F.col("jaccard_dist") <= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    d45 = qs["d45_minhash_banded_exact"](spark, sf_dir).persist()
+    ref = d45.filter(F.col("jaccard") >= 0.7).select("doc_a", "doc_b")
+    n_ref = ref.count()
+    n_d2 = d2.count()
+    n_recalled = ref.join(d2, ["doc_a", "doc_b"]).count()
+    # Precision vs d45's FULL >= 0.6 set: d2's threshold (0.7) is strictly
+    # inside it, so every true d2 pair must appear there.
+    n_precise = d2.join(d45.select("doc_a", "doc_b"), ["doc_a", "doc_b"]).count()
+    d45.unpersist()
+    recall_ok = n_ref > 0 and n_recalled / n_ref >= 0.9
+    precision_ok = n_d2 > 0 and n_precise / n_d2 >= 0.9
+    return spark.createDataFrame(
+        [(n_ref, bool(recall_ok), bool(precision_ok))],
+        "n_ref bigint, recall_ok boolean, precision_ok boolean",
     )
 
 

@@ -97,6 +97,17 @@ REPRESENTATIVE = (
     # packing cut (rank window + running sum) must be fan-out-free.
     "t29_chained_stateful",
     "d98_rag_context_assembly",
+    # round-13 additions: the rest of the CDF surface — CDF planning is
+    # manifest-DIFF-driven (task-per-changed-file), so these pin that
+    # executor parallelism can never reorder, duplicate, or drop change
+    # rows: s27 update pairing (a keyed window over the change set must
+    # pair pre/postimages identically under any fan-out), s28 the DSv2
+    # batch reader spelling of the same plan. Plus the d2-vs-d45 LSH
+    # agreement verdict (two independent banded candidate joins whose
+    # pair sets must not depend on fan-out).
+    "s27_manifest_cdf_updates",
+    "s28_manifest_cdf_reader",
+    "d2_vs_d45_agreement",
 )
 
 
