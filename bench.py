@@ -105,6 +105,30 @@ EXTENDED = (
     # connector overhead, not data-scaling entries.
     "d97_incremental_view_maintenance",
     "t27_streaming_ivm",
+    # round-13 additions: the rest of the r12 manifest/CDC/stateful surface
+    # gets pinned numbers so a 10x regression in the connector machinery
+    # shows up as a number, not a vibe (r12 verdict task 2). All are
+    # constant-cost probes over fixed synthetic lineages (connector
+    # overhead, not data-scaling entries) except d98 (corpus-scaling
+    # retrieval+packing) and d2_vs_d45 (corpus-scaling LSH agreement).
+    "s24_manifest_change_data_feed",
+    "s25_manifest_occ_conflict",
+    "s26_manifest_bloom_skipping",
+    "s27_manifest_cdf_updates",
+    "s28_manifest_cdf_reader",
+    "t26_exactly_once_sink",
+    "t28_stream_stream_semi",
+    "t29_chained_stateful",
+    "o13_cache_reuse",
+    "d98_rag_context_assembly",
+    "d2_vs_d45_agreement",
+    # round-13 new operators: the full-outer stream-stream join (completes
+    # the streaming join matrix) and the quantile-digest rollup (Arrow
+    # two-stage sketch merge). s29 RESTORE is solo-floor-tracked only —
+    # its battery cost is 90% the seeded three-commit lineage, not the
+    # restore itself (a driver-side manifest publish).
+    "t30_stream_stream_full_outer",
+    "a27_quantile_digest_rollup",
 )
 
 

@@ -1345,3 +1345,140 @@ def a26_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cnt DESC, event_type
         """
     )
+
+
+# --------------------------------------------------------------------------
+# A27 — mergeable quantile-digest ROLLUP (the t-digest/GK family, the
+# quantile analogue of a17's HLL-sketch rollup): per-nation equal-weight
+# centroid digests of customer balances, MERGED up to region level
+# without touching the raw rows again — the shape that answers "region
+# p50/p90" at 100 TB from nation-level summaries instead of a re-scan.
+# The digest is DETERMINISTIC (sorted values chunked into K equal-count
+# groups; merge = weight-sorted re-chunk at equal cumulative weight), so
+# the verdict is stable: both estimates must land within 8% of the
+# region's value range of the exact interpolated percentile. Exact
+# percentiles are SQL-exact on both engines (Spark `percentile` and
+# DuckDB `quantile_cont` are the same linear interpolation).
+# Scale: stage 1 is a keyed Arrow-batched agg emitting K rows per
+# nation (map-side-combinable shape); stage 2 merges 25*K tiny rows per
+# region — the raw table is scanned exactly once.
+# --------------------------------------------------------------------------
+_A27_K = 16
+
+
+def _a27_digest(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One nation's equal-weight centroid digest: sort, chunk into K
+    equal-count groups, emit (mean, weight) per group."""
+    import numpy as np
+
+    vals = np.sort(pdf["c_acctbal"].to_numpy(dtype="float64"))
+    chunks = np.array_split(vals, min(_A27_K, len(vals)))
+    return pd.DataFrame(
+        {
+            "n_regionkey": pdf["n_regionkey"].iloc[0],
+            "mean": [float(c.mean()) for c in chunks if len(c)],
+            "weight": [int(len(c)) for c in chunks if len(c)],
+        }
+    )
+
+
+def _a27_merge_quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge one region's nation digests and read p50/p90 off the merged
+    digest: centroids sorted by mean, re-compressed to K equal-weight
+    clusters, quantile = mean of the cluster holding the target rank."""
+    import numpy as np
+
+    d = pdf.sort_values("mean")
+    means = d["mean"].to_numpy(dtype="float64")
+    weights = d["weight"].to_numpy(dtype="float64")
+    total = weights.sum()
+    # Re-compress: greedy equal-cumulative-weight clustering to K.
+    budget = total / _A27_K
+    merged_m: list[float] = []
+    merged_w: list[float] = []
+    acc_w = 0.0
+    acc_mw = 0.0
+    for m, w in zip(means, weights):
+        acc_w += w
+        acc_mw += m * w
+        if acc_w >= budget:
+            merged_m.append(acc_mw / acc_w)
+            merged_w.append(acc_w)
+            acc_w = acc_mw = 0.0
+    if acc_w > 0:
+        merged_m.append(acc_mw / acc_w)
+        merged_w.append(acc_w)
+    cum = np.cumsum(merged_w)
+
+    def q(p: float) -> float:
+        target = p * total
+        idx = int(np.searchsorted(cum, target))
+        return float(merged_m[min(idx, len(merged_m) - 1)])
+
+    return pd.DataFrame(
+        {
+            "n_regionkey": [int(pdf["n_regionkey"].iloc[0])],
+            "est_p50": [q(0.5)],
+            "est_p90": [q(0.9)],
+        }
+    )
+
+
+@register(
+    "a27_quantile_digest_rollup",
+    oracle="""
+    WITH cust AS (
+        SELECT r.r_name AS region, c.c_acctbal AS bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT)                    AS n_customers,
+           ROUND(quantile_cont(bal, 0.5), 4)           AS exact_p50,
+           ROUND(quantile_cont(bal, 0.9), 4)           AS exact_p90,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM cust GROUP BY region
+    """,
+)
+def a27_quantile_digest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    base = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("n_nationkey", "n_regionkey", "c_acctbal")
+    digests = base.groupBy("n_nationkey").applyInPandas(
+        _a27_digest, "n_regionkey int, mean double, weight long"
+    )
+    est = digests.groupBy("n_regionkey").applyInPandas(
+        _a27_merge_quantiles, "n_regionkey int, est_p50 double, est_p90 double"
+    )
+    exact = base.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.expr("percentile(c_acctbal, 0.5)").alias("x50"),
+        F.expr("percentile(c_acctbal, 0.9)").alias("x90"),
+        (F.max("c_acctbal") - F.min("c_acctbal")).alias("rng"),
+    )
+    tol = F.col("rng") * 0.08
+    return (
+        exact.join(est, "n_regionkey")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "n_customers",
+            F.round("x50", 4).alias("exact_p50"),
+            F.round("x90", 4).alias("exact_p90"),
+            (F.abs(F.col("est_p50") - F.col("x50")) <= tol).alias("p50_ok"),
+            (F.abs(F.col("est_p90") - F.col("x90")) <= tol).alias("p90_ok"),
+        )
+    )

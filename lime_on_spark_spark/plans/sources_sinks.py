@@ -2291,3 +2291,194 @@ def s28_manifest_cdf_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("reader_matches_function", F.lit(bool(matches)))
     )
+
+
+# --------------------------------------------------------------------------
+# S29 — manifest RESTORE: the Delta `RESTORE TABLE ... VERSION AS OF`
+# primitive over the json_manifest stack — roll a table BACK by
+# publishing FORWARD: a new commit whose file list equals the target
+# snapshot's, so history is never rewritten, the rollback is itself
+# auditable, and the change feed sees it as ordinary inserts/deletes
+# with no special casing. Over the s17/s18 seeded lineage (v1 append
+# 4000/4, v2 append 2000/2 -> 6000/6, v3 overwrite 1000/2, all
+# retained), RESTORE to v2 publishes v4 with v2's 6 files / 6000 rows;
+# the readback aggregates are closed-form over range(6000), and
+# CDF(3,4) must show exactly v2-not-in-v3 as inserts (6000) and
+# v3-not-in-v4 as deletes (1000) — the composition proof that restore
+# needs no CDF special casing.
+# Scale: a restore is a driver-side manifest publish (O(#files)
+# metadata); no data is read, copied, or rewritten at any table size.
+# --------------------------------------------------------------------------
+@register(
+    "s29_manifest_restore",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS restored_from,
+           CAST(4 AS BIGINT) AS new_version,
+           CAST(6 AS BIGINT) AS files_restored,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(6000)) AS i))        AS n_rows,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(6000)) AS i))        AS sum_v,
+           CAST(6000 AS BIGINT) AS cdf_inserts,
+           CAST(1000 AS BIGINT) AS cdf_deletes,
+           TRUE AS vacuumed_restore_refused
+    """,
+)
+def s29_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        changes_between_manifest_path,
+        restore_manifest_path,
+        vacuum_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s29_restore")
+    _seed_retained_dir(spark, path)  # v1..v3, all retained
+    stats = restore_manifest_path(spark, path, to_version=2)  # -> v4
+
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        row = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("v"), 4).alias("s"),
+            )
+            .first()
+        )
+    cdf = dict(
+        changes_between_manifest_path(spark, path, 3, 4)
+        .groupBy("_change_type")
+        .count()
+        .collect()
+    )
+    # Negative control: after a deep vacuum the restore target is gone
+    # and restore must refuse loudly (never publish a manifest pointing
+    # at missing files).
+    vacuum_manifest_path(path, retain_versions=1)
+    try:
+        restore_manifest_path(spark, path, to_version=3)
+        refused = False
+    except FileNotFoundError:
+        refused = True
+    return spark.createDataFrame(
+        [(
+            stats["restored_from"],
+            stats["new_version"],
+            stats["files_restored"],
+            row["n"],
+            row["s"],
+            int(cdf.get("insert", 0)),
+            int(cdf.get("delete", 0)),
+            bool(refused),
+        )],
+        "restored_from bigint, new_version bigint, files_restored bigint,"
+        " n_rows bigint, sum_v double, cdf_inserts bigint,"
+        " cdf_deletes bigint, vacuumed_restore_refused boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# S31 — manifest SHALLOW CLONE: the Delta `CREATE TABLE ... SHALLOW
+# CLONE` primitive — a zero-copy fork of a table for experimentation or
+# staged migration. The clone's v1 manifest lists the source's current
+# files via symlinks (the shared-fs spelling of Delta's absolute-path
+# references), so clone cost is O(#files) metadata. Copy-on-write
+# divergence is pinned IN-ROW: an append lands only in the clone, a
+# DELETE writes only the clone's DV sidecars, and the source is
+# byte-identical after both (rows, version, zero DV files — the
+# src_clean boolean). Sums are closed-form over the seeded lineage.
+# Scale: no data read or copied at any table size; the documented
+# hazard (source VACUUM dangles clone references — exactly Delta's)
+# lives in the clone docstring.
+# --------------------------------------------------------------------------
+@register(
+    "s31_manifest_shallow_clone",
+    oracle="""
+    SELECT CAST(2 AS BIGINT)    AS files_cloned,
+           CAST(3 AS BIGINT)    AS src_version,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(1000)) AS i))        AS cloned_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(1000)) AS i)) + 500  AS clone_after_append,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(100, 1000)) AS i)) + 500
+                                                           AS clone_after_delete,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4) FROM (
+                SELECT unnest(range(100, 1000)) AS i
+                UNION ALL
+                SELECT unnest(range(6000, 6500)) AS i))    AS clone_sum_v,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(1000)) AS i))        AS src_rows,
+           TRUE AS src_clean
+    """,
+)
+def s31_manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        _load_manifest,
+        clone_manifest_path,
+        delete_where_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    src = _scratch(spark, "s31_src")
+    dst = _scratch(spark, "s31_clone")
+    _seed_retained_dir(spark, src)  # v1..v3; latest = 1000 rows / 2 files
+    stats = clone_manifest_path(spark, src, dst)
+
+    def read_agg(path):
+        with temp_conf(
+            spark, "spark.sql.python.filterPushdown.enabled", "true"
+        ):
+            return (
+                spark.read.format("json_manifest_source")
+                .option("path", path)
+                .load()
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.round(F.sum("v"), 4).alias("s"),
+                )
+                .first()
+            )
+
+    cloned_rows = read_agg(dst)["n"]
+    # Diverge: append 500 rows to the CLONE only, then DELETE i < 100
+    # (hits only cloned files -> clone-local DV sidecars).
+    (
+        _synthetic_series(spark, 6000, 6500, 1)
+        .write.format("json_manifest_sink")
+        .option("path", dst)
+        .mode("append")
+        .save()
+    )
+    after_append = read_agg(dst)["n"]
+    delete_where_manifest_path(spark, dst, [("i", "lt", 100)])
+    after_delete = read_agg(dst)
+    # Source isolation: rows, version, and ZERO delete-vector sidecars.
+    src_row = read_agg(src)
+    src_m = _load_manifest(src)
+    src_clean = (
+        src_m["version"] == 3
+        and not [
+            n for n in os.listdir(src) if n.startswith("dv-")
+        ]
+        and all("dv" not in f for f in src_m["files"])
+    )
+    return spark.createDataFrame(
+        [(
+            stats["files_cloned"],
+            stats["src_version"],
+            cloned_rows,
+            after_append,
+            after_delete["n"],
+            after_delete["s"],
+            src_row["n"],
+            bool(src_clean),
+        )],
+        "files_cloned bigint, src_version bigint, cloned_rows bigint,"
+        " clone_after_append bigint, clone_after_delete bigint,"
+        " clone_sum_v double, src_rows bigint, src_clean boolean",
+    )

@@ -2192,3 +2192,136 @@ def t29_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win.start").alias("hour_start"), "n_pairs", "pair_value"
     )
     return run_to_memory(out, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# T30 — stream-stream FULL OUTER join, completing the streaming join
+# matrix (t7 inner, t16 left outer, t28 left semi): the attribution
+# audit shape — every click AND every purchase accounted for exactly
+# once, matched pairs carrying value, unmatched rows surfacing as
+# unconverted clicks / unattributed purchases. Both sides are
+# watermarked and the condition bounds event time on both sides, so
+# join state is evicted at the horizon. Emission model (the t16
+# discipline, extended to the right side): matched pairs emit on
+# arrival; an unmatched CLICK emits once the watermark passes the end
+# of its match window (c_ts + 1h < wm); an unmatched PURCHASE emits
+# once the watermark passes its own timestamp (p_ts < wm — no future
+# click with c_ts >= wm can precede it). The availableNow replay's
+# final watermark is least(max(c_ts), max(p_ts)) - 2h, which the
+# oracle replays exactly.
+# Scale: state is bounded by the watermark window per side, never
+# stream length; the join itself is the keyed stream-stream exchange.
+# --------------------------------------------------------------------------
+@register(
+    "t30_stream_stream_full_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS c_ts, event_id AS click_id
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id, value
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT MAX(c_ts) FROM c),
+                             (SELECT MAX(p_ts) FROM p))
+                       - INTERVAL 2 HOUR AS w),
+         matched AS (
+             SELECT c.user_id, c.click_id, p.purchase_id, p.value
+             FROM c JOIN p
+               ON c.user_id = p.user_id
+              AND p.p_ts >= c.c_ts
+              AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+         ),
+         unmatched_clicks AS (
+             SELECT c.user_id, NULL AS purchase_id, NULL AS value,
+                    c.click_id
+             FROM c, wm
+             WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+               AND c.c_ts + INTERVAL 1 HOUR < wm.w
+         ),
+         unmatched_purchases AS (
+             SELECT p.user_id, p.purchase_id, p.value, NULL AS click_id
+             FROM p, wm
+             WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+               AND p.p_ts < wm.w
+         ),
+         feed AS (
+             SELECT user_id, click_id, purchase_id, value FROM matched
+             UNION ALL
+             SELECT user_id, click_id, purchase_id, value
+             FROM unmatched_clicks
+             UNION ALL
+             SELECT user_id, click_id, purchase_id, value
+             FROM unmatched_purchases
+         )
+    SELECT user_id,
+           COUNT(*) FILTER (click_id IS NOT NULL
+                            AND purchase_id IS NOT NULL) AS n_pairs,
+           COUNT(*) FILTER (purchase_id IS NULL)         AS n_unconverted,
+           COUNT(*) FILTER (click_id IS NULL)            AS n_unattributed,
+           ROUND(COALESCE(SUM(value) FILTER (click_id IS NOT NULL), 0), 2)
+               AS attributed_value,
+           ROUND(COALESCE(SUM(value) FILTER (click_id IS NULL), 0), 2)
+               AS stray_value
+    FROM feed
+    GROUP BY user_id
+    """,
+)
+def t30_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    )
+    sink = run_to_memory(joined, output_mode="append")
+    both = F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+    return (
+        sink.select(
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            "click_id", "purchase_id", "p_value",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(both.cast("int")).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("purchase_id").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_unconverted"),
+            F.sum(F.col("click_id").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_unattributed"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("click_id").isNotNull(), F.col("p_value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("attributed_value"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("click_id").isNull(), F.col("p_value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("stray_value"),
+        )
+    )

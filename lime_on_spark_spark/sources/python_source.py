@@ -1757,6 +1757,119 @@ class ManifestCDFBatchReader(DataSourceReader):
 _ZONE_TESTS_BY_TAG = {tag: fn for tag, fn in _ZONE_TESTS.values()}
 
 
+def restore_manifest_path(spark, path: str, to_version: int) -> dict:
+    """RESTORE a `json_manifest_sink` table to an earlier snapshot — the
+    Delta `RESTORE TABLE ... VERSION AS OF` primitive: publishes a NEW
+    commit whose file list (and deletion vectors) equal snapshot
+    v{to_version}. The version moves FORWARD, the content moves back —
+    history is never rewritten, so the restore itself is auditable,
+    shows up in the change feed as ordinary inserts/deletes (the CDF
+    manifest diff needs no special casing), and a bad restore can be
+    restored away.
+
+    Requires retained history (s17): the target snapshot AND every data
+    file / DV it references must still exist — a vacuumed target raises
+    FileNotFoundError loudly rather than publishing a manifest that
+    points at missing files. The txn table rides along from the CURRENT
+    snapshot (idempotency tracks appliers, not content — a restore must
+    not make a replayed foreachBatch commit re-apply).
+
+    Driver-side O(#files) metadata work; no data is read or copied —
+    at 100 TB a restore is a manifest publish, not a rewrite.
+    Returns ``{"restored_from", "new_version", "files_restored",
+    "total_rows"}``. Single-writer contract as commit(); a concurrent
+    commit loses the version-slot race in :func:`_publish_manifest`.
+    """
+    current = _load_manifest(path)
+    cur_version = current.get("version", 0)
+    if not 1 <= int(to_version) <= cur_version:
+        raise ValueError(
+            f"cannot restore to version {to_version}: table is at "
+            f"version {cur_version} (valid targets: 1..{cur_version})"
+        )
+    target = _load_manifest(path, version=to_version)  # vacuumed -> raises
+    for f in target["files"]:
+        for name in (f["name"], f.get("dv")):
+            if name is None:
+                continue
+            if not _os.path.exists(_os.path.join(path, name)):
+                raise FileNotFoundError(
+                    f"restore target v{to_version} references '{name}', "
+                    "which was vacuumed; restore requires retained history"
+                )
+    manifest = {
+        "files": target["files"],
+        "total_rows": sum(
+            f["n_rows"] - f.get("n_deleted", 0) for f in target["files"]
+        ),
+        "schema": target["schema"],
+        "version": cur_version + 1,
+    }
+    if current.get("txns"):
+        manifest["txns"] = current["txns"]
+    _publish_manifest(path, manifest)
+    return {
+        "restored_from": int(to_version),
+        "new_version": cur_version + 1,
+        "files_restored": len(target["files"]),
+        "total_rows": manifest["total_rows"],
+    }
+
+
+def clone_manifest_path(spark, src: str, dst: str) -> dict:
+    """SHALLOW CLONE a `json_manifest_sink` table — the Delta `CREATE
+    TABLE ... SHALLOW CLONE` primitive: a new table directory whose v1
+    manifest lists the SOURCE's current files, materialized as symlinks
+    (the shared-filesystem spelling of Delta's absolute-path file
+    references; this stack already assumes a shared fs — see the reader
+    contract at the top of this module). No data is read or copied —
+    clone cost is O(#files) metadata at any table size.
+
+    Divergence is copy-on-write by construction: appends to the clone
+    add files in the clone's directory; DELETE writes the clone's own
+    DV sidecars; compaction/overwrite/vacuum on the clone remove
+    SYMLINKS, never source bytes. The source never observes any clone
+    operation. The txn table is NOT carried over (Delta semantics:
+    clone resets stream/txn identity — a foreachBatch writer targeting
+    the clone is a new application, and inheriting the source's
+    high-water marks would silently no-op its first commits).
+
+    HAZARD (exactly Delta's documented shallow-clone hazard): VACUUM on
+    the SOURCE can delete files the clone still references, dangling the
+    clone's symlinks. Deep-copy the files before vacuuming sources that
+    have live clones.
+
+    Returns ``{"files_cloned", "total_rows", "src_version"}``.
+    """
+    src_manifest = _load_manifest(src)
+    _os.makedirs(dst, exist_ok=True)
+    if _os.path.exists(_os.path.join(dst, "_MANIFEST.json")):
+        raise ValueError(f"clone destination {dst} is already a table")
+    for f in src_manifest["files"]:
+        for name in (f["name"], f.get("dv")):
+            if name is None:
+                continue
+            _os.symlink(
+                _os.path.abspath(_os.path.join(src, name)),
+                _os.path.join(dst, name),
+            )
+    manifest = {
+        "files": src_manifest["files"],
+        "total_rows": sum(
+            f["n_rows"] - f.get("n_deleted", 0)
+            for f in src_manifest["files"]
+        ),
+        "schema": src_manifest["schema"],
+        "version": 1,
+    }
+    _publish_manifest(dst, manifest)
+    return {
+        "files_cloned": len(src_manifest["files"]),
+        "total_rows": manifest["total_rows"],
+        "src_version": src_manifest.get("version", 0),
+    }
+
+
 def vacuum_manifest_path(path: str, retain_versions: int = 1) -> dict:
     """Explicit retention reclaim for a `json_manifest_sink` directory —
     the VACUUM half of the s17 time-travel contract (writes never delete

@@ -108,6 +108,10 @@ REPRESENTATIVE = (
     "s27_manifest_cdf_updates",
     "s28_manifest_cdf_reader",
     "d2_vs_d45_agreement",
+    # (also round 13) the full-outer stream-stream join: BOTH sides'
+    # unmatched-row emission depends on watermark bookkeeping that must
+    # not vary with state-store partitioning.
+    "t30_stream_stream_full_outer",
 )
 
 

@@ -1900,3 +1900,154 @@ def test_cdf_update_pairing_contracts(spark, tmp_path):
     # ...but pairing refuses: every unchanged key would become an update.
     with pytest.raises(ValueError, match="undefined across a compaction"):
         changes_between_manifest_path(spark, path, 1, 3, update_key="i")
+
+
+def test_manifest_restore_contract(spark, tmp_path):
+    """s29's RESTORE edges beyond the registry row: invalid targets are
+    refused with the valid range, restore publishes FORWARD (a second
+    restore can undo the first), restore-to-current-content is a legal
+    no-op-shaped commit, and the txn table rides along from the CURRENT
+    snapshot (a replayed foreachBatch commit must still no-op after a
+    restore)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        _load_manifest,
+        restore_manifest_path,
+    )
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "restore")
+
+    def append(lo, hi, app=None, ver=None):
+        w = (
+            spark.range(lo, hi, 1, 1)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("append")
+        )
+        if app is not None:
+            w = w.option("txn_app", app).option("txn_version", str(ver))
+        w.save()
+
+    append(0, 10, "etl", 0)   # v1
+    append(10, 30, "etl", 1)  # v2
+    with pytest.raises(ValueError, match="valid targets: 1..2"):
+        restore_manifest_path(spark, path, to_version=5)
+    with pytest.raises(ValueError, match="valid targets"):
+        restore_manifest_path(spark, path, to_version=0)
+    stats = restore_manifest_path(spark, path, to_version=1)  # -> v3
+    assert stats == {
+        "restored_from": 1,
+        "new_version": 3,
+        "files_restored": 1,
+        "total_rows": 10,
+    }
+    m = _load_manifest(path)
+    assert m["version"] == 3 and m["total_rows"] == 10
+    # The txn table survived the restore: a replay of batch 1 must no-op
+    # even though its rows are not in the restored content.
+    append(10, 30, "etl", 1)
+    assert _load_manifest(path)["total_rows"] == 10
+    # Restore is itself restorable (roll the rollback forward again).
+    stats2 = restore_manifest_path(spark, path, to_version=2)  # -> v4
+    assert stats2["new_version"] == 4
+    assert _load_manifest(path)["total_rows"] == 30
+    # Restoring to the version we just republished is legal and content-
+    # preserving (Delta allows a no-op-shaped restore commit).
+    stats3 = restore_manifest_path(spark, path, to_version=4)
+    assert stats3["new_version"] == 5
+    assert _load_manifest(path)["total_rows"] == 30
+
+
+def test_a27_digest_determinism_and_bounds():
+    """The a27 digest helpers are deterministic and rank-accurate on a
+    known array: equal-count chunking reproduces exact quantiles when
+    K >= n, and the merged estimate lands within one chunk width on a
+    uniform grid."""
+    import pandas as pd
+
+    from lime_on_spark_spark.plans.aggregates import (
+        _a27_digest,
+        _a27_merge_quantiles,
+    )
+
+    vals = list(range(100))  # uniform grid 0..99
+    pdf = pd.DataFrame({"n_regionkey": [0] * 100, "c_acctbal": vals})
+    d1 = _a27_digest(pdf)
+    d2 = _a27_digest(pdf.sample(frac=1.0, random_state=7))  # order-invariant
+    pd.testing.assert_frame_equal(
+        d1.reset_index(drop=True), d2.reset_index(drop=True)
+    )
+    est = _a27_merge_quantiles(d1)
+    assert abs(est["est_p50"].iloc[0] - 49.5) <= 100 / 16 + 1
+    assert abs(est["est_p90"].iloc[0] - 89.5) <= 100 / 16 + 1
+
+
+def test_manifest_shallow_clone_isolation(spark, tmp_path):
+    """s31's clone edges beyond the registry row: cloning onto an
+    existing table refuses, the clone does not inherit the source's txn
+    table (clone resets stream identity — Delta semantics), vacuum on
+    the CLONE removes symlinks while source bytes survive, and a
+    source-side append after cloning is invisible to the clone (the
+    clone is a snapshot fork, not a view)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        _load_manifest,
+        clone_manifest_path,
+        vacuum_manifest_path,
+    )
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    def append(path, lo, hi, txn=False):
+        w = (
+            spark.range(lo, hi, 1, 1)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("append")
+        )
+        if txn:
+            w = w.option("txn_app", "etl").option("txn_version", "7")
+        w.save()
+
+    append(src, 0, 10, txn=True)
+    stats = clone_manifest_path(spark, src, dst)
+    assert stats == {"files_cloned": 1, "total_rows": 10, "src_version": 1}
+    m = _load_manifest(dst)
+    assert "txns" not in m  # clone resets txn identity
+    # A txn the source already recorded must still APPLY on the clone.
+    append(dst, 10, 20, txn=True)
+    assert _load_manifest(dst)["total_rows"] == 20
+    with pytest.raises(ValueError, match="already a table"):
+        clone_manifest_path(spark, src, dst)
+    # Source-side append after the clone: invisible to the clone.
+    append(src, 100, 150)
+    assert _load_manifest(src)["total_rows"] == 60
+    assert _load_manifest(dst)["total_rows"] == 20
+    # Vacuum the CLONE down to its latest snapshot: only clone-local
+    # names (symlinks + its own files) are candidates; source data files
+    # must survive with their bytes intact.
+    src_files_before = sorted(os.listdir(src))
+    vacuum_manifest_path(dst, retain_versions=1)
+    assert sorted(os.listdir(src)) == src_files_before
+    assert _load_manifest(src)["total_rows"] == 60
