@@ -1239,3 +1239,60 @@ def f24_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pri_cast_nulls"),
         F.max("cust_schema").alias("cust_schema"),
     )
+
+
+# --------------------------------------------------------------------------
+# F25 — try_* error-safe arithmetic (the ANSI-mode escape hatches next to
+# p9's try_cast): division by zero, bigint overflow, and out-of-bounds
+# element access all yield NULL instead of failing the job — the
+# dirty-feed contract where one bad row must not kill a 100 TB pass.
+# The oracle models each NULL production explicitly (NULLIF guard for
+# div0, CASE for the overflow frontier, bounds CASE for element_at), so
+# the row certifies WHERE the NULLs appear, not just that nothing threw.
+# All JVM-side whole-stage-codegen expressions; zero Python boundary.
+# --------------------------------------------------------------------------
+@register(
+    "f25_try_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice / NULLIF(l_linenumber % 2, 0)), 2)
+               AS safe_div_sum,
+           CAST(COUNT(*) FILTER (l_linenumber % 2 = 0) AS BIGINT)
+               AS n_div0_null,
+           CAST(COUNT(*) FILTER (l_orderkey > 1) AS BIGINT)
+               AS n_overflow_null,
+           CAST(COUNT(*) FILTER (l_linenumber < 3) AS BIGINT)
+               AS n_oob_null
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def f25_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = F.lit(9223372036854775807).cast("bigint")  # bigint max
+    probed = li.select(
+        "l_returnflag",
+        F.try_divide("l_extendedprice", F.col("l_linenumber") % 2).alias(
+            "safe_div"
+        ),
+        # overflows (-> NULL) for every orderkey > 1; exactly max at 1
+        F.try_multiply(F.col("l_orderkey").cast("bigint"), big).alias(
+            "mul_probe"
+        ),
+        # sequence(1, n) has no 3rd element when n < 3 -> NULL
+        F.try_element_at(
+            F.sequence(F.lit(1), F.col("l_linenumber")), F.lit(3)
+        ).alias("elem_probe"),
+    )
+    return probed.groupBy("l_returnflag").agg(
+        F.round(F.sum("safe_div"), 2).alias("safe_div_sum"),
+        F.sum(F.col("safe_div").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_div0_null"),
+        F.sum(F.col("mul_probe").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_overflow_null"),
+        F.sum(F.col("elem_probe").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_oob_null"),
+    )

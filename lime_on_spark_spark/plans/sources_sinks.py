@@ -2482,3 +2482,89 @@ def s31_manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         " clone_after_append bigint, clone_after_delete bigint,"
         " clone_sum_v double, src_rows bigint, src_clean boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S32 — manifest CHECK constraints: Delta's `ALTER TABLE ADD CONSTRAINT
+# CHECK`, enforced at WRITE time — the data-quality gate that makes a
+# table trustworthy downstream (no consumer re-validates invariants the
+# writer already guaranteed). A violating row fails its executor task
+# BEFORE any spool file is renamed in, so the refused write leaves the
+# table byte-identical (version and rows pinned in-row). ANSI/Delta 3VL:
+# NULL never violates — a row with a NULL constrained column commits
+# (pinned in-row with an explicit null row).
+# Scale: validation is a per-row predicate inside the existing executor
+# spool loop — zero extra passes, no driver involvement, no shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "s32_manifest_check_constraints",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(2000)) AS i))      AS n_rows,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(2000)) AS i))      AS sum_v,
+           CAST(2 AS BIGINT)  AS version,
+           TRUE AS violation_refused,
+           TRUE AS table_unchanged,
+           TRUE AS null_passes
+    """,
+)
+def s32_manifest_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _j
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import _load_manifest
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s32_check")
+    checks = _j.dumps([["i", "ge", 0], ["i", "lt", 5000]])
+
+    def write(df):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("check_constraints", checks)
+            .mode("append")
+            .save()
+        )
+
+    write(_synthetic_series(spark, 0, 2000, 2))  # in-bounds -> v1
+    # NULL constrained column: 3VL, never a violation -> v2 commits.
+    null_row = spark.createDataFrame(
+        [(None, 0.0)], "i bigint, v double"
+    )
+    write(null_row)
+    m_before = _load_manifest(path)
+    # Out-of-bounds rows: the write must refuse and leave the table
+    # byte-identical (same version, same files).
+    try:
+        write(_synthetic_series(spark, 4000, 6000, 2))  # i up to 5999
+        refused = False
+    except Exception as exc:  # noqa: BLE001 — Py4J wraps the ValueError
+        refused = "check constraint violated" in str(exc)
+    m_after = _load_manifest(path)
+    unchanged = m_after == m_before
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        row = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .agg(
+                F.count("i").cast("bigint").alias("n"),
+                F.round(F.sum("v"), 4).alias("s"),
+            )
+            .first()
+        )
+    return spark.createDataFrame(
+        [(
+            row["n"],
+            row["s"],
+            m_after["version"],
+            bool(refused),
+            bool(unchanged),
+            bool(m_after["total_rows"] == 2001),  # the null row committed
+        )],
+        "n_rows bigint, sum_v double, version bigint,"
+        " violation_refused boolean, table_unchanged boolean,"
+        " null_passes boolean",
+    )

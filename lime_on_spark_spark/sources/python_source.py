@@ -316,6 +316,34 @@ class JsonManifestWriter(DataSourceWriter):
         self.bloom_k = int(options.get("bloom_k", 6))
         if self.bloom_k <= 0:
             raise ValueError(f"bloom_k must be positive, got {self.bloom_k}")
+        # CHECK CONSTRAINTS (s32): the Delta `ALTER TABLE ADD CONSTRAINT
+        # CHECK` primitive, enforced at WRITE time — a violating row fails
+        # its executor task, the job aborts, and the table is untouched
+        # (no spool file is ever renamed in). JSON list of [col, op, value]
+        # conjuncts sharing _ROW_TESTS with DELETE/skipping; SQL 3VL: only
+        # a row where the predicate is FALSE violates — NULL passes (the
+        # Delta/ANSI CHECK semantics; use a NOT NULL column for presence).
+        # Validated up-front: a typo'd column or op must fail at option
+        # parse, not silently never-enforce.
+        cc = options.get("check_constraints")
+        if cc is not None:
+            checks = _json.loads(cc)
+            for c in checks:
+                if not (isinstance(c, list) and len(c) == 3):
+                    raise ValueError(
+                        f"check_constraints entries are [col, op, value]: {c}"
+                    )
+                col, tag, _ = c
+                if col not in self.fields:
+                    raise ValueError(f"check constraint column not in schema: {col}")
+                if tag not in _ROW_TESTS:
+                    raise ValueError(
+                        f"check constraint op must be one of "
+                        f"{sorted(_ROW_TESTS)}: {tag}"
+                    )
+            self.checks = [tuple(c) for c in checks]
+        else:
+            self.checks = []
 
     def _spool_dir(self) -> str:
         return _os.path.join(self.path, f"_temp-{self.job_id}")
@@ -360,6 +388,14 @@ class JsonManifestWriter(DataSourceWriter):
                     raise RuntimeError(
                         f"planted failure on {self.fields[0]}={self.poison}"
                     )
+                for col, tag, bound in self.checks:
+                    x = vals.get(col)
+                    # 3VL: NULL never VIOLATES a CHECK (ANSI/Delta).
+                    if x is not None and not _ROW_TESTS[tag](x, bound):
+                        raise ValueError(
+                            f"check constraint violated: {col} {tag} "
+                            f"{bound!r} fails for row {vals!r}"
+                        )
                 for c, bits in bloom_bits.items():
                     v = vals.get(c)
                     if v is None:

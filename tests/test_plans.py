@@ -2051,3 +2051,40 @@ def test_manifest_shallow_clone_isolation(spark, tmp_path):
     vacuum_manifest_path(dst, retain_versions=1)
     assert sorted(os.listdir(src)) == src_files_before
     assert _load_manifest(src)["total_rows"] == 60
+
+
+def test_manifest_check_constraints_validation(spark, tmp_path):
+    """s32's option-parse edges: a typo'd column or unknown op fails at
+    write setup (never silently un-enforced), and malformed entries are
+    refused with the expected shape in the message."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.sources.python_source import JsonManifestSink
+
+    try:
+        spark.dataSource.register(JsonManifestSink)
+    except Exception:
+        pass
+    path = str(tmp_path / "check_opts")
+
+    def write(checks):
+        (
+            spark.range(0, 5, 1, 1)
+            .select(F.col("id").alias("i"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("check_constraints", json.dumps(checks))
+            .mode("append")
+            .save()
+        )
+
+    with pytest.raises(Exception, match="not in schema"):
+        write([["nope", "ge", 0]])
+    with pytest.raises(Exception, match="op must be one of"):
+        write([["i", "between", 0]])
+    with pytest.raises(Exception, match="col, op, value"):
+        write([["i", "ge"]])
+    write([["i", "ge", 0]])  # valid constraint commits
