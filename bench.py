@@ -193,7 +193,13 @@ def main() -> None:
         return block
 
     timings = time_block(HEADLINE)
-    extended = time_block(EXTENDED, constructed=True)
+    # Headline-only mode for quiet-floor re-measurement (BENCH_NOTES
+    # protocol): the extended block is ~10 min of battery that perturbs
+    # the machine; a floor re-run wants just the eight baseline rows.
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        extended = {}
+    else:
+        extended = time_block(EXTENDED, constructed=True)
 
     out = {
         "metric": "headline_total_latency",

@@ -1477,12 +1477,15 @@ def _cdf_tasks(
             tasks.append((name, "exclude", _dv(f), "insert"))
             continue
         dv_old, dv_new = _dv(old_by_name[name]), _dv(f)
+        # Positions deleted at v_from but live at v_to are RESURRECTIONS:
+        # impossible under forward DML (DVs only grow on a fixed file) but
+        # legitimate when a RESTORE (s29) republished a pre-DELETE entry —
+        # the feed emits them as ordinary inserts, so applying the feed
+        # still reproduces v_to exactly and a restore needs no special
+        # casing downstream (the s29 composition contract).
         resurrected = dv_old - dv_new
         if resurrected:
-            raise ValueError(
-                f"manifest lineage violation: {len(resurrected)} positions "
-                f"of {name} are deleted at v{v_from} but live at v{v_to}"
-            )
+            tasks.append((name, "include", resurrected, "insert"))
         newly_deleted = dv_new - dv_old
         if newly_deleted:
             tasks.append((name, "include", newly_deleted, "delete"))

@@ -1251,8 +1251,9 @@ def test_manifest_cdf_contracts(spark, tmp_path):
     """s24's change-data-feed contracts: bad version ranges raise, a
     compaction between the endpoints appears as delete+reinsert churn
     whose signed aggregate cancels exactly (the d97 IVM invariant), a
-    resurrected DV position raises loudly, and vacuumed history fails
-    with FileNotFoundError rather than under-reporting."""
+    resurrected DV position (a RESTORE republishing a pre-DELETE entry)
+    feeds as an ordinary insert, and vacuumed history fails with
+    FileNotFoundError rather than under-reporting."""
     import json
     import os
 
@@ -1345,8 +1346,13 @@ def test_manifest_cdf_contracts(spark, tmp_path):
         os.path.join(path, "_MANIFEST-v5.json"), "w", encoding="utf-8"
     ) as fh:
         json.dump(m5, fh)
-    with pytest.raises(ValueError, match="lineage violation"):
-        changes_between_manifest_path(spark, path, 4, 5).count()
+    # A DV that SHRINKS between snapshots is a resurrection — impossible
+    # under forward DML but legitimate after s29 RESTORE republished a
+    # pre-DELETE entry; the feed emits exactly the resurrected positions
+    # as ordinary inserts (applying the feed reproduces v5).
+    res = changes_between_manifest_path(spark, path, 4, 5).collect()
+    assert [r["_change_type"] for r in res] == ["insert"]
+    assert len(res) == 1  # exactly the one forged DV position
 
     # Vacuumed history: the FROM snapshot is gone -> loud, never silent.
     for n in ("_MANIFEST-v4.json", "_MANIFEST-v5.json", dv_name):

@@ -483,13 +483,17 @@ import pytest as _pytest
 @_pytest.mark.parametrize("seed", [0xD11, 0xBEEF])
 def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
     """Model-based check of the connector's DML surface: a seeded random
-    walk of append / DELETE / MERGE / compact / vacuum operations is
-    applied BOTH to a json_manifest_sink directory and to a plain Python
-    dict model {key: value}; after every operation the connector readback
-    must equal the model exactly. Catches the interaction-bug class no
-    single-operation test sees (a DELETE after a MERGE after a compaction
-    crossing a vacuumed snapshot boundary, DV merging across mixed file
-    generations, live-row accounting drift)."""
+    walk of append / DELETE / MERGE / compact / vacuum / RESTORE
+    operations is applied BOTH to a json_manifest_sink directory and to a
+    plain Python dict model {key: value}; after every operation the
+    connector readback must equal the model exactly. Catches the
+    interaction-bug class no single-operation test sees (a DELETE after a
+    MERGE after a compaction crossing a vacuumed snapshot boundary, DV
+    merging across mixed file generations, live-row accounting drift, a
+    RESTORE landing on a partially-vacuumed target). The model keeps a
+    per-version state history so RESTORE's expected content is the
+    model's own snapshot — and the generic CDF check then pins that a
+    restore's change feed is ordinary inserts/deletes."""
     import random
 
     from pyspark.sql import functions as F
@@ -501,6 +505,7 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         _load_manifest,
         delete_where_manifest_path,
         merge_into_manifest_path,
+        restore_manifest_path,
         vacuum_manifest_path,
     )
 
@@ -566,17 +571,32 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
     def do_vacuum():
         vacuum_manifest_path(path, retain_versions=1)
 
+    #: version -> model snapshot at that version (RESTORE's expectation).
+    history: dict[int, dict[int, int]] = {}
+
+    def do_restore():
+        cur = _load_manifest(path)["version"]
+        target = rng.randint(1, cur)
+        try:
+            restore_manifest_path(spark, path, target)
+        except FileNotFoundError:
+            return  # vacuumed target: legal loud refusal, state unchanged
+        model.clear()
+        model.update(history[target])
+
     from lime_on_spark_spark.sources.python_source import (
         changes_between_manifest_path,
     )
 
     do_append()  # the walk starts from a committed table
-    ops = [do_append, do_delete, do_merge, do_compact, do_vacuum]
+    history[_load_manifest(path)["version"]] = dict(model)
+    ops = [do_append, do_delete, do_merge, do_compact, do_vacuum, do_restore]
     for step in range(14):
         prev_model = dict(model)
         prev_version = _load_manifest(path)["version"]
         op = rng.choice(ops)
         op()
+        history[_load_manifest(path)["version"]] = dict(model)
         cur_version = _load_manifest(path)["version"]
         # CDF consistency: the change feed between any two adjacent walk
         # versions, applied to the previous state (deletes first, then
