@@ -134,8 +134,15 @@ def explain_tabular(
     seed: int = 7,
     alpha: float = 1.0,
     feature_selection: str = "highest_weights",
+    kernel_scale: float = 1.0,
 ) -> DataFrame:
-    """L8 tabular: one explanation row per (instance, selected feature)."""
+    """L8 tabular: one explanation row per (instance, selected feature).
+
+    ``kernel_scale`` multiplies the default kernel width (0.75 * sqrt(d),
+    the upstream constant) — the l14 sensitivity knob: a narrower kernel
+    weights only the closest perturbations (local but noisy), a wider one
+    smooths toward the global surrogate.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda v: v.cast("double"))
     # Corpus per-dimension means (distributed agg; d rows to the driver,
@@ -154,7 +161,8 @@ def explain_tabular(
     weighted = scored.withColumn(
         "weight",
         exponential_kernel(
-            euclidean_distance(F.col("raw"), F.col("x")), default_kernel_width(d)
+            euclidean_distance(F.col("raw"), F.col("x")),
+            default_kernel_width(d) * kernel_scale,
         ),
     )
     return (

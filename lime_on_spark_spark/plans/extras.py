@@ -862,3 +862,43 @@ def p20_dynamic_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING p20_cut
         """
     )
+
+
+# --------------------------------------------------------------------------
+# P21 — GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4, DuckDB-originated SQL
+# surface): every non-aggregate SELECT item becomes a grouping key and
+# the full output sorts by every column — the exploratory-analytics
+# spelling that removes the copy-the-projection-into-GROUP-BY chore (and
+# with it the silently-wrong-when-they-drift hazard). Near-verbatim in
+# both engines; the resolved plan is identical to the explicit spelling,
+# so this is parser surface, not a new operator shape.
+# --------------------------------------------------------------------------
+@register(
+    "p21_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT)            AS n_rows,
+           ROUND(SUM(l_extendedprice), 2)      AS total_price,
+           ROUND(AVG(l_discount), 6)           AS avg_disc
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def p21_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT)            AS n_rows,
+               ROUND(SUM(l_extendedprice), 2)      AS total_price,
+               ROUND(AVG(l_discount), 6)           AS avg_disc
+        FROM lineitem
+        WHERE l_quantity >= 25
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -930,3 +930,55 @@ def l8_batch_explain_text_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explain_text(
         spark, sf_dir, [1, 2, 3], num_samples=100, k=5, bow=True
     )
+
+
+# --------------------------------------------------------------------------
+# L14 — kernel-width sensitivity sweep: the robustness axis l13 (seed
+# stability) doesn't cover — upstream LIME's one magic constant is the
+# exponential kernel width (0.75 * sqrt(d)); an explanation that flips
+# with the width is an artifact of the kernel, not a property of the
+# model. Sweeps scales 0.5x / 1x / 2x through the FULL distributed L8
+# pipeline (same perturbations, same scoring, only the locality weights
+# change) and gates: adjacent-scale top-6 feature overlap >= 4/6 and the
+# argmax |weight| feature identical at 1x vs 2x (measured: 6/6 overlap
+# and identical argmax at every instance at sf0.001/0.01 — the 4/6 bar
+# leaves margin, flagging only genuine kernel artifacts).
+# Scale: three pipeline runs over |ids| broadcast instances; the corpus
+# is scanned per run, never joined against itself.
+# --------------------------------------------------------------------------
+@register(
+    "l14_kernel_width_sweep",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS instance_id,
+           TRUE AS overlap_ok, TRUE AS top_stable
+    FROM embeddings WHERE vec_id IN (1, 2, 3)
+    """,
+)
+def l14_kernel_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.explain import explain_tabular
+
+    ids = [1, 2, 3]
+    feats: dict[float, dict[int, set]] = {}
+    tops: dict[float, dict[int, int]] = {}
+    for scale in (0.5, 1.0, 2.0):
+        by: dict[int, list] = {}
+        for r in explain_tabular(
+            spark, sf_dir, ids, kernel_scale=scale
+        ).collect():
+            by.setdefault(int(r["instance_id"]), []).append(
+                (abs(r["weight"]), int(r["feature_idx"]))
+            )
+        feats[scale] = {i: {f for _, f in v} for i, v in by.items()}
+        tops[scale] = {i: max(v)[1] for i, v in by.items()}
+    out = []
+    for i in ids:
+        overlap_ok = (
+            len(feats[0.5][i] & feats[1.0][i]) >= 4
+            and len(feats[1.0][i] & feats[2.0][i]) >= 4
+        )
+        out.append(
+            (i, bool(overlap_ok), bool(tops[1.0][i] == tops[2.0][i]))
+        )
+    return spark.createDataFrame(
+        out, "instance_id bigint, overlap_ok boolean, top_stable boolean"
+    )
