@@ -2568,3 +2568,127 @@ def s32_manifest_check_constraints(spark: SparkSession, sf_dir: str) -> DataFram
         " violation_refused boolean, table_unchanged boolean,"
         " null_passes boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S33 — RENAME COLUMN via column mapping: Delta's columnMapping.mode=name
+# primitive — a rename is ONE manifest publish; data files keep their
+# original physical JSON keys forever and every consumer translates at
+# its disk boundary. The row exercises the full lifecycle ACROSS the
+# rename: a post-rename append (writer maps logical->physical, so old
+# and new files agree on disk keys), a DELETE filtered on the renamed
+# column (DV scan + zone stats keyed physical), the change feed spanning
+# the rename (defined — the additive check compares PHYSICAL columns),
+# time travel to the pre-rename snapshot (old logical name), and the
+# collision guard (a new column may not reuse a renamed column's
+# physical name). Counts/sums closed-form over the seeded series.
+# Scale: a rename is O(1) metadata at any table size — the entire point.
+# --------------------------------------------------------------------------
+@register(
+    "s33_manifest_rename_column",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS renamed_version,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(2400)) AS i))     AS n_rows,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4) FROM (
+                SELECT unnest(range(1900)) AS i
+                UNION ALL
+                SELECT unnest(range(2000, 2500)) AS i)) AS sum_reading,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(2000)) AS i))     AS v1_sum,
+           CAST(500 AS BIGINT) AS cdf_inserts,
+           CAST(100 AS BIGINT) AS cdf_deletes,
+           TRUE AS collision_refused
+    """,
+)
+def s33_manifest_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        changes_between_manifest_path,
+        delete_where_manifest_path,
+        rename_column_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s33_rename")
+
+    def write(df):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("append")
+            .save()
+        )
+
+    write(_synthetic_series(spark, 0, 2000, 2))  # v1: columns (i, v)
+    stats = rename_column_manifest_path(spark, path, "v", "reading")  # v2
+    # Post-rename append speaks the NEW logical schema; on disk the new
+    # file writes the original physical key, matching the old files.
+    write(
+        _synthetic_series(spark, 2000, 2500, 1).withColumnRenamed(
+            "v", "reading"
+        )
+    )  # v3
+    # DELETE filtered on the RENAMED column (and the key): the scan and
+    # zone stats translate to physical. The range [1900, 2000) sits in a
+    # PRE-rename file, so the deletes survive the v1->v4 feed (a delete
+    # inside the same window as its insert nets out — CDF semantics).
+    delete_where_manifest_path(
+        spark,
+        path,
+        [("i", "ge", 1900), ("i", "lt", 2000), ("reading", "ge", 0.0)],
+    )  # v4: -100 rows
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        row = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("reading"), 4).alias("s"),
+            )
+            .first()
+        )
+        v1_row = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .option("version", 1)
+            .load()
+            .agg(F.round(F.sum("v"), 4).alias("s"))
+            .first()
+        )
+    # Change feed ACROSS the rename: v1 -> v4 is additive in PHYSICAL
+    # terms (the rename changed no disk key), so the feed is defined and
+    # carries the latest logical column names.
+    cdf = dict(
+        changes_between_manifest_path(spark, path, 1, 4)
+        .groupBy("_change_type")
+        .count()
+        .collect()
+    )
+    # Collision guard: an appended NEW column must not reuse the renamed
+    # column's still-occupied physical name.
+    try:
+        write(
+            _synthetic_series(spark, 2500, 2600, 1)
+            .withColumnRenamed("v", "reading")
+            .withColumn("v", F.lit(1.0))
+        )
+        refused = False
+    except Exception as exc:  # noqa: BLE001 — Py4J wraps the ValueError
+        refused = "collides with the physical name" in str(exc)
+    return spark.createDataFrame(
+        [(
+            stats["new_version"],
+            row["n"],
+            row["s"],
+            v1_row["s"],
+            int(cdf.get("insert", 0)),
+            int(cdf.get("delete", 0)),
+            bool(refused),
+        )],
+        "renamed_version bigint, n_rows bigint, sum_reading double,"
+        " v1_sum double, cdf_inserts bigint, cdf_deletes bigint,"
+        " collision_refused boolean",
+    )

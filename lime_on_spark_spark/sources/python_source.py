@@ -325,6 +325,16 @@ class JsonManifestWriter(DataSourceWriter):
         # Delta/ANSI CHECK semantics; use a NOT NULL column for presence).
         # Validated up-front: a typo'd column or op must fail at option
         # parse, not silently never-enforce.
+        # COLUMN MAPPING (s33): data files are keyed by PHYSICAL names.
+        # The incoming DataFrame speaks logical (the current schema), so
+        # the executor spool translates keys at the disk boundary; stats
+        # and bloom keys follow. Loaded once at plan time (single-writer
+        # contract, same as the schema the reconcile compares against).
+        try:
+            _prior_map = _load_manifest(self.path).get("column_mapping", {})
+        except FileNotFoundError:
+            _prior_map = {}
+        self.colmap = dict(_prior_map)
         cc = options.get("check_constraints")
         if cc is not None:
             checks = _json.loads(cc)
@@ -376,11 +386,17 @@ class JsonManifestWriter(DataSourceWriter):
         # k md5-derived bit inserts per row — O(m/8) memory per column,
         # never a value set (the 100 TB shape: the filter IS the state).
         bloom_bits = {
-            c: bytearray(self.bloom_bits // 8)
+            self.colmap.get(c, c): bytearray(self.bloom_bits // 8)
             for c in self.bloom_columns
             if c in self.fields
         }
         bloom_partial: set = set()
+        # Stats allowlist in physical terms (rows are translated below).
+        pstats_columns = (
+            {self.colmap.get(c, c) for c in self.stats_columns}
+            if self.stats_columns is not None
+            else None
+        )
         with open(temp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 vals = row.asDict()
@@ -396,6 +412,11 @@ class JsonManifestWriter(DataSourceWriter):
                             f"check constraint violated: {col} {tag} "
                             f"{bound!r} fails for row {vals!r}"
                         )
+                if self.colmap:
+                    # Disk boundary: logical row -> physical JSON keys.
+                    vals = {
+                        self.colmap.get(k, k): v for k, v in vals.items()
+                    }
                 for c, bits in bloom_bits.items():
                     v = vals.get(c)
                     if v is None:
@@ -411,7 +432,7 @@ class JsonManifestWriter(DataSourceWriter):
                     ):
                         bits[pos // 8] |= 1 << (pos % 8)
                 for k, v in vals.items():
-                    if self.stats_columns is not None and k not in self.stats_columns:
+                    if pstats_columns is not None and k not in pstats_columns:
                         continue
                     if v is None or type(v) is bool or not isinstance(v, statable):
                         continue
@@ -434,8 +455,8 @@ class JsonManifestWriter(DataSourceWriter):
                 "max": maxs.get(k),
                 "has_nan": k in nans,
             }
-            for k in self.fields
-            if self.stats_columns is None or k in self.stats_columns
+            for k in (self.colmap.get(c, c) for c in self.fields)
+            if pstats_columns is None or k in pstats_columns
         }
         blooms = {
             c: {
@@ -528,6 +549,18 @@ class JsonManifestWriter(DataSourceWriter):
                     ddl.split(" ", 1) for ddl in prior.get("schema", [])
                 )
                 new_cols = dict(ddl.split(" ", 1) for ddl in schema_ddl)
+                # A column ADDED after a rename must not reuse a physical
+                # name a renamed column still occupies on disk: logical
+                # 'a' renamed to 'b' keeps physical key 'a' in every
+                # file, so a new logical 'a' would silently alias it.
+                taken = set((prior.get("column_mapping") or {}).values())
+                for c in new_cols.keys() - prior_cols.keys():
+                    if c in taken:
+                        raise ValueError(
+                            f"added column '{c}' collides with the "
+                            "physical name of a renamed column; pick a "
+                            "different name"
+                        )
                 for c, t in prior_cols.items():
                     if c not in new_cols:
                         raise ValueError(
@@ -553,6 +586,11 @@ class JsonManifestWriter(DataSourceWriter):
         }
         if txns:
             manifest["txns"] = txns
+        # COLUMN MAPPING rides every commit: physical names are forever
+        # (even an overwrite keeps the table's logical->physical map so
+        # files written before and after agree on disk keys).
+        if (prior or {}).get("column_mapping"):
+            manifest["column_mapping"] = prior["column_mapping"]
         try:
             _publish_manifest(self.path, manifest)
         except ManifestConflictError:
@@ -950,6 +988,10 @@ def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
                 f"DELETE value class mismatches column {column!r} "
                 f"({col_types[column]}): {value!r}"
             )
+    # COLUMN MAPPING (s33): validation speaks logical (the schema); the
+    # file scan and zone stats are keyed physical.
+    _cmap = manifest.get("column_mapping", {})
+    conjuncts = [(_cmap.get(c, c), tag, v) for c, tag, v in conjuncts]
 
     def _zone_may_match(entry: dict) -> bool:
         # Every conjunct must overlap the file's zone; any conjunct that
@@ -1018,6 +1060,8 @@ def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
     }
     if manifest.get("txns"):
         new_manifest["txns"] = manifest["txns"]
+    if manifest.get("column_mapping"):
+        new_manifest["column_mapping"] = manifest["column_mapping"]
     _publish_manifest(path, new_manifest)
     return {
         "version": version,
@@ -1116,11 +1160,14 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
         r[0] for r in updates.select(key_col).collect()
     )
     sorted_keys = sorted(keys)
+    # COLUMN MAPPING (s33): the scan and stats are keyed physical.
+    cmap = manifest.get("column_mapping", {})
+    pkey = cmap.get(key_col, key_col)
 
     def _zone_has_key(entry: dict) -> bool:
         import bisect as _bisect
 
-        stats = (entry.get("stats") or {}).get(key_col)
+        stats = (entry.get("stats") or {}).get(pkey)
         if stats is None or stats.get("has_nan", True):
             return True  # no usable stats: scan, never skip unsoundly
         lo, hi = stats.get("min"), stats.get("max")
@@ -1148,7 +1195,7 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             lambda name: (
                 name,
                 _scan_file_for_keys(
-                    path, name, key_col, keys, prior_dvs[name]
+                    path, name, pkey, keys, prior_dvs[name]
                 ),
             )
         )
@@ -1187,7 +1234,10 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             for pdf in pdf_iter:
                 for rec in pdf.to_dict(orient="records"):
                     vals = {
-                        k: (v.item() if hasattr(v, "item") else v)
+                        # logical -> physical at the disk boundary (s33)
+                        cmap.get(k, k): (
+                            v.item() if hasattr(v, "item") else v
+                        )
                         for k, v in rec.items()
                     }
                     for k, v in vals.items():
@@ -1212,7 +1262,7 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
                 "max": maxs.get(k),
                 "has_nan": k in nans,
             }
-            for k in fields
+            for k in (cmap.get(c, c) for c in fields)
         }
         yield p.DataFrame(
             {
@@ -1271,6 +1321,8 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
         }
         if manifest.get("txns"):
             new_manifest["txns"] = manifest["txns"]
+        if manifest.get("column_mapping"):
+            new_manifest["column_mapping"] = manifest["column_mapping"]
         _publish_manifest(path, new_manifest)
     except BaseException:
         for name in written:
@@ -1364,7 +1416,7 @@ def changes_between_manifest_path(
     v_from, v_to = int(v_from), int(v_to)
     tasks, new = _cdf_tasks(path, v_from, v_to)
     # v_to's schema is the superset (s20 evolution only adds columns).
-    fields, casts = _schema_fields_casts(new)
+    fields, pfields, casts = _schema_fields_casts(new)
     if update_key is not None:
         # Contract checks run even for an empty feed (a typo'd key must
         # not pass silently on a zero-change range) ...
@@ -1391,7 +1443,7 @@ def changes_between_manifest_path(
         return spark.createDataFrame([], ddl)
     rdd = spark.sparkContext.parallelize(tasks, len(tasks)).flatMap(
         lambda t: _scan_file_changes(
-            path, t[0], t[1], t[2], fields, casts, t[3]
+            path, t[0], t[1], t[2], pfields, casts, t[3]
         )
     )
     feed = spark.createDataFrame(rdd, ddl)
@@ -1423,16 +1475,21 @@ _CDF_CASTS = {"bigint": int, "long": int, "int": int, "smallint": int,
               "tinyint": int, "double": float, "float": float}
 
 
-def _schema_fields_casts(manifest: dict) -> tuple[list, list]:
-    """(field names, per-field Python cast) from a manifest's schema DDL —
-    the one derivation shared by the batch feed and the CDF stream reader
-    so a parsing fix can never drift between them."""
+def _schema_fields_casts(manifest: dict) -> tuple[list, list, list]:
+    """(logical field names, PHYSICAL field names, per-field Python cast)
+    from a manifest's schema DDL — the one derivation shared by the batch
+    feed and the CDF stream reader so a parsing fix can never drift
+    between them. Physical names (the on-disk JSON keys, which a RENAME
+    never changes — s33 column mapping) drive data access; logical names
+    drive schema declaration and option validation."""
     fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
+    cmap = manifest.get("column_mapping", {})
+    pfields = [cmap.get(c, c) for c in fields]
     casts = [
         _CDF_CASTS.get(ddl.split(" ", 1)[1].split("(")[0])
         for ddl in manifest["schema"]
     ]
-    return fields, casts
+    return fields, pfields, casts
 
 
 def _cdf_tasks(
@@ -1446,7 +1503,11 @@ def _cdf_tasks(
         raise ValueError(f"need 0 <= v_from < v_to, got {v_from}, {v_to}")
     new = _load_manifest(path, v_to)
     old = (
-        {"files": [], "schema": new["schema"]}
+        {
+            "files": [],
+            "schema": new["schema"],
+            "column_mapping": new.get("column_mapping", {}),
+        }
         if v_from == 0
         else _load_manifest(path, v_from)
     )
@@ -1454,14 +1515,25 @@ def _cdf_tasks(
     # the feed is only defined when evolution was additive (the append-path
     # contract). An overwrite may legally retype/drop columns — refuse
     # loudly rather than emit a miscast pre-image or crash in an executor.
-    old_cols = dict(ddl.split(" ", 1) for ddl in old["schema"])
-    new_cols = dict(ddl.split(" ", 1) for ddl in new["schema"])
-    for c, t in old_cols.items():
-        if new_cols.get(c) != t:
+    # Compared in PHYSICAL terms (s33): a metadata-only RENAME between the
+    # endpoints changes logical names but not one disk key — the feed is
+    # perfectly defined under v_to's (renamed) schema.
+    old_map = old.get("column_mapping", {})
+    new_map = new.get("column_mapping", {})
+    old_phys = {
+        old_map.get(c, c): t
+        for c, t in (ddl.split(" ", 1) for ddl in old["schema"])
+    }
+    new_phys = {
+        new_map.get(c, c): t
+        for c, t in (ddl.split(" ", 1) for ddl in new["schema"])
+    }
+    for c, t in old_phys.items():
+        if new_phys.get(c) != t:
             raise ValueError(
                 f"change data feed undefined across non-additive schema "
-                f"change on column {c!r}: {t} -> {new_cols.get(c)} "
-                f"(v{v_from} -> v{v_to})"
+                f"change on physical column {c!r}: {t} -> "
+                f"{new_phys.get(c)} (v{v_from} -> v{v_to})"
             )
     old_by_name = {f["name"]: f for f in old["files"]}
     new_by_name = {f["name"]: f for f in new["files"]}
@@ -1609,6 +1681,13 @@ class JsonManifestSourceReader(DataSourceReader):
             manifest = _load_manifest(self.path, options.get("version"))
         self.files = manifest["files"]
         self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
+        # COLUMN MAPPING (s33): data files are keyed by PHYSICAL names
+        # forever (a RENAME is metadata-only — Delta's column-mapping
+        # model); the schema speaks logical. Filters arrive logical and
+        # are translated ONCE in pushFilters, so stats keys, bloom keys,
+        # and row tests downstream are all physical.
+        self.colmap = manifest.get("column_mapping", {})
+        self.pfields = [self.colmap.get(c, c) for c in self.fields]
         self.accepted: list[tuple[str, str, object]] = []
         # Zone-prunable subset of accepted (stat-comparable across ALL
         # files) and bloom-probe subset (bloom-covered across ALL files) —
@@ -1675,7 +1754,8 @@ class JsonManifestSourceReader(DataSourceReader):
             ):
                 yield f
                 continue
-            col = f.attribute[0]
+            # Logical -> physical once; everything downstream is physical.
+            col = self.colmap.get(f.attribute[0], f.attribute[0])
             zone_ok = self._stat_comparable(col, v)
             bloom_ok = tagged[0] == "eq" and self._bloom_covered(col, v)
             if not zone_ok and not bloom_ok:
@@ -1746,7 +1826,7 @@ class JsonManifestSourceReader(DataSourceReader):
                         ok = False
                         break
                 if ok:
-                    yield tuple(vals.get(c) for c in self.fields) + (
+                    yield tuple(vals.get(c) for c in self.pfields) + (
                         n_read,
                         total,
                     )
@@ -1770,7 +1850,7 @@ class ManifestCDFBatchReader(DataSourceReader):
     def __init__(self, path: str, v_from: int, v_to: int, manifest: dict):
         self.path = path
         self.v_from, self.v_to = int(v_from), int(v_to)
-        self.fields, self.casts = _schema_fields_casts(manifest)
+        _, self.fields, self.casts = _schema_fields_casts(manifest)
 
     def partitions(self):
         if self.v_from == self.v_to:
@@ -1844,6 +1924,10 @@ def restore_manifest_path(spark, path: str, to_version: int) -> dict:
         "schema": target["schema"],
         "version": cur_version + 1,
     }
+    if target.get("column_mapping"):
+        # The restored schema's logical names resolve through the TARGET
+        # snapshot's mapping (they were renamed together).
+        manifest["column_mapping"] = target["column_mapping"]
     if current.get("txns"):
         manifest["txns"] = current["txns"]
     _publish_manifest(path, manifest)
@@ -1852,6 +1936,48 @@ def restore_manifest_path(spark, path: str, to_version: int) -> dict:
         "new_version": cur_version + 1,
         "files_restored": len(target["files"]),
         "total_rows": manifest["total_rows"],
+    }
+
+
+def rename_column_manifest_path(spark, path: str, old: str, new: str) -> dict:
+    """RENAME COLUMN without rewriting a byte of data — Delta's
+    column-mapping primitive (`ALTER TABLE ... RENAME COLUMN` under
+    columnMapping.mode=name): data files keep their original PHYSICAL
+    JSON keys forever; the manifest carries a logical->physical map and
+    a new snapshot with the renamed logical schema. Readers, writers,
+    DELETE, MERGE, and the change feed all translate at their disk
+    boundaries, so every operation keeps working across any number of
+    renames — and CDF across a rename is perfectly defined (the
+    additive-schema check compares PHYSICAL columns).
+
+    Metadata-only: O(1) driver work, no job, no file touched — at 100 TB
+    a rename is one manifest publish. Returns ``{"new_version",
+    "physical_name"}``. Single-writer contract as commit()."""
+    manifest = _load_manifest(path)
+    pairs = [ddl.split(" ", 1) for ddl in manifest["schema"]]
+    names = [n for n, _ in pairs]
+    if old not in names:
+        raise ValueError(f"rename source column not in schema: {old!r}")
+    if new in names:
+        raise ValueError(f"rename target column already exists: {new!r}")
+    mapping = dict(manifest.get("column_mapping", {}))
+    physical = mapping.pop(old, old)
+    mapping[new] = physical
+    new_manifest = {
+        "files": manifest["files"],
+        "total_rows": manifest["total_rows"],
+        "schema": [
+            f"{new} {t}" if n == old else f"{n} {t}" for n, t in pairs
+        ],
+        "column_mapping": mapping,
+        "version": manifest.get("version", 0) + 1,
+    }
+    if manifest.get("txns"):
+        new_manifest["txns"] = manifest["txns"]
+    _publish_manifest(path, new_manifest)
+    return {
+        "new_version": new_manifest["version"],
+        "physical_name": physical,
     }
 
 
@@ -1901,6 +2027,8 @@ def clone_manifest_path(spark, src: str, dst: str) -> dict:
         "schema": src_manifest["schema"],
         "version": 1,
     }
+    if src_manifest.get("column_mapping"):
+        manifest["column_mapping"] = src_manifest["column_mapping"]
     _publish_manifest(dst, manifest)
     return {
         "files_cloned": len(src_manifest["files"]),
@@ -2030,7 +2158,12 @@ class ManifestStreamReader(_DSSR):
             raise ValueError("json_manifest_stream_source requires 'path'")
         if manifest is None:
             manifest = _load_manifest(self.path)
-        self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
+        # Physical names drive data access (s33 column mapping).
+        cmap = manifest.get("column_mapping", {})
+        self.fields = [
+            cmap.get(c, c)
+            for c in (ddl.split(" ", 1)[0] for ddl in manifest["schema"])
+        ]
 
     def initialOffset(self) -> dict:
         return {"version": 0}  # before the first commit: stream everything
@@ -2139,7 +2272,8 @@ class ManifestCDFStreamReader(_DSSR):
         # Fields pinned at planning under the LATEST schema (the s20
         # superset): older epochs NULL-fill added columns, exactly as the
         # batch feed does (non-additive changes raise in _cdf_tasks).
-        self.fields, self.casts = _schema_fields_casts(manifest)
+        # Physical names (s33): renames never change disk keys.
+        _, self.fields, self.casts = _schema_fields_casts(manifest)
 
     def initialOffset(self) -> dict:
         return {"version": 0}  # bootstrap: the whole table as inserts
