@@ -1250,6 +1250,11 @@ def f24_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # div0, CASE for the overflow frontier, bounds CASE for element_at), so
 # the row certifies WHERE the NULLs appear, not just that nothing threw.
 # All JVM-side whole-stage-codegen expressions; zero Python boundary.
+# SCALE NOTE (measured): try_multiply's NULL-on-overflow is a caught JVM
+# ArithmeticException — ~18 us PER OVERFLOWING ROW (11 s over 600k rows
+# when every row overflows, vs 0.18 s when none do). try_* is a safety
+# net for RARE bad rows, not an operator to put on an always-failing hot
+# path; the probe below overflows on the l_linenumber = 7 slice only.
 # --------------------------------------------------------------------------
 @register(
     "f25_try_arithmetic",
@@ -1259,7 +1264,8 @@ def f24_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS safe_div_sum,
            CAST(COUNT(*) FILTER (l_linenumber % 2 = 0) AS BIGINT)
                AS n_div0_null,
-           CAST(COUNT(*) FILTER (l_orderkey > 1) AS BIGINT)
+           CAST(COUNT(*) FILTER (l_linenumber = 7 AND l_orderkey > 1)
+                AS BIGINT)
                AS n_overflow_null,
            CAST(COUNT(*) FILTER (l_linenumber < 3) AS BIGINT)
                AS n_oob_null
@@ -1275,10 +1281,16 @@ def f25_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide("l_extendedprice", F.col("l_linenumber") % 2).alias(
             "safe_div"
         ),
-        # overflows (-> NULL) for every orderkey > 1; exactly max at 1
-        F.try_multiply(F.col("l_orderkey").cast("bigint"), big).alias(
-            "mul_probe"
-        ),
+        # Overflow frontier on the RARE slice only (scale note above):
+        # multiplier is bigint max for 7th line items, 2 otherwise, so
+        # the probe overflows (-> NULL) exactly where linenumber = 7 and
+        # orderkey > 1 (orderkey 1 * max = max, no overflow).
+        F.try_multiply(
+            F.col("l_orderkey").cast("bigint"),
+            F.when(F.col("l_linenumber") == 7, big).otherwise(
+                F.lit(2).cast("bigint")
+            ),
+        ).alias("mul_probe"),
         # sequence(1, n) has no 3rd element when n < 3 -> NULL
         F.try_element_at(
             F.sequence(F.lit(1), F.col("l_linenumber")), F.lit(3)

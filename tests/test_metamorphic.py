@@ -112,6 +112,14 @@ REPRESENTATIVE = (
     # unmatched-row emission depends on watermark bookkeeping that must
     # not vary with state-store partitioning.
     "t30_stream_stream_full_outer",
+    # (also round 13) rename-column lifecycle: the post-rename append's
+    # logical->physical key translation runs per executor task, and the
+    # cross-rename change feed is task-per-changed-file — neither may
+    # vary with fan-out. And the a27 digest: groupBy guarantees each
+    # nation lands whole in one Arrow batch regardless of partitioning,
+    # which is exactly the property this slice pins.
+    "s33_manifest_rename_column",
+    "a27_quantile_digest_rollup",
 )
 
 
