@@ -2325,3 +2325,106 @@ def t30_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stray_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T31 — stream-stream RIGHT OUTER join, the last cell of the streaming
+# join matrix (t7 inner, t16 left outer, t28 left semi, t30 full outer):
+# same orientation as t16 (clicks LEFT, purchases RIGHT) so the pair
+# arm is identical and ONLY the preserved side flips — every purchase
+# is accounted for (attribution from the spend side), unmatched
+# purchases emit once the watermark passes their own timestamp (no
+# future click with c_ts >= wm can precede them — t30's right-side
+# emission model, isolated). The oracle replays matched + expired
+# unmatched purchases against the availableNow final watermark.
+# Scale: right-side state only is horizon-retained for emission;
+# the join itself is the keyed stream-stream exchange.
+# --------------------------------------------------------------------------
+@register(
+    "t31_stream_stream_right_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS c_ts, event_id AS click_id
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id, value
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT MAX(c_ts) FROM c),
+                             (SELECT MAX(p_ts) FROM p))
+                       - INTERVAL 2 HOUR AS w),
+         matched AS (
+             SELECT p.user_id, c.click_id, p.purchase_id, p.value
+             FROM c JOIN p
+               ON c.user_id = p.user_id
+              AND p.p_ts >= c.c_ts
+              AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+         ),
+         unmatched_purchases AS (
+             SELECT p.user_id, NULL AS click_id, p.purchase_id, p.value
+             FROM p, wm
+             WHERE p.purchase_id NOT IN
+                   (SELECT purchase_id FROM matched)
+               AND p.p_ts < wm.w
+         ),
+         feed AS (
+             SELECT * FROM matched
+             UNION ALL
+             SELECT * FROM unmatched_purchases
+         )
+    SELECT user_id,
+           COUNT(*) FILTER (click_id IS NOT NULL)  AS n_attributed,
+           COUNT(*) FILTER (click_id IS NULL)      AS n_unattributed,
+           ROUND(SUM(value), 2)                    AS total_value,
+           ROUND(COALESCE(SUM(value) FILTER (click_id IS NULL), 0), 2)
+               AS stray_value
+    FROM feed
+    GROUP BY user_id
+    """,
+)
+def t31_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "rightOuter",
+    )
+    sink = run_to_memory(joined, output_mode="append")
+    return (
+        sink.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.sum(F.col("click_id").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_attributed"),
+            F.sum(F.col("click_id").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_unattributed"),
+            F.round(F.sum("p_value"), 2).alias("total_value"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("click_id").isNull(), F.col("p_value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("stray_value"),
+        )
+    )

@@ -770,3 +770,60 @@ def test_cdf_task_plan_model(n_rows, dv_a, dv_extra, data, tmp_path_factory):
         + (1 if added_file else 0)
     )
     assert len(tasks) == expected_n
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=300,
+    ),
+    n_groups=st.integers(1, 8),
+)
+@settings(max_examples=100, deadline=None)
+def test_a27_digest_rank_error_bound(values, n_groups):
+    """Property: however the values are split into 'nation' groups, the
+    merged a27 digest's p50/p90 estimates stay within the structural
+    error bound — the widest merged cluster's value span plus one
+    original chunk span (equal-weight clustering bounds RANK error by
+    ~total/K; translating to VALUE error is bounded by the spans of the
+    clusters the target rank can fall in). Catches regressions where the
+    merge re-chunking drops or double-counts weight, whatever the split."""
+    import numpy as np
+    import pandas as pd
+
+    from lime_on_spark_spark.plans.aggregates import (
+        _a27_digest,
+        _a27_merge_quantiles,
+    )
+
+    # Deterministic round-robin split into groups (the property must hold
+    # for ANY split; round-robin over a sorted copy maximizes group
+    # overlap, the merge's hard case).
+    groups: list[list[float]] = [[] for _ in range(n_groups)]
+    for i, v in enumerate(sorted(values)):
+        groups[i % n_groups].append(v)
+    digests = [
+        _a27_digest(
+            pd.DataFrame({"n_regionkey": [0] * len(g), "c_acctbal": g})
+        )
+        for g in groups
+        if g
+    ]
+    merged_in = pd.concat(digests, ignore_index=True)
+    est = _a27_merge_quantiles(merged_in)
+    arr = np.sort(np.asarray(values, dtype="float64"))
+    n = len(arr)
+    for p, col in ((0.5, "est_p50"), (0.9, "est_p90")):
+        got = float(est[col].iloc[0])
+        # RANK-error guarantee (the t-digest/GK contract — VALUE error is
+        # unboundable when an adversarial gap sits at the quantile): the
+        # fraction of values at-or-around the estimate must bracket p
+        # within ~2 cluster weights (2/K per merge level => 4/K total)
+        # plus the 1/n nearest-rank-vs-interpolated slack.
+        rank_lo = float(np.searchsorted(arr, got, side="left")) / n
+        rank_hi = float(np.searchsorted(arr, got, side="right")) / n
+        slack = 4.0 / 16 + 1.0 / n + 1e-9
+        assert rank_lo - slack <= p <= rank_hi + slack, (
+            p, got, rank_lo, rank_hi, n,
+        )
