@@ -1169,3 +1169,59 @@ def o13_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag string, n_items bigint, flag_rev double,"
         " total_rev double, cache_scan_pinned boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# O14 — AQE partition coalescing (the fourth physical-layout pin next to
+# o11's skew split, o12's exchange reuse, o13's cache): a grouped
+# aggregate whose output is tiny runs under shuffle.partitions=32, and
+# ADAPTIVE execution coalesces the post-shuffle read into far fewer
+# partitions at runtime — the knob that makes one global
+# shuffle.partitions setting livable at every scale (small stages stop
+# paying 32-task scheduling overhead; at 1000 executors the same
+# mechanism stops a 10k-partition default from fragmenting every small
+# stage). Self-certifying: the executed plan must contain an
+# AQEShuffleRead with coalesced partitions; the aggregate values are
+# SQL-exact.
+# Scale: pure runtime re-planning — no data-dependent code; the pin
+# fails the artifact if AQE coalescing is ever disabled or regresses.
+# --------------------------------------------------------------------------
+@register(
+    "o14_aqe_coalesce",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT)       AS n_items,
+           ROUND(SUM(l_quantity), 2)      AS total_qty,
+           TRUE AS aqe_coalesced
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def o14_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Force a genuinely over-partitioned shuffle for the tiny (~4-row)
+    # group-by output, then let AQE shrink it at runtime.
+    with temp_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    coalesced = "AQEShuffleRead" in plan and "coalesced" in plan
+    return spark.createDataFrame(
+        [
+            (
+                r["l_returnflag"],
+                r["l_linestatus"],
+                r["n_items"],
+                r["total_qty"],
+                bool(coalesced),
+            )
+            for r in rows
+        ],
+        "l_returnflag string, l_linestatus string, n_items bigint,"
+        " total_qty double, aqe_coalesced boolean",
+    )
