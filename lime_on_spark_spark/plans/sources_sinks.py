@@ -2692,3 +2692,134 @@ def s33_manifest_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         " v1_sum double, cdf_inserts bigint, cdf_deletes bigint,"
         " collision_refused boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S34 — DROP COLUMN via column mapping: the drop sibling of s33's RENAME
+# (Delta `ALTER TABLE ... DROP COLUMN` under columnMapping.mode=name). A
+# drop is ONE manifest publish; the column's physical JSON key stays in
+# every old data file as an unread tombstone. The row pins the whole
+# contract: a post-drop append speaks the narrower schema; time travel to
+# the pre-drop snapshot still reads the column; the change feed ACROSS
+# the drop stays defined; and — the key correctness pin — RE-ADDING the
+# same logical name maps to a FRESH physical key, so the 2000 old rows'
+# buried aux values can never resurrect under the new column (they read
+# NULL; only the 100 post-re-add rows carry values). Counts/sums are
+# closed-form over the seeded series.
+# Scale: drop and re-add are O(1) metadata at any table size — no job
+# touches the 100 TB of data files; reclaiming dead bytes is a later
+# compaction, never the DDL.
+# --------------------------------------------------------------------------
+@register(
+    "s34_manifest_drop_column",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS dropped_version,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(2600)) AS i))      AS n_rows,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(2600)) AS i))      AS sum_v,
+           CAST(100 AS BIGINT)                           AS n_aux_rows,
+           ROUND(500.0, 4)                               AS sum_aux,
+           (SELECT ROUND(SUM(CAST(i % 7 AS DOUBLE)), 4)
+            FROM (SELECT unnest(range(2000)) AS i))      AS v1_sum_aux,
+           CAST(600 AS BIGINT)                           AS cdf_inserts,
+           CAST(0 AS BIGINT)                             AS cdf_deletes,
+           TRUE                                          AS no_resurrection
+    """,
+)
+def s34_manifest_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import (
+        changes_between_manifest_path,
+        drop_column_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s34_drop")
+
+    def write(df):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("append")
+            .save()
+        )
+
+    # v1: columns (i, v, aux) — aux is the column under test.
+    write(
+        _synthetic_series(spark, 0, 2000, 2).withColumn(
+            "aux", (F.col("i") % 7).cast("double")
+        )
+    )
+    stats = drop_column_manifest_path(spark, path, "aux")  # v2: DROP aux
+    # v3: post-drop append speaks the NARROWER schema (the pre-drop
+    # schema would now be an illegal implicit re-add of 'aux').
+    write(_synthetic_series(spark, 2000, 2500, 1))
+    # v4: RE-ADD logical 'aux' via additive schema evolution — the writer
+    # must remap it to a fresh physical key (the tombstoned key 'aux'
+    # still holds the old values in the v1 files).
+    write(
+        _synthetic_series(spark, 2500, 2600, 1).withColumn(
+            "aux", F.lit(5.0)
+        )
+    )
+    from lime_on_spark_spark.session import temp_conf
+
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        latest = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("v"), 4).alias("sv"),
+                F.count("aux").cast("bigint").alias("na"),
+                F.round(F.sum("aux"), 4).alias("sa"),
+                # Any non-NULL aux on a pre-re-add row would be a value
+                # resurrected from the dropped column's buried physical
+                # key.
+                F.sum(
+                    (F.col("aux").isNotNull() & (F.col("i") < 2500)).cast(
+                        "int"
+                    )
+                )
+                .cast("bigint")
+                .alias("resurrected"),
+            )
+            .first()
+        )
+        # Time travel to the pre-drop snapshot: the old schema (with aux
+        # and its original physical key) is fully readable.
+        v1_row = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .option("version", 1)
+            .load()
+            .agg(F.round(F.sum("aux"), 4).alias("sa"))
+            .first()
+        )
+    # Change feed ACROSS the drop: additive in physical terms except the
+    # tombstoned key, which the guard skips — the feed emits v3+v4's 600
+    # inserts under v4's schema.
+    cdf = dict(
+        changes_between_manifest_path(spark, path, 1, 4)
+        .groupBy("_change_type")
+        .count()
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(
+            stats["new_version"],
+            latest["n"],
+            latest["sv"],
+            latest["na"],
+            latest["sa"],
+            v1_row["sa"],
+            int(cdf.get("insert", 0)),
+            int(cdf.get("delete", 0)),
+            bool(latest["resurrected"] == 0),
+        )],
+        "dropped_version bigint, n_rows bigint, sum_v double,"
+        " n_aux_rows bigint, sum_aux double, v1_sum_aux double,"
+        " cdf_inserts bigint, cdf_deletes bigint, no_resurrection boolean",
+    )

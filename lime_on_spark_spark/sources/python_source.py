@@ -331,10 +331,32 @@ class JsonManifestWriter(DataSourceWriter):
         # and bloom keys follow. Loaded once at plan time (single-writer
         # contract, same as the schema the reconcile compares against).
         try:
-            _prior_map = _load_manifest(self.path).get("column_mapping", {})
+            _prior = _load_manifest(self.path)
         except FileNotFoundError:
-            _prior_map = {}
-        self.colmap = dict(_prior_map)
+            _prior = {}
+        self.colmap = dict(_prior.get("column_mapping", {}))
+        # DROP COLUMN (s34): a logical column RE-ADDED after a drop gets a
+        # FRESH physical name (Delta's fresh-field-id semantics) — the
+        # dropped column's physical key still sits in every old data file,
+        # so reusing it would silently resurrect the dropped values under
+        # the new column. Old files lack the fresh key and NULL-fill.
+        self._added_map: dict[str, str] = {}
+        _dropped = set(_prior.get("dropped_physical", []))
+        if _dropped:
+            _prior_logical = {
+                ddl.split(" ", 1)[0] for ddl in _prior.get("schema", [])
+            }
+            _occupied = set(self.colmap.values()) | _dropped | _prior_logical
+            for c in self.fields:
+                if c in _prior_logical or c in self.colmap or c not in _dropped:
+                    continue
+                k = _prior.get("version", 0) + 1
+                fresh = f"{c}#{k}"
+                while fresh in _occupied:
+                    k += 1
+                    fresh = f"{c}#{k}"
+                self.colmap[c] = fresh
+                self._added_map[c] = fresh
         cc = options.get("check_constraints")
         if cc is not None:
             checks = _json.loads(cc)
@@ -555,7 +577,10 @@ class JsonManifestWriter(DataSourceWriter):
                 # file, so a new logical 'a' would silently alias it.
                 taken = set((prior.get("column_mapping") or {}).values())
                 for c in new_cols.keys() - prior_cols.keys():
-                    if c in taken:
+                    # Compare in PHYSICAL terms: a re-added DROPPED name
+                    # was already remapped to a fresh physical at plan
+                    # time (s34), so only a live renamed physical refuses.
+                    if self.colmap.get(c, c) in taken:
                         raise ValueError(
                             f"added column '{c}' collides with the "
                             "physical name of a renamed column; pick a "
@@ -589,8 +614,15 @@ class JsonManifestWriter(DataSourceWriter):
         # COLUMN MAPPING rides every commit: physical names are forever
         # (even an overwrite keeps the table's logical->physical map so
         # files written before and after agree on disk keys).
-        if (prior or {}).get("column_mapping"):
-            manifest["column_mapping"] = prior["column_mapping"]
+        merged_map = dict((prior or {}).get("column_mapping") or {})
+        merged_map.update(self._added_map)  # fresh physicals for re-adds
+        if merged_map:
+            manifest["column_mapping"] = merged_map
+        # DROPPED-physical tombstones are forever (like the mapping): the
+        # dropped keys still exist in old data files, so every future
+        # commit must keep refusing/remapping against them.
+        if (prior or {}).get("dropped_physical"):
+            manifest["dropped_physical"] = prior["dropped_physical"]
         try:
             _publish_manifest(self.path, manifest)
         except ManifestConflictError:
@@ -1062,6 +1094,8 @@ def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
         new_manifest["txns"] = manifest["txns"]
     if manifest.get("column_mapping"):
         new_manifest["column_mapping"] = manifest["column_mapping"]
+    if manifest.get("dropped_physical"):
+        new_manifest["dropped_physical"] = manifest["dropped_physical"]
     _publish_manifest(path, new_manifest)
     return {
         "version": version,
@@ -1323,6 +1357,8 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             new_manifest["txns"] = manifest["txns"]
         if manifest.get("column_mapping"):
             new_manifest["column_mapping"] = manifest["column_mapping"]
+        if manifest.get("dropped_physical"):
+            new_manifest["dropped_physical"] = manifest["dropped_physical"]
         _publish_manifest(path, new_manifest)
     except BaseException:
         for name in written:
@@ -1528,7 +1564,15 @@ def _cdf_tasks(
         new_map.get(c, c): t
         for c, t in (ddl.split(" ", 1) for ddl in new["schema"])
     }
+    dropped_new = set(new.get("dropped_physical", []))
     for c, t in old_phys.items():
+        if c not in new_phys and c in dropped_new:
+            # Explicit DROP COLUMN between the endpoints (s34): the feed
+            # is defined under v_to's narrower schema — pre-image rows
+            # simply project the tombstoned physical away (Delta CDF
+            # reads under the latest schema). Only an overwrite that
+            # retypes/removes a LIVE column is non-additive.
+            continue
         if new_phys.get(c) != t:
             raise ValueError(
                 f"change data feed undefined across non-additive schema "
@@ -1928,6 +1972,8 @@ def restore_manifest_path(spark, path: str, to_version: int) -> dict:
         # The restored schema's logical names resolve through the TARGET
         # snapshot's mapping (they were renamed together).
         manifest["column_mapping"] = target["column_mapping"]
+    if target.get("dropped_physical"):
+        manifest["dropped_physical"] = target["dropped_physical"]
     if current.get("txns"):
         manifest["txns"] = current["txns"]
     _publish_manifest(path, manifest)
@@ -1972,6 +2018,54 @@ def rename_column_manifest_path(spark, path: str, old: str, new: str) -> dict:
         "column_mapping": mapping,
         "version": manifest.get("version", 0) + 1,
     }
+    if manifest.get("txns"):
+        new_manifest["txns"] = manifest["txns"]
+    if manifest.get("dropped_physical"):
+        new_manifest["dropped_physical"] = manifest["dropped_physical"]
+    _publish_manifest(path, new_manifest)
+    return {
+        "new_version": new_manifest["version"],
+        "physical_name": physical,
+    }
+
+
+def drop_column_manifest_path(spark, path: str, col: str) -> dict:
+    """DROP COLUMN without rewriting a byte of data — the column-mapping
+    sibling of RENAME (Delta's `ALTER TABLE ... DROP COLUMN` under
+    columnMapping.mode=name): the column leaves the LOGICAL schema in one
+    manifest publish; its physical JSON key stays in every already-written
+    data file, untouched and unread. The physical name is recorded as a
+    tombstone (``dropped_physical``) carried by every future commit, so a
+    later re-ADD of the same logical name is remapped to a fresh physical
+    key at write-plan time — old values can never resurrect under the new
+    column (old files lack the fresh key and NULL-fill, Delta's
+    fresh-field-id semantics). Time travel to a pre-drop snapshot still
+    reads the column; the change feed across the drop stays defined (the
+    additive check skips tombstoned physicals).
+
+    Metadata-only: O(1) driver work, no job, no file touched — at 100 TB a
+    drop is one manifest publish; reclaiming the dead bytes is a later
+    compaction's business, never the DDL's. Returns ``{"new_version",
+    "physical_name"}``. Single-writer contract as commit()."""
+    manifest = _load_manifest(path)
+    pairs = [ddl.split(" ", 1) for ddl in manifest["schema"]]
+    names = [n for n, _ in pairs]
+    if col not in names:
+        raise ValueError(f"drop column not in schema: {col!r}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column of a table")
+    mapping = dict(manifest.get("column_mapping", {}))
+    physical = mapping.pop(col, col)
+    new_manifest = {
+        "files": manifest["files"],
+        "total_rows": manifest["total_rows"],
+        "schema": [f"{n} {t}" for n, t in pairs if n != col],
+        "dropped_physical": list(manifest.get("dropped_physical", []))
+        + [physical],
+        "version": manifest.get("version", 0) + 1,
+    }
+    if mapping:
+        new_manifest["column_mapping"] = mapping
     if manifest.get("txns"):
         new_manifest["txns"] = manifest["txns"]
     _publish_manifest(path, new_manifest)
@@ -2029,6 +2123,8 @@ def clone_manifest_path(spark, src: str, dst: str) -> dict:
     }
     if src_manifest.get("column_mapping"):
         manifest["column_mapping"] = src_manifest["column_mapping"]
+    if src_manifest.get("dropped_physical"):
+        manifest["dropped_physical"] = src_manifest["dropped_physical"]
     _publish_manifest(dst, manifest)
     return {
         "files_cloned": len(src_manifest["files"]),

@@ -2190,3 +2190,137 @@ def test_manifest_rename_column_interactions(spark, tmp_path):
         assert read().agg(F.sum("v")).first()[0] == sum(
             i * 10 for i in range(1000)
         )
+
+
+def test_manifest_drop_column_interactions(spark, tmp_path):
+    """s34 edges beyond the registry row: a drop is metadata-only (the
+    data files are byte-identical across it); the tombstone forces a
+    FRESH physical key on re-add (recorded in column_mapping, old rows
+    read NULL); RENAME onto a dropped logical name is legal and resolves
+    through the mapping (never the buried key); DELETE after the drop
+    works; RESTORE to the pre-drop snapshot resurrects the column with
+    its original values; and validation refuses unknown/last-column
+    drops."""
+    import hashlib
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        _load_manifest,
+        delete_where_manifest_path,
+        drop_column_manifest_path,
+        rename_column_manifest_path,
+        restore_manifest_path,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "drop")
+
+    def write(df):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("append")
+            .save()
+        )
+
+    def read(**opts):
+        rd = spark.read.format("json_manifest_source").option("path", path)
+        for k, v in opts.items():
+            rd = rd.option(k, v)
+        return rd.load()
+
+    write(
+        spark.range(0, 1000, 1, 2).select(
+            F.col("id").alias("i"),
+            (F.col("id") * 10).alias("v"),
+            (F.col("id") % 5).cast("double").alias("aux"),
+        )
+    )  # v1: (i, v, aux)
+    v1_files = [f["name"] for f in _load_manifest(path)["files"]]
+    digest_before = {
+        n: hashlib.md5(
+            open(os.path.join(path, n), "rb").read()
+        ).hexdigest()
+        for n in v1_files
+    }
+
+    with pytest.raises(ValueError, match="not in schema"):
+        drop_column_manifest_path(spark, path, "nope")
+    stats = drop_column_manifest_path(spark, path, "aux")  # v2
+    assert stats == {"new_version": 2, "physical_name": "aux"}
+    m = _load_manifest(path)
+    assert m["dropped_physical"] == ["aux"]
+    assert [d.split(" ", 1)[0] for d in m["schema"]] == ["i", "v"]
+
+    # Re-add 'aux': fresh physical key, recorded in the mapping; the
+    # 1000 buried values never surface (old files NULL-fill).
+    write(
+        spark.range(1000, 1100, 1, 1).select(
+            F.col("id").alias("i"),
+            (F.col("id") * 10).alias("v"),
+            F.lit(7.0).alias("aux"),
+        )
+    )  # v3
+    m = _load_manifest(path)
+    phys = m["column_mapping"]["aux"]
+    assert phys != "aux" and phys.startswith("aux#")
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        got = read().agg(
+            F.count("aux").alias("n"),
+            F.sum("aux").alias("s"),
+            F.sum(
+                (F.col("aux").isNotNull() & (F.col("i") < 1000)).cast("int")
+            ).alias("resurrected"),
+        ).first()
+    assert (got["n"], got["s"], got["resurrected"]) == (100, 700.0, 0)
+    # Filtering on the re-added column stays correct even though old
+    # files carry no stats for the fresh key (pushdown must decline,
+    # never mis-prune).
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        assert read().filter(F.col("aux") == 7.0).count() == 100
+
+    # Metadata-only: every v1 data file is byte-identical after the
+    # whole drop + re-add lifecycle.
+    digest_after = {
+        n: hashlib.md5(
+            open(os.path.join(path, n), "rb").read()
+        ).hexdigest()
+        for n in v1_files
+    }
+    assert digest_after == digest_before
+
+    # DELETE on a surviving column after the drop: DV path unaffected.
+    d = delete_where_manifest_path(spark, path, [("i", "lt", 10)])
+    assert d["rows_deleted"] == 10
+
+    # RENAME onto the dropped logical name is legal: 'v' -> 'aux' keeps
+    # physical 'v'; reads return v's values, never the buried aux key.
+    r = rename_column_manifest_path(spark, path, "v", "aux2")
+    assert r["physical_name"] == "v"
+    rename_column_manifest_path(spark, path, "aux2", "v")  # back
+
+    # Cannot drop down to an empty schema.
+    drop_column_manifest_path(spark, path, "aux")
+    drop_column_manifest_path(spark, path, "v")
+    with pytest.raises(ValueError, match="only column"):
+        drop_column_manifest_path(spark, path, "i")
+    m = _load_manifest(path)
+    # Tombstones accumulate: original 'aux', the re-added fresh key, 'v'.
+    assert set(m["dropped_physical"]) == {"aux", phys, "v"}
+
+    # RESTORE to v1: the pre-drop schema AND values come back.
+    restore_manifest_path(spark, path, to_version=1)
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        s = read().agg(F.sum("aux")).first()[0]
+    assert s == float(sum(i % 5 for i in range(1000)))
