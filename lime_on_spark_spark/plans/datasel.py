@@ -2228,3 +2228,81 @@ def d88_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_scored",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D99 — per-source quality calibration: raw quality scores are
+# incomparable ACROSS sources (a web-crawl "300 chars" and a books
+# "300 chars" sit at very different quality percentiles), so a single
+# global threshold over-selects whichever source runs long. The
+# production fix — used by every multi-source pretraining mix — is to
+# calibrate per source: percent_rank of the score WITHIN its source,
+# then one global calibrated cut (keep the top half of EACH source).
+# The row emits, per source, the calibrated selection next to what a
+# naive global raw-score cut at the corpus median would have kept — the
+# imbalance the calibration exists to remove is visible in the artifact.
+# Scale: one window shuffle keyed by source (bounded source cardinality;
+# within-source ordering is Spark's spillable sort, never a driver
+# sort) + one broadcast scalar for the corpus median. No all-pairs, no
+# driver state.
+# --------------------------------------------------------------------------
+@register(
+    "d99_source_calibrated_quality",
+    oracle="""
+    WITH scored AS (
+        SELECT source, doc_id, n_chars,
+               percent_rank() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS cal
+        FROM documents
+    ), med AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS m
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                            AS n_docs,
+           CAST(SUM(CASE WHEN cal >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS cal_kept,
+           CAST(SUM(CASE WHEN n_chars >= (SELECT m FROM med)
+                         THEN 1 ELSE 0 END) AS BIGINT)         AS raw_kept,
+           MIN(CASE WHEN cal >= 0.5 THEN n_chars END)          AS cal_cutoff_chars,
+           ROUND(AVG(CASE WHEN cal >= 0.5
+                          THEN CAST(n_chars AS DOUBLE) END), 4) AS cal_kept_avg_chars
+    FROM scored
+    GROUP BY source
+    """,
+)
+def d99_source_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    # Deterministic within-source ranking: (n_chars, doc_id) is unique.
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    scored = docs.withColumn("cal", F.percent_rank().over(w))
+    # Corpus-median raw threshold, the naive global cut: exact discrete
+    # median (percentile_disc twin), computed once and broadcast as a
+    # 1-row scalar — never a per-row subquery.
+    med = docs.agg(
+        F.expr("percentile(n_chars, 0.5, 1)").alias("m")
+    )
+    # percentile() is exact-interpolating; percentile_disc picks the
+    # lower discrete value — align by flooring to an existing n_chars.
+    med_val = docs.select("n_chars").join(
+        F.broadcast(med), F.col("n_chars") <= F.col("m"), "inner"
+    ).agg(F.max("n_chars").alias("m"))
+    kept = F.col("cal") >= 0.5
+    return (
+        scored.join(F.broadcast(med_val), how="cross")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept.cast("int")).cast("bigint").alias("cal_kept"),
+            F.sum((F.col("n_chars") >= F.col("m")).cast("int"))
+            .cast("bigint")
+            .alias("raw_kept"),
+            F.min(F.when(kept, F.col("n_chars"))).alias("cal_cutoff_chars"),
+            F.round(
+                F.avg(F.when(kept, F.col("n_chars").cast("double"))), 4
+            ).alias("cal_kept_avg_chars"),
+        )
+    )

@@ -1225,3 +1225,83 @@ def o14_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag string, l_linestatus string, n_items bigint,"
         " total_qty double, aqe_coalesced boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# O15 — AQE sort-merge -> broadcast-hash conversion (the fifth adaptive
+# pin next to o11 skew / o12 exchange reuse / o13 cache / o14 coalesce):
+# with STATIC broadcast planning disabled (the cold-start reality at
+# 100 TB — file-size estimates lie, so a conservative site sets the
+# static threshold low or off), the initial physical plan for
+# lineitem x supplier is a shuffle join; at runtime AQE observes the
+# built side's ACTUAL shuffle bytes under the adaptive threshold and
+# re-plans the remaining stages as a broadcast-hash join, erasing the
+# big side's shuffle. This is the mechanism that makes join strategy
+# robust to stale statistics at scale — the pin fails the artifact if
+# conversion regresses. Self-certifying: the pre-adaptive plan must show
+# the shuffle join, the executed plan the broadcast; aggregates SQL-exact.
+# Scale: runtime re-planning only — no data-dependent code. The converted
+# probe side is read with local shuffle readers (no extra exchange).
+# --------------------------------------------------------------------------
+@register(
+    "o15_aqe_bhj_conversion",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT)                          AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           TRUE AS converted_to_broadcast
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def o15_aqe_bhj_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    # Static broadcast OFF (the adaptive threshold would fall back to the
+    # static one when unset, so it is pinned explicitly).
+    with temp_conf(
+        spark, "spark.sql.autoBroadcastJoinThreshold", "-1"
+    ), temp_conf(
+        spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB"
+    ):
+        agg = (
+            li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+            .groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+        )
+        # The INITIAL physical plan (pre-adaptive) must be a shuffle join —
+        # otherwise the row is pinning nothing.
+        static_plan = agg._jdf.queryExecution().sparkPlan().toString()
+        rows = agg.collect()
+        final_plan = agg._jdf.queryExecution().executedPlan().toString()
+    converted = (
+        (
+            "SortMergeJoin" in static_plan
+            or "ShuffledHashJoin" in static_plan
+        )
+        and "BroadcastHashJoin" not in static_plan
+        and "BroadcastHashJoin" in final_plan
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["s_nationkey"],
+                r["n_items"],
+                r["revenue"],
+                bool(converted),
+            )
+            for r in rows
+        ],
+        "s_nationkey bigint, n_items bigint, revenue double,"
+        " converted_to_broadcast boolean",
+    )

@@ -1308,3 +1308,66 @@ def f25_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_oob_null"),
     )
+
+
+# --------------------------------------------------------------------------
+# F26 — ANSI INTERVAL arithmetic: the typed day-time / year-month interval
+# surface (Spark's INTERVAL literals + add_months + timestamp
+# subtraction -> DayTimeIntervalType + EXTRACT over it). Month addition
+# clamps at month end in BOTH engines (Jan 31 + 1 month = Feb 28), so
+# add_months has an exact DuckDB twin (ts + INTERVAL n MONTH); day/hour/
+# minute shifts and the day-component extraction of a timestamp
+# difference are exact by construction. All outputs are timestamps or
+# bigints — hash-stable across engines.
+# Scale: pure whole-stage-codegen expressions over one scan; the group-by
+# on the 3-value status column is a trivially bounded shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "f26_interval_arithmetic",
+    oracle="""
+    -- NOTE: no two interval constants here may compare equal under
+    -- DuckDB's 1 month = 30 days normalization: its common-subexpression
+    -- pass dedups "equal" constants, so INTERVAL 90 DAY next to
+    -- INTERVAL 3 MONTH silently computes one of them twice (verified on
+    -- DuckDB 1.0.0). 45 DAY / 3 MONTH / 36 HOUR / 15 MINUTE are all
+    -- pairwise distinct.
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT)                           AS n_orders,
+           MAX(o_orderdate + INTERVAL 45 DAY)                 AS latest_due,
+           MIN(o_orderdate + INTERVAL 3 MONTH)                AS earliest_plus3m,
+           MAX(o_orderdate + INTERVAL 36 HOUR)                AS latest_shift36h,
+           MIN(o_orderdate - INTERVAL 15 MINUTE)              AS earliest_minus15m,
+           CAST(MAX(date_part('day',
+                    o_orderdate - date_trunc('year', o_orderdate)))
+                AS BIGINT)                                    AS max_doy_offset
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def f26_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.max(F.expr("o_orderdate + INTERVAL '45' DAY")).alias("latest_due"),
+        # Year-month interval: add_months clamps exactly like ts + INTERVAL
+        # MONTH (returns DATE, midnight-aligned input -> cast back).
+        F.min(F.expr("cast(add_months(o_orderdate, 3) as timestamp)")).alias(
+            "earliest_plus3m"
+        ),
+        F.max(F.expr("o_orderdate + INTERVAL '36' HOUR")).alias(
+            "latest_shift36h"
+        ),
+        F.min(F.expr("o_orderdate - INTERVAL '15' MINUTE")).alias(
+            "earliest_minus15m"
+        ),
+        # ts - ts is a DayTimeIntervalType; EXTRACT(DAY ...) takes its
+        # whole-day component (midnight-aligned, so exact).
+        F.max(
+            F.expr(
+                "extract(DAY FROM (o_orderdate"
+                " - date_trunc('year', o_orderdate)))"
+            )
+        )
+        .cast("bigint")
+        .alias("max_doy_offset"),
+    )
