@@ -2823,3 +2823,75 @@ def s34_manifest_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_aux_rows bigint, sum_aux double, v1_sum_aux double,"
         " cdf_inserts bigint, cdf_deletes bigint, no_resurrection boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S35 — DESCRIBE HISTORY: the audit surface over the manifest connector
+# (Delta `DESCRIBE HISTORY`). Every publish — append, delete, merge,
+# rename, drop, restore — stamps a commit_info record into its versioned
+# snapshot; the snapshot IS the commit record (claimed atomically at
+# publish), so history needs no separate log and VACUUM retention bounds
+# it for free. The row runs the whole DML alphabet once and reads the
+# history back as a table: version ordering, op names, and the
+# rows/files trajectory are all closed-form.
+# Scale: O(#retained versions) driver metadata — the table's data size
+# never appears in the cost.
+# --------------------------------------------------------------------------
+@register(
+    "s35_manifest_describe_history",
+    oracle="""
+    SELECT CAST(version AS BIGINT) AS version, op,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           CAST(n_files AS BIGINT) AS n_files
+    FROM (VALUES
+        (7, 'RESTORE',       1500, 3),
+        (6, 'DROP COLUMN',   1490, 4),
+        (5, 'RENAME COLUMN', 1490, 4),
+        (4, 'MERGE',         1490, 4),
+        (3, 'DELETE',        1490, 3),
+        (2, 'APPEND',        1500, 3),
+        (1, 'APPEND',        1000, 2)
+    ) AS t(version, op, total_rows, n_files)
+    """,
+)
+def s35_manifest_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import (
+        delete_where_manifest_path,
+        drop_column_manifest_path,
+        history_manifest_path,
+        merge_into_manifest_path,
+        rename_column_manifest_path,
+        restore_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s35_history")
+
+    def write(df):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("append")
+            .save()
+        )
+
+    write(_synthetic_series(spark, 0, 1000, 2))  # v1: 1000 rows, 2 files
+    write(_synthetic_series(spark, 1000, 1500, 1))  # v2: +500, 3 files
+    delete_where_manifest_path(spark, path, [("i", "lt", 10)])  # v3: -10
+    # v4: update 5 existing keys — DV'd out of old files, re-inserted as
+    # one new file; net rows unchanged.
+    merge_into_manifest_path(
+        spark, path, _synthetic_series(spark, 100, 105, 1), "i"
+    )
+    rename_column_manifest_path(spark, path, "v", "val")  # v5
+    drop_column_manifest_path(spark, path, "val")  # v6
+    restore_manifest_path(spark, path, to_version=2)  # v7
+    hist = history_manifest_path(path)
+    return spark.createDataFrame(
+        [
+            (e["version"], e["op"], e["total_rows"], e["n_files"])
+            for e in hist
+        ],
+        "version bigint, op string, total_rows bigint, n_files bigint",
+    )

@@ -623,6 +623,13 @@ class JsonManifestWriter(DataSourceWriter):
         # commit must keep refusing/remapping against them.
         if (prior or {}).get("dropped_physical"):
             manifest["dropped_physical"] = prior["dropped_physical"]
+        # DESCRIBE HISTORY (s35): every publish stamps what it did — the
+        # audit record Delta exposes per commit.
+        manifest["commit_info"] = {
+            "op": "OVERWRITE" if self.overwrite else "APPEND",
+            "n_files_added": len(files) if self.overwrite else len(messages),
+            "n_rows_written": sum(m.n_rows for m in messages),
+        }
         try:
             _publish_manifest(self.path, manifest)
         except ManifestConflictError:
@@ -1096,6 +1103,10 @@ def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
         new_manifest["column_mapping"] = manifest["column_mapping"]
     if manifest.get("dropped_physical"):
         new_manifest["dropped_physical"] = manifest["dropped_physical"]
+    new_manifest["commit_info"] = {
+        "op": "DELETE",
+        "rows_deleted": n_new_deleted,
+    }
     _publish_manifest(path, new_manifest)
     return {
         "version": version,
@@ -1359,6 +1370,11 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             new_manifest["column_mapping"] = manifest["column_mapping"]
         if manifest.get("dropped_physical"):
             new_manifest["dropped_physical"] = manifest["dropped_physical"]
+        new_manifest["commit_info"] = {
+            "op": "MERGE",
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted,
+        }
         _publish_manifest(path, new_manifest)
     except BaseException:
         for name in written:
@@ -1976,6 +1992,7 @@ def restore_manifest_path(spark, path: str, to_version: int) -> dict:
         manifest["dropped_physical"] = target["dropped_physical"]
     if current.get("txns"):
         manifest["txns"] = current["txns"]
+    manifest["commit_info"] = {"op": "RESTORE", "restored_from": int(to_version)}
     _publish_manifest(path, manifest)
     return {
         "restored_from": int(to_version),
@@ -2022,6 +2039,10 @@ def rename_column_manifest_path(spark, path: str, old: str, new: str) -> dict:
         new_manifest["txns"] = manifest["txns"]
     if manifest.get("dropped_physical"):
         new_manifest["dropped_physical"] = manifest["dropped_physical"]
+    new_manifest["commit_info"] = {
+        "op": "RENAME COLUMN",
+        "column": f"{old} -> {new}",
+    }
     _publish_manifest(path, new_manifest)
     return {
         "new_version": new_manifest["version"],
@@ -2068,6 +2089,7 @@ def drop_column_manifest_path(spark, path: str, col: str) -> dict:
         new_manifest["column_mapping"] = mapping
     if manifest.get("txns"):
         new_manifest["txns"] = manifest["txns"]
+    new_manifest["commit_info"] = {"op": "DROP COLUMN", "column": col}
     _publish_manifest(path, new_manifest)
     return {
         "new_version": new_manifest["version"],
@@ -2125,12 +2147,48 @@ def clone_manifest_path(spark, src: str, dst: str) -> dict:
         manifest["column_mapping"] = src_manifest["column_mapping"]
     if src_manifest.get("dropped_physical"):
         manifest["dropped_physical"] = src_manifest["dropped_physical"]
+    manifest["commit_info"] = {
+        "op": "CLONE",
+        "src_version": src_manifest.get("version", 0),
+    }
     _publish_manifest(dst, manifest)
     return {
         "files_cloned": len(src_manifest["files"]),
         "total_rows": manifest["total_rows"],
         "src_version": src_manifest.get("version", 0),
     }
+
+
+def history_manifest_path(path: str) -> list[dict]:
+    """DESCRIBE HISTORY for a `json_manifest_sink` table — one entry per
+    RETAINED snapshot, newest first: ``{"version", "op", "total_rows",
+    "n_files", **op_metrics}`` (op metrics are the stamp each publish
+    wrote: rows_deleted for DELETE, rows_updated/rows_inserted for MERGE,
+    restored_from for RESTORE, the column for RENAME/DROP, ...). The
+    versioned snapshot IS the commit record (it is claimed atomically at
+    publish), so history needs no separate log; VACUUM bounds how far
+    back it reaches — a reclaimed snapshot's entry disappears with it,
+    exactly Delta's retention-bounded DESCRIBE HISTORY.
+
+    Driver-side O(#retained versions) metadata work; no data file is
+    touched at any table size."""
+    entries = []
+    for name in _os.listdir(path):
+        if not (name.startswith("_MANIFEST-v") and name.endswith(".json")):
+            continue
+        v = int(name[len("_MANIFEST-v"):-len(".json")])
+        m = _load_manifest(path, v)
+        info = dict(m.get("commit_info") or {"op": "UNKNOWN"})
+        entries.append(
+            {
+                "version": v,
+                "op": info.pop("op"),
+                "total_rows": m["total_rows"],
+                "n_files": len(m["files"]),
+                **info,
+            }
+        )
+    return sorted(entries, key=lambda e: -e["version"])
 
 
 def vacuum_manifest_path(path: str, retain_versions: int = 1) -> dict:

@@ -483,10 +483,11 @@ import pytest as _pytest
 @_pytest.mark.parametrize("seed", [0xD11, 0xBEEF])
 def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
     """Model-based check of the connector's DML surface: a seeded random
-    walk of append / DELETE / MERGE / compact / vacuum / RESTORE
-    operations is applied BOTH to a json_manifest_sink directory and to a
-    plain Python dict model {key: value}; after every operation the
-    connector readback must equal the model exactly. Catches the
+    walk of append / DELETE / MERGE / compact / vacuum / RESTORE /
+    RENAME-cycle / aux-column DROP-lifecycle operations is applied BOTH
+    to a json_manifest_sink directory and to a plain Python dict model
+    {key: value}; after every operation the connector readback must
+    equal the model exactly. Catches the
     interaction-bug class no single-operation test sees (a DELETE after a
     MERGE after a compaction crossing a vacuumed snapshot boundary, DV
     merging across mixed file generations, live-row accounting drift, a
@@ -504,7 +505,9 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         JsonManifestSource,
         _load_manifest,
         delete_where_manifest_path,
+        drop_column_manifest_path,
         merge_into_manifest_path,
+        rename_column_manifest_path,
         restore_manifest_path,
         vacuum_manifest_path,
     )
@@ -571,6 +574,35 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
     def do_vacuum():
         vacuum_manifest_path(path, retain_versions=1)
 
+    def _schema_names():
+        return [d.split(" ", 1)[0] for d in _load_manifest(path)["schema"]]
+
+    def do_rename_cycle():
+        # v -> w -> v: two metadata-only versions, zero data change. Pins
+        # that every later op (scan, DELETE, MERGE, CDF, compaction)
+        # survives the mapping indirection mid-walk.
+        rename_column_manifest_path(spark, path, "v", "w")
+        history[_load_manifest(path)["version"]] = dict(model)
+        rename_column_manifest_path(spark, path, "w", "v")
+
+    def do_aux_lifecycle():
+        # Additive schema evolution + DROP COLUMN: append rows carrying a
+        # throwaway third column, then drop it. Each cycle buries another
+        # tombstoned physical (aux, aux#N, ...) that later appends,
+        # compactions, restores and change feeds must keep ignoring.
+        nonlocal next_key
+        k = rng.randint(2, 8)
+        rows = [(next_key + j, rng.randint(0, 99)) for j in range(k)]
+        next_key += k
+        spark.createDataFrame(
+            [(i, v, v * 7) for i, v in rows], "i bigint, v bigint, aux bigint"
+        ).repartition(1).write.format("json_manifest_sink").option(
+            "path", path
+        ).mode("append").save()
+        model.update(dict(rows))
+        history[_load_manifest(path)["version"]] = dict(model)
+        drop_column_manifest_path(spark, path, "aux")
+
     #: version -> model snapshot at that version (RESTORE's expectation).
     history: dict[int, dict[int, int]] = {}
 
@@ -583,6 +615,15 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
             return  # vacuumed target: legal loud refusal, state unchanged
         model.clear()
         model.update(history[target])
+        history[_load_manifest(path)["version"]] = dict(model)
+        # The restore may land on a mid-DDL snapshot (schema (i, w) or
+        # (i, v, aux)); re-normalize to the walk's (i, v) invariant the
+        # way a real operator would — with the same DDL primitives.
+        names = _schema_names()
+        if "w" in names:
+            rename_column_manifest_path(spark, path, "w", "v")
+        if "aux" in names:
+            drop_column_manifest_path(spark, path, "aux")
 
     from lime_on_spark_spark.sources.python_source import (
         changes_between_manifest_path,
@@ -590,11 +631,24 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
 
     do_append()  # the walk starts from a committed table
     history[_load_manifest(path)["version"]] = dict(model)
-    ops = [do_append, do_delete, do_merge, do_compact, do_vacuum, do_restore]
-    for step in range(14):
+    ops = [
+        do_append,
+        do_delete,
+        do_merge,
+        do_compact,
+        do_vacuum,
+        do_restore,
+        do_rename_cycle,
+        do_aux_lifecycle,
+    ]
+    # Every op runs at least once in every walk (a pure rng.choice walk
+    # can silently never pick an op, testing nothing); the other half of
+    # the schedule is the seeded random mix, shuffled together.
+    schedule = list(ops) + [rng.choice(ops) for _ in range(8)]
+    rng.shuffle(schedule)
+    for step, op in enumerate(schedule):
         prev_model = dict(model)
         prev_version = _load_manifest(path)["version"]
-        op = rng.choice(ops)
         op()
         history[_load_manifest(path)["version"]] = dict(model)
         cur_version = _load_manifest(path)["version"]
