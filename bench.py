@@ -129,6 +129,16 @@ EXTENDED = (
     # restore itself (a driver-side manifest publish).
     "t30_stream_stream_full_outer",
     "a27_quantile_digest_rollup",
+    # round-13 wave 4: the drop-column lifecycle and the DESCRIBE HISTORY
+    # alphabet (constant-cost connector probes over fixed lineages), the
+    # AQE broadcast-conversion pin (one lineitem-side shuffle then
+    # runtime re-plan), and the per-source calibration window (corpus-
+    # scaling: one window shuffle keyed by source). f26 is not timed —
+    # a bounded 3-group scan indistinguishable from q6's floor.
+    "s34_manifest_drop_column",
+    "s35_manifest_describe_history",
+    "o15_aqe_bhj_conversion",
+    "d99_source_calibrated_quality",
 )
 
 

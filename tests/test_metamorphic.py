@@ -120,6 +120,13 @@ REPRESENTATIVE = (
     # which is exactly the property this slice pins.
     "s33_manifest_rename_column",
     "a27_quantile_digest_rollup",
+    # (round-13 wave 4) drop-column lifecycle: the fresh-physical re-add
+    # key translation and NULL-fill run per executor task; the history
+    # row's DML alphabet spans every publish path; d99's per-source
+    # percent_rank window must not depend on how sources are fanned out.
+    "s34_manifest_drop_column",
+    "s35_manifest_describe_history",
+    "d99_source_calibrated_quality",
 )
 
 
