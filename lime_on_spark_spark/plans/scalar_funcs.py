@@ -1371,3 +1371,52 @@ def f26_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_doy_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# F27 — timestamp parse/format round-trip: date_format -> to_timestamp
+# with explicit patterns (Spark's JDK DateTimeFormatter tokens vs
+# DuckDB's strftime/strptime % tokens — the translation every cross-
+# engine port hits), epoch extraction, and a deliberately reordered
+# dd/MM/yyyy pattern so a token-order bug cannot cancel out in the
+# round-trip. UTC session == DuckDB's naive timestamps, so epochs are
+# exact.
+# Scale: whole-stage codegen string work over one scan; bounded group-by.
+# --------------------------------------------------------------------------
+@register(
+    "f27_timestamp_parsing",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)                              AS n,
+           MAX(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                        '%Y-%m-%d %H:%M:%S'))                    AS max_roundtrip,
+           MAX(strptime(strftime(o_orderdate, '%d/%m/%Y'),
+                        '%d/%m/%Y'))                             AS max_dmy_roundtrip,
+           CAST(MIN(epoch(o_orderdate)) AS BIGINT)               AS min_epoch,
+           MIN(strftime(o_orderdate, '%Y-%m-%d'))                AS min_iso_day
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def f27_timestamp_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max(
+            F.to_timestamp(
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                "yyyy-MM-dd HH:mm:ss",
+            )
+        ).alias("max_roundtrip"),
+        F.max(
+            F.to_timestamp(
+                F.date_format("o_orderdate", "dd/MM/yyyy"), "dd/MM/yyyy"
+            )
+        ).alias("max_dmy_roundtrip"),
+        F.min(F.unix_timestamp("o_orderdate")).cast("bigint").alias(
+            "min_epoch"
+        ),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
+            "min_iso_day"
+        ),
+    )

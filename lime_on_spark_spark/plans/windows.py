@@ -564,3 +564,62 @@ def w11_cume_dist_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cd"), 6).alias("max_cume_dist"),
         F.round(F.avg("nbr"), 4).alias("avg_balance_neighbors"),
     )
+
+
+# --------------------------------------------------------------------------
+# W12 — grouped-median enrichment via join-back: DuckDB (and ANSI
+# engines) spell "each order vs its customer's median order value" as a
+# MEDIAN window function; Spark has no exact-percentile window, and the
+# naive workaround (percentile over an unbounded frame) recomputes the
+# percentile per ROW. The scale-correct Spark formulation is a grouped
+# exact percentile (one partial-aggregating shuffle, O(#customers)
+# output) joined back on the grouping key — co-partitioned by the same
+# key, so AQE plans the join-back without a second shuffle of the big
+# side's data in practice. The oracle IS the median window function, so
+# the row pins the two formulations against each other.
+# Scale: two shuffles on o_custkey vs the window's one sort — but the
+# window sorts the FULL table per partition while the join-back's
+# second shuffle moves only (custkey, median) pairs. At 100 TB with
+# bounded group cardinality the join-back wins on memory; neither is
+# quadratic.
+# --------------------------------------------------------------------------
+@register(
+    "w12_median_joinback",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)                  AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > 1.5 * med
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes,
+           CAST(ROUND(SUM(med * 200)) AS BIGINT)     AS med_sum_halfcents
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               median(o_totalprice) OVER (PARTITION BY o_custkey) AS med
+        FROM orders
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def w12_median_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # Exact interpolating percentile == DuckDB median (both compute
+    # lower + (upper - lower) * 0.5 on the same doubles).
+    med = orders.groupBy("o_custkey").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        orders.join(med, "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum((F.col("o_totalprice") > 1.5 * F.col("med")).cast("int"))
+            .cast("bigint")
+            .alias("n_spikes"),
+            # Medians of 2dp prices are integral in HALF-cents; summing
+            # those and rounding to an integer is hash-exact where a 4dp
+            # rounded AVG sits on the .xxxx5 boundary (observed last-ulp
+            # flip at sf0.001 from summation-order differences).
+            F.round(F.sum(F.col("med") * 200), 0)
+            .cast("bigint")
+            .alias("med_sum_halfcents"),
+        )
+    )
