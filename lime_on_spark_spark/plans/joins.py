@@ -1305,3 +1305,63 @@ def o15_aqe_bhj_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey bigint, n_items bigint, revenue double,"
         " converted_to_broadcast boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# J12 — null-aware anti join: NOT IN over a nullable subquery is SQL's
+# sharpest 3VL trap — one NULL in the subquery makes `x NOT IN (...)`
+# UNKNOWN for every x, so the result is EMPTY, and a plain left-anti
+# rewrite (NOT EXISTS semantics) silently returns rows instead. Spark
+# plans the correct semantics as a null-aware anti join (BroadcastHashJoin
+# ... LeftAnti, BuildRight, true — the trailing flag IS the null-aware
+# bit, conf spark.sql.optimizeNullAwareAntiJoin). The row runs both arms:
+# the null-poisoned subquery (must yield 0) and the IS NOT NULL-guarded
+# one (the query users actually mean), plus the plan pin.
+# Scale: null-aware anti join requires a broadcastable build side (the
+# streamed side must test against ALL build nulls) — which is why the
+# guarded NOT EXISTS spelling is the 100 TB-safe default and this row
+# keeps the subquery bounded.
+# --------------------------------------------------------------------------
+@register(
+    "j12_null_aware_anti",
+    oracle="""
+    WITH sub AS (
+        SELECT CASE WHEN o_totalprice > 400000 THEN o_custkey END AS k
+        FROM orders
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM sub))    AS n_with_null,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT k FROM sub WHERE k IS NOT NULL))   AS n_guarded,
+           TRUE AS null_aware_planned
+    """,
+)
+def j12_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("j12_customer")
+    orders.select(
+        F.when(F.col("o_totalprice") > 400000, F.col("o_custkey")).alias("k")
+    ).createOrReplaceTempView("j12_sub")
+    n_customers = cust.count()
+    with_null = spark.sql(
+        "SELECT count(*) AS n FROM j12_customer "
+        "WHERE c_custkey NOT IN (SELECT k FROM j12_sub)"
+    )
+    n_with_null = with_null.collect()[0]["n"]
+    # The trailing `true` on the LeftAnti broadcast join is Spark's
+    # isNullAwareAntiJoin flag — pin it from the executed plan.
+    naaj = "LeftAnti, BuildRight, true" in (
+        with_null._jdf.queryExecution().executedPlan().toString()
+    )
+    n_guarded = spark.sql(
+        "SELECT count(*) AS n FROM j12_customer WHERE c_custkey NOT IN "
+        "(SELECT k FROM j12_sub WHERE k IS NOT NULL)"
+    ).collect()[0]["n"]
+    return spark.createDataFrame(
+        [(n_customers, n_with_null, n_guarded, bool(naaj))],
+        "n_customers bigint, n_with_null bigint, n_guarded bigint,"
+        " null_aware_planned boolean",
+    )

@@ -623,3 +623,64 @@ def w12_median_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("med_sum_halfcents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# O16 — WindowGroupLimit pushdown (Spark 3.5+/4 optimizer): a
+# row_number() <= k filter over a window makes the naive plan sort EVERY
+# row of every partition; the optimizer inserts a WindowGroupLimit node
+# that keeps a k-heap per group BEFORE the full window sort, so the sort
+# only sees k rows per group. At 100 TB top-k-per-key this is the
+# difference between shuffling/sorting the table and shuffling k rows
+# per key. Self-certifying: the executed plan must contain the
+# WindowGroupLimit node (both partial — before the shuffle — and final);
+# the top-3 values themselves are SQL-exact under the deterministic
+# (price DESC, orderkey) tie-break.
+# --------------------------------------------------------------------------
+@register(
+    "o16_window_group_limit",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)                       AS n_top_rows,
+           CAST(ROUND(SUM(o_totalprice * 100)) AS BIGINT) AS top_price_cents,
+           TRUE AS group_limit_planned
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    GROUP BY o_orderpriority
+    """,
+)
+def o16_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    top = (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_top_rows"),
+            F.round(F.sum(F.col("o_totalprice") * 100), 0)
+            .cast("bigint")
+            .alias("top_price_cents"),
+        )
+    )
+    rows = top.collect()
+    planned = "WindowGroupLimit" in (
+        top._jdf.queryExecution().executedPlan().toString()
+    )
+    return spark.createDataFrame(
+        [
+            (r["o_orderpriority"], r["n_top_rows"], r["top_price_cents"],
+             bool(planned))
+            for r in rows
+        ],
+        "o_orderpriority string, n_top_rows bigint,"
+        " top_price_cents bigint, group_limit_planned boolean",
+    )
