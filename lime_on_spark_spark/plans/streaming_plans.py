@@ -2428,3 +2428,97 @@ def t31_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("stray_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T32 — state-partition stability across a repartitioned restart: the
+# state store's partition count is FIXED at the query's first run (it is
+# written into the checkpoint's offset metadata), and a restart must
+# honor the checkpoint — NOT the session's current
+# spark.sql.shuffle.partitions — or every key would rehash into the
+# wrong state partition and the aggregate would silently double-count.
+# The row runs a stateful complete-mode count/sum with partitions=8,
+# stops, delivers the second half of the data, and restarts under
+# partitions=3: totals must equal one batch pass over everything, and
+# the restarted run's progress must report numShufflePartitions=8 (the
+# checkpoint's, not the session's). This is THE operational footgun of
+# resizing a production cluster under a stateful stream.
+# Scale: the pin is exactly why state rescaling needs an offline state
+# rewrite (or Spark's state repartition tool) at any size — the engine
+# proves here it never silently rescales.
+# --------------------------------------------------------------------------
+@register(
+    "t32_state_repartition_stability",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS total_value,
+           TRUE AS checkpoint_partitions_pinned
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def t32_state_repartition_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    base = os.environ.get(
+        "LIME_ON_SPARK_SCRATCH",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".scratch"),
+    )
+    unique = f"{spark.sparkContext.applicationId}-{uuid.uuid4().hex[:12]}"
+    src = os.path.join(os.path.abspath(base), f"t32_src-{unique}")
+    ck = os.path.join(os.path.abspath(base), f"t32_ckpt-{unique}")
+    name = f"t32_snapshot_{uuid.uuid4().hex[:8]}"
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def run_stream() -> list:
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            return list(q.recentProgress or [])
+        finally:
+            q.stop()
+
+    # Run 1 under 8 shuffle partitions: the checkpoint records 8.
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    with temp_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        run_stream()
+    # The second half arrives while the job is down; the restart runs
+    # under a DIFFERENT session setting (3) and must ignore it.
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    with temp_conf(spark, "spark.sql.shuffle.partitions", "3"):
+        progresses = run_stream()
+    restart_partitions = {
+        int(op["numShufflePartitions"])
+        for p in progresses
+        for op in (p or {}).get("stateOperators") or []
+        if "numShufflePartitions" in op
+    }
+    pinned = restart_partitions == {8}
+    return spark.table(name).withColumn(
+        "checkpoint_partitions_pinned", F.lit(bool(pinned))
+    )
