@@ -139,6 +139,13 @@ EXTENDED = (
     "s35_manifest_describe_history",
     "o15_aqe_bhj_conversion",
     "d99_source_calibrated_quality",
+    # round-13 wave 5: the two order-table data-scaling rows (grouped-
+    # median join-back; WindowGroupLimit top-k) and the stateful-restart
+    # probe (two availableNow runs + checkpoint). f27/j12 untracked:
+    # bounded scans at the q6 floor.
+    "w12_median_joinback",
+    "o16_window_group_limit",
+    "t32_state_repartition_stability",
 )
 
 

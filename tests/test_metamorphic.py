@@ -127,6 +127,13 @@ REPRESENTATIVE = (
     "s34_manifest_drop_column",
     "s35_manifest_describe_history",
     "d99_source_calibrated_quality",
+    # (round-13 wave 5) w12's grouped percentile + join-back and o16's
+    # per-group k-heap both shuffle on the group key; t32's state-store
+    # hash layout is pinned BY DESIGN to the checkpoint — none may vary
+    # with fan-out.
+    "w12_median_joinback",
+    "o16_window_group_limit",
+    "t32_state_repartition_stability",
 )
 
 
