@@ -195,6 +195,18 @@ EMPTY_SAFE = (
     # empty corpus exercises nothing (the d60 rule's inverse).
     "m6_audio_features",
     "o12_exchange_reuse",
+    # round-13 wave 5: the corpus-facing additions. w12's join-back on an
+    # empty orders table is zero groups joined to zero rows; o15/o16's
+    # plan pins must still PLAN (empty scans under AQE); f26/f27 are pure
+    # scalar work; j12's NOT IN arms are empty-vs-empty 3VL; d99's
+    # percent_rank window and median scalar see zero rows.
+    "w12_median_joinback",
+    "f26_interval_arithmetic",
+    "f27_timestamp_parsing",
+    "o15_aqe_bhj_conversion",
+    "o16_window_group_limit",
+    "j12_null_aware_anti",
+    "d99_source_calibrated_quality",
 )
 
 

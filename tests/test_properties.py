@@ -691,6 +691,34 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
             f"live-row accounting drift after step {step}"
         )
 
+    # DESCRIBE HISTORY audit-log consistency (s35) over the whole walk:
+    # the retained snapshots must be exactly the contiguous version range
+    # [floor, current] (vacuum may have raised the floor, never punched a
+    # hole), every entry must carry a stamped op, and every entry's
+    # total_rows must equal the model snapshot the walk recorded for that
+    # version — the audit trail and the data can never disagree.
+    from lime_on_spark_spark.sources.python_source import (
+        history_manifest_path,
+    )
+
+    hist = history_manifest_path(path)
+    versions = [e["version"] for e in hist]
+    cur = _load_manifest(path)["version"]
+    assert versions == list(range(cur, versions[-1] - 1, -1)), (
+        f"history has holes: {versions}"
+    )
+    known_ops = {
+        "APPEND", "OVERWRITE", "DELETE", "MERGE",
+        "RENAME COLUMN", "DROP COLUMN", "RESTORE", "CLONE",
+    }
+    for e in hist:
+        assert e["op"] in known_ops, e
+        if e["version"] in history:
+            assert e["total_rows"] == len(history[e["version"]]), (
+                f"audit/data disagreement at v{e['version']}: "
+                f"{e['total_rows']} != {len(history[e['version']])}"
+            )
+
 
 @given(
     values=st.lists(
