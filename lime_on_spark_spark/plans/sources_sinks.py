@@ -2895,3 +2895,115 @@ def s35_manifest_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         "version bigint, op string, total_rows bigint, n_files bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# S36 — GENERATED COLUMNS: Delta's `GENERATED ALWAYS AS (expr)` on the
+# manifest connector. A derived integer key (here bucket = i div 500) is
+# declared ONCE at first write and rides the manifest like the column
+# mapping: the spool computes it when absent, VERIFIES it when provided
+# (a mismatch fails the task before any spool rename — the table is
+# untouched), and zone maps cover it like any column — so a reader
+# filtering on the derived key file-skips without computing the
+# expression (range-partitioned writes make each file's bucket zone a
+# point). DDL interplay guarded: the generation source cannot be
+# renamed or dropped while the rule lives.
+# Scale: this is the partition-pruning pattern for derived keys (day
+# buckets, shards) — the filter prunes at the manifest, so the 100 TB
+# scan never starts.
+# --------------------------------------------------------------------------
+@register(
+    "s36_manifest_generated_columns",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT unnest(range(2500)) AS i))      AS n_total,
+           (SELECT ROUND(SUM((i * i % 97) / 10.0), 4)
+            FROM (SELECT unnest(range(2500)) AS i))      AS sum_v,
+           CAST(500 AS BIGINT)                           AS n_bucket2,
+           CAST(500 AS BIGINT)                           AS n_bucket4,
+           CAST(1 AS BIGINT)                             AS files_read_b2,
+           CAST(6 AS BIGINT)                             AS files_total,
+           TRUE                                          AS violation_refused,
+           TRUE                                          AS table_unchanged
+    """,
+)
+def s36_manifest_generated_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import _load_manifest
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s36_gen")
+
+    def write(df, declare=False):
+        w = (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+        )
+        if declare:
+            w = w.option("generated_columns", '{"bucket": ["i", "div", 500]}')
+        w.mode("append").save()
+
+    # v1: 4 contiguous range partitions of [0, 2000) declare the rule;
+    # the DF does NOT carry `bucket` — the spool computes it.
+    write(_synthetic_series(spark, 0, 2000, 4), declare=True)
+    # v2: the rule rides the manifest — no option, no column, 1 file.
+    write(_synthetic_series(spark, 2000, 2400, 1))
+    # v3: a writer MAY provide the column when the values match.
+    write(
+        _synthetic_series(spark, 2400, 2500, 1).withColumn(
+            "bucket", F.floor(F.col("i") / 500).cast("bigint")
+        )
+    )
+    v_before = _load_manifest(path)["version"]
+    try:
+        write(
+            _synthetic_series(spark, 2500, 2600, 1).withColumn(
+                "bucket", F.lit(0).cast("bigint")  # wrong on every row
+            )
+        )
+        refused = False
+    except Exception as exc:  # noqa: BLE001 — Py4J wraps the ValueError
+        refused = "generated column violation" in str(exc)
+    unchanged = _load_manifest(path)["version"] == v_before
+
+    def read():
+        return (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+        )
+
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        tot = read().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("v"), 4).alias("s"),
+        ).first()
+        b2 = (
+            read()
+            .filter(F.col("bucket") == 2)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.max("n_files_read").alias("fr"),
+                F.max("n_files_total").alias("ft"),
+            )
+            .first()
+        )
+        n_b4 = read().filter(F.col("bucket") == 4).count()
+    return spark.createDataFrame(
+        [(
+            tot["n"],
+            tot["s"],
+            b2["n"],
+            int(n_b4),
+            int(b2["fr"]),
+            int(b2["ft"]),
+            bool(refused),
+            bool(unchanged),
+        )],
+        "n_total bigint, sum_v double, n_bucket2 bigint, n_bucket4 bigint,"
+        " files_read_b2 bigint, files_total bigint,"
+        " violation_refused boolean, table_unchanged boolean",
+    )

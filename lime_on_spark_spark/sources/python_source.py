@@ -222,6 +222,17 @@ class JsonManifestSink(DataSource):
         )
 
 
+#: Generated-column expression ops (s36): integer-exact derivations a
+#: zone map can skip on. Deliberately tiny — a generated column exists to
+#: be a pruning key (day bucket, shard, modulus), not a compute surface.
+_GEN_OPS = {
+    "div": lambda a, b: a // b,
+    "mod": lambda a, b: a % b,
+    "mul": lambda a, b: a * b,
+    "add": lambda a, b: a + b,
+}
+
+
 class JsonManifestWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool = True) -> None:
         import uuid as _uuid
@@ -342,6 +353,57 @@ class JsonManifestWriter(DataSourceWriter):
         # the new column. Old files lack the fresh key and NULL-fill.
         self._added_map: dict[str, str] = {}
         _dropped = set(_prior.get("dropped_physical", []))
+        # GENERATED COLUMNS (s36): Delta's `GENERATED ALWAYS AS (expr)` —
+        # a derived integer column computed AT WRITE TIME from a source
+        # column (`{"name": [src, op, operand]}`, op in _GEN_OPS), so zone
+        # maps and blooms cover it and readers can skip on the derived key
+        # without computing anything. The rule is declared once (option
+        # `generated_columns`, JSON) and rides the manifest like
+        # column_mapping: later appends re-apply it without re-declaring.
+        # If the incoming DataFrame ALREADY carries the column, every
+        # provided value is verified against the expression (Delta
+        # semantics: a mismatch fails the task, the table is untouched);
+        # if absent, the spool computes it.
+        self.generated: dict[str, list] = dict(_prior.get("generated", {}))
+        gc = options.get("generated_columns")
+        if gc is not None:
+            rules = _json.loads(gc)
+            for name, rule in rules.items():
+                if not (isinstance(rule, list) and len(rule) == 3):
+                    raise ValueError(
+                        f"generated_columns entries are [src, op, operand]:"
+                        f" {name}={rule}"
+                    )
+                src_col, op, operand = rule
+                if op not in _GEN_OPS:
+                    raise ValueError(
+                        f"generated column op must be one of "
+                        f"{sorted(_GEN_OPS)}: {op}"
+                    )
+                if src_col not in self.fields:
+                    raise ValueError(
+                        f"generated column source not in schema: {src_col!r}"
+                    )
+                if not isinstance(operand, int) or (
+                    op in ("div", "mod") and operand == 0
+                ):
+                    raise ValueError(
+                        f"generated column operand must be a non-zero int"
+                        f" for {op}: {operand!r}"
+                    )
+            self.generated.update(
+                {n: list(r) for n, r in rules.items()}
+            )
+        for name, (src_col, _op, _operand) in self.generated.items():
+            if src_col in self.fields and name not in self.fields:
+                # Auto-computed: extend the committed schema (the incoming
+                # DF never carries the column).
+                self.fields.append(name)
+                self.schema_ddl.append(f"{name} bigint")
+        # Fresh-physical re-adds run AFTER generated columns extend
+        # self.fields: a re-declared generated column whose name was
+        # dropped earlier must ALSO get a fresh key, or the old buried
+        # values would resurrect under it (pytest-pinned).
         if _dropped:
             _prior_logical = {
                 ddl.split(" ", 1)[0] for ddl in _prior.get("schema", [])
@@ -422,6 +484,20 @@ class JsonManifestWriter(DataSourceWriter):
         with open(temp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 vals = row.asDict()
+                # GENERATED COLUMNS (s36): compute when absent; verify
+                # when provided (a mismatch fails the task before any
+                # spool file is renamed in — the table stays untouched).
+                # A provided NULL is treated as absent (computed).
+                for gname, (gsrc, gop, goperand) in self.generated.items():
+                    s = vals.get(gsrc)
+                    expect = None if s is None else _GEN_OPS[gop](s, goperand)
+                    if vals.get(gname) is not None and vals[gname] != expect:
+                        raise ValueError(
+                            f"generated column violation: {gname} = "
+                            f"{vals[gname]!r} but {gsrc} {gop} "
+                            f"{goperand} = {expect!r}"
+                        )
+                    vals[gname] = expect
                 if self.poison is not None and vals[self.fields[0]] == self.poison:
                     raise RuntimeError(
                         f"planted failure on {self.fields[0]}={self.poison}"
@@ -623,6 +699,10 @@ class JsonManifestWriter(DataSourceWriter):
         # commit must keep refusing/remapping against them.
         if (prior or {}).get("dropped_physical"):
             manifest["dropped_physical"] = prior["dropped_physical"]
+        # GENERATED COLUMNS (s36) ride every commit (prior rules were
+        # merged into self.generated at plan time).
+        if self.generated:
+            manifest["generated"] = self.generated
         # DESCRIBE HISTORY (s35): every publish stamps what it did — the
         # audit record Delta exposes per commit.
         manifest["commit_info"] = {
@@ -1103,6 +1183,8 @@ def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
         new_manifest["column_mapping"] = manifest["column_mapping"]
     if manifest.get("dropped_physical"):
         new_manifest["dropped_physical"] = manifest["dropped_physical"]
+    if manifest.get("generated"):
+        new_manifest["generated"] = manifest["generated"]
     new_manifest["commit_info"] = {
         "op": "DELETE",
         "rows_deleted": n_new_deleted,
@@ -1370,6 +1452,8 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             new_manifest["column_mapping"] = manifest["column_mapping"]
         if manifest.get("dropped_physical"):
             new_manifest["dropped_physical"] = manifest["dropped_physical"]
+        if manifest.get("generated"):
+            new_manifest["generated"] = manifest["generated"]
         new_manifest["commit_info"] = {
             "op": "MERGE",
             "rows_updated": rows_updated,
@@ -1990,6 +2074,8 @@ def restore_manifest_path(spark, path: str, to_version: int) -> dict:
         manifest["column_mapping"] = target["column_mapping"]
     if target.get("dropped_physical"):
         manifest["dropped_physical"] = target["dropped_physical"]
+    if target.get("generated"):
+        manifest["generated"] = target["generated"]
     if current.get("txns"):
         manifest["txns"] = current["txns"]
     manifest["commit_info"] = {"op": "RESTORE", "restored_from": int(to_version)}
@@ -2023,6 +2109,15 @@ def rename_column_manifest_path(spark, path: str, old: str, new: str) -> dict:
         raise ValueError(f"rename source column not in schema: {old!r}")
     if new in names:
         raise ValueError(f"rename target column already exists: {new!r}")
+    generated = dict(manifest.get("generated", {}))
+    for gname, (gsrc, _op, _operand) in generated.items():
+        if old == gsrc:
+            raise ValueError(
+                f"cannot rename {old!r}: it is the source of generated "
+                f"column {gname!r} (drop the generated column first)"
+            )
+    if old in generated:  # renaming the generated column re-keys its rule
+        generated[new] = generated.pop(old)
     mapping = dict(manifest.get("column_mapping", {}))
     physical = mapping.pop(old, old)
     mapping[new] = physical
@@ -2035,6 +2130,8 @@ def rename_column_manifest_path(spark, path: str, old: str, new: str) -> dict:
         "column_mapping": mapping,
         "version": manifest.get("version", 0) + 1,
     }
+    if generated:
+        new_manifest["generated"] = generated
     if manifest.get("txns"):
         new_manifest["txns"] = manifest["txns"]
     if manifest.get("dropped_physical"):
@@ -2075,6 +2172,14 @@ def drop_column_manifest_path(spark, path: str, col: str) -> dict:
         raise ValueError(f"drop column not in schema: {col!r}")
     if len(names) == 1:
         raise ValueError("cannot drop the only column of a table")
+    generated = dict(manifest.get("generated", {}))
+    for gname, (gsrc, _op, _operand) in generated.items():
+        if col == gsrc and gname != col:
+            raise ValueError(
+                f"cannot drop {col!r}: it is the source of generated "
+                f"column {gname!r} (drop the generated column first)"
+            )
+    generated.pop(col, None)  # dropping the generated column drops its rule
     mapping = dict(manifest.get("column_mapping", {}))
     physical = mapping.pop(col, col)
     new_manifest = {
@@ -2085,6 +2190,8 @@ def drop_column_manifest_path(spark, path: str, col: str) -> dict:
         + [physical],
         "version": manifest.get("version", 0) + 1,
     }
+    if generated:
+        new_manifest["generated"] = generated
     if mapping:
         new_manifest["column_mapping"] = mapping
     if manifest.get("txns"):
@@ -2147,6 +2254,8 @@ def clone_manifest_path(spark, src: str, dst: str) -> dict:
         manifest["column_mapping"] = src_manifest["column_mapping"]
     if src_manifest.get("dropped_physical"):
         manifest["dropped_physical"] = src_manifest["dropped_physical"]
+    if src_manifest.get("generated"):
+        manifest["generated"] = src_manifest["generated"]
     manifest["commit_info"] = {
         "op": "CLONE",
         "src_version": src_manifest.get("version", 0),

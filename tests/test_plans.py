@@ -2324,3 +2324,115 @@ def test_manifest_drop_column_interactions(spark, tmp_path):
     with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
         s = read().agg(F.sum("aux")).first()[0]
     assert s == float(sum(i % 5 for i in range(1000)))
+
+
+def test_manifest_generated_columns_interactions(spark, tmp_path):
+    """s36 edges beyond the registry row: the generation source cannot be
+    renamed or dropped while the rule lives; renaming the GENERATED
+    column re-keys its rule (and later appends keep generating under the
+    new name); dropping the generated column removes the rule; a
+    RE-DECLARED generated column after a drop composes with the
+    fresh-physical re-add machinery (old buried values never resurrect);
+    compaction (overwrite) preserves the rule; DELETE keyed on the
+    generated column zone-prunes and row-filters correctly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        _load_manifest,
+        delete_where_manifest_path,
+        drop_column_manifest_path,
+        rename_column_manifest_path,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "gen")
+
+    def series(lo, hi, parts=1):
+        return spark.range(lo, hi, 1, parts).select(
+            F.col("id").alias("i"), (F.col("id") * 10).alias("v")
+        )
+
+    def write(df, **opts):
+        w = df.write.format("json_manifest_sink").option("path", path).option(
+            "retain_history", "true"
+        )
+        for k, val in opts.items():
+            w = w.option(k, val)
+        w.mode("append").save()
+
+    def read(**opts):
+        rd = spark.read.format("json_manifest_source").option("path", path)
+        for k, v in opts.items():
+            rd = rd.option(k, v)
+        return rd.load()
+
+    write(series(0, 1000, 2), generated_columns='{"bucket": ["i", "mod", 10]}')
+    # Source column protected while the rule lives.
+    with pytest.raises(Exception, match="source of generated"):
+        rename_column_manifest_path(spark, path, "i", "idx")
+    with pytest.raises(Exception, match="source of generated"):
+        drop_column_manifest_path(spark, path, "i")
+
+    # Renaming the GENERATED column re-keys the rule; appends keep
+    # generating under the new name.
+    rename_column_manifest_path(spark, path, "bucket", "shard")
+    assert _load_manifest(path)["generated"] == {"shard": ["i", "mod", 10]}
+    write(series(1000, 1200))
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        assert read().filter(F.col("shard") == 3).count() == 120
+
+    # DELETE keyed on the generated column (zone + row tests translate
+    # through the rename's physical mapping).
+    d = delete_where_manifest_path(
+        spark, path, [("shard", "eq", 3), ("i", "lt", 100)]
+    )
+    assert d["rows_deleted"] == 10
+
+    # Dropping the generated column removes its rule; plain appends work.
+    drop_column_manifest_path(spark, path, "shard")
+    assert "generated" not in _load_manifest(path)
+    write(series(1200, 1300))
+
+    # Re-declare a generated column with the ORIGINAL dropped name: the
+    # fresh-physical re-add machinery must kick in — the 1200 buried
+    # shard values (physical 'bucket') never resurface.
+    write(
+        series(1300, 1400),
+        generated_columns='{"bucket": ["i", "mod", 10]}',
+    )
+    m = _load_manifest(path)
+    assert m["generated"] == {"bucket": ["i", "mod", 10]}
+    assert m["column_mapping"]["bucket"].startswith("bucket#")
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        got = read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("bucket").alias("nb"),
+        ).first()
+    # 1390 live rows (1400 - 10 deleted); only the 100 post-re-declare
+    # rows carry the new bucket.
+    assert (got["n"], got["nb"]) == (1390, 100)
+
+    # Compaction (overwrite of the live rows) preserves the rule and the
+    # provided values pass verification.
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        live = read().drop("n_files_read", "n_files_total")
+        (
+            live.repartition(2)
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("overwrite")
+            .save()
+        )
+        assert _load_manifest(path)["generated"] == {
+            "bucket": ["i", "mod", 10]
+        }
+        assert read().count() == 1390
