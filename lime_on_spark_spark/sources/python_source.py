@@ -1251,7 +1251,14 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
     got_ddl = [
         f"{f.name} {f.dataType.simpleString()}" for f in updates.schema.fields
     ]
-    if got_ddl != schema_ddl:
+    # GENERATED COLUMNS (s36): updates MAY omit generated columns (the
+    # spool computes them, Delta MERGE semantics); when provided, every
+    # value is verified against the rule below.
+    generated = manifest.get("generated", {})
+    ddl_no_gen = [
+        d for d in schema_ddl if d.split(" ", 1)[0] not in generated
+    ]
+    if got_ddl != schema_ddl and got_ddl != ddl_no_gen:
         raise ValueError(
             f"MERGE schema mismatch: table {schema_ddl} vs updates {got_ddl}"
         )
@@ -1360,6 +1367,23 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
         with open(temp, "w", encoding="utf-8") as fh:
             for pdf in pdf_iter:
                 for rec in pdf.to_dict(orient="records"):
+                    for gname, (gsrc, gop, goperand) in generated.items():
+                        s = rec.get(gsrc)
+                        if s is not None and hasattr(s, "item"):
+                            s = s.item()
+                        expect = (
+                            None if s is None else _GEN_OPS[gop](s, goperand)
+                        )
+                        got = rec.get(gname)
+                        if got is not None and hasattr(got, "item"):
+                            got = got.item()
+                        if got is not None and got != expect:
+                            raise ValueError(
+                                f"generated column violation: {gname} = "
+                                f"{got!r} but {gsrc} {gop} {goperand} = "
+                                f"{expect!r}"
+                            )
+                        rec[gname] = expect
                     vals = {
                         # logical -> physical at the disk boundary (s33)
                         cmap.get(k, k): (
@@ -2072,8 +2096,28 @@ def restore_manifest_path(spark, path: str, to_version: int) -> dict:
         # The restored schema's logical names resolve through the TARGET
         # snapshot's mapping (they were renamed together).
         manifest["column_mapping"] = target["column_mapping"]
-    if target.get("dropped_physical"):
-        manifest["dropped_physical"] = target["dropped_physical"]
+    # A restore that reverts a schema ADDITION is an implicit DROP of the
+    # reverted columns: their physical keys still sit in the data files
+    # written while they were live (outside the restored file list but in
+    # retained history), so they are tombstoned like an explicit drop —
+    # the change feed across the restore stays defined (the s34 guard
+    # skips them) and a later re-add gets a fresh physical key. Found by
+    # the DML random walk: declare g -> restore to a pre-g snapshot ->
+    # CDF over the restore refused as "non-additive".
+    cur_map = current.get("column_mapping", {})
+    tgt_map = target.get("column_mapping", {})
+    cur_phys = {
+        cur_map.get(n, n)
+        for n in (d.split(" ", 1)[0] for d in current["schema"])
+    }
+    tgt_phys = {
+        tgt_map.get(n, n)
+        for n in (d.split(" ", 1)[0] for d in target["schema"])
+    }
+    tombstones = list(target.get("dropped_physical", []))
+    tombstones += sorted(cur_phys - tgt_phys - set(tombstones))
+    if tombstones:
+        manifest["dropped_physical"] = tombstones
     if target.get("generated"):
         manifest["generated"] = target["generated"]
     if current.get("txns"):

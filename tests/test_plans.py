@@ -2436,3 +2436,28 @@ def test_manifest_generated_columns_interactions(spark, tmp_path):
             "bucket": ["i", "mod", 10]
         }
         assert read().count() == 1390
+
+    # MERGE computes generated columns for its update rows (updates omit
+    # the column entirely — Delta MERGE semantics) and verifies provided
+    # values (a wrong value refuses before any file lands).
+    from lime_on_spark_spark.sources.python_source import (
+        merge_into_manifest_path,
+    )
+
+    upd = series(50, 53)  # 3 existing keys, no bucket column
+    st = merge_into_manifest_path(spark, path, upd, "i")
+    assert st["rows_updated"] == 3
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        got = read().filter(
+            (F.col("i") >= 50) & (F.col("i") < 53)
+        ).select("i", "bucket").collect()
+    assert {(r["i"], r["bucket"]) for r in got} == {(50, 0), (51, 1), (52, 2)}
+    v_before = _load_manifest(path)["version"]
+    with pytest.raises(Exception, match="generated column violation"):
+        merge_into_manifest_path(
+            spark,
+            path,
+            series(60, 61).withColumn("bucket", F.lit(9).cast("bigint")),
+            "i",
+        )
+    assert _load_manifest(path)["version"] == v_before

@@ -603,6 +603,27 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         history[_load_manifest(path)["version"]] = dict(model)
         drop_column_manifest_path(spark, path, "aux")
 
+    def do_gen_lifecycle():
+        # GENERATED COLUMN (s36) toggle: declare g = i mod 7 on an append
+        # (every later append/merge/compaction auto-generates it — the
+        # model never sees it), or drop it if live. Stresses the rule
+        # riding every publish path and the verification arm under
+        # compaction's provided-value overwrite.
+        nonlocal next_key
+        names = _schema_names()
+        if "g" in names:
+            drop_column_manifest_path(spark, path, "g")
+            return
+        k = rng.randint(2, 8)
+        rows = [(next_key + j, rng.randint(0, 99)) for j in range(k)]
+        next_key += k
+        spark_df(rows).repartition(1).write.format(
+            "json_manifest_sink"
+        ).option("path", path).option(
+            "generated_columns", '{"g": ["i", "mod", 7]}'
+        ).mode("append").save()
+        model.update(dict(rows))
+
     #: version -> model snapshot at that version (RESTORE's expectation).
     history: dict[int, dict[int, int]] = {}
 
@@ -640,6 +661,7 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         do_restore,
         do_rename_cycle,
         do_aux_lifecycle,
+        do_gen_lifecycle,
     ]
     # Every op runs at least once in every walk (a pure rng.choice walk
     # can silently never pick an op, testing nothing); the other half of
