@@ -3007,3 +3007,100 @@ def s36_manifest_generated_columns(
         " files_read_b2 bigint, files_total bigint,"
         " violation_refused boolean, table_unchanged boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S37 — ROW TRACKING: stable row ids on the manifest connector (Delta row
+# tracking's id semantics on the merge-on-read path). Every data file
+# owns a contiguous id range [base_row_id, base+n_rows) claimed from a
+# monotone table counter at commit; the reader surfaces id = base +
+# position as `_row_id`. Stability contract pinned closed-form: DELETE
+# never shifts a survivor's id (positions are immutable; a DV'd id
+# vanishes), appends claim fresh ranges, MERGE re-inserts updated keys
+# under NEW ids (delete+insert — documented divergence from Delta's
+# materialized preservation), and ids are never reused. The id algebra
+# is a pure range-sum exercise for the oracle.
+# Scale: ids are metadata arithmetic (base + position) — no column is
+# written, no shuffle happens; the stable key incremental consumers
+# need comes free with the manifest.
+# --------------------------------------------------------------------------
+@register(
+    "s37_manifest_row_tracking",
+    oracle="""
+    WITH ids AS (
+        SELECT unnest(range(1500)) AS rid
+    ), live AS (
+        SELECT rid FROM ids
+        WHERE rid >= 100 AND rid NOT IN (200, 201, 202, 203, 204)
+        UNION ALL
+        SELECT unnest(range(1500, 1505)) AS rid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)          AS n_live,
+           CAST(COUNT(DISTINCT rid) AS BIGINT) AS n_distinct_ids,
+           CAST(MIN(rid) AS BIGINT)          AS min_id,
+           CAST(MAX(rid) AS BIGINT)          AS max_id,
+           CAST(SUM(rid) AS BIGINT)          AS id_mass,
+           CAST(1505 AS BIGINT)              AS next_row_id
+    FROM live
+    """,
+)
+def s37_manifest_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        _load_manifest,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s37_rowid")
+
+    def write(df):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("append")
+            .save()
+        )
+
+    # v1+v2: ids 0..1499 land in i order (contiguous range partitions,
+    # files claim ranges in sorted-name order within each commit).
+    write(_synthetic_series(spark, 0, 1000, 2))
+    write(_synthetic_series(spark, 1000, 1500, 1))
+    # v3: DELETE i < 100 — survivor ids untouched, ids 0..99 vanish.
+    delete_where_manifest_path(spark, path, [("i", "lt", 100)])
+    # v4: MERGE keys 200..204 — old positions DV'd, re-inserts claim
+    # fresh ids 1500..1504.
+    merge_into_manifest_path(
+        spark, path, _synthetic_series(spark, 200, 205, 1), "i"
+    )
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        row = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .option("with_row_ids", "true")
+            .load()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_live"),
+                F.countDistinct("_row_id").cast("bigint").alias(
+                    "n_distinct_ids"
+                ),
+                F.min("_row_id").alias("min_id"),
+                F.max("_row_id").alias("max_id"),
+                F.sum("_row_id").alias("id_mass"),
+            )
+            .first()
+        )
+    return spark.createDataFrame(
+        [(
+            row["n_live"],
+            row["n_distinct_ids"],
+            row["min_id"],
+            row["max_id"],
+            row["id_mass"],
+            int(_load_manifest(path)["next_row_id"]),
+        )],
+        "n_live bigint, n_distinct_ids bigint, min_id bigint,"
+        " max_id bigint, id_mass bigint, next_row_id bigint",
+    )

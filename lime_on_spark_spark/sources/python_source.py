@@ -674,6 +674,15 @@ class JsonManifestWriter(DataSourceWriter):
                             f"{t} -> {new_cols[c]}"
                         )
         version = prior_version + 1
+        # ROW TRACKING (s37): every data file owns a contiguous row-id
+        # range [base_row_id, base_row_id + n_rows); fresh files claim
+        # ids from the table's monotone counter in sorted-name order.
+        # Ids are NEVER reused — an overwrite continues the counter.
+        next_rid = int((prior or {}).get("next_row_id", 0))
+        for f in sorted(files, key=lambda f: f["name"]):
+            if "base_row_id" not in f:
+                f["base_row_id"] = next_rid
+                next_rid += f["n_rows"]
         manifest = {
             "files": sorted(files, key=lambda f: f["name"]),
             # Live rows = physical rows minus deletion-vector rows; append-
@@ -703,6 +712,7 @@ class JsonManifestWriter(DataSourceWriter):
         # merged into self.generated at plan time).
         if self.generated:
             manifest["generated"] = self.generated
+        manifest["next_row_id"] = next_rid
         # DESCRIBE HISTORY (s35): every publish stamps what it did — the
         # audit record Delta exposes per commit.
         manifest["commit_info"] = {
@@ -1185,6 +1195,8 @@ def delete_where_manifest_path(spark, path: str, conjuncts: list) -> dict:
         new_manifest["dropped_physical"] = manifest["dropped_physical"]
     if manifest.get("generated"):
         new_manifest["generated"] = manifest["generated"]
+    if manifest.get("next_row_id") is not None:
+        new_manifest["next_row_id"] = manifest["next_row_id"]
     new_manifest["commit_info"] = {
         "op": "DELETE",
         "rows_deleted": n_new_deleted,
@@ -1462,6 +1474,14 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             )
         rows_updated = len(matched_keys)
         rows_inserted = int(counts["n"]) - rows_updated
+        # ROW TRACKING (s37): updated rows are delete+insert — the
+        # re-inserted rows claim FRESH ids (documented divergence from
+        # Delta row tracking's materialized preservation).
+        next_rid = int(manifest.get("next_row_id", 0))
+        for f in sorted(files, key=lambda f: f["name"]):
+            if "base_row_id" not in f:
+                f["base_row_id"] = next_rid
+                next_rid += f["n_rows"]
         new_manifest = {
             "files": sorted(files, key=lambda f: f["name"]),
             "total_rows": sum(
@@ -1478,6 +1498,7 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             new_manifest["dropped_physical"] = manifest["dropped_physical"]
         if manifest.get("generated"):
             new_manifest["generated"] = manifest["generated"]
+        new_manifest["next_row_id"] = next_rid
         new_manifest["commit_info"] = {
             "op": "MERGE",
             "rows_updated": rows_updated,
@@ -1809,6 +1830,13 @@ class JsonManifestSource(DataSource):
         # plus two per-row planning-metadata columns that make skipping
         # self-certifying in query output.
         cols += ["n_files_read bigint", "n_files_total bigint"]
+        # ROW TRACKING (s37): option with_row_ids surfaces the stable id
+        # (file base_row_id + position) as a _row_id column.
+        if str(self.options.get("with_row_ids", "false")).lower() in (
+            "true",
+            "1",
+        ):
+            cols += ["_row_id bigint"]
         return ", ".join(cols)
 
     def reader(self, schema):
@@ -1856,6 +1884,21 @@ class JsonManifestSourceReader(DataSourceReader):
         # and row tests downstream are all physical.
         self.colmap = manifest.get("column_mapping", {})
         self.pfields = [self.colmap.get(c, c) for c in self.fields]
+        # ROW TRACKING (s37): ids are base_row_id + file position —
+        # stable under DELETE (positions never shift; a DV'd row's id
+        # simply vanishes) and under appends (fresh files claim fresh
+        # ranges). Refuses loudly on pre-row-tracking files rather than
+        # inventing ids that a later commit would reassign.
+        self.with_row_ids = str(
+            options.get("with_row_ids", "false")
+        ).lower() in ("true", "1")
+        if self.with_row_ids:
+            missing = [f["name"] for f in self.files if "base_row_id" not in f]
+            if missing:
+                raise ValueError(
+                    "with_row_ids requires row tracking on every file; "
+                    f"missing base_row_id: {missing[:3]}"
+                )
         self.accepted: list[tuple[str, str, object]] = []
         # Zone-prunable subset of accepted (stat-comparable across ALL
         # files) and bloom-probe subset (bloom-covered across ALL files) —
@@ -1964,14 +2007,17 @@ class JsonManifestSourceReader(DataSourceReader):
             if self._zone_keeps(f) and self._bloom_keeps(f)
         ]
         if not keep:  # degenerate empty scan (Spark needs >=1 partition)
-            return [InputPartition((None, None, 0, total))]
+            return [InputPartition((None, None, 0, total, None))]
         return [
-            InputPartition((f["name"], f.get("dv"), len(keep), total))
+            InputPartition(
+                (f["name"], f.get("dv"), len(keep), total,
+                 f.get("base_row_id"))
+            )
             for f in keep
         ]
 
     def read(self, partition: InputPartition):  # executor-side
-        name, dv_name, n_read, total = partition.value
+        name, dv_name, n_read, total, base_rid = partition.value
         if name is None:
             return
         # Merge-on-read: the deletion-vector sidecar's positions are
@@ -1994,10 +2040,13 @@ class JsonManifestSourceReader(DataSourceReader):
                         ok = False
                         break
                 if ok:
-                    yield tuple(vals.get(c) for c in self.pfields) + (
+                    out = tuple(vals.get(c) for c in self.pfields) + (
                         n_read,
                         total,
                     )
+                    if self.with_row_ids:
+                        out += (base_rid + pos,)
+                    yield out
 
 
 class ManifestCDFBatchReader(DataSourceReader):
@@ -2122,6 +2171,11 @@ def restore_manifest_path(spark, path: str, to_version: int) -> dict:
         manifest["generated"] = target["generated"]
     if current.get("txns"):
         manifest["txns"] = current["txns"]
+    # Row ids are never reused: the CURRENT counter rides the restore
+    # (it is >= the target's, and files written after the target may
+    # return via a later restore-forward).
+    if current.get("next_row_id") is not None:
+        manifest["next_row_id"] = current["next_row_id"]
     manifest["commit_info"] = {"op": "RESTORE", "restored_from": int(to_version)}
     _publish_manifest(path, manifest)
     return {
@@ -2180,6 +2234,8 @@ def rename_column_manifest_path(spark, path: str, old: str, new: str) -> dict:
         new_manifest["txns"] = manifest["txns"]
     if manifest.get("dropped_physical"):
         new_manifest["dropped_physical"] = manifest["dropped_physical"]
+    if manifest.get("next_row_id") is not None:
+        new_manifest["next_row_id"] = manifest["next_row_id"]
     new_manifest["commit_info"] = {
         "op": "RENAME COLUMN",
         "column": f"{old} -> {new}",
@@ -2240,6 +2296,8 @@ def drop_column_manifest_path(spark, path: str, col: str) -> dict:
         new_manifest["column_mapping"] = mapping
     if manifest.get("txns"):
         new_manifest["txns"] = manifest["txns"]
+    if manifest.get("next_row_id") is not None:
+        new_manifest["next_row_id"] = manifest["next_row_id"]
     new_manifest["commit_info"] = {"op": "DROP COLUMN", "column": col}
     _publish_manifest(path, new_manifest)
     return {
@@ -2300,6 +2358,8 @@ def clone_manifest_path(spark, src: str, dst: str) -> dict:
         manifest["dropped_physical"] = src_manifest["dropped_physical"]
     if src_manifest.get("generated"):
         manifest["generated"] = src_manifest["generated"]
+    if src_manifest.get("next_row_id") is not None:
+        manifest["next_row_id"] = src_manifest["next_row_id"]
     manifest["commit_info"] = {
         "op": "CLONE",
         "src_version": src_manifest.get("version", 0),

@@ -2461,3 +2461,100 @@ def test_manifest_generated_columns_interactions(spark, tmp_path):
             "i",
         )
     assert _load_manifest(path)["version"] == v_before
+
+
+def test_manifest_row_tracking_edges(spark, tmp_path):
+    """s37 edges: ids are never reused (overwrite/compaction claims a
+    fresh range ABOVE the old counter); RESTORE carries the current
+    counter; with_row_ids refuses loudly on a pre-tracking file list
+    rather than inventing unstable ids; DV'd survivors keep exact ids."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        JsonManifestSink,
+        JsonManifestSource,
+        _load_manifest,
+        delete_where_manifest_path,
+        restore_manifest_path,
+    )
+
+    for cls in (JsonManifestSink, JsonManifestSource):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
+    path = str(tmp_path / "rid")
+
+    def write(lo, hi, mode="append", parts=1):
+        (
+            spark.range(lo, hi, 1, parts)
+            .select(F.col("id").alias("i"), (F.col("id") * 10).alias("v"))
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode(mode)
+            .save()
+        )
+
+    def read_ids():
+        with temp_conf(
+            spark, "spark.sql.python.filterPushdown.enabled", "true"
+        ):
+            return {
+                r["i"]: r["_row_id"]
+                for r in spark.read.format("json_manifest_source")
+                .option("path", path)
+                .option("with_row_ids", "true")
+                .load()
+                .collect()
+            }
+
+    write(0, 100)  # v1: ids 0..99
+    delete_where_manifest_path(spark, path, [("i", "ge", 90)])  # v2
+    ids = read_ids()
+    assert ids == {i: i for i in range(90)}  # survivors keep exact ids
+
+    # Overwrite (compaction) reassigns ABOVE the counter: never reuse.
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        live = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .drop("n_files_read", "n_files_total")
+        )
+        (
+            live.repartition(1)
+            .write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("overwrite")
+            .save()
+        )
+    ids2 = read_ids()
+    assert set(ids2) == set(range(90))
+    assert min(ids2.values()) >= 100  # fresh range, old ids retired
+    assert _load_manifest(path)["next_row_id"] == 190
+
+    # RESTORE to v1 republishes the old file (old base ids — consistent
+    # with that snapshot) but the counter NEVER goes backwards.
+    restore_manifest_path(spark, path, to_version=1)
+    assert _load_manifest(path)["next_row_id"] == 190
+    assert read_ids() == {i: i for i in range(100)}
+    write(100, 110)  # post-restore append claims 190..199, no overlap
+    ids3 = read_ids()
+    assert {ids3[i] for i in range(100, 110)} == set(range(190, 200))
+
+    # Pre-tracking table: strip base_row_id from the manifest by hand and
+    # expect the loud refusal.
+    m = _load_manifest(path)
+    for f in m["files"]:
+        f.pop("base_row_id", None)
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(Exception, match="row tracking"):
+        read_ids()
