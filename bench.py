@@ -146,6 +146,12 @@ EXTENDED = (
     "w12_median_joinback",
     "o16_window_group_limit",
     "t32_state_repartition_stability",
+    # round-13 wave 6: the generated-column lifecycle (one aborted-job
+    # violation probe dominates its floor) and row tracking (pure
+    # metadata arithmetic over the DML alphabet) — constant-cost
+    # connector probes.
+    "s36_manifest_generated_columns",
+    "s37_manifest_row_tracking",
 )
 
 

@@ -134,6 +134,13 @@ REPRESENTATIVE = (
     "w12_median_joinback",
     "o16_window_group_limit",
     "t32_state_repartition_stability",
+    # (round-13 wave 6) generated values are computed per executor task
+    # at the spool boundary; row ids are per-file metadata arithmetic —
+    # neither may vary with write fan-out (the registry rows use fixed
+    # partition counts for their closed forms, so the slice varies only
+    # the SHUFFLE side).
+    "s36_manifest_generated_columns",
+    "s37_manifest_row_tracking",
 )
 
 
