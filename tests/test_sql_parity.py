@@ -72,6 +72,12 @@ PORTABLE = [
     # round-10 additions (f22/f23 oracles are plain ANSI GROUP BYs; the
     # Python-path-vs-SQL equality IS the parity claim)
     "f22_table_arg_udtf", "f23_apply_in_arrow", "p20_dynamic_sql",
+    # round-13 additions: o16/j12 are plain ANSI (window + NOT IN 3VL —
+    # the parity run proves Spark SQL honors the same null-aware
+    # semantics); t32's oracle is a plain GROUP BY over events; d99 uses
+    # percent_rank + percentile_disc WITHIN GROUP (Spark 3.4+).
+    "o16_window_group_limit", "j12_null_aware_anti",
+    "t32_state_repartition_stability", "d99_source_calibrated_quality",
 ]
 
 
