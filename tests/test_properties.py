@@ -701,13 +701,27 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         with temp_conf(
             spark, "spark.sql.python.filterPushdown.enabled", "true"
         ):
-            got = {
-                r["i"]: r["v"]
-                for r in spark.read.format("json_manifest_source")
+            # Read WITH row ids: the data must match the model AND the
+            # ids must stay a duplicate-free set below the table counter
+            # through every op composition (s37's invariant — an id
+            # overlap from a mis-carried counter would corrupt every
+            # incremental consumer keyed on it).
+            rows = (
+                spark.read.format("json_manifest_source")
                 .option("path", path)
+                .option("with_row_ids", "true")
                 .load()
                 .collect()
-            }
+            )
+        got = {r["i"]: r["v"] for r in rows}
+        rids = [r["_row_id"] for r in rows]
+        assert len(rids) == len(set(rids)), (
+            f"row-id collision after step {step} ({op.__name__})"
+        )
+        next_rid = _load_manifest(path).get("next_row_id")
+        assert next_rid is not None and all(0 <= r < next_rid for r in rids), (
+            f"row id outside [0, next_row_id) after step {step}"
+        )
         assert got == model, f"divergence after step {step}"
         assert _load_manifest(path)["total_rows"] == len(model), (
             f"live-row accounting drift after step {step}"
