@@ -71,54 +71,54 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: exercises the whole engine. Names listed but not (yet) registered are
 #: skipped harmlessly; everything not listed follows in registration order.
 _CURATED_PREFIX = (
-    # r13 rotation: 48 of the 50 slots go to rows that have NEVER appeared
-    # in any driver CORRECTNESS_r*.json (312 of 362 rows were still
-    # unsampled after r12 — the judge's top next-round ask). The five rows
-    # the r12 verdict names explicitly (s28, t28, t29, o13, d98) lead
-    # their families; q1 stays as the round-over-round continuity pin and
-    # u2 keeps the u family at two rows (u4 is its only never-sampled
-    # oracle row). Every family keeps >= 2 rows, all oracle-backed.
+    # r13 rotation v3 (wave-6): the 12 rows added in round 13's final
+    # session — the DROP COLUMN / DESCRIBE HISTORY / generated-columns /
+    # row-tracking connector machinery, the AQE conversion +
+    # WindowGroupLimit optimizer pins, and the new semantics rows (null-
+    # aware anti, grouped median, intervals, timestamp parsing, state
+    # repartition stability, source calibration) — have never been
+    # driver-sampled; they replace previously-sampled or lower-signal
+    # rows family-for-family. q1 stays as the round-over-round
+    # continuity pin. Every family keeps >= 2 rows, all oracle-backed.
     # q — TPC-H-ish classics
     "q1_pricing_summary", "q4_priority_check",
     # p — predicates / projection / SQL surface
     "p8_null_semantics", "p10_correlated_subqueries", "p15_sql_pipe_syntax",
-    # j — joins
-    "j10_scd2_join", "j7_asof_nearest",
+    # j — joins (j12: NOT IN 3VL + the null-aware anti plan pin)
+    "j10_scd2_join", "j12_null_aware_anti",
     # a — aggregates / sketches
     "a5_pivot", "a14_count_min_sketch", "a19_decimal_money",
-    "a23_regression_aggs",
-    # w — window functions
-    "w7_cumulative_distinct_users", "w11_cume_dist_range_frame",
-    # a — (r13 addition) the quantile-digest rollup exercises the Arrow
-    # two-stage sketch-merge path no other sampled row covers
-    "a27_quantile_digest_rollup",
-    # o — physical layout (o13 cache reuse: r12 addition, judge-named)
-    "o13_cache_reuse", "o4_zorder_layout", "o5_observed_metrics",
+    "a23_regression_aggs", "a27_quantile_digest_rollup",
+    # w — window functions (w12: grouped-median join-back)
+    "w11_cume_dist_range_frame", "w12_median_joinback",
+    # o — physical layout / adaptive pins (o15 runtime broadcast
+    # conversion, o16 WindowGroupLimit — both self-certifying)
+    "o13_cache_reuse", "o15_aqe_bhj_conversion", "o16_window_group_limit",
     # u — set operations
     "u4_union_schema_drift", "u2_intersect",
-    # f — functions (f25 r13: the try_* NULL-production family)
-    "f9_variant_json", "f13_url_funcs", "f25_try_arithmetic",
-    # t — event-time & streaming (t28/t29: r12 additions, judge-named;
-    # t30 r13 completes the stream-stream join matrix)
+    # f — functions (f25 try_*, f26 intervals, f27 timestamp parsing)
+    "f9_variant_json", "f25_try_arithmetic", "f26_interval_arithmetic",
+    "f27_timestamp_parsing",
+    # t — event-time & streaming (t32: checkpoint-pinned state
+    # partitioning across a resized restart)
     "t28_stream_stream_semi", "t29_chained_stateful",
-    "t30_stream_stream_full_outer", "t7_stream_stream_join",
-    "t12_streaming_topk", "t16_stream_stream_left_outer",
+    "t30_stream_stream_full_outer", "t32_state_repartition_stability",
+    "t16_stream_stream_left_outer",
     # l — LIME
     "l9_sp_lime_verdict", "l11_regression_explain", "l13_lime_stability",
-    # d — data-pipeline (d98 RAG assembly: r12 addition, judge-named)
+    # d — data-pipeline (d99: per-source quality calibration)
     "d98_rag_context_assembly", "d2_vs_d45_agreement",
-    "d2_ngram_jaccard", "d10_dup_clusters",
     "d15_decontaminate", "d25_pii_redaction", "d37_incremental_dedup",
     "d49_curation_funnel", "d68_rrf_hybrid_search",
-    "d73_ks_test", "d78_kmv_cardinality",
+    "d73_ks_test", "d78_kmv_cardinality", "d99_source_calibrated_quality",
     # m — multimodal
     "m3_resize_and_frames", "m5_magic_byte_router",
-    # s — sources / sinks (s28 CDF reader: r12 addition, judge-named;
-    # s29 RESTORE and s33 column mapping are r13's new DML/utility
-    # machinery — fresher driver signal than another stats row)
+    # s — sources / sinks: the round-13 DML/DDL machinery end-to-end
+    # (restore, rename, drop, history, generated columns, row tracking)
     "s28_manifest_cdf_reader", "s29_manifest_restore",
-    "s33_manifest_rename_column", "s4_merge_schema",
-    "s6_python_datasource", "s7_corrupt_json_handling",
+    "s33_manifest_rename_column", "s34_manifest_drop_column",
+    "s35_manifest_describe_history", "s36_manifest_generated_columns",
+    "s37_manifest_row_tracking",
 )
 
 
