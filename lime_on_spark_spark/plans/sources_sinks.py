@@ -3104,3 +3104,90 @@ def s37_manifest_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_live bigint, n_distinct_ids bigint, min_id bigint,"
         " max_id bigint, id_mass bigint, next_row_id bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# S38 — per-commit CDF attribution (_commit_version): the net manifest
+# diff (s24) compares ONLY the endpoints, so a row inserted at v4 and
+# deleted at v5 leaves no trace in changes(v1, v5) — correct for state
+# convergence (d97 IVM), wrong for audit/replay consumers who need every
+# change in commit order (Delta CDF semantics). per_commit=True unions
+# the adjacent diffs (v, v+1] with a _commit_version tag: the 50
+# short-lived rows appear as BOTH their insert (v4) and their delete
+# (v5), and per-version counts are exact. The row pins the two modes
+# against each other — the net feed's totals AND the per-commit
+# attribution, including the short-lived rows only one of them can see.
+# Scale: one manifest load per intermediate version (metadata), one task
+# per changed-file-per-commit — cost scales with the change stream, not
+# the table.
+# --------------------------------------------------------------------------
+@register(
+    "s38_manifest_cdf_per_commit",
+    oracle="""
+    SELECT * FROM (VALUES
+        (2, 'delete', 100),
+        (3, 'delete',   5),
+        (3, 'insert',   5),
+        (4, 'insert', 200),
+        (5, 'delete',  50)
+    ) AS t(commit_version, change_type, n)
+    ORDER BY commit_version, change_type
+    """,
+)
+def s38_manifest_cdf_per_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import (
+        changes_between_manifest_path,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s38_cdc")
+
+    def write(df):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("append")
+            .save()
+        )
+
+    write(_synthetic_series(spark, 0, 1000, 2))  # v1
+    delete_where_manifest_path(spark, path, [("i", "lt", 100)])  # v2: -100
+    merge_into_manifest_path(  # v3: 5 in-place updates (delete+insert)
+        spark, path, _synthetic_series(spark, 200, 205, 1), "i"
+    )
+    write(_synthetic_series(spark, 1000, 1200, 1))  # v4: +200
+    # v5: delete 50 of the rows inserted at v4 — short-lived rows the
+    # NET diff can never see.
+    delete_where_manifest_path(
+        spark, path, [("i", "ge", 1000), ("i", "lt", 1050)]
+    )
+
+    per = changes_between_manifest_path(spark, path, 1, 5, per_commit=True)
+    attributed = (
+        per.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n"))
+        .orderBy("commit_version", "change_type")
+    )
+    # Cross-mode consistency pin: the net feed's totals must equal the
+    # per-commit totals MINUS the short-lived cancellations (the 50 rows
+    # inserted at v4 and deleted at v5 net out; the 5 merge re-inserts do
+    # NOT — their deletes hit v1-era positions).
+    net = dict(
+        changes_between_manifest_path(spark, path, 1, 5)
+        .groupBy("_change_type")
+        .count()
+        .collect()
+    )
+    assert (int(net.get("insert", 0)), int(net.get("delete", 0))) == (
+        155,
+        105,
+    ), f"net feed totals diverged: {net}"
+    return attributed.withColumn(
+        "commit_version", F.col("commit_version").cast("int")
+    )

@@ -1551,7 +1551,12 @@ def _scan_file_changes(
 
 
 def changes_between_manifest_path(
-    spark, path: str, v_from: int, v_to: int, update_key: str | None = None
+    spark,
+    path: str,
+    v_from: int,
+    v_to: int,
+    update_key: str | None = None,
+    per_commit: bool = False,
 ):
     """CHANGE DATA FEED over a `json_manifest_sink` directory — the Delta
     CDF / Iceberg changelog primitive: the row-level changes between two
@@ -1590,12 +1595,33 @@ def changes_between_manifest_path(
     so a removed file in the range raises loudly (read the plain feed
     across compactions instead).
 
+    ``per_commit`` (s38) switches from the NET diff to Delta-CDF commit
+    attribution: the feed becomes the union of every adjacent diff
+    (v, v+1] in the range, each row tagged `_commit_version` — so a row
+    inserted at v+1 and deleted at v+2 (invisible in the net diff, which
+    only ever compares the endpoints) appears as BOTH changes, and a
+    consumer can replay commits in order. Costs one manifest load per
+    intermediate version (all must be retained) and one task per
+    changed-file-per-commit; with ``update_key``, pairing windows are
+    (key, version) — per-commit updates, strictly sharper than the
+    whole-range pairing.
+
     Scale shape: the diff is driver-side O(#files + #DV positions)
     metadata work; row materialization is one executor task per changed
     file — cost scales with the CHANGE, not the table.
     """
     v_from, v_to = int(v_from), int(v_to)
-    tasks, new = _cdf_tasks(path, v_from, v_to)
+    if per_commit:
+        if not 0 <= v_from < v_to:
+            raise ValueError(f"need 0 <= v_from < v_to, got {v_from}, {v_to}")
+        tasks = []
+        new = None
+        for v in range(v_from, v_to):
+            t_v, new = _cdf_tasks(path, v, v + 1)
+            tasks += [(n, m, pos, kind, v + 1) for n, m, pos, kind in t_v]
+    else:
+        t0, new = _cdf_tasks(path, v_from, v_to)
+        tasks = [(n, m, pos, kind, None) for n, m, pos, kind in t0]
     # v_to's schema is the superset (s20 evolution only adds columns).
     fields, pfields, casts = _schema_fields_casts(new)
     if update_key is not None:
@@ -1620,20 +1646,31 @@ def changes_between_manifest_path(
                 "boundaries"
             )
     ddl = ", ".join(new["schema"]) + ", _change_type string"
+    if per_commit:
+        ddl += ", _commit_version bigint"
     if not tasks:
         return spark.createDataFrame([], ddl)
-    rdd = spark.sparkContext.parallelize(tasks, len(tasks)).flatMap(
-        lambda t: _scan_file_changes(
+
+    def _rows(t):
+        rows = _scan_file_changes(
             path, t[0], t[1], t[2], pfields, casts, t[3]
         )
-    )
+        if t[4] is None:
+            return rows
+        return (r + (t[4],) for r in rows)
+
+    rdd = spark.sparkContext.parallelize(tasks, len(tasks)).flatMap(_rows)
     feed = spark.createDataFrame(rdd, ddl)
     if update_key is None:
         return feed
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
 
-    w = _W.partitionBy(update_key)
+    w = (
+        _W.partitionBy(update_key, "_commit_version")
+        if per_commit
+        else _W.partitionBy(update_key)
+    )
     both = (
         _F.max((_F.col("_change_type") == "insert").cast("int")).over(w)
         + _F.max((_F.col("_change_type") == "delete").cast("int")).over(w)

@@ -698,6 +698,26 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
                     f"CDF application diverged after step {step} "
                     f"(v{prev_version} -> v{cur_version}, {op.__name__})"
                 )
+                # Per-commit attribution (s38): replaying the SAME range
+                # commit-by-commit in version order must also reproduce
+                # the model — including the intermediate churn the net
+                # feed cancels out.
+                per = changes_between_manifest_path(
+                    spark, path, prev_version, cur_version, per_commit=True
+                ).collect()
+                applied = dict(prev_model)
+                for ver in sorted({r["_commit_version"] for r in per}):
+                    batch = [r for r in per if r["_commit_version"] == ver]
+                    for r in batch:
+                        if r["_change_type"] == "delete":
+                            applied.pop(r["i"], None)
+                    for r in batch:
+                        if r["_change_type"] == "insert":
+                            applied[r["i"]] = r["v"]
+                assert applied == model, (
+                    f"per-commit CDF replay diverged after step {step} "
+                    f"(v{prev_version} -> v{cur_version}, {op.__name__})"
+                )
         with temp_conf(
             spark, "spark.sql.python.filterPushdown.enabled", "true"
         ):
