@@ -152,6 +152,7 @@ EXTENDED = (
     # connector probes.
     "s36_manifest_generated_columns",
     "s37_manifest_row_tracking",
+    "s38_manifest_cdf_per_commit",
 )
 
 

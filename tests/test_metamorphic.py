@@ -141,6 +141,9 @@ REPRESENTATIVE = (
     # the SHUFFLE side).
     "s36_manifest_generated_columns",
     "s37_manifest_row_tracking",
+    # (also wave 6) per-commit CDF: one task per changed-file-PER-COMMIT
+    # feeding an RDD union — attribution must not vary with fan-out.
+    "s38_manifest_cdf_per_commit",
 )
 
 
