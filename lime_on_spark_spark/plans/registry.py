@@ -103,7 +103,6 @@ _CURATED_PREFIX = (
     # partitioning across a resized restart)
     "t28_stream_stream_semi", "t29_chained_stateful",
     "t30_stream_stream_full_outer", "t32_state_repartition_stability",
-    "t16_stream_stream_left_outer",
     # l — LIME
     "l9_sp_lime_verdict", "l11_regression_explain", "l13_lime_stability",
     # d — data-pipeline (d99: per-source quality calibration)
@@ -118,7 +117,7 @@ _CURATED_PREFIX = (
     "s28_manifest_cdf_reader", "s29_manifest_restore",
     "s33_manifest_rename_column", "s34_manifest_drop_column",
     "s35_manifest_describe_history", "s36_manifest_generated_columns",
-    "s37_manifest_row_tracking",
+    "s37_manifest_row_tracking", "s38_manifest_cdf_per_commit",
 )
 
 
