@@ -3191,3 +3191,97 @@ def s38_manifest_cdf_per_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attributed.withColumn(
         "commit_version", F.col("commit_version").cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# S39 — protocol feature gates: Delta's reader/writer table-features
+# contract. Every publish derives and stamps the features the snapshot
+# REQUIRES (reader: deletion_vectors / column_mapping / dropped_columns;
+# writer: generated_columns / row_tracking), and every manifest load —
+# the single choke point under scans, CDF, streams, DML, DDL, vacuum,
+# history — refuses a table requiring a feature this build does not
+# know, instead of silently misreading data a future writer produced
+# (ignoring an unknown DV encoding would resurrect deleted rows). The
+# row builds a table that exercises the full feature set, pins the
+# stamped lists, and injects an unknown required feature as the
+# negative control.
+# Scale: two O(1) metadata checks per commit/load; the forward-compat
+# insurance every shared 100 TB table needs.
+# --------------------------------------------------------------------------
+@register(
+    "s39_manifest_feature_gates",
+    oracle="""
+    SELECT 'column_mapping,deletion_vectors,dropped_columns'
+               AS reader_features,
+           'generated_columns,row_tracking' AS writer_features,
+           CAST(1400 AS BIGINT)             AS n_rows,
+           TRUE                             AS unknown_refused,
+           TRUE                             AS refused_before_data
+    """,
+)
+def s39_manifest_feature_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.python_source import (
+        _load_manifest,
+        delete_where_manifest_path,
+        drop_column_manifest_path,
+        rename_column_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s39_gates")
+
+    (
+        _synthetic_series(spark, 0, 1500, 2)
+        .withColumn("aux", (F.col("i") % 3).cast("double"))
+        .write.format("json_manifest_sink")
+        .option("path", path)
+        .option("retain_history", "true")
+        .option("generated_columns", '{"bucket": ["i", "div", 500]}')
+        .mode("append")
+        .save()
+    )  # v1: generated + row tracking
+    delete_where_manifest_path(spark, path, [("i", "lt", 100)])  # v2: DV
+    rename_column_manifest_path(spark, path, "v", "reading")  # v3: mapping
+    drop_column_manifest_path(spark, path, "aux")  # v4: dropped
+    m = _load_manifest(path)
+    with temp_conf(spark, "spark.sql.python.filterPushdown.enabled", "true"):
+        n = (
+            spark.read.format("json_manifest_source")
+            .option("path", path)
+            .load()
+            .count()
+        )
+    # Negative control: a FUTURE writer stamps a feature this build does
+    # not know; both the latest pointer and the versioned snapshot carry
+    # it, and the very next load must refuse.
+    poisoned = dict(m)
+    poisoned["reader_features"] = list(m["reader_features"]) + [
+        "columnar_teleportation"
+    ]
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(poisoned, fh)
+    refused = before_data = False
+    try:
+        spark.read.format("json_manifest_source").option(
+            "path", path
+        ).load().count()
+    except Exception as exc:  # noqa: BLE001 — Py4J wraps the ValueError
+        refused = "columnar_teleportation" in str(exc)
+        # The refusal happens at PLAN time (manifest load), before any
+        # data file is opened.
+        before_data = "does not support" in str(exc)
+    return spark.createDataFrame(
+        [(
+            ",".join(m["reader_features"]),
+            ",".join(m["writer_features"]),
+            int(n),
+            bool(refused),
+            bool(before_data),
+        )],
+        "reader_features string, writer_features string, n_rows bigint,"
+        " unknown_refused boolean, refused_before_data boolean",
+    )

@@ -972,13 +972,48 @@ from pyspark.sql.datasource import (  # noqa: E402
 )
 
 
+#: PROTOCOL FEATURE GATES (s39 — Delta's reader/writer table features):
+#: the feature names this build understands. A manifest stamped with a
+#: required feature outside these sets means a FUTURE writer produced
+#: data this code cannot interpret correctly (unknown DV encoding, an
+#: unknown schema transform, ...) — every entry point refuses loudly
+#: instead of silently misreading, exactly Delta's protocol-version
+#: contract. _load_manifest is the single choke point: scans, CDF,
+#: streams, DML, DDL, vacuum and history ALL gate here (vacuum on an
+#: ununderstood table could delete files an unknown feature still
+#: references).
+_SUPPORTED_FEATURES = {
+    "deletion_vectors",
+    "column_mapping",
+    "dropped_columns",
+    "generated_columns",
+    "row_tracking",
+}
+
+
+class UnsupportedTableFeatureError(ValueError):
+    """The manifest requires a table feature this build does not know."""
+
+
 def _load_manifest(path: str, version=None) -> dict:
     """Load a sink directory's manifest: the latest (_MANIFEST.json) or,
     for time travel, the immutable snapshot _MANIFEST-v{N}.json. Snapshots
-    are fully readable as long as the writes used retain_history (s17)."""
+    are fully readable as long as the writes used retain_history (s17).
+    Refuses manifests requiring unknown table features (s39)."""
     name = "_MANIFEST.json" if version is None else f"_MANIFEST-v{int(version)}.json"
     with open(_os.path.join(path, name), encoding="utf-8") as fh:
-        return _json.load(fh)
+        manifest = _json.load(fh)
+    unknown = (
+        set(manifest.get("reader_features", []))
+        | set(manifest.get("writer_features", []))
+    ) - _SUPPORTED_FEATURES
+    if unknown:
+        raise UnsupportedTableFeatureError(
+            f"table at {path} (v{manifest.get('version')}) requires "
+            f"features this build does not support: {sorted(unknown)}; "
+            "upgrade before reading or writing"
+        )
+    return manifest
 
 
 class ManifestConflictError(ValueError):
@@ -1011,6 +1046,22 @@ def _publish_manifest(path: str, manifest: dict) -> None:
     Shared by the batch writer's commit(), DELETE, and MERGE (which are
     otherwise a single-writer contract — this makes a violated contract
     loud instead of lossy)."""
+    reader_features = sorted(
+        ({"deletion_vectors"} if any(
+            f.get("dv") for f in manifest.get("files", [])
+        ) else set())
+        | ({"column_mapping"} if manifest.get("column_mapping") else set())
+        | ({"dropped_columns"} if manifest.get("dropped_physical") else set())
+    )
+    writer_features = sorted(
+        ({"generated_columns"} if manifest.get("generated") else set())
+        | ({"row_tracking"} if manifest.get("next_row_id") is not None
+           else set())
+    )
+    if reader_features:
+        manifest["reader_features"] = reader_features
+    if writer_features:
+        manifest["writer_features"] = writer_features
     vp = _os.path.join(path, f"_MANIFEST-v{manifest['version']}.json")
     mp = _os.path.join(path, "_MANIFEST.json")
     tmp = vp + ".tmp"
@@ -1637,7 +1688,7 @@ def changes_between_manifest_path(
         # files); DML deletes are DV position lists (include-mode).
         if any(
             mode == "exclude" and kind == "delete"
-            for _, mode, _, kind in tasks
+            for _, mode, _, kind, _ in tasks
         ):
             raise ValueError(
                 "update pairing is undefined across a compaction/"
