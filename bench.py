@@ -153,6 +153,7 @@ EXTENDED = (
     "s36_manifest_generated_columns",
     "s37_manifest_row_tracking",
     "s38_manifest_cdf_per_commit",
+    "s39_manifest_feature_gates",
 )
 
 

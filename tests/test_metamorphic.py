@@ -144,6 +144,7 @@ REPRESENTATIVE = (
     # (also wave 6) per-commit CDF: one task per changed-file-PER-COMMIT
     # feeding an RDD union — attribution must not vary with fan-out.
     "s38_manifest_cdf_per_commit",
+    "s39_manifest_feature_gates",
 )
 
 
