@@ -235,6 +235,14 @@ AQE_SLICE = (
     "j8_salted_skew_join",
     "a21_mergeable_histogram",
     "u5_snapshot_diff",
+    # round-13: the grouped-median join-back (join strategy free to
+    # change under AQE) and the WindowGroupLimit filter (pushdown is an
+    # optimizer rewrite, orthogonal to adaptive re-planning) — results
+    # must be identical either way. o15/o14 are deliberately absent:
+    # their PINS assert adaptive behavior, so toggling AQE off would
+    # (correctly) fail the self-certifying boolean, not the values.
+    "w12_median_joinback",
+    "o16_window_group_limit",
 )
 
 
