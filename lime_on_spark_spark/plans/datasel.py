@@ -2306,3 +2306,90 @@ def d99_source_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("cal_kept_avg_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D100 — filter provenance (Dolma-style attributes): production curation
+# tags every document with WHICH rules it fails (an attribute bitmask
+# stored beside the text — the Dolma attributes pattern), because the
+# tuning question is never "how many docs survive" but "what does rule B
+# remove that rule A hasn't already" — the rule CO-OCCURRENCE matrix.
+# Four integer-exact rules (short, stopword-heavy, non-English,
+# repetitious — thresholds cross-multiplied so no float ratio is ever
+# compared), every pairwise overlap, each rule's solo count, and the
+# survivor count under the all-rules policy, in one aggregation pass.
+# Scale: one scan, one map of integer flag columns, one global agg —
+# no shuffle of document text, no second pass per rule (the naive
+# N-rules implementation scans N times).
+# --------------------------------------------------------------------------
+@register(
+    "d100_filter_provenance",
+    oracle="""
+    WITH flags AS (
+        SELECT CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS f_short,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                          w -> w = 'the')) * 20
+                         > len(string_split(text, ' '))
+                    THEN 1 ELSE 0 END                     AS f_stop,
+               CASE WHEN lang <> 'en' THEN 1 ELSE 0 END   AS f_nonen,
+               CASE WHEN len(list_distinct(string_split(text, ' '))) * 5
+                         < len(string_split(text, ' ')) * 2
+                    THEN 1 ELSE 0 END                     AS f_rep
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)            AS n_docs,
+           CAST(SUM(f_short) AS BIGINT)        AS n_short,
+           CAST(SUM(f_stop) AS BIGINT)         AS n_stop,
+           CAST(SUM(f_nonen) AS BIGINT)        AS n_nonen,
+           CAST(SUM(f_rep) AS BIGINT)          AS n_rep,
+           CAST(SUM(f_short * f_stop) AS BIGINT)  AS b_short_stop,
+           CAST(SUM(f_short * f_nonen) AS BIGINT) AS b_short_nonen,
+           CAST(SUM(f_short * f_rep) AS BIGINT)   AS b_short_rep,
+           CAST(SUM(f_stop * f_nonen) AS BIGINT)  AS b_stop_nonen,
+           CAST(SUM(f_stop * f_rep) AS BIGINT)    AS b_stop_rep,
+           CAST(SUM(f_nonen * f_rep) AS BIGINT)   AS b_nonen_rep,
+           CAST(SUM(CASE WHEN f_short + f_stop + f_nonen + f_rep = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM flags
+    """,
+)
+def d100_filter_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    flags = docs.select(
+        (F.col("n_chars") < 200).cast("int").alias("f_short"),
+        (
+            F.size(F.filter(words, lambda w: w == F.lit("the"))) * 20
+            > n_words
+        )
+        .cast("int")
+        .alias("f_stop"),
+        (F.col("lang") != "en").cast("int").alias("f_nonen"),
+        (F.size(F.array_distinct(words)) * 5 < n_words * 2)
+        .cast("int")
+        .alias("f_rep"),
+    )
+    s = F.sum
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        s("f_short").cast("bigint").alias("n_short"),
+        s("f_stop").cast("bigint").alias("n_stop"),
+        s("f_nonen").cast("bigint").alias("n_nonen"),
+        s("f_rep").cast("bigint").alias("n_rep"),
+        s(F.col("f_short") * F.col("f_stop")).cast("bigint").alias("b_short_stop"),
+        s(F.col("f_short") * F.col("f_nonen")).cast("bigint").alias("b_short_nonen"),
+        s(F.col("f_short") * F.col("f_rep")).cast("bigint").alias("b_short_rep"),
+        s(F.col("f_stop") * F.col("f_nonen")).cast("bigint").alias("b_stop_nonen"),
+        s(F.col("f_stop") * F.col("f_rep")).cast("bigint").alias("b_stop_rep"),
+        s(F.col("f_nonen") * F.col("f_rep")).cast("bigint").alias("b_nonen_rep"),
+        s(
+            (
+                F.col("f_short") + F.col("f_stop") + F.col("f_nonen")
+                + F.col("f_rep")
+                == 0
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_clean"),
+    )

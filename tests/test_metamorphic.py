@@ -145,6 +145,9 @@ REPRESENTATIVE = (
     # feeding an RDD union — attribution must not vary with fan-out.
     "s38_manifest_cdf_per_commit",
     "s39_manifest_feature_gates",
+    # (also wave 8) the provenance matrix: 12 integer sums over per-doc
+    # flag columns — pure map + one agg, order-free by construction.
+    "d100_filter_provenance",
 )
 
 
