@@ -154,6 +154,7 @@ EXTENDED = (
     "s37_manifest_row_tracking",
     "s38_manifest_cdf_per_commit",
     "s39_manifest_feature_gates",
+    "t33_streaming_cdf_per_commit",
 )
 
 

@@ -2522,3 +2522,102 @@ def t32_state_repartition_stability(
     return spark.table(name).withColumn(
         "checkpoint_partitions_pinned", F.lit(bool(pinned))
     )
+
+
+# --------------------------------------------------------------------------
+# T33 — per-commit CDF through the STREAMING source (s38's streaming
+# twin): a consumer that was down for five commits catches up in ONE
+# availableNow micro-batch — the net planner would cancel the 50 rows
+# inserted at v4 and deleted at v5 inside that batch, losing them from
+# the audit trail. With per_commit=true every change row carries
+# _commit_version, the short-lived rows appear as both changes, and the
+# per-version attribution is exact (the closed-form VALUES oracle). The
+# foreachBatch consumer aggregates the attribution — merge-associative
+# counts, the shape a streaming audit consumer actually keeps.
+# Scale: one task per changed-file-per-commit inside the batch; cost
+# scales with the change stream, never the table.
+# --------------------------------------------------------------------------
+@register(
+    "t33_streaming_cdf_per_commit",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'insert', 1000),
+        (2, 'delete',  100),
+        (3, 'delete',    5),
+        (3, 'insert',    5),
+        (4, 'insert',  200),
+        (5, 'delete',   50)
+    ) AS t(commit_version, change_type, n)
+    ORDER BY commit_version, change_type
+    """,
+)
+def t33_streaming_cdf_per_commit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from lime_on_spark_spark.plans.sources_sinks import (
+        _register_manifest_classes,
+        _scratch,
+        _synthetic_series,
+    )
+    from lime_on_spark_spark.sources.python_source import (
+        ManifestCDFStreamSource,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    try:
+        spark.dataSource.register(ManifestCDFStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    src = _scratch(spark, "t33_src")
+    ck = _scratch(spark, "t33_ckpt")
+
+    def write(df):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", src)
+            .option("retain_history", "true")
+            .mode("append")
+            .save()
+        )
+
+    write(_synthetic_series(spark, 0, 1000, 2))  # v1
+    delete_where_manifest_path(spark, src, [("i", "lt", 100)])  # v2
+    merge_into_manifest_path(  # v3: 5 in-place updates
+        spark, src, _synthetic_series(spark, 200, 205, 1), "i"
+    )
+    write(_synthetic_series(spark, 1000, 1200, 1))  # v4
+    delete_where_manifest_path(  # v5: kills 50 of v4's inserts
+        spark, src, [("i", "ge", 1000), ("i", "lt", 1050)]
+    )
+
+    counts: dict[tuple, int] = {}
+
+    def absorb(batch_df, batch_id):
+        for r in (
+            batch_df.groupBy("_commit_version", "_change_type")
+            .count()
+            .collect()
+        ):
+            k = (int(r["_commit_version"]), r["_change_type"])
+            counts[k] = counts.get(k, 0) + int(r["count"])
+
+    q = (
+        spark.readStream.format("json_manifest_cdf_stream_source")
+        .option("path", src)
+        .option("per_commit", "true")
+        .load()
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        sorted((v, t, n) for (v, t), n in counts.items()),
+        "commit_version int, change_type string, n bigint",
+    )

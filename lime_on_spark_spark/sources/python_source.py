@@ -2711,7 +2711,17 @@ class ManifestCDFStreamSource(DataSource):
         return self._manifest_cache
 
     def schema(self) -> str:
-        return ", ".join(self._manifest()["schema"]) + ", _change_type string"
+        ddl = ", ".join(self._manifest()["schema"]) + ", _change_type string"
+        # Per-commit attribution (s38's streaming twin, t33): each change
+        # row carries the version of the commit that produced it, so a
+        # multi-version catch-up batch no longer nets out intermediate
+        # churn and consumers can replay commits in order.
+        if str(self.options.get("per_commit", "false")).lower() in (
+            "true",
+            "1",
+        ):
+            ddl += ", _commit_version bigint"
+        return ddl
 
     def streamReader(self, schema) -> "ManifestCDFStreamReader":
         return ManifestCDFStreamReader(self.options, manifest=self._manifest())
@@ -2729,6 +2739,9 @@ class ManifestCDFStreamReader(_DSSR):
         # batch feed does (non-additive changes raise in _cdf_tasks).
         # Physical names (s33): renames never change disk keys.
         _, self.fields, self.casts = _schema_fields_casts(manifest)
+        self.per_commit = str(
+            options.get("per_commit", "false")
+        ).lower() in ("true", "1")
 
     def initialOffset(self) -> dict:
         return {"version": 0}  # bootstrap: the whole table as inserts
@@ -2741,7 +2754,16 @@ class ManifestCDFStreamReader(_DSSR):
         if lo == hi:  # Spark plans empty (start == end) batches routinely
             return [InputPartition(None)]
         try:
-            tasks, _ = _cdf_tasks(self.path, lo, hi)
+            if self.per_commit:
+                tasks = []
+                for v in range(lo, hi):
+                    t_v, _ = _cdf_tasks(self.path, v, v + 1)
+                    tasks += [
+                        (n, m, pos, kind, v + 1) for n, m, pos, kind in t_v
+                    ]
+            else:
+                t0, _ = _cdf_tasks(self.path, lo, hi)
+                tasks = [(n, m, pos, kind, None) for n, m, pos, kind in t0]
         except FileNotFoundError:
             raise ValueError(
                 f"json_manifest_cdf_stream_source: a snapshot in (v{lo}, "
@@ -2754,18 +2776,23 @@ class ManifestCDFStreamReader(_DSSR):
         # Positions ship as a sorted tuple: InputPartition pickles to the
         # executor, and a frozenset's pickle is order-unstable across runs.
         return [
-            InputPartition((name, mode, tuple(sorted(pos)), kind))
-            for name, mode, pos, kind in tasks
+            InputPartition((name, mode, tuple(sorted(pos)), kind, ver))
+            for name, mode, pos, kind, ver in tasks
         ]
 
     def read(self, partition: InputPartition):  # executor-side
         if partition.value is None:
             return
-        name, mode, positions, kind = partition.value
-        yield from _scan_file_changes(
+        name, mode, positions, kind, ver = partition.value
+        rows = _scan_file_changes(
             self.path, name, mode, frozenset(positions),
             self.fields, self.casts, kind,
         )
+        if ver is None:
+            yield from rows
+        else:
+            for r in rows:
+                yield r + (ver,)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing to reclaim

@@ -148,6 +148,7 @@ REPRESENTATIVE = (
     # (also wave 8) the provenance matrix: 12 integer sums over per-doc
     # flag columns — pure map + one agg, order-free by construction.
     "d100_filter_provenance",
+    "t33_streaming_cdf_per_commit",
 )
 
 
