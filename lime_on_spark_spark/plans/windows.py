@@ -684,3 +684,68 @@ def o16_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority string, n_top_rows bigint,"
         " top_price_cents bigint, group_limit_planned boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# W13 — gaps and islands: the classic consecutive-run detection (longest
+# activity streak per user) via the anchor trick — day_index minus
+# dense_rank is CONSTANT within a consecutive run, so one window + one
+# group-by finds every island without self-joins or recursion. Kept
+# integer-exact end to end: days become epoch-day integers before the
+# window (no date/interval arithmetic crosses an engine boundary).
+# Scale: one shuffle on user_id (the window), one keyed agg on
+# (user, anchor) that reuses the same partitioning, one bounded
+# distribution agg. The naive formulation is a self-join per gap test —
+# quadratic per user; this is the linear spelling.
+# --------------------------------------------------------------------------
+@register(
+    "w13_gaps_islands_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1990-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS dd
+        FROM events
+    ), islands AS (
+        SELECT user_id,
+               dd - dense_rank() OVER (
+                   PARTITION BY user_id ORDER BY dd
+               ) AS anchor
+        FROM days
+    ), streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM islands GROUP BY user_id, anchor
+    ), best AS (
+        SELECT user_id, MAX(len) AS max_streak FROM streaks GROUP BY user_id
+    )
+    SELECT CAST(max_streak AS BIGINT)      AS max_streak,
+           CAST(COUNT(*) AS BIGINT)        AS n_users
+    FROM best
+    GROUP BY max_streak
+    """,
+)
+def w13_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    days = (
+        events.select(
+            "user_id",
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("ts"))),
+                F.lit("1990-01-01").cast("date"),
+            ).alias("dd"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dd")
+    islands = days.withColumn(
+        "anchor", F.col("dd") - F.dense_rank().over(w)
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return best.groupBy("max_streak").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

@@ -149,6 +149,9 @@ REPRESENTATIVE = (
     # flag columns — pure map + one agg, order-free by construction.
     "d100_filter_provenance",
     "t33_streaming_cdf_per_commit",
+    # (also wave 9) gaps-and-islands: dense_rank + two keyed aggs over
+    # the same user partitioning — run detection must be fan-out-free.
+    "w13_gaps_islands_streaks",
 )
 
 
@@ -222,6 +225,7 @@ EMPTY_SAFE = (
     "o16_window_group_limit",
     "j12_null_aware_anti",
     "d99_source_calibrated_quality",
+    "w13_gaps_islands_streaks",
 )
 
 
