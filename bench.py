@@ -232,12 +232,23 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "extended": extended,
         "sf": sf,
     }
-    print(json.dumps(out))
-    sys.stdout.flush()
+    # The r13 driver artifact was truncated: the extended block (~40 rows)
+    # grew the single JSON line past the driver's stdout tail window, so
+    # BENCH_r13.json recorded `parsed: null`. Protocol since r14: the full
+    # headline+extended JSON goes to a committed file; stdout's LAST line
+    # is the compact headline-only JSON (~400 bytes — tail-safe).
+    full = dict(out, extended=extended)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
     spark.stop()
+    out["extended_file"] = "BENCH_FULL.json"
+    print(json.dumps(out, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -905,16 +905,28 @@ def a18_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # associative — identical on any partitioning, any engine. This query pins
 # that contract: unrounded decimal sums, grouped by return flag, matched
 # to DuckDB's decimal arithmetic digit-for-digit.
+#
+# Boundary contract (r13 driver-red root cause): SUM over DECIMAL widens
+# past 18 digits (gross: decimal(28,2), net: decimal(34,4)), and DuckDB's
+# pandas client DEMOTES any DECIMAL wider than 18 digits to float64 on
+# fetch — numerically equal, but the driver's value hash type-tags Decimal
+# vs float and fails. So the decimal arithmetic stays internal (exact,
+# associative) and ONLY the final sums cross the boundary as strings:
+# digit-for-digit comparison with no client-side type demotion on either
+# side. See also tests/test_conventions.py, which statically bans any
+# oracle returning a bare DECIMAL of precision > 18.
 # --------------------------------------------------------------------------
 @register(
     "a19_decimal_money",
     oracle="""
     SELECT l_returnflag,
            COUNT(*)                                           AS n_items,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))        AS gross,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1.00 AS DECIMAL(4,2))
-                  - CAST(l_discount AS DECIMAL(4,2))))        AS net
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS VARCHAR)                                   AS gross,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1.00 AS DECIMAL(4,2))
+                       - CAST(l_discount AS DECIMAL(4,2))))
+                AS VARCHAR)                                   AS net
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -931,8 +943,8 @@ def a19_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(price_dec).alias("gross"),
-        F.sum(price_dec * rate_dec).alias("net"),
+        F.sum(price_dec).cast("string").alias("gross"),
+        F.sum(price_dec * rate_dec).cast("string").alias("net"),
     )
 
 

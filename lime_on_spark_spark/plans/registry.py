@@ -9,6 +9,12 @@ Design rules enforced by convention (SURVEY.md §3.2):
 * every computed column is aliased identically in Spark and oracle SQL;
 * float aggregates are rounded on both sides (hash robustness);
 * DuckDB integer sums are cast (hugeint -> bigint) in the oracle SQL;
+* no oracle may return a bare DECIMAL of precision > 18 — SUM/AVG over
+  DECIMAL widens past 18 digits and DuckDB's pandas client demotes such
+  values to float64 while Spark keeps exact Decimal objects, which the
+  driver's type-tagged hash fails; string-cast (CAST(... AS VARCHAR) /
+  ``.cast("string")``) or round-to-double at the boundary on BOTH sides
+  (statically enforced by tests/test_conventions.py);
 * outputs are deterministic (sorted collect_* , explicit tie-breakers).
 """
 
@@ -71,53 +77,57 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: exercises the whole engine. Names listed but not (yet) registered are
 #: skipped harmlessly; everything not listed follows in registration order.
 _CURATED_PREFIX = (
-    # r13 rotation v3 (wave-6): the 12 rows added in round 13's final
-    # session — the DROP COLUMN / DESCRIBE HISTORY / generated-columns /
-    # row-tracking connector machinery, the AQE conversion +
-    # WindowGroupLimit optimizer pins, and the new semantics rows (null-
-    # aware anti, grouped median, intervals, timestamp parsing, state
-    # repartition stability, source calibration) — have never been
-    # driver-sampled; they replace previously-sampled or lower-signal
-    # rows family-for-family. q1 stays as the round-over-round
-    # continuity pin. Every family keeps >= 2 rows, all oracle-backed.
-    # q — TPC-H-ish classics
-    "q1_pricing_summary", "q4_priority_check",
-    # p — predicates / projection / SQL surface
-    "p8_null_semantics", "p10_correlated_subqueries", "p15_sql_pipe_syntax",
-    # j — joins (j12: NOT IN 3VL + the null-aware anti plan pin)
-    "j10_scd2_join", "j12_null_aware_anti",
-    # a — aggregates / sketches
-    "a5_pivot", "a14_count_min_sketch", "a19_decimal_money",
-    "a23_regression_aggs", "a27_quantile_digest_rollup",
-    # w — window functions (w12: grouped-median join-back)
-    "w11_cume_dist_range_frame", "w12_median_joinback",
-    # o — physical layout / adaptive pins (o15 runtime broadcast
-    # conversion, o16 WindowGroupLimit — both self-certifying)
-    "o13_cache_reuse", "o15_aqe_bhj_conversion", "o16_window_group_limit",
+    # r14 rotation v4: 43 of these 50 rows have NEVER appeared in any
+    # CORRECTNESS_r*.json (checked against r01–r13 at rotation time),
+    # led by the round-13 wave-7–10 rows that missed the v3 freeze
+    # (s39, t33, d100, w13, t31, s31, s32, p21, l14). q1 stays as the
+    # round-over-round continuity pin; a19_decimal_money stays in the
+    # sample ON PURPOSE so the r13 driver-red -> r14 string-boundary fix
+    # is certified by the driver itself, not just the mirror. Every
+    # family keeps >= 2 rows, all oracle-backed.
+    # q — TPC-H-ish classics (q1 = continuity pin)
+    "q1_pricing_summary", "q2_min_cost_supplier",
+    # p — SQL surface (never-sampled: scalar subquery, try_cast,
+    # GROUP BY ALL)
+    "p2_scalar_subquery", "p9_try_cast", "p21_group_by_all",
+    # j — joins (never-sampled as-of nearest; theta re-pin)
+    "j7_asof_nearest", "j5_theta_join",
+    # a — aggregates / sketches (a19 = the r13 red row, re-certify)
+    "a19_decimal_money", "a5_unpivot", "a8_percentiles",
+    "a13_equidepth_histogram", "a17_sketch_rollup",
+    # w — windows (never-sampled: EWMA, conditional reset, streaks)
+    "w8_ewma_daily_revenue", "w9_reset_running_sum",
+    "w13_gaps_islands_streaks",
+    # o — physical/optimizer pins (never-sampled: Z-order layout,
+    # observed metrics, AQE coalesce)
+    "o4_zorder_layout", "o5_observed_metrics", "o14_aqe_coalesce",
     # u — set operations
-    "u4_union_schema_drift", "u2_intersect",
-    # f — functions (f25 try_*, f26 intervals, f27 timestamp parsing)
-    "f9_variant_json", "f25_try_arithmetic", "f26_interval_arithmetic",
-    "f27_timestamp_parsing",
-    # t — event-time & streaming (t32: checkpoint-pinned state
-    # partitioning across a resized restart)
-    "t28_stream_stream_semi", "t29_chained_stateful",
-    "t30_stream_stream_full_outer", "t32_state_repartition_stability",
-    # l — LIME
-    "l9_sp_lime_verdict", "l11_regression_explain", "l13_lime_stability",
-    # d — data-pipeline (d99: per-source quality calibration)
-    "d98_rag_context_assembly", "d2_vs_d45_agreement",
-    "d15_decontaminate", "d25_pii_redaction", "d37_incremental_dedup",
-    "d49_curation_funnel", "d68_rrf_hybrid_search",
-    "d73_ks_test", "d78_kmv_cardinality", "d99_source_calibrated_quality",
-    # m — multimodal
-    "m3_resize_and_frames", "m5_magic_byte_router",
-    # s — sources / sinks: the round-13 DML/DDL machinery end-to-end
-    # (restore, rename, drop, history, generated columns, row tracking)
-    "s28_manifest_cdf_reader", "s29_manifest_restore",
-    "s33_manifest_rename_column", "s34_manifest_drop_column",
-    "s35_manifest_describe_history", "s36_manifest_generated_columns",
-    "s37_manifest_row_tracking", "s38_manifest_cdf_per_commit",
+    "u3_except_all", "u5_snapshot_diff",
+    # f — functions (never-sampled: regex tokens, crypto, UDTF, URL,
+    # nested structs)
+    "f8_regex_token_funcs", "f11_crypto_funcs", "f12_udtf_bigrams",
+    "f13_url_funcs", "f14_nested_structs",
+    # t — event-time & streaming (never-sampled: gap fill, cohorts,
+    # dynamic sessions, checkpoint recovery, right-outer SS join, CDF
+    # per-commit attribution)
+    "t9_gap_fill", "t10_cohort_retention", "t17_dynamic_session_window",
+    "t19_checkpoint_recovery", "t31_stream_stream_right_outer",
+    "t33_streaming_cdf_per_commit",
+    # l — LIME (never-sampled: entropy-MDL discretizer, explain verdict,
+    # model quality, kernel-width sweep)
+    "l1_discretizer_entropy", "l8_explain_verdict", "l10_model_quality",
+    "l14_kernel_width_sweep",
+    # d — data-pipeline (all never-sampled)
+    "d100_filter_provenance", "d14_pack_sequences", "d36_dedup_funnel",
+    "d43_k_anonymity", "d44_corpus_datacard", "d47_cdc_chunk_dedup",
+    "d64_winnowing_fingerprints", "d76_zipf_fit",
+    # m — multimodal (never-sampled size-band repartition; audio)
+    "m4_size_band_repartition", "m6_audio_features",
+    # s — sources / sinks (never-sampled: Python datasource, corrupt-JSON
+    # modes, shallow clone, CHECK constraints, feature gates)
+    "s6_python_datasource", "s7_corrupt_json_handling",
+    "s31_manifest_shallow_clone", "s32_manifest_check_constraints",
+    "s39_manifest_feature_gates",
 )
 
 

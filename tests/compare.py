@@ -93,16 +93,32 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     # even when the frame is EMPTY (value-level tags can't see 0 rows).
     # Only hard numeric-kind conflicts fail here — object columns defer to
     # the per-value tags below.
+    def _kind(series: pd.Series) -> str:
+        # Extend pandas dtype kinds with 'D' for object columns that hold
+        # decimal.Decimal values: Spark fetches DecimalType as Decimal
+        # objects while DuckDB's client demotes DECIMAL(>18) to float64, a
+        # pair the driver's type-tagged hash fails but the float-folding
+        # value tags below cannot see (the r13 a19_decimal_money class).
+        k = series.dtype.kind
+        if k == "O" and any(
+            isinstance(v, decimal.Decimal) for v in series.dropna().head(16)
+        ):
+            return "D"
+        return k
+
     for col in sorted(spark_pdf.columns):
-        sk = spark_pdf[col].dtype.kind
-        ok = oracle_pdf[col].dtype.kind
+        sk = _kind(spark_pdf[col])
+        ok = _kind(oracle_pdf[col])
         int_vs_float = {"i", "u"} & {sk} and ok == "f" or sk == "f" and ok in "iu"
         bool_vs_num = ("b" in (sk, ok)) and ({sk, ok} & set("iuf"))
-        assert not (int_vs_float or bool_vs_num), (
+        dec_vs_float = ("D" in (sk, ok)) and ({sk, ok} & set("iuf"))
+        assert not (int_vs_float or bool_vs_num or dec_vs_float), (
             f"{name}: column {col!r} dtype-kind mismatch: "
-            f"spark={spark_pdf[col].dtype} oracle={oracle_pdf[col].dtype} "
-            "(driver value-hash distinguishes int from float — cast the "
-            "oracle, e.g. CAST(SUM(...) AS BIGINT))"
+            f"spark={spark_pdf[col].dtype} (kind {sk}) "
+            f"oracle={oracle_pdf[col].dtype} (kind {ok}) "
+            "(driver value-hash distinguishes int/Decimal from float — cast "
+            "the boundary, e.g. CAST(SUM(...) AS BIGINT) or AS VARCHAR for "
+            "DECIMAL wider than 18 digits)"
         )
     s_rows = canon_frame(spark_pdf)
     o_rows = canon_frame(oracle_pdf)
