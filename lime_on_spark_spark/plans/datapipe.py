@@ -1246,3 +1246,94 @@ def d50_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_deleted bigint, n_events_purged bigint, "
         "n_events_kept bigint, no_leak boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# D101 — URL canonicalization + URL-level dedup: the cheapest dedup pass a
+# web corpus gets (CCNet / web-crawl curation run it BEFORE any content
+# hashing — two crawls of the same page differ only in tracking params
+# and host casing, and URL dedup removes them without touching the body).
+# Documents carry no URL column, so a crawl URL is derived
+# deterministically per doc on BOTH sides — mixed-case hosts, trailing
+# slashes, shuffled query-param order, utm_*/fbclid/gclid tracking
+# params, and a fragment — and the Spark side must recover the canonical
+# form through the real URL machinery: `parse_url` for host/path/query,
+# lowercase host, strip trailing slashes, drop tracking params, SORT the
+# survivors (param order is insertion noise, not identity). The oracle
+# derives the canonical string closed-form; agreement proves every
+# canonicalization step (a missed fragment, an unsorted param list, a
+# kept utm_* all split groups and break the counts).
+# Scale: one map stage to canonicalize + one groupBy on the canonical
+# string — the shuffle payload is the canonical URL, never the body;
+# at 100 TB this is the first funnel stage and runs at scan speed.
+# --------------------------------------------------------------------------
+@register(
+    "d101_url_dedup",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id, source,
+               'www.example.com/articles/' || (doc_id % 40)
+                   || '?id=' || (doc_id % 40) || '&lang=' || lang
+                   AS canonical_url
+        FROM documents
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT)               AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT)            AS first_doc_id,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def d101_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    slot = F.col("doc_id") % 40
+    # The crawl URL, with every nuisance a real log carries: host casing
+    # flips by row, a trailing slash appears on every third path, the two
+    # identity params swap order by row parity, tracking params and a
+    # fragment ride along.
+    host = F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Example.COM")).otherwise(
+        F.lit("www.example.com")
+    )
+    path = F.concat(
+        F.lit("/articles/"),
+        slot.cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    p_id = F.concat(F.lit("id="), slot.cast("string"))
+    p_lang = F.concat(F.lit("lang="), F.col("lang"))
+    p_utm = F.concat(F.lit("utm_source=feed"), (F.col("doc_id") % 5).cast("string"))
+    ordered = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat_ws("&", p_id, p_utm, p_lang),
+    ).otherwise(F.concat_ws("&", p_utm, p_lang, p_id))
+    query = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(ordered, F.lit("&fbclid=x"), F.col("doc_id").cast("string")),
+    ).otherwise(ordered)
+    url = F.concat(
+        F.lit("https://"), host, path, F.lit("?"), query,
+        F.lit("#sec"), (F.col("doc_id") % 7).cast("string"),
+    )
+    # The canonicalizer under test: real URL parsing, not string surgery
+    # on the builder above (the oracle's closed form is the referee).
+    c_host = F.lower(F.parse_url(url, F.lit("HOST")))
+    c_path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/+$", "")
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.parse_url(url, F.lit("QUERY")), "&"),
+            lambda p: ~p.rlike("^(utm_[a-z]+|fbclid|gclid|ref_src)="),
+        )
+    )
+    canonical = F.concat(
+        c_host, c_path, F.lit("?"), F.array_join(kept, "&")
+    )
+    return (
+        docs.select("doc_id", "source", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

@@ -3285,3 +3285,98 @@ def s39_manifest_feature_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reader_features string, writer_features string, n_rows bigint,"
         " unknown_refused boolean, refused_before_data boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S40 — DYNAMIC PARTITION OVERWRITE (Spark's
+# `partitionOverwriteMode=dynamic`, the Hive/Delta `INSERT OVERWRITE`
+# partition-replacement contract): an overwrite of a partitioned table
+# replaces ONLY the partitions present in the incoming frame; every
+# other partition survives untouched. Static mode — the default — wipes
+# the whole table first, which on a 100 TB date-partitioned corpus
+# turns "re-run yesterday" into "destroy three years". The row seeds a
+# table partitioned by order priority, rewrites ONE partition (URGENT,
+# evens only) under dynamic mode, pins that the other four partitions
+# are byte-identical survivors, and runs the SAME overwrite under
+# static mode as the negative control (exactly one partition remains).
+# Scale: dynamic overwrite is the idempotent daily-backfill primitive —
+# the job rewrites the day it reprocessed, never the table.
+# --------------------------------------------------------------------------
+@register(
+    "s40_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                           OR o_orderkey % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+           TRUE                                        AS others_survived,
+           TRUE                                        AS static_wiped_rest
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def s40_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    target = F.col("o_orderpriority") == "1-URGENT"
+    rewrite = orders.filter(target & (F.col("o_orderkey") % 2 == 0))
+
+    def seed(path: str) -> None:
+        orders.write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+
+    def overwrite(path: str, mode: str) -> None:
+        (
+            rewrite.write.mode("overwrite")
+            .option("partitionOverwriteMode", mode)
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+
+    # Dynamic arm: only the URGENT partition is replaced.
+    dyn = _scratch(spark, "s40_dyn")
+    seed(dyn)
+    before = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(dyn)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    overwrite(dyn, "dynamic")
+    after_df = (
+        spark.read.parquet(dyn)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    )
+    after = {
+        r["o_orderpriority"]: r["n_after"] for r in after_df.collect()
+    }
+    others_survived = all(
+        after.get(p) == n for p, n in before.items() if p != "1-URGENT"
+    ) and len(after) == len(before)
+    # Static arm (negative control): the same overwrite under the default
+    # mode leaves ONLY the rewritten partition.
+    st = _scratch(spark, "s40_static")
+    seed(st)
+    overwrite(st, "static")
+    static_parts = [
+        r["o_orderpriority"]
+        for r in spark.read.parquet(st)
+        .select("o_orderpriority")
+        .distinct()
+        .collect()
+    ]
+    static_wiped = static_parts == ["1-URGENT"]
+    return after_df.select(
+        "o_orderpriority",
+        "n_after",
+        F.lit(bool(others_survived)).alias("others_survived"),
+        F.lit(bool(static_wiped)).alias("static_wiped_rest"),
+    )

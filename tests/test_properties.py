@@ -624,6 +624,60 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         ).mode("append").save()
         model.update(dict(rows))
 
+    def do_contended_append():
+        # OCC under composition (s25 inside the walk): two writers plan
+        # against the SAME snapshot at whatever schema/DV/mapping/
+        # generated-column state the walk has reached. The winner lands;
+        # the staler writer must be refused LOUDLY (before any spool
+        # rename — no litter, no version bump) and must succeed on a
+        # re-planned retry against the current snapshot. The staged s25
+        # row pins this on a fresh table; here the same race is fuzzed
+        # over every op composition the walk can produce.
+        import os as _os
+
+        nonlocal next_key
+        base = _load_manifest(path)["version"]
+        ka = rng.randint(2, 8)
+        rows_a = [(next_key + j, rng.randint(0, 99)) for j in range(ka)]
+        next_key += ka
+        kb = rng.randint(2, 8)
+        rows_b = [(next_key + j, rng.randint(0, 99)) for j in range(kb)]
+        next_key += kb
+
+        def append(rows, expected):
+            (
+                spark_df(rows)
+                .repartition(1)
+                .write.format("json_manifest_sink")
+                .option("path", path)
+                .option("expected_version", str(expected))
+                .mode("append")
+                .save()
+            )
+
+        append(rows_a, base)  # writer A wins the race
+        model.update(dict(rows_a))
+        v_after_a = _load_manifest(path)["version"]
+        history[v_after_a] = dict(model)
+        stale_accepted = False
+        try:
+            append(rows_b, base)  # writer B planned against base too
+            stale_accepted = True
+        except Exception as exc:  # noqa: BLE001 — Py4J wraps the error
+            assert "concurrent commit conflict" in str(exc), exc
+        assert not stale_accepted, (
+            "stale expected_version commit was accepted"
+        )
+        after = _load_manifest(path)
+        assert after["version"] == v_after_a, (
+            "refused commit advanced the table version"
+        )
+        assert not any(
+            n.startswith("_temp-") for n in _os.listdir(path)
+        ), "conflict left spool litter behind"
+        append(rows_b, after["version"])  # B re-plans and retries
+        model.update(dict(rows_b))
+
     #: version -> model snapshot at that version (RESTORE's expectation).
     history: dict[int, dict[int, int]] = {}
 
@@ -662,6 +716,7 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         do_rename_cycle,
         do_aux_lifecycle,
         do_gen_lifecycle,
+        do_contended_append,
     ]
     # Every op runs at least once in every walk (a pure rng.choice walk
     # can silently never pick an op, testing nothing); the other half of
