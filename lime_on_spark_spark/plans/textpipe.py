@@ -3378,3 +3378,86 @@ def d93_curated_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         " band_tokens bigint, files_total bigint,"
         " skipping_effective boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# D102 — interpolated KNESER-NEY bigram model: the smoothing that actually
+# ships in n-gram LMs (KenLM / SRILM default) and the perplexity-filter
+# upgrade over d30's add-k: absolute discounting (D = 0.75) frees mass
+# from every observed bigram, and the freed mass backs off NOT to raw
+# unigram frequency but to the CONTINUATION probability — how many
+# distinct contexts a word follows (the "San Francisco" argument:
+# "Francisco" is frequent but predictable from one context only, so its
+# continuation weight is tiny). All four ingredients are keyed
+# aggregates over one bigram extraction:
+#   c(w1,w2);  c(w1) = Σ_w2 c(w1,w2);  N1+(w1·) = |{w2: c>0}|;
+#   N1+(·w2) = |{w1: c>0}|;  T = total bigram types;
+#   P_kn = max(c-D,0)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/T.
+# Scale: the model is three shuffles on token keys (bigram, w1, w2) —
+# vocabulary-bounded, never corpus-bounded; the same shape as d9/d59.
+# --------------------------------------------------------------------------
+@register(
+    "d102_kneser_ney",
+    oracle="""
+    WITH pairs AS (
+        SELECT arr[i] AS w1, arr[i+1] AS w2
+        FROM (SELECT string_split(text, ' ') AS arr FROM documents) d,
+             UNNEST(generate_series(1, greatest(len(arr)-1, 0))) AS t(i)
+    ), bi AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, SUM(c12) AS c1, COUNT(*) AS fw FROM bi GROUP BY w1
+    ), bw AS (
+        SELECT w2, COUNT(*) AS nbw FROM bi GROUP BY w2
+    ), tot AS (SELECT COUNT(*) AS t FROM bi)
+    SELECT b.w1 || ' ' || b.w2                       AS bigram,
+           CAST(b.c12 AS BIGINT)                     AS n,
+           ROUND(GREATEST(b.c12 - 0.75, 0) / ctx.c1
+                 + 0.75 * ctx.fw / ctx.c1 * (bw.nbw / tot.t), 6) AS p_kn
+    FROM bi b
+    JOIN ctx USING (w1)
+    JOIN bw USING (w2)
+    CROSS JOIN tot
+    ORDER BY n DESC, bigram
+    LIMIT 15
+    """,
+)
+def d102_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(arr, 1, n_pairs),
+        F.slice(arr, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        docs.select(F.explode(pair).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fw")
+    )
+    bw = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    tot = bi.agg(F.count(F.lit(1)).alias("t"))
+    # Same expression shape and association order as the oracle so the
+    # IEEE double results agree past the 6-dp rounding boundary.
+    p_kn = F.round(
+        F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+        + 0.75 * F.col("fw") / F.col("c1") * (F.col("nbw") / F.col("t")),
+        6,
+    )
+    return (
+        bi.join(ctx, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c12").cast("bigint").alias("n"),
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.desc("n"), "bigram")
+        .limit(15)
+    )
