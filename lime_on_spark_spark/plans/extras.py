@@ -902,3 +902,35 @@ def p21_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# --------------------------------------------------------------------------
+# P22 — star expansion with EXCEPT (Spark 4 `SELECT * EXCEPT (...)`,
+# DuckDB's EXCLUDE): project everything but the named columns without
+# enumerating a wide schema — the ergonomic primitive for "drop the
+# blob/debug columns" on tables with hundreds of fields, where a spelled
+# projection goes stale on every schema evolution. Column ORDER is part
+# of the contract (remaining columns keep their declared order), pinned
+# by the driver's schema check.
+# --------------------------------------------------------------------------
+@register(
+    "p22_select_star_except",
+    oracle="""
+    SELECT * EXCLUDE (o_orderpriority, o_orderstatus)
+    FROM orders
+    WHERE o_orderkey % 400 = 7
+    ORDER BY o_orderkey
+    """,
+)
+def p22_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_orderpriority, o_orderstatus)
+        FROM orders
+        WHERE o_orderkey % 400 = 7
+        ORDER BY o_orderkey
+        """
+    )

@@ -3461,3 +3461,105 @@ def d102_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# D103 — ROUGE-2 overlap scoring: the n-gram eval primitive
+# (summarization / paraphrase-mining / eval-contamination triage all
+# reduce to it). Candidate/reference pairs are adjacent docs (even
+# doc_id d vs d+1 — deterministic on both sides); per pair the CLIPPED
+# bigram intersection Σ_g min(c_cand, c_ref) yields precision (÷
+# candidate bigrams), recall (÷ reference bigrams) and F1. Multiset
+# clipping is the part naive overlap joins get wrong (a bigram repeated
+# 5× in the candidate but once in the reference contributes 1, not 5) —
+# the LEAST() on joined per-doc counts is exactly that clip.
+# Scale: bigram-count frames are keyed by (doc, bigram); the pair join
+# is an equi-join on (bigram, pairing key) — vocabulary-sized shuffles,
+# never all-pairs; the d9/d102 family shape.
+# --------------------------------------------------------------------------
+@register(
+    "d103_rouge_overlap",
+    oracle="""
+    WITH pairs AS (
+        SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr
+              FROM documents) d,
+             UNNEST(generate_series(1, greatest(len(arr)-1, 0))) AS t(i)
+    ), bc AS (
+        SELECT doc_id, bigram, COUNT(*) AS c
+        FROM pairs GROUP BY doc_id, bigram
+    ), totals AS (
+        SELECT doc_id, SUM(c) AS total FROM bc GROUP BY doc_id
+    ), inter AS (
+        SELECT cand.doc_id AS pair_id,
+               SUM(LEAST(cand.c, ref.c)) AS n_inter
+        FROM bc cand
+        JOIN bc ref ON cand.bigram = ref.bigram
+                   AND ref.doc_id = cand.doc_id + 1
+        WHERE cand.doc_id % 2 = 0
+        GROUP BY cand.doc_id
+    )
+    SELECT i.pair_id,
+           CAST(i.n_inter AS BIGINT)                     AS n_inter,
+           ROUND(i.n_inter / tc.total, 6)                AS p,
+           ROUND(i.n_inter / tr.total, 6)                AS r,
+           ROUND(CASE WHEN i.n_inter = 0 THEN 0.0
+                 ELSE 2.0 * (i.n_inter / tc.total) * (i.n_inter / tr.total)
+                      / (i.n_inter / tc.total + i.n_inter / tr.total)
+                 END, 6)                                 AS f1
+    FROM inter i
+    JOIN totals tc ON tc.doc_id = i.pair_id
+    JOIN totals tr ON tr.doc_id = i.pair_id + 1
+    ORDER BY f1 DESC, pair_id
+    LIMIT 10
+    """,
+)
+def d103_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(arr, 1, n_pairs),
+        F.slice(arr, 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bc = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = bc.groupBy("doc_id").agg(F.sum("c").alias("total"))
+    cand = bc.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), "bigram", F.col("c").alias("c_cand")
+    )
+    ref = bc.select(
+        (F.col("doc_id") - 1).alias("pair_id"), "bigram",
+        F.col("c").alias("c_ref"),
+    )
+    inter = (
+        cand.join(ref, ["pair_id", "bigram"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("c_cand", "c_ref")).alias("n_inter"))
+    )
+    tc = totals.select(F.col("doc_id").alias("pair_id"),
+                       F.col("total").alias("t_cand"))
+    tr = totals.select((F.col("doc_id") - 1).alias("pair_id"),
+                       F.col("total").alias("t_ref"))
+    p = F.col("n_inter") / F.col("t_cand")
+    r = F.col("n_inter") / F.col("t_ref")
+    f1 = F.when(F.col("n_inter") == 0, F.lit(0.0)).otherwise(
+        2.0 * p * r / (p + r)
+    )
+    return (
+        inter.join(tc, "pair_id")
+        .join(tr, "pair_id")
+        .select(
+            "pair_id",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(p, 6).alias("p"),
+            F.round(r, 6).alias("r"),
+            F.round(f1, 6).alias("f1"),
+        )
+        .orderBy(F.desc("f1"), "pair_id")
+        .limit(10)
+    )
