@@ -922,11 +922,11 @@ def a18_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*)                                           AS n_items,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                AS VARCHAR)                                   AS gross,
+                AS VARCHAR(64))                               AS gross,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (CAST(1.00 AS DECIMAL(4,2))
                        - CAST(l_discount AS DECIMAL(4,2))))
-                AS VARCHAR)                                   AS net
+                AS VARCHAR(64))                               AS net
     FROM lineitem
     GROUP BY l_returnflag
     """,
