@@ -78,6 +78,12 @@ PORTABLE = [
     # percent_rank + percentile_disc WITHIN GROUP (Spark 3.4+).
     "o16_window_group_limit", "j12_null_aware_anti",
     "t32_state_repartition_stability", "d99_source_calibrated_quality",
+    # round-14 additions: a28's exact referee arm is scalar subqueries +
+    # IN; s40's oracle is plain CASE/SUM; d101's canonical derivation is
+    # `||` string concat + modular arithmetic (verified to parse AND
+    # evaluate identically on Spark SQL before listing).
+    "a28_theta_sketch_setops", "s40_dynamic_partition_overwrite",
+    "d101_url_dedup",
 ]
 
 
