@@ -152,6 +152,16 @@ REPRESENTATIVE = (
     # (also wave 9) gaps-and-islands: dense_rank + two keyed aggs over
     # the same user partitioning — run detection must be fan-out-free.
     "w13_gaps_islands_streaks",
+    # round-14 additions: d101's canonical-URL groupBy and d103's
+    # (bigram, pairing-key) equi-join + clipped sums shuffle on derived
+    # string keys; a28's KMV sketch is built by TakeOrderedAndProject
+    # (per-partition top-k then merge — the k-set must be identical
+    # under any fan-out or the estimates drift); d102's four keyed
+    # aggregates share one bigram extraction.
+    "d101_url_dedup",
+    "d102_kneser_ney",
+    "d103_rouge_overlap",
+    "a28_theta_sketch_setops",
 )
 
 
