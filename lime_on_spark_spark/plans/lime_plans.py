@@ -982,3 +982,168 @@ def l14_kernel_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "instance_id bigint, overlap_ok boolean, top_stable boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# L15 — LIME over CATEGORICAL features (upstream LimeTabularExplainer's
+# categorical_features path [public, unverified locally]: a categorical
+# column is perturbed by RESAMPLING from the training distribution's
+# frequencies, and the interpretable representation is the binary
+# indicator z = [sampled value == instance value] — not a discretizer
+# bin). The corpus frequencies come from a distributed groupBy; the
+# seeded per-instance sampler draws (lang, source) pairs from them in
+# one Arrow batch stage; the surrogate is the shared closed-form
+# weighted ridge. The black box is linear in z by construction
+# (y = 3·z_lang − 2·z_source + 0.5), so the fit must recover the
+# coefficients and an R² ≈ 1 — any sampler bias, kernel slip, or z
+# mis-encoding breaks the weight verdicts. The match-rate verdicts pin
+# the sampler to the EXACT corpus frequencies the oracle computes
+# independently (P[z=1] = frequency of the instance's own category).
+# Scale: frequency tables are category-bounded broadcasts; sampling and
+# the per-instance fit are one mapInPandas/applyInPandas pass each —
+# the l2b/l6 shape, thousands of instances in parallel at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "l15_categorical_explain",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+         fl AS (SELECT lang, COUNT(*) * 1.0 / (SELECT n FROM tot) AS p
+                FROM documents GROUP BY lang),
+         fs AS (SELECT source, COUNT(*) * 1.0 / (SELECT n FROM tot) AS p
+                FROM documents GROUP BY source)
+    SELECT d.doc_id                    AS instance_id,
+           2000                        AS n_samples,
+           ROUND(fl.p, 6)              AS freq_lang,
+           ROUND(fs.p, 6)              AS freq_source,
+           TRUE AS match_lang_ok, TRUE AS match_source_ok,
+           TRUE AS w_lang_ok, TRUE AS w_source_ok, TRUE AS fit_ok
+    FROM documents d
+    JOIN fl ON fl.lang = d.lang
+    JOIN fs ON fs.source = d.source
+    WHERE d.doc_id < 2
+    """,
+)
+def l15_categorical_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from lime_on_spark_spark.lime.ridge import weighted_ridge
+
+    N, SEED = 2000, 11
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    # Category-bounded frequency tables (the "training distribution").
+    lang_rows = sorted(
+        (r["lang"], r["c"]) for r in
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    src_rows = sorted(
+        (r["source"], r["c"]) for r in
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    langs = [v for v, _ in lang_rows]
+    p_lang = np.array([c for _, c in lang_rows], dtype=np.float64) / n_total
+    srcs = [v for v, _ in src_rows]
+    p_src = np.array([c for _, c in src_rows], dtype=np.float64) / n_total
+
+    instances = docs.filter(F.col("doc_id") < 2).select(
+        "doc_id", "lang", "source"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rng = np.random.default_rng(
+                    np.random.PCG64(SEED + int(row.doc_id))
+                )
+                dl = rng.choice(len(langs), size=N, p=p_lang)
+                ds = rng.choice(len(srcs), size=N, p=p_src)
+                z1 = (np.array(langs)[dl] == row.lang).astype(np.float64)
+                z2 = (np.array(srcs)[ds] == row.source).astype(np.float64)
+                z1[0], z2[0] = 1.0, 1.0  # sample 0 = the instance itself
+                yield pd.DataFrame(
+                    {
+                        "instance_id": int(row.doc_id),
+                        "sample_id": np.arange(N),
+                        "z_lang": z1,
+                        "z_source": z2,
+                    }
+                )
+
+    samples = instances.mapInPandas(
+        sample,
+        "instance_id bigint, sample_id bigint, z_lang double, z_source double",
+    )
+    # Deterministic linear black box + the LIME kernel on binary distance.
+    scored = samples.withColumn(
+        "y", 3.0 * F.col("z_lang") - 2.0 * F.col("z_source") + 0.5
+    ).withColumn(
+        "w",
+        F.exp(
+            -((1 - F.col("z_lang")) + (1 - F.col("z_source"))) / (0.75**2)
+        ),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        Z = pdf[["z_lang", "z_source"]].to_numpy()
+        beta, _, r2 = weighted_ridge(
+            Z, pdf["y"].to_numpy(), pdf["w"].to_numpy(), alpha=1.0
+        )
+        # Perturbed samples only (sample 0 is the instance, z == 1).
+        pert = pdf[pdf["sample_id"] > 0]
+        return pd.DataFrame(
+            {
+                "instance_id": [int(pdf["instance_id"].iloc[0])],
+                "rate_lang": [float(pert["z_lang"].mean())],
+                "rate_source": [float(pert["z_source"].mean())],
+                "w_lang": [float(beta[0])],
+                "w_source": [float(beta[1])],
+                "r2": [float(r2)],
+            }
+        )
+
+    fits = scored.groupBy("instance_id").applyInPandas(
+        fit,
+        "instance_id bigint, rate_lang double, rate_source double,"
+        " w_lang double, w_source double, r2 double",
+    )
+    freqs = instances.select(
+        F.col("doc_id").alias("instance_id"),
+        (F.col("lang")).alias("lang"),
+        (F.col("source")).alias("source"),
+    )
+    fl = docs.groupBy("lang").agg(
+        (F.count(F.lit(1)) / F.lit(n_total)).alias("p_l")
+    )
+    fs_ = docs.groupBy("source").agg(
+        (F.count(F.lit(1)) / F.lit(n_total)).alias("p_s")
+    )
+    joined = (
+        fits.join(freqs, "instance_id")
+        .join(F.broadcast(fl), "lang")
+        .join(F.broadcast(fs_), "source")
+    )
+
+    def band(p):
+        # 5 sigma of a Bernoulli mean over N-1 draws, floored at 1%.
+        return F.greatest(
+            5 * F.sqrt(p * (1 - p) / F.lit(float(N - 1))), F.lit(0.01)
+        )
+
+    return joined.select(
+        "instance_id",
+        F.lit(N).alias("n_samples"),
+        F.round("p_l", 6).alias("freq_lang"),
+        F.round("p_s", 6).alias("freq_source"),
+        (F.abs(F.col("rate_lang") - F.col("p_l")) < band(F.col("p_l"))).alias(
+            "match_lang_ok"
+        ),
+        (
+            F.abs(F.col("rate_source") - F.col("p_s")) < band(F.col("p_s"))
+        ).alias("match_source_ok"),
+        (F.abs(F.col("w_lang") - 3.0) < 0.3).alias("w_lang_ok"),
+        (F.abs(F.col("w_source") + 2.0) < 0.3).alias("w_source_ok"),
+        (F.col("r2") > 0.9).alias("fit_ok"),
+    )
