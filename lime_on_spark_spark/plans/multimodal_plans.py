@@ -412,3 +412,118 @@ def m6_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_frame_energy"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# M7 — perceptual-hash (dHash) image NEAR-DUP: the multimodal twin of the
+# text dedup stack (d2/d45): re-encoded/re-compressed copies of an image
+# hash to nearby dHashes, so image dedup is Hamming-ball search over a
+# 56-bit gradient hash, not byte equality. Pipeline: blob -> Arrow-batch
+# decode (stub codec, deterministic bytes) -> 8x8 grayscale strip -> dHash
+# (row-wise brightness gradient: bit = [px[r,c+1] > px[r,c]], 8 rows x 7
+# comparisons = 56 bits, bigint-safe) -> banded LSH self-join (4 bands x
+# 14 bits; pigeonhole: Hamming distance <= 3 leaves at least one band
+# intact, so candidates are COMPLETE for the <= 3 ball) -> exact verify
+# via bit_count(xor). The oracle recomputes the hash from hex-expanded
+# bytes and replays the same band join in SQL — an indexing slip, a bit
+#-order flip, or a band boundary bug breaks the counts.
+# Scale: hashes shuffle as 8-byte keys (never pixels); the band join is
+# the d45 equi-join shape; verify touches candidates only.
+# --------------------------------------------------------------------------
+@register(
+    "m7_image_phash_neardup",
+    oracle=_BYTES_CTE
+    + """
+    , hashes AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 56), i ->
+                   CASE WHEN COALESCE(vals[(i // 7) * 8 + (i % 7) + 2], 0)
+                           > COALESCE(vals[(i // 7) * 8 + (i % 7) + 1], 0)
+                        THEN CAST(1 AS BIGINT) << i ELSE 0 END
+               )) AS BIGINT) AS h
+        FROM bytes
+    ), bands AS (
+        SELECT doc_id, h, b, (h >> (b * 14)) & 16383 AS band_val
+        FROM hashes, UNNEST(range(0, 4)) AS t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.h AS ha, b.h AS hb
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hashes)          AS n_images,
+           (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM hashes) AS n_distinct,
+           CAST(COUNT(*) FILTER (WHERE bit_count(xor(ha, hb)) <= 3)
+                AS BIGINT)                                        AS n_near_pairs,
+           CAST(COUNT(*) FILTER (WHERE ha = hb) AS BIGINT)        AS n_exact_pairs
+    FROM cand
+    """,
+)
+def m7_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from lime_on_spark_spark.operators.multimodal import (
+        attach_fake_blobs,
+        decode_blob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_fake_blobs(docs)
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_h = [], []
+            for row in pdf.itertuples(index=False):
+                px = decode_blob(row.meta["fmt"], row.blob)[:64]
+                if px.shape[0] < 64:
+                    px = np.pad(px, (0, 64 - px.shape[0]))
+                grid = px.reshape(8, 8).astype(np.int64)
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)  # 8x7
+                h = int((bits.reshape(-1) << np.arange(56)).sum())
+                out_ids.append(int(row.doc_id))
+                out_h.append(h)
+            yield pd.DataFrame({"doc_id": out_ids, "h": out_h})
+
+    hashes = blobs.mapInPandas(dhash, "doc_id bigint, h bigint").cache()
+    bands = hashes.select(
+        "doc_id",
+        "h",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn(
+        # shiftright() takes a literal count in this API; the per-row band
+        # shift needs the SQL expression form.
+        "band_val", F.expr("shiftright(h, b * 14) & 16383")
+    )
+    right = bands.select(
+        F.col("doc_id").alias("db"), F.col("h").alias("hb"), "b", "band_val"
+    )
+    cand = (
+        bands.alias("l")
+        .join(right, ["b", "band_val"])
+        .filter(F.col("doc_id") < F.col("db"))
+        .select(
+            F.col("doc_id").alias("da"), F.col("db"),
+            F.col("h").alias("ha"), F.col("hb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    stats = cand.agg(
+        F.sum(F.when(dist <= 3, 1).otherwise(0)).cast("bigint").alias(
+            "n_near_pairs"
+        ),
+        F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_pairs"),
+    )
+    totals = hashes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct"),
+    )
+    return totals.crossJoin(stats).select(
+        "n_images", "n_distinct",
+        F.coalesce("n_near_pairs", F.lit(0)).alias("n_near_pairs"),
+        F.coalesce("n_exact_pairs", F.lit(0)).alias("n_exact_pairs"),
+    )
