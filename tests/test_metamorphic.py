@@ -162,6 +162,12 @@ REPRESENTATIVE = (
     "d102_kneser_ney",
     "d103_rouge_overlap",
     "a28_theta_sketch_setops",
+    # (also round 14) l15's sampler is seeded PER INSTANCE inside
+    # mapInPandas — how instances land in Arrow batches must not change
+    # the draws; m7's banded self-join + candidate-only verify is the
+    # d45 fan-out risk class on hash keys.
+    "l15_categorical_explain",
+    "m7_image_phash_neardup",
 )
 
 
