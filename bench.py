@@ -155,6 +155,12 @@ EXTENDED = (
     "s38_manifest_cdf_per_commit",
     "s39_manifest_feature_gates",
     "t33_streaming_cdf_per_commit",
+    # round-14 additions: the two corpus-scaling shapes heavy enough to
+    # track (m7 = Arrow decode + banded hash self-join; d103 = bigram
+    # count join). d101/d102/a28/l15/p22/s40 sit at the q6 floor class
+    # and are probe-tracked in BENCH_NOTES instead.
+    "m7_image_phash_neardup",
+    "d103_rouge_overlap",
 )
 
 
