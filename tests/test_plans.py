@@ -193,11 +193,28 @@ def test_a17_rollup_joins_day_spine_not_events(spark, sf_dir):
     assert plan.count("Scan parquet") <= 4, plan
 
 
-def test_a19_sums_are_decimal_not_double(spark, sf_dir):
+def test_a19_sums_are_decimal_internally_string_at_boundary(spark, sf_dir):
+    """The r14 boundary contract: the SUMs are exact decimal arithmetic
+    INTERNALLY (widened past 18 digits — the partition-invariance
+    property a19 exists to pin), but the output columns are strings,
+    because DuckDB's pandas client demotes DECIMAL(>18) to float64 and
+    the driver hash type-tags Decimal vs float (the r13 driver-red)."""
     df = _q(spark, sf_dir, "a19_decimal_money")
     kinds = dict(df.dtypes)
-    assert kinds["gross"].startswith("decimal"), kinds
-    assert kinds["net"].startswith("decimal"), kinds
+    assert kinds["gross"] == "string", kinds
+    assert kinds["net"] == "string", kinds
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # A decimal SUM wrapped in the string cast — not a double sum cast,
+    # not a string sum: the exactness lives under the boundary.
+    assert "cast(sum(cast(l_extendedprice" in analyzed, analyzed
+    assert "decimal(18,2)" in analyzed, analyzed
+    assert "as string)" in analyzed, analyzed
+    # The string renders the full scale (digit-exact, no float round-trip).
+    from pyspark.sql import functions as F
+
+    row = df.filter(F.col("l_returnflag") == "N").first()
+    assert "." in row["gross"] and len(row["gross"].split(".")[1]) == 2
+    assert "." in row["net"] and len(row["net"].split(".")[1]) == 4
 
 
 def test_w9_single_shuffle_for_both_window_passes(spark, sf_dir):
