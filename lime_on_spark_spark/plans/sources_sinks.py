@@ -3380,3 +3380,85 @@ def s40_dynamic_partition_overwrite(
         F.lit(bool(others_survived)).alias("others_survived"),
         F.lit(bool(static_wiped)).alias("static_wiped_rest"),
     )
+
+
+# --------------------------------------------------------------------------
+# S41 — FILES METADATA TABLE (Delta's DESCRIBE DETAIL / `files` view,
+# Iceberg's `.files` metadata table): the per-file inventory — physical
+# rows, DV'd rows, live rows, row-id range, zone bounds — exposed as an
+# ordinary DataFrame, because small-files pressure, DV debt (a file 90%
+# deleted wants compaction), and skew diagnosis are QUERIES at 100 TB,
+# not log-spelunking. The row builds the s38 five-commit lineage (two
+# range files + a delete + a merge re-insert + an append + a partial
+# delete) whose physical layout is fully determined, and pins every
+# file's accounting closed-form: base_row_id continuity (monotone
+# counter in sorted-name order), n_deleted per DV, live = rows - DV'd,
+# and the i-column zone bounds the skipping reader prunes by.
+# Scale: O(#files) driver-side metadata — no data file is opened.
+# --------------------------------------------------------------------------
+@register(
+    "s41_manifest_files_table",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 500, 105, 395,    0, TRUE,  0,  499),
+        (2, 500,   0, 500,  500, FALSE, 500, 999),
+        (3,   5,   0,   5, 1000, FALSE, 200, 204),
+        (4, 200,  50, 150, 1005, TRUE, 1000, 1199)
+    ) AS t(file_ord, n_rows, n_deleted, live_rows, base_row_id,
+           has_dv, zone_min_i, zone_max_i)
+    ORDER BY file_ord
+    """,
+)
+def s41_manifest_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.python_source import (
+        _load_manifest,
+        delete_where_manifest_path,
+        merge_into_manifest_path,
+    )
+
+    _register_manifest_classes(spark)
+    path = _scratch(spark, "s41_files")
+
+    def write(df):
+        (
+            df.write.format("json_manifest_sink")
+            .option("path", path)
+            .option("retain_history", "true")
+            .mode("append")
+            .save()
+        )
+
+    write(_synthetic_series(spark, 0, 1000, 2))  # v1: files [0,500) [500,1000)
+    delete_where_manifest_path(spark, path, [("i", "lt", 100)])  # v2: DV f1
+    merge_into_manifest_path(  # v3: 5 updates — DV f1 + 5-row re-insert
+        spark, path, _synthetic_series(spark, 200, 205, 1), "i"
+    )
+    write(_synthetic_series(spark, 1000, 1200, 1))  # v4: one 200-row file
+    delete_where_manifest_path(  # v5: DV on v4's file
+        spark, path, [("i", "ge", 1000), ("i", "lt", 1050)]
+    )
+
+    rows = []
+    for f in sorted(
+        _load_manifest(path)["files"], key=lambda f: f["base_row_id"]
+    ):
+        zone = f["stats"]["i"]
+        rows.append(
+            (
+                int(f["n_rows"]),
+                int(f.get("n_deleted", 0)),
+                int(f["n_rows"] - f.get("n_deleted", 0)),
+                int(f["base_row_id"]),
+                bool(f.get("dv")),
+                int(zone["min"]),
+                int(zone["max"]),
+            )
+        )
+    return (
+        spark.createDataFrame(
+            [(i + 1, *r) for i, r in enumerate(rows)],
+            "file_ord int, n_rows int, n_deleted int, live_rows int,"
+            " base_row_id int, has_dv boolean, zone_min_i int,"
+            " zone_max_i int",
+        )
+    )
