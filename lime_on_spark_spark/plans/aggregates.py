@@ -1551,13 +1551,12 @@ def a28_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = (F.xxhash64("user_id") / F.lit(float(2**64)) + F.lit(0.5)).alias("u")
         return [r["u"] for r in df.select(u).orderBy("u").limit(k).collect()]
 
-    def estimate(sk, n_seen):
+    def estimate(sk):
         # Saturated sketch (< k values): exact by construction.
         return float(len(sk)) if len(sk) < k else (k - 1) / sk[k - 1]
 
     sk_a, sk_b = kmv(a_set), kmv(b_set)
-    est_a = estimate(sk_a, None)
-    est_b = estimate(sk_b, None)
+    est_a = estimate(sk_a)
     merged = sorted(set(sk_a) | set(sk_b))[:k]
     est_union = float(len(merged)) if len(merged) < k else (k - 1) / merged[k - 1]
     theta = min(
