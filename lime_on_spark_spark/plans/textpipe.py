@@ -3532,7 +3532,9 @@ def d103_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = bc.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("pair_id"), "bigram", F.col("c").alias("c_cand")
     )
-    ref = bc.select(
+    # Only odd doc_ids can be references (pair_id = doc_id - 1 must be
+    # even) — filtering BEFORE the join halves the shuffled ref side.
+    ref = bc.filter(F.col("doc_id") % 2 == 1).select(
         (F.col("doc_id") - 1).alias("pair_id"), "bigram",
         F.col("c").alias("c_ref"),
     )
