@@ -245,12 +245,15 @@ def main() -> None:
     # BENCH_r13.json recorded `parsed: null`. Protocol since r14: the full
     # headline+extended JSON goes to a committed file; stdout's LAST line
     # is the compact headline-only JSON (~400 bytes — tail-safe).
-    full = dict(out, extended=extended)
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
-    with open(full_path, "w") as fh:
-        json.dump(full, fh, indent=1)
-        fh.write("\n")
+    # Headline-only floor runs must NOT clobber the committed full-battery
+    # artifact with an empty extended block.
+    if not os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        full = dict(out, extended=extended)
+        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_FULL.json")
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
     spark.stop()
     out["extended_file"] = "BENCH_FULL.json"
     print(json.dumps(out, separators=(",", ":")))

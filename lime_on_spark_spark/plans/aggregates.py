@@ -1535,15 +1535,19 @@ def a27_quantile_digest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a28_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 128
     ev = load_table(spark, sf_dir, "events")
+    # Each side feeds THREE consumers (sketch top-k, exact count, the
+    # referee semi-join) — cache so the scan+distinct shuffle runs once.
     a_set = (
         ev.filter((F.col("event_type") == "click") & (F.col("value") > 60))
         .select("user_id")
         .distinct()
+        .cache()
     )
     b_set = (
         ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 30))
         .select("user_id")
         .distinct()
+        .cache()
     )
 
     def kmv(df):

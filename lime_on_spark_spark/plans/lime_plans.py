@@ -1114,11 +1114,14 @@ def l15_categorical_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang")).alias("lang"),
         (F.col("source")).alias("source"),
     )
-    fl = docs.groupBy("lang").agg(
-        (F.count(F.lit(1)) / F.lit(n_total)).alias("p_l")
+    # The exact frequencies were already collected for the sampler above;
+    # rebuild the verdict-join frames from those lists instead of running
+    # two more corpus scans (bit-identical: same count/n_total division).
+    fl = spark.createDataFrame(
+        [(v, c / n_total) for v, c in lang_rows], "lang string, p_l double"
     )
-    fs_ = docs.groupBy("source").agg(
-        (F.count(F.lit(1)) / F.lit(n_total)).alias("p_s")
+    fs_ = spark.createDataFrame(
+        [(v, c / n_total) for v, c in src_rows], "source string, p_s double"
     )
     joined = (
         fits.join(freqs, "instance_id")
