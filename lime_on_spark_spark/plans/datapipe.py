@@ -1337,3 +1337,73 @@ def d101_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D104 — GROUP-AWARE split (leakage-proof holdout): d8 hashes the DOC id,
+# which puts two near-identical crawls of the same page on opposite sides
+# of the train/test wall — the benchmark-inflation leak d27 measures
+# after the fact. The fix is structural: hash the dedup GROUP key (here
+# d101's canonical URL), so every member of a dup group lands in the
+# same split BY CONSTRUCTION. The row assigns splits from the group
+# hash, reports per-split volumes, and pins the no-straddle invariant
+# distributed: the count of canonical groups seen in more than one
+# split must be ZERO (computed, not assumed — a doc-keyed hash makes it
+# nonzero on this corpus).
+# Scale: one map for the key, one groupBy for the audit — the wall is
+# as cheap as the leak is expensive; the d8 shape with a better key.
+# --------------------------------------------------------------------------
+@register(
+    "d104_group_aware_split",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id, n_chars,
+               'www.example.com/articles/' || (doc_id % 40)
+                   || '?id=' || (doc_id % 40) || '&lang=' || lang
+                   AS grp
+        FROM documents
+    ), assigned AS (
+        SELECT grp, n_chars,
+               CASE
+                 WHEN substr(md5(grp), 1, 1) < 'c' THEN 'train'
+                 WHEN substr(md5(grp), 1, 1) < 'e' THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM canon
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT)            AS n_docs,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(SUM(n_chars) AS BIGINT)        AS total_chars,
+           CAST(0 AS BIGINT)                   AS n_straddling_groups
+    FROM assigned
+    GROUP BY split
+    """,
+)
+def d104_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    slot = (F.col("doc_id") % 40).cast("string")
+    grp = F.concat(
+        F.lit("www.example.com/articles/"), slot,
+        F.lit("?id="), slot, F.lit("&lang="), F.col("lang"),
+    )
+    nib = F.substring(F.md5(grp), 1, 1)
+    split = (
+        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test")
+    )
+    assigned = docs.select(
+        grp.alias("grp"), "n_chars", split.alias("split")
+    )
+    # The audit is computed, never assumed: groups spanning >1 split.
+    straddle = (
+        assigned.groupBy("grp")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+        F.sum("n_chars").alias("total_chars"),
+        F.lit(int(straddle)).cast("bigint").alias("n_straddling_groups"),
+    )

@@ -3565,3 +3565,90 @@ def d103_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("f1"), "pair_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# D105 — PHRASE SEARCH over a positional index: BM25 (d-family) ranks by
+# bag-of-words, but "exact phrase" queries need POSITIONS — the classic
+# inverted-index shape where term postings carry (doc, position) and a
+# two-term phrase match is the equi-join postings(t1) ⋈ postings(t2) ON
+# (doc, pos2 = pos1 + 1). The query phrase is data-derived but
+# deterministic on both sides (the corpus's most frequent bigram,
+# lexicographic tie-break), and the postings are built ONLY for the two
+# query terms — the filter-before-index-scan discipline that makes a
+# phrase query cheap at 100 TB (posting lists for two terms, never the
+# corpus). Per-doc occurrence counts and the doc-frequency summary are
+# pinned against the oracle's independent full-bigram recount.
+# Scale: two term-filtered posting scans + one (doc, pos) equi-join —
+# cost ∝ the two posting lists; the corpus is touched once to build
+# them and never joined against itself.
+# --------------------------------------------------------------------------
+@register(
+    "d105_phrase_search",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ), bi AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+        FROM words a JOIN words b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.w, b.w
+    ), q AS (
+        SELECT w1, w2 FROM bi ORDER BY c DESC, w1, w2 LIMIT 1
+    ), matches AS (
+        SELECT a.doc_id, COUNT(*) AS n
+        FROM words a
+        JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        CROSS JOIN q
+        WHERE a.w = q.w1 AND b.w = q.w2
+        GROUP BY a.doc_id
+    )
+    SELECT (SELECT w1 FROM q)                          AS term1,
+           (SELECT w2 FROM q)                          AS term2,
+           CAST(COUNT(*) AS BIGINT)                    AS n_docs,
+           CAST(SUM(n) AS BIGINT)                      AS n_occurrences,
+           CAST(MAX(n) AS BIGINT)                      AS max_per_doc
+    FROM matches
+    """,
+)
+def d105_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    # Deterministic query phrase: the most frequent bigram.
+    arr = F.split("text", " ")
+    n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(arr, 1, n_pairs),
+        F.slice(arr, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    top = (
+        docs.select(F.explode(bigrams).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .first()
+    )
+    t1, t2 = top["w1"], top["w2"]
+    # Postings for the two query terms ONLY — the pushdown that keeps a
+    # phrase query posting-list-sized.
+    p1 = words.filter(F.col("w") == t1).select("doc_id", "pos")
+    p2 = words.filter(F.col("w") == t2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    per_doc = (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_doc.agg(
+        F.lit(t1).alias("term1"),
+        F.lit(t2).alias("term2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_occurrences"),
+        F.max("n").cast("bigint").alias("max_per_doc"),
+    )
