@@ -3462,3 +3462,100 @@ def s41_manifest_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " zone_max_i int",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S42 — malformed-CSV read modes (the CSV twin of s7's corrupt-JSON row):
+# CSV is where ingest corruption actually arrives at 100 TB, and Spark's
+# three contract levels are the operational knob — PERMISSIVE null-fills
+# the bad field and captures the raw line in the declared corrupt-record
+# column (quarantine-and-continue), DROPMALFORMED silently shrinks the
+# table (counted here, never assumed), FAILFAST refuses the batch (pinned
+# by the negative control). One deterministic feed — every 89th order's
+# price replaced by a non-numeric token — drives all three modes, and
+# the oracle recomputes every count and the good-row price mass from the
+# clean table.
+# Scale: mode handling is per-task streaming parse state — no shuffle,
+# no driver involvement; the quarantine column is the Dolma-attributes
+# pattern at the ingest boundary.
+# --------------------------------------------------------------------------
+@register(
+    "s42_csv_malformed_modes",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                            AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 89 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_quarantined,
+           CAST(SUM(CASE WHEN o_orderkey % 89 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT)                                     AS n_dropmalformed,
+           ROUND(SUM(CASE WHEN o_orderkey % 89 = 0 THEN 0
+                          ELSE o_totalprice END), 2)           AS sum_good_price,
+           TRUE                                                AS failfast_raised
+    FROM orders
+    """,
+)
+def s42_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    # Bad rows are STRUCTURALLY malformed (a truncated 2-token line):
+    # Spark 4's DROPMALFORMED drops token-count violations but treats a
+    # mere cast failure as a null-filled field, so the corruption must be
+    # structural for all three modes to diverge.
+    good = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_totalprice").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    bad = F.concat_ws(",", F.col("o_orderkey").cast("string"), F.lit("oops"))
+    line = F.when(F.col("o_orderkey") % 89 == 0, bad).otherwise(good)
+    path = _scratch(spark, "s42_csv")
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    schema = "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+
+    def read(mode: str, with_corrupt: bool = False):
+        opts = {"mode": mode}
+        sch = schema
+        if with_corrupt:
+            opts["columnNameOfCorruptRecord"] = "_corrupt"
+            sch = schema + ", _corrupt string"
+        return spark.read.options(**opts).schema(sch).csv(path)
+
+    # PERMISSIVE: quarantine-and-continue. (Spark requires caching before
+    # filtering on the internal corrupt-record column for CSV.)
+    perm = read("PERMISSIVE", with_corrupt=True).cache()
+    stats = perm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_corrupt").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_quarantined"),
+        F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias(
+            "sum_good_price"
+        ),
+    ).first()
+    # Counting a DROPMALFORMED read is a planner minefield: count() never
+    # parses fields, and ANY count of a provably non-null expression
+    # folds back to count-star (both probed to return the unparsed row
+    # count). CSV malformed-ness is judged against the columns the plan
+    # actually requires, so the honest pin is the production shape:
+    # materialize the full-width cleaned read to parquet and count THAT.
+    cleaned = _scratch(spark, "s42_cleaned")
+    read("DROPMALFORMED").write.mode("overwrite").parquet(cleaned)
+    n_drop = spark.read.parquet(cleaned).count()
+    try:
+        read("FAILFAST").collect()
+        failfast_raised = False
+    except Exception:  # noqa: BLE001 — Py4J wraps SparkException
+        failfast_raised = True
+    return spark.createDataFrame(
+        [(
+            stats["n_rows"],
+            stats["n_quarantined"],
+            int(n_drop),
+            float(stats["sum_good_price"]),
+            bool(failfast_raised),
+        )],
+        "n_rows bigint, n_quarantined bigint, n_dropmalformed bigint,"
+        " sum_good_price double, failfast_raised boolean",
+    )
