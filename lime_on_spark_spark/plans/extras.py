@@ -934,3 +934,40 @@ def p22_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# P23 — ORDER BY ALL (the companion of p21's GROUP BY ALL; DuckDB
+# pioneered both, Spark 4 ships both): a total order over every output
+# column left-to-right without restating the projection — the "give me a
+# deterministic dump" ergonomic. Pinned with a LIMIT so the ordering is
+# semantically load-bearing (a wrong sort changes WHICH rows survive,
+# not just their arrangement, and the value hash catches it).
+# --------------------------------------------------------------------------
+@register(
+    "p23_order_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    LIMIT 7
+    """,
+)
+def p23_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 7
+        """
+    )

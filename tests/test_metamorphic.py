@@ -168,6 +168,11 @@ REPRESENTATIVE = (
     # d45 fan-out risk class on hash keys.
     "l15_categorical_explain",
     "m7_image_phash_neardup",
+    # (round-14 wave 3) d104's straddle audit counts distinct splits per
+    # group across the shuffle; d105's posting join pairs positions
+    # across partition boundaries.
+    "d104_group_aware_split",
+    "d105_phrase_search",
 )
 
 

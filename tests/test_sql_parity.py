@@ -84,6 +84,9 @@ PORTABLE = [
     # evaluate identically on Spark SQL before listing).
     "a28_theta_sketch_setops", "s40_dynamic_partition_overwrite",
     "d101_url_dedup",
+    # p23's oracle is the identical SQL text (GROUP BY ALL + ORDER BY
+    # ALL ship in both engines); d104's is md5-over-string + CASE.
+    "p23_order_by_all", "d104_group_aware_split",
 ]
 
 
