@@ -678,6 +678,51 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         append(rows_b, after["version"])  # B re-plans and retries
         model.update(dict(rows_b))
 
+    clone_seq = [0]
+
+    def do_clone():
+        # SHALLOW CLONE isolation (s31 inside the walk): a clone taken at
+        # ANY reachable table state must read back exactly the model, and
+        # a subsequent append to the SOURCE must not leak into it (clone
+        # divergence is copy-on-write by construction). The clone is not
+        # re-checked at walk end: a later source vacuum/compaction can
+        # legitimately dangle its symlinks — the documented Delta
+        # shallow-clone hazard, not an invariant violation.
+        from lime_on_spark_spark.sources.python_source import (
+            clone_manifest_path,
+        )
+
+        nonlocal next_key
+        clone_seq[0] += 1
+        dst = str(tmp_path / f"clone{seed}_{clone_seq[0]}")
+        clone_manifest_path(spark, path, dst)
+        snapshot = dict(model)
+
+        def clone_state():
+            with temp_conf(
+                spark, "spark.sql.python.filterPushdown.enabled", "true"
+            ):
+                return {
+                    r["i"]: r["v"]
+                    for r in spark.read.format("json_manifest_source")
+                    .option("path", dst)
+                    .load()
+                    .collect()
+                }
+
+        assert clone_state() == snapshot, "clone diverged from source"
+        # Mutate the SOURCE; the clone must not see it.
+        k = rng.randint(2, 6)
+        rows = [(next_key + j, rng.randint(0, 99)) for j in range(k)]
+        next_key += k
+        spark_df(rows).repartition(1).write.format(
+            "json_manifest_sink"
+        ).option("path", path).mode("append").save()
+        model.update(dict(rows))
+        assert clone_state() == snapshot, (
+            "source append leaked into the shallow clone"
+        )
+
     #: version -> model snapshot at that version (RESTORE's expectation).
     history: dict[int, dict[int, int]] = {}
 
@@ -717,6 +762,7 @@ def test_manifest_dml_random_walk_matches_model(spark, tmp_path, seed):
         do_aux_lifecycle,
         do_gen_lifecycle,
         do_contended_append,
+        do_clone,
     ]
     # Every op runs at least once in every walk (a pure rng.choice walk
     # can silently never pick an op, testing nothing); the other half of
