@@ -1248,6 +1248,26 @@ def d50_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonical_url(url):
+    """Canonical form of a crawl URL, as a Column expression (d101/d104).
+
+    lowercase host; strip trailing slashes and the fragment; drop
+    utm_*/fbclid/gclid/ref_src tracking params; SORT the surviving query
+    params (order is insertion noise, not identity). Idempotent, and
+    invariant to host casing / trailing slash / param order / tracking
+    noise — properties pinned by tests/test_properties.py.
+    """
+    c_host = F.lower(F.parse_url(url, F.lit("HOST")))
+    c_path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/+$", "")
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.parse_url(url, F.lit("QUERY")), "&"),
+            lambda p: ~p.rlike("^(utm_[a-z]+|fbclid|gclid|ref_src)="),
+        )
+    )
+    return F.concat(c_host, c_path, F.lit("?"), F.array_join(kept, "&"))
+
+
 # --------------------------------------------------------------------------
 # D101 — URL canonicalization + URL-level dedup: the cheapest dedup pass a
 # web corpus gets (CCNet / web-crawl curation run it BEFORE any content
@@ -1317,19 +1337,10 @@ def d101_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The canonicalizer under test: real URL parsing, not string surgery
     # on the builder above (the oracle's closed form is the referee).
-    c_host = F.lower(F.parse_url(url, F.lit("HOST")))
-    c_path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/+$", "")
-    kept = F.array_sort(
-        F.filter(
-            F.split(F.parse_url(url, F.lit("QUERY")), "&"),
-            lambda p: ~p.rlike("^(utm_[a-z]+|fbclid|gclid|ref_src)="),
-        )
-    )
-    canonical = F.concat(
-        c_host, c_path, F.lit("?"), F.array_join(kept, "&")
-    )
     return (
-        docs.select("doc_id", "source", canonical.alias("canonical_url"))
+        docs.select(
+            "doc_id", "source", canonical_url(url).alias("canonical_url")
+        )
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dups"),

@@ -1066,3 +1066,59 @@ def test_a27_digest_rank_error_bound(values, n_groups):
         assert rank_lo - slack <= p <= rank_hi + slack, (
             p, got, rank_lo, rank_hi, n,
         )
+
+
+def test_url_canonicalizer_invariances(spark):
+    """Property: d101's canonicalizer is invariant to every nuisance a
+    crawl log carries — host casing, trailing slashes, query-param order,
+    tracking params (utm_*/fbclid/gclid/ref_src), and the fragment — and
+    is IDEMPOTENT (canonicalizing an already-canonical URL with a scheme
+    prefixed is a fixed point). Randomized construction, fixed seed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.plans.datapipe import canonical_url
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for i in range(120):
+        host = "Docs.Example.COM"
+        path = f"/a/b{i % 9}"
+        kept = [f"id={i % 9}", f"lang=l{i % 4}", f"page={i % 3}"]
+        clean = (
+            f"https://{host.lower()}{path}?" + "&".join(sorted(kept))
+        )
+        noise = [
+            f"utm_source=s{rng.randint(0, 5)}",
+            f"utm_campaign=c{rng.randint(0, 5)}",
+            f"fbclid=x{rng.randint(0, 99)}",
+            f"gclid=g{rng.randint(0, 99)}",
+            f"ref_src=r{rng.randint(0, 9)}",
+        ]
+        params = kept + rng.sample(noise, k=rng.randint(0, len(noise)))
+        rng.shuffle(params)
+        dirty = (
+            "https://"
+            + (host.upper() if i % 2 else host.lower())
+            + path
+            + ("/" * rng.randint(0, 2))
+            + "?"
+            + "&".join(params)
+            + (f"#frag{rng.randint(0, 9)}" if i % 3 else "")
+        )
+        rows.append((i, dirty, clean))
+    df = spark.createDataFrame(rows, "i int, dirty string, clean string")
+    out = df.select(
+        "i",
+        canonical_url(F.col("dirty")).alias("c_dirty"),
+        canonical_url(F.col("clean")).alias("c_clean"),
+        # Idempotence: canonicalizing a canonical form (re-prefixed with
+        # the scheme parse_url needs) must be a fixed point.
+        canonical_url(
+            F.concat(F.lit("https://"), canonical_url(F.col("dirty")))
+        ).alias("c_twice"),
+    ).collect()
+    for r in out:
+        assert r["c_dirty"] == r["c_clean"], (r["i"], r["c_dirty"], r["c_clean"])
+        assert r["c_twice"] == r["c_dirty"], (r["i"], r["c_twice"])
