@@ -2621,3 +2621,116 @@ def t33_streaming_cdf_per_commit(
         sorted((v, t, n) for (v, t), n in counts.items()),
         "commit_version int, change_type string, n bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# T34 — MULTIPLE-WATERMARK POLICY (min vs max): when a query carries TWO
+# withWatermark operators (here a union of a click stream and a
+# purchase stream whose feed stops a third of the way into the time
+# range), Spark must pick ONE global watermark. The default 'min' policy
+# is the safety contract — the slowest source gates everything, so a
+# stalled purchase feed FREEZES window emission for clicks too (no
+# window whose end passes only the fast source's horizon may close).
+# 'max' trades that safety for liveness: the fastest source drives, and
+# late data from the stalled source is silently dropped. The row runs
+# the identical union-window-count under BOTH policies (fresh
+# checkpoints) and pins each arm's emitted-window census against the
+# closed-form horizons min/max(max_ts_src) - delay. The cut timestamp is
+# integer-µs arithmetic so both engines derive it identically.
+# Scale: the policy is one comparison over per-operator watermark
+# metadata at batch planning — O(1); what it GATES is the unbounded
+# state the verdict censuses.
+# --------------------------------------------------------------------------
+@register(
+    "t34_multi_watermark_policy",
+    oracle="""
+    WITH bounds AS (
+        SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+        FROM events
+    ), cut AS (
+        SELECT lo + (hi - lo) // 3 AS cut_us FROM bounds
+    ), c AS (
+        SELECT ts FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT ts FROM events, cut
+        WHERE event_type = 'purchase' AND epoch_us(ts) <= cut_us
+    ), u AS (
+        SELECT ts FROM c UNION ALL SELECT ts FROM p
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
+        FROM u GROUP BY ws
+    ), wm AS (
+        SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                   - INTERVAL 1 HOUR AS w_min,
+               GREATEST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                   - INTERVAL 1 HOUR AS w_max
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM agg, wm
+            WHERE ws + INTERVAL 1 HOUR <= w_min)  AS n_windows_minpol,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM agg, wm
+            WHERE ws + INTERVAL 1 HOUR <= w_min)  AS n_rows_minpol,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM agg, wm
+            WHERE ws + INTERVAL 1 HOUR <= w_max)  AS n_windows_maxpol,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM agg, wm
+            WHERE ws + INTERVAL 1 HOUR <= w_max)  AS n_rows_maxpol,
+           TRUE                                   AS max_dominates_min
+    """,
+)
+def t34_multi_watermark_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from lime_on_spark_spark.plans.sources_sinks import _scratch
+    from lime_on_spark_spark.session import temp_conf
+    from lime_on_spark_spark.sources.catalog import load_table
+    from lime_on_spark_spark.streaming.sources import run_to_memory
+
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cut_us = lo + (hi - lo) // 3
+    clicks = events.filter(F.col("event_type") == "click").select("ts")
+    purchases = events.filter(
+        (F.col("event_type") == "purchase")
+        & (F.unix_micros("ts") <= cut_us)
+    ).select("ts")
+    src_c = _scratch(spark, "t34_clicks")
+    src_p = _scratch(spark, "t34_purch")
+    clicks.coalesce(1).write.mode("overwrite").parquet(src_c)
+    purchases.coalesce(1).write.mode("overwrite").parquet(src_p)
+
+    def census(policy: str):
+        with temp_conf(
+            spark, "spark.sql.streaming.multipleWatermarkPolicy", policy
+        ):
+            sc_ = (
+                spark.readStream.schema("ts timestamp").parquet(src_c)
+                .withWatermark("ts", "1 hour")
+            )
+            sp_ = (
+                spark.readStream.schema("ts timestamp").parquet(src_p)
+                .withWatermark("ts", "1 hour")
+            )
+            out = run_to_memory(
+                sc_.unionByName(sp_)
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n")),
+                output_mode="append",
+            )
+            row = out.agg(
+                F.count(F.lit(1)).cast("bigint").alias("w"),
+                F.sum("n").cast("bigint").alias("r"),
+            ).first()
+            return int(row["w"] or 0), int(row["r"] or 0)
+
+    w_min, r_min = census("min")
+    w_max, r_max = census("max")
+    return spark.createDataFrame(
+        [(
+            w_min, r_min, w_max, r_max,
+            bool(w_max >= w_min and r_max >= r_min),
+        )],
+        "n_windows_minpol bigint, n_rows_minpol bigint,"
+        " n_windows_maxpol bigint, n_rows_maxpol bigint,"
+        " max_dominates_min boolean",
+    )
