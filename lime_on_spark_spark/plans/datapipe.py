@@ -1252,17 +1252,26 @@ def canonical_url(url):
     """Canonical form of a crawl URL, as a Column expression (d101/d104).
 
     lowercase host; strip trailing slashes and the fragment; drop
-    utm_*/fbclid/gclid/ref_src tracking params; SORT the surviving query
-    params (order is insertion noise, not identity). Idempotent, and
-    invariant to host casing / trailing slash / param order / tracking
-    noise — properties pinned by tests/test_properties.py.
+    utm_*/fbclid/gclid/ref_src tracking params and empty params; SORT
+    the surviving query params (order is insertion noise, not
+    identity). Query-less URLs canonicalize to ``host/path?`` — the
+    same form as a bare ``?`` or an all-tracking query, which IS the
+    same resource. Idempotent up to the scheme (parse_url needs one, so
+    re-canonicalizing means re-prefixing ``https://``), and invariant
+    to host casing / trailing slash / param order / tracking noise —
+    all pinned by tests/test_properties.py.
     """
     c_host = F.lower(F.parse_url(url, F.lit("HOST")))
     c_path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/+$", "")
+    # parse_url returns NULL for a missing query; concat null-propagates,
+    # so a query-less URL would otherwise canonicalize to NULL and every
+    # such URL would collapse into ONE NULL dedup group.
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
     kept = F.array_sort(
         F.filter(
-            F.split(F.parse_url(url, F.lit("QUERY")), "&"),
-            lambda p: ~p.rlike("^(utm_[a-z]+|fbclid|gclid|ref_src)="),
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike("^(utm_[a-z]+|fbclid|gclid|ref_src)="),
         )
     )
     return F.concat(c_host, c_path, F.lit("?"), F.array_join(kept, "&"))
@@ -1405,16 +1414,27 @@ def d104_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = docs.select(
         grp.alias("grp"), "n_chars", split.alias("split")
     )
+    # One scan: both the audit and the report re-aggregate the SAME tiny
+    # (grp, split) intermediate (<= #groups x 3 rows — caching it costs
+    # nothing and avoids a second full documents scan + md5 build).
+    grouped = (
+        assigned.groupBy("grp", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .cache()
+    )
     # The audit is computed, never assumed: groups spanning >1 split.
     straddle = (
-        assigned.groupBy("grp")
-        .agg(F.countDistinct("split").alias("k"))
+        grouped.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("k"))
         .filter(F.col("k") > 1)
         .count()
     )
-    return assigned.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("grp").alias("n_groups"),
-        F.sum("n_chars").alias("total_chars"),
+    return grouped.groupBy("split").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
         F.lit(int(straddle)).cast("bigint").alias("n_straddling_groups"),
     )

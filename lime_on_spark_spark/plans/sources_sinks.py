@@ -3494,8 +3494,6 @@ def s41_manifest_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s42_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lime_on_spark_spark.sources.catalog import load_table
-
     orders = load_table(spark, sf_dir, "orders")
     # Bad rows are STRUCTURALLY malformed (a truncated 2-token line):
     # Spark 4's DROPMALFORMED drops token-count violations but treats a
@@ -3543,11 +3541,13 @@ def s42_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = _scratch(spark, "s42_cleaned")
     read("DROPMALFORMED").write.mode("overwrite").parquet(cleaned)
     n_drop = spark.read.parquet(cleaned).count()
+    failfast_raised = False
     try:
         read("FAILFAST").collect()
-        failfast_raised = False
-    except Exception:  # noqa: BLE001 — Py4J wraps SparkException
-        failfast_raised = True
+    except Exception as exc:  # noqa: BLE001 — Py4J wraps SparkException
+        # Pin the REASON, not just "it raised": an unrelated failure
+        # (missing path, bad schema) must not pass the contract vacuously.
+        failfast_raised = "MALFORMED" in str(exc).upper()
     return spark.createDataFrame(
         [(
             stats["n_rows"],

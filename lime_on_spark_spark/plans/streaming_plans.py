@@ -2659,7 +2659,8 @@ def t33_streaming_cdf_per_commit(
     ), agg AS (
         SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
         FROM u GROUP BY ws
-    ), wm AS (
+    ), wm AS (  -- sums COALESCEd below: an arm that emits no window must
+                -- read 0, matching the Spark side's empty-census zero
         SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
                    - INTERVAL 1 HOUR AS w_min,
                GREATEST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
@@ -2667,22 +2668,19 @@ def t33_streaming_cdf_per_commit(
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM agg, wm
             WHERE ws + INTERVAL 1 HOUR <= w_min)  AS n_windows_minpol,
-           (SELECT CAST(SUM(n) AS BIGINT) FROM agg, wm
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM agg, wm
             WHERE ws + INTERVAL 1 HOUR <= w_min)  AS n_rows_minpol,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM agg, wm
             WHERE ws + INTERVAL 1 HOUR <= w_max)  AS n_windows_maxpol,
-           (SELECT CAST(SUM(n) AS BIGINT) FROM agg, wm
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM agg, wm
             WHERE ws + INTERVAL 1 HOUR <= w_max)  AS n_rows_maxpol,
            TRUE                                   AS max_dominates_min
     """,
 )
 def t34_multi_watermark_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from lime_on_spark_spark.plans.sources_sinks import _scratch
     from lime_on_spark_spark.session import temp_conf
     from lime_on_spark_spark.sources.catalog import load_table
-    from lime_on_spark_spark.streaming.sources import run_to_memory
 
     events = load_table(spark, sf_dir, "events")
     lo, hi = events.agg(

@@ -1122,3 +1122,16 @@ def test_url_canonicalizer_invariances(spark):
     for r in out:
         assert r["c_dirty"] == r["c_clean"], (r["i"], r["c_dirty"], r["c_clean"])
         assert r["c_twice"] == r["c_dirty"], (r["i"], r["c_twice"])
+    # Query-less / bare-? / all-tracking URLs: the same resource, so all
+    # three canonicalize to the SAME non-NULL 'host/path?' form (a NULL
+    # here would collapse every query-less URL into one dedup group).
+    edge = spark.createDataFrame(
+        [
+            ("https://Docs.Example.COM/a/b",),
+            ("https://docs.example.com/a/b/?",),
+            ("https://docs.example.com/a/b?utm_source=x&fbclid=y#f",),
+        ],
+        "u string",
+    ).select(canonical_url(F.col("u")).alias("c")).collect()
+    forms = {r["c"] for r in edge}
+    assert forms == {"docs.example.com/a/b?"}, forms
