@@ -2393,3 +2393,184 @@ def d100_filter_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clean"),
     )
+
+
+# --------------------------------------------------------------------------
+# D106 — C4 badwords-blocklist filter (Raffel et al. 2020 §2.2): drop any
+# page containing a term from a blocklist, and report per-source hit
+# rates + survivor counts — the one standard curation stage the d49
+# funnel lacked (d19/d83/d100 cover repetition/learned/provenance, not
+# the blocklist primitive). Terms are planted from the corpus vocabulary
+# so counts are exact ('dup' is rare, 'slow' is common) plus one term
+# that never occurs (zero-hit path certified). Whole-token matching, not
+# substring (C4's rule — "class" must not hit on "ass").
+# Scale: the blocklist is a plan constant (broadcast by construction);
+# hit counting is a codegen'd higher-order function over the token array
+# — zero shuffle; the only exchange is the per-source count agg
+# (map-side combinable, |sources| rows). For million-term blocklists the
+# operator doc (operators/c4_clean.py) prescribes the broadcast
+# token-semi-join variant instead of an inline IN-set.
+# --------------------------------------------------------------------------
+_D106_BLOCKLIST = ("dup", "slow", "big", "zzz_blocked_term")
+
+
+@register(
+    "d106_badwords_blocklist",
+    oracle="""
+    WITH hits AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('dup', 'slow', 'big',
+                                          'zzz_blocked_term'))) AS bad_hits
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                              AS n_docs,
+           CAST(SUM(CASE WHEN bad_hits > 0 THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_flagged,
+           CAST(SUM(CASE WHEN bad_hits = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_survivors,
+           CAST(SUM(bad_hits) AS BIGINT)                         AS total_hits,
+           ROUND(SUM(CASE WHEN bad_hits > 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4)                                  AS hit_rate
+    FROM hits
+    GROUP BY source
+    """,
+)
+def d106_badwords_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.c4_clean import badwords_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = docs.select(
+        "source", badwords_hits("text", _D106_BLOCKLIST).alias("bad_hits")
+    )
+    flagged = (F.col("bad_hits") > 0).cast("int")
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(flagged).cast("bigint").alias("n_flagged"),
+        F.sum(1 - flagged).cast("bigint").alias("n_survivors"),
+        F.sum("bad_hits").cast("bigint").alias("total_hits"),
+        F.round(
+            F.sum(flagged) / F.count(F.lit(1)), 4
+        ).alias("hit_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D107 — C4 line-level cleaning (Raffel et al. 2020 §2.2): split each
+# page into lines, keep lines with >= 5 words, keep lines ending in a
+# terminal token, remove all-but-one occurrence of any line duplicated
+# across the corpus (keep-first by (doc_id, line_idx) — d1's hash-dedup
+# machinery at line granularity), and count pages left with >= 3
+# surviving lines (C4's >=3-sentence page rule). The synthetic corpus
+# has no newlines or punctuation, so the line splitter is instantiated
+# as fixed 10-token chunking and the terminal-punctuation test as a
+# planted terminal-token set — same rule structure, exact oracle counts
+# (see operators/c4_clean.py module doc).
+# Scale: chunking is a narrow explode (fan-out len/10, no shuffle); the
+# min-words/terminal filters run BEFORE the dedup shuffle so it only
+# sees survivors; the dedup exchange carries (md5, doc_id, line_idx,
+# source) — never line bodies; all profile aggs are map-side combinable
+# over |sources| groups.
+# --------------------------------------------------------------------------
+_D107_TERMINAL = ("data", "table", "row", "scan", "stream", "batch")
+
+
+@register(
+    "d107_c4_line_cleaning",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ), lines AS (
+        SELECT doc_id, source, CAST((i - 1) // 10 AS BIGINT) AS line_idx,
+               string_agg(tok, ' ' ORDER BY i) AS line,
+               COUNT(*) AS n_words,
+               arg_max(tok, i) AS last_tok
+        FROM toks
+        GROUP BY doc_id, source, ((i - 1) // 10)
+    ), r2 AS (
+        SELECT * FROM lines
+        WHERE n_words >= 5
+          AND last_tok IN ('data', 'table', 'row', 'scan', 'stream', 'batch')
+    ), kept AS (
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY line ORDER BY doc_id, line_idx
+                   ) AS rn
+            FROM r2
+        ) WHERE rn = 1
+    ), stage AS (
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_in,
+               CAST(COUNT(*) AS BIGINT)               AS lines_in,
+               CAST(SUM(CASE WHEN n_words >= 5 THEN 1 ELSE 0 END)
+                    AS BIGINT)                        AS lines_minwords,
+               CAST(SUM(CASE WHEN n_words >= 5 AND last_tok IN
+                                 ('data', 'table', 'row', 'scan',
+                                  'stream', 'batch')
+                            THEN 1 ELSE 0 END)
+                    AS BIGINT)                        AS lines_terminal
+        FROM lines GROUP BY source
+    ), dedc AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS lines_dedup
+        FROM kept GROUP BY source
+    ), docs3 AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_surviving
+        FROM (SELECT doc_id, source, COUNT(*) AS c
+              FROM kept GROUP BY doc_id, source)
+        WHERE c >= 3 GROUP BY source
+    )
+    SELECT s.source, s.docs_in, s.lines_in, s.lines_minwords,
+           s.lines_terminal,
+           CAST(COALESCE(d.lines_dedup, 0) AS BIGINT)    AS lines_dedup,
+           CAST(COALESCE(g.docs_surviving, 0) AS BIGINT) AS docs_surviving
+    FROM stage s
+    LEFT JOIN dedc d USING (source)
+    LEFT JOIN docs3 g USING (source)
+    """,
+)
+def d107_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.c4_clean import (
+        chunk_lines,
+        dedup_lines_keep_first,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    lines = chunk_lines(docs, "text", width=10)
+    r1 = F.col("n_words") >= 5
+    r2 = F.col("last_tok").isin(*_D107_TERMINAL)
+    stage = lines.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("docs_in"),
+        F.count(F.lit(1)).cast("bigint").alias("lines_in"),
+        F.sum(r1.cast("int")).cast("bigint").alias("lines_minwords"),
+        F.sum((r1 & r2).cast("int")).cast("bigint").alias("lines_terminal"),
+    )
+    kept = dedup_lines_keep_first(lines.filter(r1 & r2))
+    dedc = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lines_dedup")
+    )
+    docs3 = (
+        kept.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("docs_surviving"))
+    )
+    return (
+        stage.join(dedc, "source", "left")
+        .join(docs3, "source", "left")
+        .select(
+            "source", "docs_in", "lines_in", "lines_minwords",
+            "lines_terminal",
+            F.coalesce("lines_dedup", F.lit(0)).cast("bigint")
+            .alias("lines_dedup"),
+            F.coalesce("docs_surviving", F.lit(0)).cast("bigint")
+            .alias("docs_surviving"),
+        )
+    )

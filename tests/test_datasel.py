@@ -666,3 +666,130 @@ def test_langid_classifier_deterministic_and_fixture_exact(spark, sf_dir):
     # Perfect per-doc separation on the distinctive-vocabulary fixtures.
     assert all(lang == pred for lang, pred in first.values())
     assert len(first) > 0
+
+
+# ---------------------------------------------------------------- d106/d107
+
+
+def test_badwords_hits_whole_token_exact(spark):
+    from lime_on_spark_spark.operators.c4_clean import badwords_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "slow dup slow clean"),   # 3 hits (occurrences, not terms)
+            (2, "slowly duplicate"),      # substring must NOT match
+            (3, "clean text only"),       # survivor
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", badwords_hits("text", ("dup", "slow")).alias("h")
+        ).collect()
+    }
+    assert got == {1: 3, 2: 0, 3: 0}
+
+
+def test_chunk_lines_reconstructs_text(spark, sf_dir):
+    from lime_on_spark_spark.operators.c4_clean import chunk_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    lines = chunk_lines(docs, "text", width=10)
+    # Joining every doc's lines back in line_idx order must reproduce the
+    # original text exactly (no token lost, duplicated, or reordered).
+    rebuilt = (
+        lines.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_idx", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("re_text"),
+            F.sum("n_words").alias("n_toks"),
+        )
+        .join(docs, "doc_id")
+    )
+    bad = rebuilt.filter(
+        (F.col("re_text") != F.col("text"))
+        | (F.col("n_toks") != F.size(F.split("text", " ")))
+    ).count()
+    assert bad == 0
+    # Only the final chunk of a doc may be short.
+    short_nonfinal = (
+        lines.join(
+            lines.groupBy("doc_id").agg(F.max("line_idx").alias("mx")),
+            "doc_id",
+        )
+        .filter((F.col("n_words") < 10) & (F.col("line_idx") != F.col("mx")))
+        .count()
+    )
+    assert short_nonfinal == 0
+
+
+def test_dedup_lines_keep_first_semantics(spark):
+    from lime_on_spark_spark.operators.c4_clean import dedup_lines_keep_first
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, "srcA", "x y z"),
+            (2, 0, "srcB", "x y z"),   # dup of (1,0) — loses (doc_id later)
+            (1, 1, "srcA", "q r s"),
+            (3, 0, "srcC", "q r s"),   # dup of (1,1) — loses
+            (3, 1, "srcC", "unique"),
+        ],
+        "doc_id long, line_idx long, source string, line string",
+    )
+    kept = {
+        (r["doc_id"], r["line_idx"], r["source"])
+        for r in dedup_lines_keep_first(df).collect()
+    }
+    assert kept == {(1, 0, "srcA"), (1, 1, "srcA"), (3, 1, "srcC")}
+
+
+def test_badwords_composes_into_funnel(spark, sf_dir):
+    """The d106 blocklist stage slots into the d49 funnel: applied to the
+    quality stage, flagged + survivors partition it exactly, and the
+    composed funnel stays monotone."""
+    from lime_on_spark_spark.operators.c4_clean import badwords_hits
+    from lime_on_spark_spark.plans.textpipe import _curation_stages
+
+    st = _curation_stages(spark, sf_dir)
+    quality = st["quality"]
+    hits = badwords_hits("text", ("dup", "zzz_blocked_term"))
+    blocked = quality.withColumn("h", hits)
+    n_q = quality.count()
+    n_flagged = blocked.filter(F.col("h") > 0).count()
+    n_surv = blocked.filter(F.col("h") == 0).count()
+    assert n_flagged + n_surv == n_q
+    assert 0 < n_surv <= n_q
+    # Composed stage is monotone w.r.t. the next funnel stage too: exact
+    # dedup over the blocklist survivors can only shrink them.
+    n_exact = (
+        blocked.filter(F.col("h") == 0)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .count()
+    )
+    assert n_exact <= n_surv
+
+
+def test_d107_stage_counts_monotone(spark, sf_dir):
+    rows = registry.queries()["d107_c4_line_cleaning"](spark, sf_dir).collect()
+    assert rows, "per-source profile must be non-empty"
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("lines_in", "lines_minwords", "lines_terminal",
+                  "lines_dedup", "docs_in", "docs_surviving")
+    }
+    assert (
+        tot["lines_in"] >= tot["lines_minwords"] >= tot["lines_terminal"]
+        >= tot["lines_dedup"] > 0
+    )
+    assert tot["docs_surviving"] <= tot["docs_in"]

@@ -173,6 +173,11 @@ REPRESENTATIVE = (
     # across partition boundaries.
     "d104_group_aware_split",
     "d105_phrase_search",
+    # (round 15) d107's cross-doc line dedup shuffles ids keyed on
+    # md5(line) — keep-first winners must not vary with fan-out; d106 is
+    # a pure codegen map + one agg, order-free by construction.
+    "d106_badwords_blocklist",
+    "d107_c4_line_cleaning",
 )
 
 
