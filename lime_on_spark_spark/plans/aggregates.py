@@ -1576,6 +1576,11 @@ def a28_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_b = b_set.count()
     n_inter = a_set.join(b_set, "user_id", "left_semi").count()
     n_union = n_a + n_b - n_inter
+    # Everything downstream is driver-side arithmetic over the collected
+    # sketches/counts — release the cached sides instead of retaining
+    # them across a 396-row sweep session.
+    a_set.unpersist()
+    b_set.unpersist()
 
     # 1/sqrt(k) ~ 8.8%; 3 sigma plus a 2-value absolute floor for the
     # tiny-SF regimes where one hash is a whole percent.

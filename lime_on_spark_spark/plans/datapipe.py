@@ -182,6 +182,16 @@ def d7_lang_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # This is the split primitive a 100-TB training pipeline needs: a map-only
 # expression, verified exactly against DuckDB's md5.
 # --------------------------------------------------------------------------
+def md5_split_label(key_col):
+    """d8's split assignment as a reusable expression: first hex nibble of
+    md5(key) — 0-b (12/16 = 75%) train, c-d (12.5%) val, e-f (12.5%) test.
+    Pure function of the key: engine-portable (DuckDB's md5 derives the
+    identical label — the d8 oracle), repartition/fan-out-free, and
+    property-pinned against hashlib in tests/test_properties.py."""
+    nib = F.substring(F.md5(key_col.cast("string")), 1, 1)
+    return F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test")
+
+
 @register(
     "d8_hash_split",
     oracle="""
@@ -202,13 +212,8 @@ def d7_lang_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d8_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # First hex nibble: 0-b (12/16 = 75%) train, c-d (12.5%) val, e-f test.
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test")
-    )
     return (
-        docs.withColumn("split", split)
+        docs.withColumn("split", md5_split_label(F.col("doc_id")))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

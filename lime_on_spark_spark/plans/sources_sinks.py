@@ -3532,6 +3532,11 @@ def s42_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_good_price"
         ),
     ).first()
+    # The returned frame is built from the collected stats row, so the
+    # cached PERMISSIVE read has no remaining consumer — release it
+    # rather than letting it sit in executor memory for the rest of a
+    # 396-row sweep session.
+    perm.unpersist()
     # Counting a DROPMALFORMED read is a planner minefield: count() never
     # parses fields, and ANY count of a provably non-null expression
     # folds back to count-star (both probed to return the unparsed row

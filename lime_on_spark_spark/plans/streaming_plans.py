@@ -2660,7 +2660,13 @@ def t33_streaming_cdf_per_commit(
         SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
         FROM u GROUP BY ws
     ), wm AS (  -- sums COALESCEd below: an arm that emits no window must
-                -- read 0, matching the Spark side's empty-census zero
+                -- read 0, matching the Spark side's empty-census zero.
+                -- The <= below is deliberate: append mode emits a window
+                -- when watermark EQUALS its end (inclusive eviction) —
+                -- pinned by tests/test_streaming.py::
+                -- test_t34_watermark_equality_boundary on a hand-built
+                -- hour-aligned corpus, since the production data never
+                -- lands max(ts) exactly on a boundary.
         SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
                    - INTERVAL 1 HOUR AS w_min,
                GREATEST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))

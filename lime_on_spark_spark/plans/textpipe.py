@@ -2017,35 +2017,9 @@ def d45_minhash_banded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All 12 minhashes as SIMULTANEOUS map-side-combinable min aggregates
     # over the (doc, shingle) rows — one shuffle of |shingles| rows with 12
     # hash columns, instead of exploding to |shingles| x 12 rows and
-    # grouping on (doc_id, j) (measured ~2x at sf0.1).
-    hashed = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"h{j}")
-            for j in range(12)
-        ],
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(12)]
-    )
-    # 4 band keys per doc, unpivoted to (doc_id, band, bkey) rows.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    F.col(f"mh{3 * b}"),
-                    F.col(f"mh{3 * b + 1}"),
-                    F.col(f"mh{3 * b + 2}"),
-                ).alias("bkey"),
-            )
-            for b in range(4)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    # grouping on (doc_id, j) (measured ~2x at sf0.1). 4 band keys per
+    # doc, unpivoted to (doc_id, band, bkey) rows.
+    bands = minhash_band_keys(sh, n_hashes=12, rows_per_band=3)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bkey")
     )
@@ -2649,6 +2623,77 @@ def d54_boilerplate_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K, _SPAN_W = 5, 4
 
 
+def winnow_fingerprints(sh: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """Winnowed fingerprints (Schleimer et al. 2003) over (doc_id, pos,
+    shingle) rows: min 32-bit-md5-prefix hash VALUE per w-shingle window
+    (full windows only), distinct per doc.
+
+    Value-only min is the tie-break contract: when a window's min hash
+    value occurs at several positions, the FINGERPRINT is the value, so
+    cross-doc equality survives ties and the fingerprint set is invariant
+    to which position "wins" — pinned against a pure-Python mirror in
+    tests/test_properties.py. Guarantee: two docs sharing a verbatim
+    shingle run covering >= w consecutive windows share >= 1 fingerprint.
+    """
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    wdef = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    return (
+        sh.select("doc_id", "pos", h.alias("h"))
+        .select(
+            "doc_id",
+            F.min("h").over(wdef).alias("fp"),
+            F.count(F.lit(1)).over(wdef).alias("wn"),
+        )
+        .filter(F.col("wn") == w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def minhash_band_keys(sh: DataFrame, n_hashes: int = 12,
+                      rows_per_band: int = 3) -> DataFrame:
+    """d45's banded-LSH keys over (doc_id, shingle) rows: n_hashes
+    simultaneous map-side-combinable min-aggregates (hash_j(s) =
+    md5("{j}:" || s)), then band key b = mh[rb], ..., mh[rb+r-1] joined
+    with '|'. Returns (doc_id, band, bkey).
+
+    Contracts pinned in tests/test_properties.py: the signature is a pure
+    function of the shingle SET (order/multiplicity-invariant — min is
+    idempotent and commutative), engine-portable (hashlib mirror = the
+    DuckDB oracle's derivation), and identical sets share ALL band keys.
+    """
+    n_bands = n_hashes // rows_per_band
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(n_hashes)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{rows_per_band * b + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"),
+             F.col("bs.bkey").alias("bkey"))
+
+
 def _cross_doc_span_runs(docs: DataFrame) -> DataFrame:
     """Shared d84/d87 machinery: winnowed-fingerprint candidate pairs ->
     candidates-only positional shingle join -> diagonal gaps-and-islands.
@@ -2683,19 +2728,7 @@ def _cross_doc_span_runs(docs: DataFrame) -> DataFrame:
     # Winnowed fingerprints: min 5-gram hash VALUE per 4-window (full
     # windows only). Value-only min — cross-doc equality survives ties, and
     # 32-bit collisions only widen the candidate set.
-    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    wdef = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    fps = (
-        sh.select("doc_id", "pos", h.alias("h"))
-        .select(
-            "doc_id",
-            F.min("h").over(wdef).alias("fp"),
-            F.count(F.lit(1)).over(wdef).alias("wn"),
-        )
-        .filter(F.col("wn") == w)
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fps = winnow_fingerprints(sh, w)
     cand = (
         fps.alias("x")
         .join(fps.alias("y"), "fp")

@@ -1135,3 +1135,152 @@ def test_url_canonicalizer_invariances(spark):
     ).select(canonical_url(F.col("u")).alias("c")).collect()
     forms = {r["c"] for r in edge}
     assert forms == {"docs.example.com/a/b?"}, forms
+
+
+# --------------------------------------------------------------------------
+# Deterministic-hash utility contracts (r14 verdict task 7): md5-split,
+# winnowing tie-break, banded-LSH keys. Each has a cross-engine contract
+# that previously lived only in oracle agreement; these pin it against
+# pure-Python mirrors and the algebraic invariances the plans rely on.
+# --------------------------------------------------------------------------
+def test_md5_split_label_properties(spark):
+    """d8's split: (1) engine-portable — Spark's label equals the hashlib
+    mirror (the DuckDB oracle's derivation) on randomized int64 keys;
+    (2) total and disjoint by construction (one label per key);
+    (3) rates near 12/2/2 sixteenths; (4) repartition-invariant."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.plans.datapipe import md5_split_label
+
+    rng = random.Random(8)
+    ids = [rng.randrange(0, 2**62) for _ in range(1500)] + list(range(50))
+
+    def mirror(i: int) -> str:
+        nib = hashlib.md5(str(i).encode()).hexdigest()[0]
+        return "train" if nib < "c" else ("val" if nib < "e" else "test")
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id", md5_split_label(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    assert got == {i: mirror(i) for i in ids}
+    # Rate sanity: 75% / 12.5% / 12.5% within 4 sigma of binomial noise.
+    n = len(ids)
+    from collections import Counter
+
+    c = Counter(got.values())
+    for label, p in (("train", 0.75), ("val", 0.125), ("test", 0.125)):
+        sigma = (p * (1 - p) / n) ** 0.5
+        assert abs(c[label] / n - p) < 4 * sigma + 0.01, (label, c)
+    # Fan-out invariance: assignment is per-row, so any repartitioning
+    # yields the identical mapping.
+    re = {
+        r["doc_id"]: r["split"]
+        for r in df.repartition(13)
+        .select("doc_id", md5_split_label(F.col("doc_id")).alias("split"))
+        .collect()
+    }
+    assert re == got
+
+
+def _winnow_mirror(tokens: list[str], k: int, w: int) -> set[int]:
+    """Pure-Python winnowing mirror: min 32-bit-md5-prefix VALUE per
+    w-shingle window (full windows only), distinct."""
+    import hashlib
+
+    sh = [
+        " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+    ]
+    h = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+    return {min(h[i - w + 1 : i + 1]) for i in range(w - 1, len(h))}
+
+
+def test_winnow_fingerprints_mirror_and_span_guarantee(spark):
+    """Winnowing: (1) Spark fingerprint sets equal the pure-Python mirror
+    on randomized token docs (incl. heavy repetition — the tie case:
+    value-only min makes the set invariant to WHICH position attains the
+    min); (2) the Schleimer guarantee — two docs sharing a verbatim run
+    of >= k + w - 1 tokens share >= 1 fingerprint."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.plans.textpipe import (
+        _SPAN_K,
+        _SPAN_W,
+        winnow_fingerprints,
+    )
+
+    k, w = _SPAN_K, _SPAN_W
+    rng = random.Random(64)
+    vocab = [f"w{j}" for j in range(9)]  # tiny vocab -> many hash ties
+    docs = {}
+    for d in range(20):
+        docs[d] = [rng.choice(vocab) for _ in range(rng.randint(k, 60))]
+    # Plant an exactly (k + w - 1)-token shared run into pairs (20+2i,
+    # 20+2i+1) at random offsets.
+    planted = []
+    for i in range(6):
+        run = [rng.choice(vocab) for _ in range(k + w - 1)]
+        a, b = 40 + 2 * i, 41 + 2 * i
+        for d in (a, b):
+            base = [rng.choice(vocab) for _ in range(rng.randint(10, 40))]
+            at = rng.randint(0, len(base))
+            docs[d] = base[:at] + run + base[at:]
+        planted.append((a, b))
+    rows = []
+    for d, toks in docs.items():
+        for pos0, i in enumerate(range(len(toks) - k + 1)):
+            rows.append((d, pos0 + 1, " ".join(toks[i : i + k])))
+    sh = spark.createDataFrame(rows, "doc_id long, pos int, shingle string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(sh, w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for d, toks in docs.items():
+        assert got.get(d, set()) == _winnow_mirror(toks, k, w), d
+    for a, b in planted:
+        assert got[a] & got[b], (a, b, "planted shared span lost")
+
+
+def test_minhash_band_keys_mirror_and_set_invariance(spark):
+    """d45's banded-LSH keys: (1) equal the hashlib mirror (= the DuckDB
+    oracle's derivation) on randomized shingle sets; (2) pure function of
+    the shingle SET — duplicating rows and shuffling order changes
+    nothing; (3) identical sets share ALL band keys (the self-pairing
+    completeness the candidate join relies on)."""
+    import hashlib
+    import random
+
+    from lime_on_spark_spark.plans.textpipe import minhash_band_keys
+
+    rng = random.Random(45)
+    sets = {
+        d: {f"s{rng.randrange(200)}" for _ in range(rng.randint(1, 30))}
+        for d in range(12)
+    }
+    sets[100] = set(sets[0])  # identical twin of doc 0
+
+    def mirror(shingles: set[str]) -> dict[int, str]:
+        mh = [
+            min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in shingles)
+            for j in range(12)
+        ]
+        return {b: "|".join(mh[3 * b : 3 * b + 3]) for b in range(4)}
+
+    rows = [(d, s) for d, ss in sets.items() for s in ss]
+    # Multiplicity + order nuisances: duplicate every 3rd row, shuffle.
+    rows = rows + rows[::3]
+    rng.shuffle(rows)
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got: dict[int, dict[int, str]] = {}
+    for r in minhash_band_keys(sh).collect():
+        got.setdefault(r["doc_id"], {})[r["band"]] = r["bkey"]
+    for d, ss in sets.items():
+        assert got[d] == mirror(ss), d
+    assert got[100] == got[0]

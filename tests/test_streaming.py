@@ -201,3 +201,49 @@ def test_transform_with_state_gate_matches_environment():
 
     registered = "t15_transform_with_state" in registry.queries()
     assert registered == streaming_plans.HAS_TWS_DEPS
+
+
+def test_t34_watermark_equality_boundary(spark, tmp_path):
+    """Pin the engine boundary t34's oracle leans on: in append mode a
+    window IS emitted when the watermark EQUALS its end (Spark's
+    eviction predicate is `window.end <= watermark`, inclusive), so the
+    oracle's `ws + INTERVAL 1 HOUR <= w_min/w_max` census is exact even
+    on a corpus whose max event timestamp lands exactly on an hour
+    boundary (r14 ADVICE: the production corpora never exercise this, a
+    hand-built one must)."""
+    import pyspark.sql.functions as F
+
+    # max ts = 03:00:00 exactly -> watermark = 02:00:00 exactly.
+    rows = [
+        ("2024-01-01 00:30:00",),  # [00:00, 01:00): end < wm, emitted
+        ("2024-01-01 01:30:00",),  # [01:00, 02:00): end == wm, THE case
+        ("2024-01-01 03:00:00",),  # [03:00, 04:00): open, not emitted
+    ]
+    df = spark.createDataFrame(rows, "ts_s string").select(
+        F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    agg = (
+        spark.readStream.schema("ts timestamp").parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("t34_boundary")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ends = sorted(
+        r["end"].strftime("%H:%M")
+        for r in spark.sql("select w.end from t34_boundary").collect()
+    )
+    spark.catalog.dropTempView("t34_boundary")
+    assert ends == ["01:00", "02:00"], (
+        "append mode must emit the window whose end EQUALS the watermark "
+        f"(inclusive eviction) and nothing later; got ends={ends}"
+    )
