@@ -2574,3 +2574,130 @@ def d107_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("docs_surviving"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# D109 — PII redaction (the CCNet/Dolma/FineWeb anonymization stage): scan
+# text for emails / phone numbers / IPs, count per type, replace with
+# typed placeholders, and CERTIFY the redaction by re-scanning the
+# redacted text (residual_hits pinned to 0 — the check production
+# pipelines run before release). The corpus has no organic PII, so the
+# feed is derived closed-form from `customer` (email on even keys, phone
+# on keys % 5 = 0, IP on keys % 3 = 0 — overlapping, with PII-free rows
+# left over), making every count exact in both engines. Patterns stay in
+# the RE2 ∩ Java-regex common subset (char classes + bounded
+# quantifiers; no lookaround) so Spark and DuckDB match identically.
+# Scale: three regexp_count + three chained regexp_replace per row — a
+# narrow codegen'd scan, zero shuffle until the |segments|-row census
+# agg; the redacted text never shuffles (only its length does).
+# --------------------------------------------------------------------------
+_D109_EMAIL = r"[a-z0-9#]+@[a-z0-9.]+\.[a-z]{2,}"
+_D109_PHONE = r"\d{2}-\d{3}-555-\d{4}"
+_D109_IP = r"10\.\d{1,3}\.0\.1"
+
+
+@register(
+    "d109_pii_redaction",
+    oracle="""
+    WITH feed AS (
+        SELECT c_mktsegment,
+               'Customer ' || c_name || ' (' || c_mktsegment
+               || ') contact:'
+               || CASE WHEN c_custkey % 2 = 0
+                       THEN ' ' || lower(c_name) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN c_custkey % 5 = 0
+                       THEN ' ' || lpad(CAST(c_custkey % 100 AS VARCHAR),
+                                        2, '0')
+                            || '-' || lpad(CAST(c_custkey % 1000
+                                                AS VARCHAR), 3, '0')
+                            || '-555-' || lpad(CAST(c_custkey % 10000
+                                                    AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN c_custkey % 3 = 0
+                       THEN ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR)
+                            || '.0.1'
+                       ELSE '' END AS text
+        FROM customer
+    ), scanned AS (
+        SELECT c_mktsegment, text,
+               len(regexp_extract_all(text,
+                   '[a-z0-9#]+@[a-z0-9.]+\\.[a-z]{2,}'))  AS e,
+               len(regexp_extract_all(text,
+                   '\\d{2}-\\d{3}-555-\\d{4}'))           AS p,
+               len(regexp_extract_all(text,
+                   '10\\.\\d{1,3}\\.0\\.1'))              AS i,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[a-z0-9#]+@[a-z0-9.]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '\\d{2}-\\d{3}-555-\\d{4}', '<PHONE>', 'g'),
+                   '10\\.\\d{1,3}\\.0\\.1', '<IP>', 'g')  AS red
+        FROM feed
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)                       AS n_rows,
+           CAST(SUM(e) AS BIGINT)                         AS n_emails,
+           CAST(SUM(p) AS BIGINT)                         AS n_phones,
+           CAST(SUM(i) AS BIGINT)                         AS n_ips,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS n_rows_with_pii,
+           CAST(SUM(length(red)) AS BIGINT)               AS redacted_chars,
+           CAST(SUM(len(regexp_extract_all(red,
+                   '[a-z0-9#]+@[a-z0-9.]+\\.[a-z]{2,}'))
+               + len(regexp_extract_all(red,
+                   '\\d{2}-\\d{3}-555-\\d{4}'))
+               + len(regexp_extract_all(red,
+                   '10\\.\\d{1,3}\\.0\\.1'))) AS BIGINT)  AS residual_hits
+    FROM scanned
+    GROUP BY c_mktsegment
+    """,
+)
+def d109_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(
+        key % 2 == 0,
+        F.concat(F.lit(" "), F.lower("c_name"), F.lit("@example.com")),
+    ).otherwise("")
+    phone = F.when(
+        key % 5 == 0,
+        F.concat(
+            F.lit(" "), F.lpad(s(key % 100), 2, "0"),
+            F.lit("-"), F.lpad(s(key % 1000), 3, "0"),
+            F.lit("-555-"), F.lpad(s(key % 10000), 4, "0"),
+        ),
+    ).otherwise("")
+    ip = F.when(
+        key % 3 == 0,
+        F.concat(F.lit(" ip 10."), s(key % 256), F.lit(".0.1")),
+    ).otherwise("")
+    text = F.concat(
+        F.lit("Customer "), F.col("c_name"), F.lit(" ("),
+        F.col("c_mktsegment"), F.lit(") contact:"), email, phone, ip,
+    )
+    feed = cust.select("c_mktsegment", text.alias("text"))
+    pats = (_D109_EMAIL, _D109_PHONE, _D109_IP)
+    red = F.col("text")
+    for pat, repl in zip(pats, ("<EMAIL>", "<PHONE>", "<IP>")):
+        red = F.regexp_replace(red, pat, repl)
+    scanned = feed.select(
+        "c_mktsegment",
+        F.regexp_count("text", F.lit(_D109_EMAIL)).alias("e"),
+        F.regexp_count("text", F.lit(_D109_PHONE)).alias("p"),
+        F.regexp_count("text", F.lit(_D109_IP)).alias("i"),
+        red.alias("red"),
+    )
+    residual = sum(
+        F.regexp_count("red", F.lit(p2)) for p2 in pats
+    )
+    return scanned.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("p").cast("bigint").alias("n_phones"),
+        F.sum("i").cast("bigint").alias("n_ips"),
+        F.sum((F.col("e") + F.col("p") + F.col("i") > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_rows_with_pii"),
+        F.sum(F.length("red")).cast("bigint").alias("redacted_chars"),
+        F.sum(residual).cast("bigint").alias("residual_hits"),
+    )

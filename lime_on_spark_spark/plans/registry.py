@@ -115,13 +115,14 @@ _CURATED_PREFIX = (
     # Gaussian perturbation, perturbation scoring)
     "l15_categorical_explain", "l1_discretizer_deciles",
     "l2_perturb_gaussian", "l4_score_perturbations",
-    # d — data-pipeline (all 5 r14 rows + both r15 C4 rows + backlog:
-    # text stats, hash split, TF-IDF, Gopher repetition gate)
+    # d — data-pipeline (all 5 r14 rows + all 4 r15 rows — every row new
+    # this round goes straight into the sample so no round ends with its
+    # own rows uncertified — + backlog: hash split, TF-IDF)
     "d101_url_dedup", "d102_kneser_ney", "d103_rouge_overlap",
     "d104_group_aware_split", "d105_phrase_search",
     "d106_badwords_blocklist", "d107_c4_line_cleaning",
-    "d5_text_stats", "d8_hash_split", "d16_tfidf_top_terms",
-    "d19_repetition_filter",
+    "d108_semantic_decontamination", "d109_pii_redaction",
+    "d8_hash_split", "d16_tfidf_top_terms",
     # m — multimodal (r14: pHash near-dup; audio re-pin)
     "m7_image_phash_neardup", "m6_audio_features",
     # s — sources / sinks (all three r14 manifest/CSV rows)

@@ -2026,3 +2026,93 @@ def d98_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lead_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# D108 — EMBEDDING-space benchmark decontamination: the semantic twin of
+# the shingle decon family (d15/d34/d41 catch verbatim/near-verbatim
+# overlap; paraphrased benchmark leakage needs embedding similarity —
+# the phi/FineWeb-style decon stage). Benchmark = every 17th vector
+# (d94's holdout convention), corpus = the rest; each corpus vector's
+# max cosine against the benchmark is computed, and the flagged set is
+# the TOP DECILE most benchmark-similar (rank-calibrated cut, the d99
+# discipline — an absolute threshold is embedding-model-specific and
+# degenerate on this corpus, where max cos ~ 0.25).
+# Scale: the benchmark side is broadcast (bounded by definition — eval
+# sets are thousands of rows); max-similarity folds map-side before one
+# |corpus|-row shuffle of (vec_id, label, mc) — 20 bytes/vec, never
+# embeddings; the decile cut is TakeOrderedAndProject (top-k, never a
+# global sort materialization); census aggs are label-bounded. For
+# benchmark sets too big to broadcast, route through the d63b IVF index
+# (candidate cells only) instead of the dense crossJoin.
+# Determinism: cosine accumulated in f64 left-to-right on both engines
+# (the d3 contract), rounded to 6 before the max/rank; (mc, vec_id) is a
+# unique rank key, so the decile frontier is exact.
+# --------------------------------------------------------------------------
+@register(
+    "d108_semantic_decontamination",
+    oracle="""
+    WITH bench AS (
+        SELECT embedding FROM embeddings WHERE vec_id % 17 = 0
+    ), corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 17 <> 0
+    ), mx AS (
+        SELECT c.vec_id, c.label,
+               MAX(ROUND(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6)) AS mc
+        FROM corpus c CROSS JOIN bench b
+        GROUP BY c.vec_id, c.label
+    ), ranked AS (
+        SELECT label, mc,
+               row_number() OVER (ORDER BY mc DESC, vec_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM mx
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT)  AS n_corpus,
+           CAST(SUM(CASE WHEN rn <= CEIL(n / 10.0) THEN 1 ELSE 0 END)
+                AS BIGINT)           AS n_flagged,
+           CAST(SUM(CASE WHEN rn > CEIL(n / 10.0) THEN 1 ELSE 0 END)
+                AS BIGINT)           AS n_clean,
+           MIN(CASE WHEN rn <= CEIL(n / 10.0) THEN mc END) AS min_flagged_sim
+    FROM ranked
+    GROUP BY label
+    """,
+)
+def d108_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("embedding").alias("b_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    mx = (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(F.round(cosine(F.col("embedding"), F.col("b_emb")), 6))
+            .alias("mc")
+        )
+    )
+    # Bounded metadata collect: the corpus population (one scalar) sizes
+    # the decile cut k for the top-k plan below.
+    n = corpus.count()
+    k = -(-n // 10)  # ceil(n / 10)
+    flagged = (
+        mx.orderBy(F.desc("mc"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    tagged = mx.join(
+        flagged.withColumn("is_flagged", F.lit(True)), "vec_id", "left"
+    ).withColumn("is_flagged", F.coalesce("is_flagged", F.lit(False)))
+    return tagged.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        F.sum(F.col("is_flagged").cast("int")).cast("bigint")
+        .alias("n_flagged"),
+        F.sum((~F.col("is_flagged")).cast("int")).cast("bigint")
+        .alias("n_clean"),
+        F.min(F.when(F.col("is_flagged"), F.col("mc")))
+        .alias("min_flagged_sim"),
+    )

@@ -175,9 +175,13 @@ REPRESENTATIVE = (
     "d105_phrase_search",
     # (round 15) d107's cross-doc line dedup shuffles ids keyed on
     # md5(line) — keep-first winners must not vary with fan-out; d106 is
-    # a pure codegen map + one agg, order-free by construction.
+    # a pure codegen map + one agg, order-free by construction; d108's
+    # decile frontier is a top-k over a shuffled max-agg (the rank cut
+    # must be fan-out-exact); d109 is a narrow regex scan + census agg.
     "d106_badwords_blocklist",
     "d107_c4_line_cleaning",
+    "d108_semantic_decontamination",
+    "d109_pii_redaction",
 )
 
 
