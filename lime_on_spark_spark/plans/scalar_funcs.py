@@ -1420,3 +1420,78 @@ def f27_timestamp_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_iso_day"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# F28 — VARIANT / semi-structured ingestion (Spark 4's open-variant type,
+# the lakehouse answer to schemaless JSON columns): parse_json into a
+# VARIANT column, path-extract typed values (variant_get), probe a
+# sometimes-missing field with try_variant_get (NULL, never an error),
+# and aggregate on the extracted fields. The JSON feed is derived
+# closed-form from orders (money as integer cents — float-to-string
+# formatting is engine-specific, integer text is not), with the "note"
+# field present only on every 7th key so the missing-path arm is
+# load-bearing. The DuckDB oracle replays the same paths through its
+# JSON machinery (json_extract_string / CAST(json_extract ...)).
+# Scale: parse_json + variant_get are per-row JVM expressions (no
+# Python, no shuffle); at rest, variant shredding keeps path extraction
+# columnar — this row pins the semantics the shredded reader must honor.
+# --------------------------------------------------------------------------
+@register(
+    "f28_variant_semistructured",
+    oracle="""
+    WITH feed AS (
+        SELECT '{"k":' || o_orderkey
+               || ',"cust":{"id":' || o_custkey
+               || ',"pri":"' || o_orderpriority || '"}'
+               || ',"cents":' || CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               || ',"tags":["' || o_orderstatus || '","p'
+               || (o_orderkey % 4) || '"]'
+               || CASE WHEN o_orderkey % 7 = 0
+                       THEN ',"note":"gift"' ELSE '' END
+               || '}' AS j
+        FROM orders
+    )
+    SELECT json_extract_string(j, '$.cust.pri')                AS pri,
+           CAST(COUNT(*) AS BIGINT)                            AS n,
+           CAST(SUM(CAST(json_extract(j, '$.cents') AS BIGINT))
+                AS BIGINT)                                     AS sum_cents,
+           CAST(SUM(CASE WHEN json_extract_string(j, '$.note')
+                              IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_notes,
+           CAST(COUNT(DISTINCT json_extract_string(j, '$.tags[1]'))
+                AS BIGINT)                                     AS n_tag1,
+           MIN(json_extract_string(j, '$.tags[0]'))            AS min_status
+    FROM feed
+    GROUP BY pri
+    """,
+)
+def f28_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    j = F.concat(
+        F.lit('{"k":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"cust":{"id":'), F.col("o_custkey").cast("string"),
+        F.lit(',"pri":"'), F.col("o_orderpriority"), F.lit('"}'),
+        F.lit(',"cents":'), cents.cast("string"),
+        F.lit(',"tags":["'), F.col("o_orderstatus"), F.lit('","p'),
+        (F.col("o_orderkey") % 4).cast("string"), F.lit('"]'),
+        F.when(F.col("o_orderkey") % 7 == 0, ',"note":"gift"').otherwise(""),
+        F.lit("}"),
+    )
+    v = orders.select(F.parse_json(j).alias("v"))
+    ext = v.select(
+        F.variant_get("v", "$.cust.pri", "string").alias("pri"),
+        F.variant_get("v", "$.cents", "long").alias("cents"),
+        F.try_variant_get("v", "$.note", "string").alias("note"),
+        F.variant_get("v", "$.tags[1]", "string").alias("tag1"),
+        F.variant_get("v", "$.tags[0]", "string").alias("status"),
+    )
+    return ext.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(F.col("note").isNotNull().cast("int")).cast("bigint")
+        .alias("n_notes"),
+        F.countDistinct("tag1").cast("bigint").alias("n_tag1"),
+        F.min("status").alias("min_status"),
+    )

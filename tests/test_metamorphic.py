@@ -182,6 +182,12 @@ REPRESENTATIVE = (
     "d107_c4_line_cleaning",
     "d108_semantic_decontamination",
     "d109_pii_redaction",
+    # (round 15 wave 2) a29's sketch cells are a keyed count agg whose
+    # 256-cell layout — and therefore every estimate — must be identical
+    # under any fan-out (the a28 risk class); f28 is a narrow
+    # parse/extract map + one agg.
+    "a29_countmin_heavy_hitters",
+    "f28_variant_semistructured",
 )
 
 
