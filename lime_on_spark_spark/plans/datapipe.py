@@ -1443,3 +1443,134 @@ def d104_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chars").cast("bigint").alias("total_chars"),
         F.lit(int(straddle)).cast("bigint").alias("n_straddling_groups"),
     )
+
+
+# --------------------------------------------------------------------------
+# D110 — DOMAIN-LEVEL corpus profile (the CCNet/RefinedWeb accounting
+# stage after d101's URL dedup): roll crawl URLs up to the REGISTERED
+# domain (last two host labels — the public-suffix list collapses to
+# ".com"/".org" on this feed and says so; swap in a real PSL offline
+# table at production) and report, per domain, the doc count, distinct
+# subdomain count, distinct canonical pages (d101's canonicalizer —
+# tracking noise must not split pages), URL-level dup rate, and the top
+# subdomain (count desc, host asc tie-break). Per-domain dup rates are
+# how crawl curation finds mirror-heavy domains to throttle.
+# The feed derives hosts closed-form ({www,cdn,img} subdomain x source x
+# {com,org} TLD + utm noise on every 4th URL); the Spark side must
+# recover domains through real parse_url + label slicing, the oracle
+# replays the derivation closed-form (the d101 referee pattern).
+# Scale: host/domain extraction is a narrow map; the rollup shuffles
+# (domain, host, canonical) triples — never bodies; distinct-counts are
+# partial-aggregated; the top-subdomain pick is one bounded window over
+# |domains x subdomains| rows (<= 3 per domain here, bounded by the
+# subdomain fan-out in general).
+# --------------------------------------------------------------------------
+@register(
+    "d110_domain_profile",
+    oracle="""
+    WITH feed AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                               ELSE 'img' END AS sub,
+               source || CASE WHEN doc_id % 2 = 0
+                              THEN '.com' ELSE '.org' END AS regdomain,
+               doc_id % 25 AS page
+        FROM documents
+    ), urls AS (
+        SELECT regdomain,
+               sub || '.' || regdomain AS host,
+               regdomain || '/p/' || page || '?' AS canonical
+        FROM feed
+    ), tops AS (
+        SELECT regdomain, host,
+               row_number() OVER (
+                   PARTITION BY regdomain
+                   ORDER BY COUNT(*) DESC, host
+               ) AS rn,
+               CAST(COUNT(*) AS BIGINT) AS n_host
+        FROM urls GROUP BY regdomain, host
+    ), prof AS (
+        SELECT regdomain,
+               CAST(COUNT(*) AS BIGINT)               AS n_docs,
+               CAST(COUNT(DISTINCT host) AS BIGINT)   AS n_subdomains,
+               CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_pages,
+               ROUND(1.0 - COUNT(DISTINCT canonical) * 1.0 / COUNT(*), 4)
+                                                      AS dup_rate
+        FROM urls GROUP BY regdomain
+    )
+    SELECT p.regdomain, p.n_docs, p.n_subdomains, p.n_pages, p.dup_rate,
+           t.host AS top_subdomain, t.n_host AS top_subdomain_docs
+    FROM prof p JOIN tops t ON t.regdomain = p.regdomain AND t.rn = 1
+    """,
+)
+def d110_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, "www")
+        .when(F.col("doc_id") % 3 == 1, "cdn")
+        .otherwise("img")
+    )
+    tld = F.when(F.col("doc_id") % 2 == 0, ".com").otherwise(".org")
+    host = F.concat(sub, F.lit("."), F.col("source"), tld)
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"),
+        (F.col("doc_id") % 25).cast("string"),
+        # Tracking noise on every 4th URL: the canonical page count must
+        # see through it (d101's canonicalizer is the machinery under
+        # test here too).
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=s"),
+                     (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    # Real machinery side: parse the host back OUT of the URL, take the
+    # registered domain as the last two dot-labels, canonicalize the page.
+    parsed_host = F.parse_url(F.col("url"), F.lit("HOST"))
+    labels = F.split(parsed_host, "\\.")
+    regdomain = F.concat_ws(
+        ".", F.slice(labels, F.size(labels) - 1, 2)
+    )
+    urls = docs.select(url.alias("url")).select(
+        "url",
+        parsed_host.alias("host"),
+        regdomain.alias("regdomain"),
+        canonical_url(F.col("url")).alias("host_canonical"),
+    )
+    # Page identity is MIRROR-COLLAPSED: the same path on www/cdn/img is
+    # one page (that IS the domain-level dup story), so the d101
+    # canonical is rebased from the full host onto the registered
+    # domain before the distinct-page count.
+    urls = urls.withColumn(
+        "canonical",
+        F.concat(
+            F.col("regdomain"),
+            F.expr("substring(host_canonical, length(host) + 1)"),
+        ),
+    )
+    prof = urls.groupBy("regdomain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("host").cast("bigint").alias("n_subdomains"),
+        F.countDistinct("canonical").cast("bigint").alias("n_pages"),
+        F.round(
+            1.0 - F.countDistinct("canonical") / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )
+    per_host = urls.groupBy("regdomain", "host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_host")
+    )
+    w = Window.partitionBy("regdomain").orderBy(
+        F.desc("n_host"), F.asc("host")
+    )
+    tops = (
+        per_host.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "regdomain",
+            F.col("host").alias("top_subdomain"),
+            F.col("n_host").alias("top_subdomain_docs"),
+        )
+    )
+    return prof.join(tops, "regdomain")

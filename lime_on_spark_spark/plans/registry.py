@@ -81,11 +81,11 @@ _CURATED_PREFIX = (
     # CORRECTNESS_r*.json (checked against r01–r14 at rotation time) —
     # led by all 14 round-14 rows (the judge's #1 r15 ask: every one was
     # mirror-green and judge-verified at sf0.01 but never driver-
-    # certified) plus all six round-15 rows and 22 more backlog rows.
+    # certified) plus all seven round-15 rows and 21 more backlog rows.
     # q1 stays as the round-over-round continuity pin. Every family
     # keeps >= 2 rows, all oracle-backed. Never-sampled backlog after
-    # this rotation: 151 - 36 = 115 (the six r15 rows are new, not
-    # backlog; 36 backlog rows + 6 new = 42 first-time-sampled).
+    # this rotation: 151 - 35 = 116 (the seven r15 rows are new, not
+    # backlog; 35 backlog rows + 7 new = 42 first-time-sampled).
     # q — TPC-H-ish classics (q1 = continuity pin; q6 re-pin)
     "q1_pricing_summary", "q6_forecast_revenue",
     # p — SQL surface (r14: star-except, ORDER BY ALL; backlog: LATERAL
@@ -123,7 +123,7 @@ _CURATED_PREFIX = (
     "d104_group_aware_split", "d105_phrase_search",
     "d106_badwords_blocklist", "d107_c4_line_cleaning",
     "d108_semantic_decontamination", "d109_pii_redaction",
-    "d8_hash_split", "d16_tfidf_top_terms",
+    "d110_domain_profile", "d8_hash_split",
     # m — multimodal (r14: pHash near-dup; audio re-pin)
     "m7_image_phash_neardup", "m6_audio_features",
     # s — sources / sinks (all three r14 manifest/CSV rows)

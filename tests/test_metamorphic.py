@@ -188,6 +188,9 @@ REPRESENTATIVE = (
     # parse/extract map + one agg.
     "a29_countmin_heavy_hitters",
     "f28_variant_semistructured",
+    # (round 15 wave 3) d110's per-domain rollup + top-subdomain window
+    # shuffle on derived string keys.
+    "d110_domain_profile",
 )
 
 
