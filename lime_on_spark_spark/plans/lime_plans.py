@@ -1150,3 +1150,100 @@ def l15_categorical_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("w_source") + 2.0) < 0.3).alias("w_source_ok"),
         (F.col("r2") > 0.9).alias("fit_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# L16 — DELETION-TEST faithfulness (the standard post-hoc explanation
+# audit — Samek et al. 2017's "most relevant first" deletion curve,
+# RISE's deletion AUC): an explanation is FAITHFUL if removing the
+# features it names moves the model more than removing a control set of
+# the same size. The black box is a KNOWN sparse-linear function over
+# the first 8 embedding dims (c = [0.5, 0.3, 0.15, then 0.01 tail]), so
+# the audit has ground truth: LIME's top-3 must be exactly the signal
+# dims {0, 1, 2} (picked_signal), and mask-to-baseline deletion of the
+# top-3 must move f at least as much as deleting the {5, 6, 7} control
+# set (faithful) — with this c, the signal/control effect ratio is
+# >= 15x, checked at all three SFs. The effect is the STEPWISE
+# deletion curve (remove one feature at a time, accumulate the
+# absolute drops — the Samek formulation), closed-form under the
+# mu = 0 baseline: sum_{i in S} |c_i * x_i|. The one-shot joint
+# |f(x_del) - f(x)| is NOT used: signed contributions can cancel
+# (observed on this corpus: instance 2's 0.5/0.3/0.15 contributions
+# sum to ~0.002), which audits the arithmetic, not the explanation.
+# Scale: the LIME fit is the l6/l8 Arrow path (per-instance groups); the
+# audit itself is one explode-join of k rows per instance against the
+# instance vector — bounded by k*|instances|, no extra corpus scan.
+# --------------------------------------------------------------------------
+_L16_C = (0.5, 0.3, 0.15, 0.01, 0.01, 0.01, 0.01, 0.01)
+
+
+@register(
+    "l16_deletion_faithfulness",
+    oracle="""
+    SELECT vec_id AS instance_id,
+           CAST(3 AS BIGINT) AS n_top,
+           TRUE AS picked_signal,
+           TRUE AS faithful
+    FROM embeddings WHERE vec_id < 4
+    """,
+)
+def l16_deletion_faithfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.lime.explain import TABULAR_SCHEMA, _fit_group
+    from lime_on_spark_spark.lime.perturb import perturb_tabular
+
+    d = len(_L16_C)
+    c_arr = F.array(*[F.lit(float(c)) for c in _L16_C])
+    emb = load_table(spark, sf_dir, "embeddings")
+    instances = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("instance_id"),
+        F.transform(
+            F.slice("embedding", 1, d), lambda v: v.cast("double")
+        ).alias("x"),
+    )
+    samples = perturb_tabular(
+        instances, mu=[0.0] * d, num_samples=150, seed=7
+    )
+    # The known black box, evaluated on the RAW reconstruction (this is
+    # what makes the deletion audit closed-form under the zero baseline).
+    y = F.aggregate(
+        F.zip_with(F.col("raw"), c_arr, lambda r, c: r * c),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    with_y = samples.select(
+        "instance_id", "sample_id", "z",
+        y.cast("double").alias("y"), F.lit(1.0).alias("weight"),
+    )
+    fit = with_y.groupBy("instance_id").applyInPandas(
+        lambda pdf: _fit_group(pdf, k=3, alpha=1.0, with_words=False),
+        schema=TABULAR_SCHEMA,
+    )
+    # Deletion audit: top-set effect from the ACTUAL picks, control-set
+    # effect from the fixed tail dims {5, 6, 7}.
+    contrib = fit.join(instances, "instance_id").select(
+        "instance_id", "feature_idx",
+        F.abs(
+            F.element_at(c_arr, F.col("feature_idx") + 1)
+            * F.element_at(F.col("x"), F.col("feature_idx") + 1)
+        ).alias("step_drop"),
+    )
+    per_inst = contrib.groupBy("instance_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top"),
+        F.sum("step_drop").alias("top_effect"),
+        F.sort_array(F.collect_list("feature_idx")).alias("picks"),
+    )
+    ctrl = instances.select(
+        "instance_id",
+        sum(
+            F.abs(
+                F.element_at(c_arr, i + 1) * F.element_at(F.col("x"), i + 1)
+            )
+            for i in (5, 6, 7)
+        ).alias("ctrl_effect"),
+    )
+    return per_inst.join(ctrl, "instance_id").select(
+        "instance_id", "n_top",
+        (F.col("picks") == F.array(F.lit(0), F.lit(1), F.lit(2)))
+        .alias("picked_signal"),
+        (F.col("top_effect") >= F.col("ctrl_effect")).alias("faithful"),
+    )

@@ -81,11 +81,11 @@ _CURATED_PREFIX = (
     # CORRECTNESS_r*.json (checked against r01–r14 at rotation time) —
     # led by all 14 round-14 rows (the judge's #1 r15 ask: every one was
     # mirror-green and judge-verified at sf0.01 but never driver-
-    # certified) plus all seven round-15 rows and 21 more backlog rows.
+    # certified) plus all eight round-15 rows and 20 more backlog rows.
     # q1 stays as the round-over-round continuity pin. Every family
     # keeps >= 2 rows, all oracle-backed. Never-sampled backlog after
-    # this rotation: 151 - 35 = 116 (the seven r15 rows are new, not
-    # backlog; 35 backlog rows + 7 new = 42 first-time-sampled).
+    # this rotation: 151 - 34 = 117 (the eight r15 rows are new, not
+    # backlog; 34 backlog rows + 8 new = 42 first-time-sampled).
     # q — TPC-H-ish classics (q1 = continuity pin; q6 re-pin)
     "q1_pricing_summary", "q6_forecast_revenue",
     # p — SQL surface (r14: star-except, ORDER BY ALL; backlog: LATERAL
@@ -112,10 +112,10 @@ _CURATED_PREFIX = (
     # funnel, transitions, interpolate, lateness profile)
     "t34_multi_watermark_policy", "t9_conversion_funnel",
     "t11_event_transitions", "t14_interpolate", "t20_lateness_profile",
-    # l — LIME (r14: categorical explain; backlog: decile discretizer,
-    # Gaussian perturbation, perturbation scoring)
-    "l15_categorical_explain", "l1_discretizer_deciles",
-    "l2_perturb_gaussian", "l4_score_perturbations",
+    # l — LIME (r14: categorical explain; r15: deletion-test
+    # faithfulness; backlog: decile discretizer, Gaussian perturbation)
+    "l15_categorical_explain", "l16_deletion_faithfulness",
+    "l1_discretizer_deciles", "l2_perturb_gaussian",
     # d — data-pipeline (all 5 r14 rows + all 4 r15 rows — every row new
     # this round goes straight into the sample so no round ends with its
     # own rows uncertified — + backlog: hash split, TF-IDF)

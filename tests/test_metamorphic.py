@@ -189,8 +189,11 @@ REPRESENTATIVE = (
     "a29_countmin_heavy_hitters",
     "f28_variant_semistructured",
     # (round 15 wave 3) d110's per-domain rollup + top-subdomain window
-    # shuffle on derived string keys.
+    # shuffle on derived string keys; l16's per-instance Arrow fit groups
+    # + pick-set join must not vary with how instances land in batches
+    # (the l15 risk class).
     "d110_domain_profile",
+    "l16_deletion_faithfulness",
 )
 
 
