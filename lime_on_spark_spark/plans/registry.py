@@ -81,11 +81,11 @@ _CURATED_PREFIX = (
     # CORRECTNESS_r*.json (checked against r01–r14 at rotation time) —
     # led by all 14 round-14 rows (the judge's #1 r15 ask: every one was
     # mirror-green and judge-verified at sf0.01 but never driver-
-    # certified) plus all eight round-15 rows and 20 more backlog rows.
+    # certified) plus all ten round-15 rows and 19 more backlog rows.
     # q1 stays as the round-over-round continuity pin. Every family
     # keeps >= 2 rows, all oracle-backed. Never-sampled backlog after
-    # this rotation: 151 - 34 = 117 (the eight r15 rows are new, not
-    # backlog; 34 backlog rows + 8 new = 42 first-time-sampled).
+    # this rotation: 151 - 33 = 118 (the ten r15 rows are new, not
+    # backlog; 33 backlog rows + 10 new = 43 first-time-sampled).
     # q — TPC-H-ish classics (q1 = continuity pin; q6 re-pin)
     "q1_pricing_summary", "q6_forecast_revenue",
     # p — SQL surface (r14: star-except, ORDER BY ALL; backlog: LATERAL
@@ -100,18 +100,19 @@ _CURATED_PREFIX = (
     "a2_bitmap_distinct", "a3_hll_sketch_merge", "a4_minmax_by",
     # w — windows (backlog: value funcs, cumulative distinct)
     "w5_value_funcs", "w7_cumulative_distinct_users",
-    # o — physical/optimizer pins (backlog: ANALYZE stats; cache re-pin)
-    "o8_analyze_table_stats", "o13_cache_reuse",
+    # o — physical/optimizer pins (r15: filter-pushdown pin; backlog:
+    # ANALYZE stats)
+    "o8_analyze_table_stats", "o17_filter_pushdown",
     # u — set operations (re-pins; both backlog u-rows certified in r14)
     "u1_union_all", "u2_intersect",
     # f — functions (r15: VARIANT; backlog: string/date extras, array
     # predicates, bitwise)
     "f28_variant_semistructured", "f1_string_extras", "f2_date_extras",
     "f4_array_predicates", "f10_bitwise_funcs",
-    # t — event-time & streaming (r14: multi-watermark policy; backlog:
-    # funnel, transitions, interpolate, lateness profile)
-    "t34_multi_watermark_policy", "t9_conversion_funnel",
-    "t11_event_transitions", "t14_interpolate", "t20_lateness_profile",
+    # t — event-time & streaming (r14: multi-watermark policy; r15:
+    # streaming VARIANT; backlog: funnel, transitions, interpolate)
+    "t34_multi_watermark_policy", "t35_streaming_variant_ingest",
+    "t9_conversion_funnel", "t11_event_transitions", "t14_interpolate",
     # l — LIME (r14: categorical explain; r15: deletion-test
     # faithfulness; backlog: decile discretizer, Gaussian perturbation)
     "l15_categorical_explain", "l16_deletion_faithfulness",

@@ -3564,3 +3564,59 @@ def s42_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_quarantined bigint, n_dropmalformed bigint,"
         " sum_good_price double, failfast_raised boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# O17 — FILTER PUSHDOWN pin (the scan-side twin of o10's schema-pruning
+# pin): a selective predicate must reach the parquet reader as
+# PushedFilters — at 100 TB the difference between "row-group statistics
+# skip most of the table" and "every row is decoded then thrown away".
+# Self-certifying (the o9/o10 discipline): the row executes a selective
+# lineitem read (l_returnflag = 'R' AND l_quantity < 5) and derives
+# filters_pushed = "both predicates appear in the executed scan's
+# PushedFilters AND the scan's ReadSchema excludes the unprojected money
+# columns" from the physical plan string; the oracle pins TRUE, so a
+# regression that stops pushing (e.g. a UDF wrapping the predicate, a
+# cast blocking the translation) fails the artifact, not just a vibe.
+# --------------------------------------------------------------------------
+@register(
+    "o17_filter_pushdown",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)      AS n,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty,
+           TRUE                          AS filters_pushed
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity < 5
+    GROUP BY l_returnflag
+    """,
+)
+def o17_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    li = load_table(spark, sf_dir, "lineitem")
+    res = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 5))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    pushed = m.group(1) if m else ""
+    rs = _re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    read_schema = rs.group(1) if rs else ""
+    ok = (
+        "EqualTo(l_returnflag,R)" in pushed
+        and "LessThan(l_quantity,5.0)" in pushed
+        and "l_extendedprice" not in read_schema
+        and "l_shipdate" not in read_schema
+    )
+    rows = [(*r, ok) for r in res.collect()]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, n bigint, sum_qty double,"
+        " filters_pushed boolean",
+    )

@@ -2738,3 +2738,74 @@ def t34_multi_watermark_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_windows_maxpol bigint, n_rows_maxpol bigint,"
         " max_dominates_min boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# T35 — STREAMING VARIANT ingestion (f28's open-variant type on the
+# streaming path): the production shape for schemaless event logs —
+# JSON lines arrive on a stream, parse_json lifts each line to VARIANT
+# once, typed path extraction feeds a watermarked windowed aggregate.
+# No schema is declared for the payload anywhere (the point of VARIANT:
+# late-binding without a DDL migration when producers add fields); the
+# event timestamp rides as integer unix-micros inside the JSON (engine-
+# neutral — JSON has no timestamp type) and is rebuilt with
+# timestamp_micros. Complete-mode availableNow replay == the batch twin,
+# so the oracle is the t1 aggregate over the ORIGINAL events table —
+# agreement proves the serialize -> stream -> parse_json -> variant_get
+# -> window loop is lossless end-to-end.
+# Scale: parse_json + variant_get are per-row JVM expressions inside the
+# micro-batch scan; state is the same windowed-agg store as t1 — the
+# VARIANT hop adds no shuffle and no Python.
+# --------------------------------------------------------------------------
+@register(
+    "t35_streaming_variant_ingest",
+    oracle="""
+    SELECT date_trunc('hour', ts)                             AS hour_start,
+           event_type,
+           COUNT(*)                                           AS n_events,
+           ROUND(SUM(value), 2)                               AS total_value
+    FROM events
+    GROUP BY hour_start, event_type
+    """,
+)
+def t35_streaming_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.plans.sources_sinks import _scratch
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_type").alias("et"),
+                F.col("value").alias("v"),
+            )
+        ).alias("value")
+    )
+    path = _scratch(spark, "t35_jsonl")
+    lines.coalesce(4).write.mode("overwrite").text(path)
+
+    stream = spark.readStream.schema("value string").text(path)
+    v = F.parse_json(F.col("value"))
+    parsed = stream.select(
+        F.timestamp_micros(
+            F.variant_get(v, "$.ts_us", "long")
+        ).alias("ts"),
+        F.variant_get(v, "$.et", "string").alias("event_type"),
+        F.variant_get(v, "$.v", "double").alias("value"),
+    )
+    agg = (
+        parsed.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")

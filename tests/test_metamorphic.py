@@ -194,6 +194,11 @@ REPRESENTATIVE = (
     # (the l15 risk class).
     "d110_domain_profile",
     "l16_deletion_faithfulness",
+    # (round 15 wave 4) t35's windowed-agg state keyed on (window, type)
+    # must close identical windows under any fan-out; o17's pushdown
+    # booleans are plan-derived and must not depend on partitioning.
+    "t35_streaming_variant_ingest",
+    "o17_filter_pushdown",
 )
 
 
