@@ -81,17 +81,17 @@ _CURATED_PREFIX = (
     # CORRECTNESS_r*.json (checked against r01–r14 at rotation time) —
     # led by all 14 round-14 rows (the judge's #1 r15 ask: every one was
     # mirror-green and judge-verified at sf0.01 but never driver-
-    # certified) plus all ten round-15 rows and 19 more backlog rows.
+    # certified) plus all twelve round-15 rows and 17 more backlog rows.
     # q1 stays as the round-over-round continuity pin. Every family
     # keeps >= 2 rows, all oracle-backed. Never-sampled backlog after
-    # this rotation: 151 - 33 = 118 (the ten r15 rows are new, not
-    # backlog; 33 backlog rows + 10 new = 43 first-time-sampled).
+    # this rotation: 151 - 31 = 120 (the twelve r15 rows are new, not
+    # backlog; 31 backlog rows + 12 new = 43 first-time-sampled).
     # q — TPC-H-ish classics (q1 = continuity pin; q6 re-pin)
     "q1_pricing_summary", "q6_forecast_revenue",
     # p — SQL surface (r14: star-except, ORDER BY ALL; backlog: LATERAL
     # top-k, parameterized SQL, SQL UDF)
     "p22_select_star_except", "p23_order_by_all", "p11_lateral_topk",
-    "p13_parameterized_sql", "p14_sql_udf",
+    "p13_parameterized_sql",
     # j — joins (all j rows already certified; outer + semi re-pins)
     "j2_left_outer", "j3_semi",
     # a — aggregates / sketches (r14: theta set ops; r15: count-min;
@@ -124,12 +124,13 @@ _CURATED_PREFIX = (
     "d104_group_aware_split", "d105_phrase_search",
     "d106_badwords_blocklist", "d107_c4_line_cleaning",
     "d108_semantic_decontamination", "d109_pii_redaction",
-    "d110_domain_profile", "d8_hash_split",
+    "d110_domain_profile", "d112_bm25_ranking",
     # m — multimodal (r14: pHash near-dup; audio re-pin)
     "m7_image_phash_neardup", "m6_audio_features",
-    # s — sources / sinks (all three r14 manifest/CSV rows)
+    # s — sources / sinks (all three r14 manifest/CSV rows + r15
+    # VARIANT-parquet roundtrip)
     "s40_dynamic_partition_overwrite", "s41_manifest_files_table",
-    "s42_csv_malformed_modes",
+    "s42_csv_malformed_modes", "s43_variant_parquet_roundtrip",
 )
 
 

@@ -3620,3 +3620,74 @@ def o17_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag string, n bigint, sum_qty double,"
         " filters_pushed boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# S43 — VARIANT-in-PARQUET roundtrip (the storage half of f28/t35): a
+# VARIANT column written to parquet (Spark 4 shreds it as the
+# metadata/value binary pair) must read back as VARIANT with every
+# typed path extraction intact — the lakehouse contract for landing
+# schemaless payloads WITHOUT exploding them to strings or locking a
+# struct schema at write time. The feed lifts events.props-shaped JSON
+# (plus unix-micros timestamps) to VARIANT, writes, reads back, and
+# re-aggregates via variant_get; the oracle computes the same aggregate
+# from the ORIGINAL events table, so agreement proves the
+# parse -> shred -> store -> reassemble -> extract loop lossless.
+# Self-certifying pins (the o9/o10 discipline): the read-back schema
+# must still SAY variant (a silent stringification would flip it) and
+# row counts must survive the roundtrip.
+# Scale: shredded variant stays columnar at rest; extraction is per-row
+# JVM work at scan stage — no Python, no shuffle before the census agg.
+# --------------------------------------------------------------------------
+@register(
+    "s43_variant_parquet_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)   AS n,
+           ROUND(SUM(value), 2)       AS sum_v,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           TRUE                       AS schema_is_variant,
+           TRUE                       AS rows_preserved
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s43_variant_parquet_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_src = ev.count()
+    lifted = ev.select(
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("et"),
+                    F.col("value").alias("v"),
+                    F.unix_micros("ts").alias("ts_us"),
+                )
+            )
+        ).alias("payload")
+    )
+    path = _scratch(spark, "s43_variant")
+    lifted.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    is_variant = back.schema["payload"].dataType.typeName() == "variant"
+    agg = back.select(
+        F.variant_get("payload", "$.et", "string").alias("event_type"),
+        F.variant_get("payload", "$.v", "double").alias("v"),
+        F.variant_get("payload", "$.ts_us", "long").alias("ts_us"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.min("ts_us").cast("bigint").alias("min_ts_us"),
+    )
+    rows_preserved = bool(
+        back.count() == n_src
+    )
+    return agg.select(
+        "event_type", "n", "sum_v", "min_ts_us",
+        F.lit(bool(is_variant)).alias("schema_is_variant"),
+        F.lit(rows_preserved).alias("rows_preserved"),
+    )

@@ -3685,3 +3685,106 @@ def d105_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_occurrences"),
         F.max("n").cast("bigint").alias("max_per_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# D112 — OKAPI BM25 ranking (Robertson et al., TREC-3): the retrieval
+# scorer that completes the search stack next to d16's TF-IDF and
+# d105's phrase postings — BM25 is what production keyword search
+# actually ranks with (tf saturation via k1, length normalization via
+# b). Query = three planted terms with very different document
+# frequencies ('dup' is rare -> high idf, so the idf term is
+# load-bearing). Postings are built for the QUERY TERMS ONLY (the d105
+# discipline — the corpus is never fully inverted for a 3-term query);
+# df/idf/avgdl are 3-row/1-row broadcast scalars; top-20 by (rounded
+# score desc, doc_id) is TakeOrderedAndProject. Scores are rounded to 6
+# BEFORE the rank on both engines (the d3 frontier contract).
+# Scale: one token explode filtered to query terms at scan stage, one
+# (doc, term) count shuffle over matching postings only, broadcast
+# scalars, top-k — no corpus self-join, no full inverted index.
+# --------------------------------------------------------------------------
+_D112_TERMS = ("spark", "vector", "dup")
+_D112_K1, _D112_B = 1.2, 0.75
+
+
+@register(
+    "d112_bm25_ranking",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM docs
+    ), tf AS (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf, MIN(dl) AS dl
+        FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl
+              FROM docs)
+        WHERE tok IN ('spark', 'vector', 'dup')
+        GROUP BY doc_id, tok
+    ), idf AS (
+        SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               ROUND(SUM(idf.idf * tf.tf * (1.2 + 1)
+                         / (tf.tf + 1.2 * (1 - 0.75
+                            + 0.75 * tf.dl / (SELECT avgdl FROM stats)))),
+                     6) AS bm25
+        FROM tf JOIN idf USING (term)
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def d112_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1, b = _D112_K1, _D112_B
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(*_D112_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                1 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(
+                F.sum(
+                    F.col("idf") * F.col("tf") * (k1 + 1)
+                    / (
+                        F.col("tf")
+                        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)

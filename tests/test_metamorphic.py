@@ -199,6 +199,11 @@ REPRESENTATIVE = (
     # booleans are plan-derived and must not depend on partitioning.
     "t35_streaming_variant_ingest",
     "o17_filter_pushdown",
+    # (round 15 wave 5) d112's (doc, term) posting shuffle + broadcast
+    # scalars + rounded-score top-k frontier must be fan-out-exact; s43's
+    # roundtrip census and schema pin must not depend on write fan-out.
+    "d112_bm25_ranking",
+    "s43_variant_parquet_roundtrip",
 )
 
 
