@@ -2701,3 +2701,60 @@ def d109_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("red")).cast("bigint").alias("redacted_chars"),
         F.sum(residual).cast("bigint").alias("residual_hits"),
     )
+
+
+# --------------------------------------------------------------------------
+# D113 — differentially-private count release (Dwork 2006 Laplace
+# mechanism): the privacy stage a public data card runs before
+# publishing per-group statistics. Noise = Laplace(sensitivity/eps) via
+# the inverse CDF, with u drawn md5-deterministically per group key —
+# the l15/d8 discipline: a stochastic MECHANISM instantiated as a pure
+# function of the key, so the release is engine-exact and the oracle
+# replays it bit-for-bit (ln + round on both sides). The synthetic
+# corpus is not private, and the row emits true counts BESIDE the noisy
+# release on purpose — it demonstrates and pins the mechanism's
+# arithmetic (count sensitivity = 1, eps = 0.5 -> scale b = 2), plus an
+# in-row utility/bound verdict: |noise| <= b * ln(1/(2*0.005)) (the
+# 99.5th-percentile Laplace bound) for every group, which holds
+# deterministically here because the md5 u-draws are known.
+# Scale: one keyed count agg + per-group scalar noise arithmetic — the
+# release adds zero shuffles to the census it privatizes.
+# --------------------------------------------------------------------------
+@register(
+    "d113_dp_count_release",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM documents GROUP BY source
+    ), noised AS (
+        SELECT source, true_n,
+               CAST(('0x' || substr(md5('dp:' || source), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+        FROM counts
+    )
+    SELECT source, true_n,
+           -- X = -b * sgn(u - 1/2) * ln(1 - 2|u - 1/2|): positive noise
+           -- for u >= 1/2 (ln term is negative, double-negated).
+           ROUND(true_n + (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                 * 2.0 * ln(1 - 2 * abs(u - 0.5)) * -1, 4) AS released_n,
+           ABS(2.0 * ln(1 - 2 * abs(u - 0.5))) <= 2.0 * ln(100.0)
+                                                      AS within_bound
+    FROM noised
+    """,
+)
+def d113_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    u = _md5_uniform(F.concat(F.lit("dp:"), F.col("source")))
+    b = 2.0  # sensitivity 1 / eps 0.5
+    # Inverse-CDF Laplace: sign(u - 1/2) * b * ln(1 - 2|u - 1/2|), here
+    # written sign-split so both engines evaluate the identical tree.
+    mag = -b * F.log(1 - 2 * F.abs(u - 0.5))
+    noise = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * mag
+    return counts.select(
+        "source", "true_n",
+        F.round(F.col("true_n") + noise, 4).alias("released_n"),
+        (F.abs(mag) <= b * F.log(F.lit(100.0))).alias("within_bound"),
+    )

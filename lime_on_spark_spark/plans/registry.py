@@ -81,11 +81,11 @@ _CURATED_PREFIX = (
     # CORRECTNESS_r*.json (checked against r01–r14 at rotation time) —
     # led by all 14 round-14 rows (the judge's #1 r15 ask: every one was
     # mirror-green and judge-verified at sf0.01 but never driver-
-    # certified) plus all twelve round-15 rows and 17 more backlog rows.
+    # certified) plus all fourteen round-15 rows and 15 more backlog rows.
     # q1 stays as the round-over-round continuity pin. Every family
     # keeps >= 2 rows, all oracle-backed. Never-sampled backlog after
-    # this rotation: 151 - 31 = 120 (the twelve r15 rows are new, not
-    # backlog; 31 backlog rows + 12 new = 43 first-time-sampled).
+    # this rotation: 151 - 29 = 122 (the fourteen r15 rows are new, not
+    # backlog; 29 backlog rows + 14 new = 43 first-time-sampled).
     # q — TPC-H-ish classics (q1 = continuity pin; q6 re-pin)
     "q1_pricing_summary", "q6_forecast_revenue",
     # p — SQL surface (r14: star-except, ORDER BY ALL; backlog: LATERAL
@@ -97,7 +97,7 @@ _CURATED_PREFIX = (
     # a — aggregates / sketches (r14: theta set ops; r15: count-min;
     # backlog: bitmap distinct, HLL merge, min/max_by)
     "a28_theta_sketch_setops", "a29_countmin_heavy_hitters",
-    "a2_bitmap_distinct", "a3_hll_sketch_merge", "a4_minmax_by",
+    "a2_bitmap_distinct", "a3_hll_sketch_merge",
     # w — windows (backlog: value funcs, cumulative distinct)
     "w5_value_funcs", "w7_cumulative_distinct_users",
     # o — physical/optimizer pins (r15: filter-pushdown pin; backlog:
@@ -105,10 +105,10 @@ _CURATED_PREFIX = (
     "o8_analyze_table_stats", "o17_filter_pushdown",
     # u — set operations (re-pins; both backlog u-rows certified in r14)
     "u1_union_all", "u2_intersect",
-    # f — functions (r15: VARIANT; backlog: string/date extras, array
-    # predicates, bitwise)
-    "f28_variant_semistructured", "f1_string_extras", "f2_date_extras",
-    "f4_array_predicates", "f10_bitwise_funcs",
+    # f — functions (r15: VARIANT, collations; backlog: string/date
+    # extras, array predicates)
+    "f28_variant_semistructured", "f29_collation_semantics",
+    "f1_string_extras", "f2_date_extras", "f4_array_predicates",
     # t — event-time & streaming (r14: multi-watermark policy; r15:
     # streaming VARIANT; backlog: funnel, transitions, interpolate)
     "t34_multi_watermark_policy", "t35_streaming_variant_ingest",
@@ -125,6 +125,7 @@ _CURATED_PREFIX = (
     "d106_badwords_blocklist", "d107_c4_line_cleaning",
     "d108_semantic_decontamination", "d109_pii_redaction",
     "d110_domain_profile", "d112_bm25_ranking",
+    "d113_dp_count_release",
     # m — multimodal (r14: pHash near-dup; audio re-pin)
     "m7_image_phash_neardup", "m6_audio_features",
     # s — sources / sinks (all three r14 manifest/CSV rows + r15

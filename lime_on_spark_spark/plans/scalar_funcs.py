@@ -1495,3 +1495,59 @@ def f28_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tag1").cast("bigint").alias("n_tag1"),
         F.min("status").alias("min_status"),
     )
+
+
+# --------------------------------------------------------------------------
+# F29 — COLLATION semantics (Spark 4's collated string type): equality,
+# grouping, and DISTINCT under UTF8_LCASE must be case-insensitive
+# WITHOUT rewriting every expression through lower() — the engine-level
+# answer to mixed-case categorical columns from heterogeneous producers.
+# Feed: o_orderpriority upper-cased on even keys. The row pins (1)
+# case-insensitive GROUP BY cardinality, (2) collated equality filter
+# counts, (3) case-insensitive COUNT(DISTINCT). Group labels are
+# re-normalized through lower() for output — the collated group's
+# REPRESENTATIVE casing is explicitly unspecified by the engine, so
+# emitting it raw would pin nondeterminism (and the oracle twin, which
+# replays the semantics via lower(), could never match it).
+# Scale: collation is a comparator property of the type — grouping
+# shuffles exactly as before, no normalization map stage needed.
+# --------------------------------------------------------------------------
+@register(
+    "f29_collation_semantics",
+    oracle="""
+    WITH feed AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                    ELSE o_orderpriority END AS pri
+        FROM orders
+    )
+    SELECT lower(pri)                             AS pri_label,
+           CAST(COUNT(*) AS BIGINT)               AS n,
+           CAST(SUM(CASE WHEN lower(pri) = lower('1-URGENT')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_urgent,
+           (SELECT CAST(COUNT(DISTINCT lower(pri)) AS BIGINT) FROM feed)
+                                                  AS n_ci_distinct
+    FROM feed
+    GROUP BY lower(pri)
+    """,
+)
+def f29_collation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pri = F.when(
+        F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+    ).otherwise(F.col("o_orderpriority"))
+    feed = orders.select(pri.alias("pri")).select(
+        F.collate("pri", "UTF8_LCASE").alias("pri_ci")
+    )
+    ci_distinct = feed.agg(
+        F.countDistinct("pri_ci").cast("bigint").alias("n_ci_distinct")
+    )
+    grouped = feed.groupBy("pri_ci").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("pri_ci") == F.lit("1-urgent")).cast("int")
+        ).cast("bigint").alias("n_eq_urgent"),
+    )
+    return grouped.crossJoin(F.broadcast(ci_distinct)).select(
+        F.lower(F.col("pri_ci").cast("string")).alias("pri_label"),
+        "n", "n_eq_urgent", "n_ci_distinct",
+    )

@@ -204,6 +204,11 @@ REPRESENTATIVE = (
     # roundtrip census and schema pin must not depend on write fan-out.
     "d112_bm25_ranking",
     "s43_variant_parquet_roundtrip",
+    # (round 15 wave 6) f29's collated groupBy must form the same
+    # case-insensitive groups under any fan-out; d113's md5 u-draws are
+    # per-key pure functions — fan-out cannot move the noise.
+    "f29_collation_semantics",
+    "d113_dp_count_release",
 )
 
 
