@@ -283,6 +283,27 @@ EMPTY_SAFE = (
     "j12_null_aware_anti",
     "d99_source_calibrated_quality",
     "w13_gaps_islands_streaks",
+    # round-15: every new row must survive a zero-row ingest day — the
+    # C4 stages, decon, PII, domain, BM25, DP release produce empty
+    # profiles; a29's sketch has zero cells and zero queries; f28/f29
+    # aggregate nothing; o17's pushdown pins are plan properties that
+    # hold on an empty scan; s43 roundtrips an empty-but-typed variant
+    # table; t35 replays zero micro-batch rows; l16 explains zero
+    # instances.
+    "d106_badwords_blocklist",
+    "d107_c4_line_cleaning",
+    "d108_semantic_decontamination",
+    "d109_pii_redaction",
+    "d110_domain_profile",
+    "d112_bm25_ranking",
+    "d113_dp_count_release",
+    "a29_countmin_heavy_hitters",
+    "f28_variant_semistructured",
+    "f29_collation_semantics",
+    "o17_filter_pushdown",
+    "s43_variant_parquet_roundtrip",
+    "t35_streaming_variant_ingest",
+    "l16_deletion_faithfulness",
 )
 
 

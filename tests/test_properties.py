@@ -1284,3 +1284,34 @@ def test_minhash_band_keys_mirror_and_set_invariance(spark):
     for d, ss in sets.items():
         assert got[d] == mirror(ss), d
     assert got[100] == got[0]
+
+
+def test_badwords_hits_matches_python_mirror(spark):
+    """d106's hit counter: randomized docs + randomized blocklists must
+    match a pure-Python whole-token mirror exactly (occurrences, not
+    distinct terms; no substring matches; empty docs -> 0)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.c4_clean import badwords_hits
+
+    rng = random.Random(106)
+    vocab = ["a", "ab", "abc", "dup", "dupx", "slow", "slowly", "q"]
+    cases = []
+    for i in range(200):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+        cases.append((i, " ".join(toks)))
+    blocklist = ("dup", "slow", "a")  # prefixes of other vocab entries
+    df = spark.createDataFrame(cases, "i int, text string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", badwords_hits("text", blocklist).alias("h")
+        ).collect()
+    }
+    want = {
+        i: sum(1 for t in text.split(" ") if t in blocklist)
+        for i, text in cases
+    }
+    assert got == want
