@@ -527,3 +527,89 @@ def m7_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_near_pairs", F.lit(0)).alias("n_near_pairs"),
         F.coalesce("n_exact_pairs", F.lit(0)).alias("n_exact_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+# M8 — INTERLEAVED multimodal sequence packing (the MMC4/OBELICS training
+# prep stage): text documents and their image attachments pack into
+# fixed-budget training sequences where an image costs a FIXED SLOT of
+# visual tokens (64 here — the ViT-patch budget) plus 2 separators per
+# document. Packing is SHARD-LOCAL (md5-bucket of doc_id, 8 shards):
+# the cumsum window partitions by shard, so no global single-reducer
+# sort exists at any scale — d14's document-local rule lifted to
+# cross-document packing the scale-safe way (d67's sharding). Greedy
+# rule (seq = floor(cost-before / budget)) overflows a sequence by at
+# most one document, the standard streaming-packing tradeoff. Every
+# fifth doc carries an image (deterministic stand-in for the crawl's
+# <img> positions; the decode itself stays the honest m1 stub).
+# Scale: one narrow map for costs, one keyed window per shard, one
+# grouped census — shuffles carry (shard, doc_id, costs) triples only.
+# --------------------------------------------------------------------------
+@register(
+    "m8_interleaved_packing",
+    oracle="""
+    WITH costed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 8                         AS shard,
+               len(string_split(text, ' '))                AS n_text,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END  AS has_img
+        FROM documents
+    ), packed AS (
+        SELECT shard, doc_id, n_text, has_img,
+               n_text + has_img * 64 + 2 AS cost,
+               CAST(floor(
+                   (SUM(n_text + has_img * 64 + 2) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (n_text + has_img * 64 + 2)) / 2048.0
+               ) AS BIGINT) AS seq_id
+        FROM costed
+    )
+    SELECT shard, seq_id,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           CAST(SUM(n_text) AS BIGINT)    AS text_tokens,
+           CAST(SUM(has_img) AS BIGINT)   AS n_images,
+           CAST(SUM(cost) AS BIGINT)      AS seq_cost,
+           ROUND(SUM(cost) / 2048.0, 4)   AS fill_rate
+    FROM packed
+    GROUP BY shard, seq_id
+    """,
+)
+def m8_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    IMG_SLOT, SEP, BUDGET = 64, 2, 2048
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 8
+    )
+    costed = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).alias("n_text"),
+        (F.col("doc_id") % 5 == 0).cast("int").alias("has_img"),
+    ).withColumn(
+        "cost", F.col("n_text") + F.col("has_img") * IMG_SLOT + SEP
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = costed.withColumn(
+        "seq_id",
+        F.floor((F.sum("cost").over(w) - F.col("cost")) / BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_text").cast("bigint").alias("text_tokens"),
+        F.sum("has_img").cast("bigint").alias("n_images"),
+        F.sum("cost").cast("bigint").alias("seq_cost"),
+        F.round(F.sum("cost") / float(BUDGET), 4).alias("fill_rate"),
+    )

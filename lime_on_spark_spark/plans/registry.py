@@ -81,11 +81,11 @@ _CURATED_PREFIX = (
     # CORRECTNESS_r*.json (checked against r01–r14 at rotation time) —
     # led by all 14 round-14 rows (the judge's #1 r15 ask: every one was
     # mirror-green and judge-verified at sf0.01 but never driver-
-    # certified) plus all fourteen round-15 rows and 15 more backlog rows.
+    # certified) plus all fifteen round-15 rows and 14 more backlog rows.
     # q1 stays as the round-over-round continuity pin. Every family
     # keeps >= 2 rows, all oracle-backed. Never-sampled backlog after
-    # this rotation: 151 - 29 = 122 (the fourteen r15 rows are new, not
-    # backlog; 29 backlog rows + 14 new = 43 first-time-sampled).
+    # this rotation: 151 - 29 = 122 (the fifteen r15 rows are new, not
+    # backlog; 29 backlog rows + 15 new = 44 first-time-sampled).
     # q — TPC-H-ish classics (q1 = continuity pin; q6 re-pin)
     "q1_pricing_summary", "q6_forecast_revenue",
     # p — SQL surface (r14: star-except, ORDER BY ALL; backlog: LATERAL
@@ -126,8 +126,8 @@ _CURATED_PREFIX = (
     "d108_semantic_decontamination", "d109_pii_redaction",
     "d110_domain_profile", "d112_bm25_ranking",
     "d113_dp_count_release",
-    # m — multimodal (r14: pHash near-dup; audio re-pin)
-    "m7_image_phash_neardup", "m6_audio_features",
+    # m — multimodal (r14: pHash near-dup; r15: interleaved packing)
+    "m7_image_phash_neardup", "m8_interleaved_packing",
     # s — sources / sinks (all three r14 manifest/CSV rows + r15
     # VARIANT-parquet roundtrip)
     "s40_dynamic_partition_overwrite", "s41_manifest_files_table",

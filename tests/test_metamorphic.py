@@ -209,6 +209,9 @@ REPRESENTATIVE = (
     # per-key pure functions — fan-out cannot move the noise.
     "f29_collation_semantics",
     "d113_dp_count_release",
+    # (round 15 wave 7) m8's shard-local packing cumsum must assign the
+    # same sequences under any fan-out (the d90 prefix-sum risk class).
+    "m8_interleaved_packing",
 )
 
 
@@ -304,6 +307,7 @@ EMPTY_SAFE = (
     "s43_variant_parquet_roundtrip",
     "t35_streaming_variant_ingest",
     "l16_deletion_faithfulness",
+    "m8_interleaved_packing",
 )
 
 
