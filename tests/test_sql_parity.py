@@ -87,6 +87,13 @@ PORTABLE = [
     # p23's oracle is the identical SQL text (GROUP BY ALL + ORDER BY
     # ALL ship in both engines); d104's is md5-over-string + CASE.
     "p23_order_by_all", "d104_group_aware_split",
+    # round-15 additions (verified to parse AND evaluate identically on
+    # Spark SQL before listing): f29's oracle is the plain lower()
+    # normalization twin; o17/t35/l16 are ANSI aggregates/pins; d110's
+    # feed CTE is || concat + CASE + row_number.
+    "f29_collation_semantics", "o17_filter_pushdown",
+    "t35_streaming_variant_ingest", "l16_deletion_faithfulness",
+    "d110_domain_profile",
 ]
 
 
