@@ -2575,3 +2575,57 @@ def test_manifest_row_tracking_edges(spark, tmp_path):
         json.dump(m, fh)
     with pytest.raises(Exception, match="row tracking"):
         read_ids()
+
+
+# ---------------------------------------------------------------- round 15
+# Plan-shape pins for the r15 rows: the scale claims in their docstrings
+# (broadcast sides, posting-only shuffles, codegen'd scans) asserted
+# against the executed plan, not just narrated.
+
+
+def test_d108_benchmark_side_broadcasts(spark, sf_dir):
+    """d108's corpus x benchmark pass must be a broadcast nested-loop
+    (benchmark side broadcast by construction) — a shuffled cross join
+    here would be the 100 TB failure mode."""
+    plan = _formatted(_q(spark, sf_dir, "d108_semantic_decontamination"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_d112_postings_only_and_broadcast_scalars(spark, sf_dir):
+    """d112: the idf/avgdl sides ride broadcast exchanges (no shuffled
+    join against 3-row scalars), and the only hash-partitioned keys are
+    the (doc_id, term) posting keys — never document text."""
+    plan = _formatted(_q(spark, sf_dir, "d112_bm25_ranking"))
+    assert "BroadcastExchange" in plan, plan
+    for key in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in key, plan
+    # top-20 must be a TakeOrderedAndProject, not a global sort.
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_a29_sketch_probe_join_broadcasts(spark, sf_dir):
+    """a29's estimate lookup joins 256 sketch cells to the probe rows —
+    the cell side must broadcast (a shuffled join keyed on the sketch
+    cells would shuffle the probes for nothing)."""
+    plan = _formatted(_q(spark, sf_dir, "a29_countmin_heavy_hitters"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_d106_blocklist_is_plan_constant(spark, sf_dir):
+    """d106's blocklist must be inlined into the plan (a codegen'd
+    higher-order function over the token array), with the only exchange
+    being the per-source census agg — no join anywhere."""
+    plan = _formatted(_q(spark, sf_dir, "d106_badwords_blocklist"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial/final census agg
+
+
+def test_d107_dedup_shuffles_hashes_not_lines(spark, sf_dir):
+    """d107's cross-doc line dedup must shuffle md5 keys, never line
+    bodies: no hashpartitioning key may be the raw line column."""
+    plan = _formatted(_q(spark, sf_dir, "d107_c4_line_cleaning"))
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys, plan
+    for key in keys:
+        assert "line#" not in key, plan
