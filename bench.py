@@ -161,6 +161,13 @@ EXTENDED = (
     # and are probe-tracked in BENCH_NOTES instead.
     "m7_image_phash_neardup",
     "d103_rouge_overlap",
+    # round-15 additions: the two corpus-scaling shapes heavy enough to
+    # track (d108 = corpus x broadcast-benchmark similarity + top-k;
+    # d112 = query-term posting join + broadcast scalars). The other r15
+    # rows are scan-speed maps/censuses at the q6 floor class —
+    # probe-tracked in BENCH_NOTES instead.
+    "d108_semantic_decontamination",
+    "d112_bm25_ranking",
 )
 
 
