@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lime_on_spark_spark.functions.vector import cosine, dot, l2_norm
+from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
 from lime_on_spark_spark.plans.registry import register
 from lime_on_spark_spark.sources.catalog import load_table
 
@@ -2041,10 +2042,16 @@ def d98_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: the benchmark side is broadcast (bounded by definition — eval
 # sets are thousands of rows); max-similarity folds map-side before one
 # |corpus|-row shuffle of (vec_id, label, mc) — 20 bytes/vec, never
-# embeddings; the decile cut is TakeOrderedAndProject (top-k, never a
-# global sort materialization); census aggs are label-bounded. For
-# benchmark sets too big to broadcast, route through the d63b IVF index
-# (candidate cells only) instead of the dense crossJoin.
+# embeddings; the decile cut is range-bucketed exact rank
+# (operators/exact_ntile.py): percentile sketch → broadcast cut
+# literals → per-range local row_number, so the cut never routes
+# through a single-partition GlobalLimit or a partition-less window —
+# orderBy().limit(ceil(n/10)) would degrade past
+# topKSortFallbackThreshold to a full sort + one-task GlobalLimit
+# pulling n/10 rows through one reducer at 100x scale. Census aggs are
+# label-bounded. For benchmark sets too big to broadcast, route through
+# the d63b IVF index (candidate cells only) instead of the dense
+# crossJoin.
 # Determinism: cosine accumulated in f64 left-to-right on both engines
 # (the d3 contract), rounded to 6 before the max/rank; (mc, vec_id) is a
 # unique rank key, so the decile frontier is exact.
@@ -2095,25 +2102,26 @@ def d108_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("mc")
         )
     )
-    # TWO consumers read mx (the top-k frontier and the census tagging) —
-    # persist so the corpus x benchmark similarity pass runs once, not
-    # twice. No explicit unpersist is possible under the lazy-return
-    # contract (the d84 precedent): the ContextCleaner reclaims the
-    # blocks once the returned plan is dereferenced, and bench.py clears
-    # the cache between ops.
+    # THREE actions read mx (exact_ntile's percentile sketch + range
+    # counts, then the census) — persist so the corpus x benchmark
+    # similarity pass runs once, not three times. No explicit unpersist
+    # is possible under the lazy-return contract (the d84 precedent):
+    # the ContextCleaner reclaims the blocks once the returned plan is
+    # dereferenced, and bench.py clears the cache between ops.
     mx = mx.persist()
-    # Bounded metadata collect: the corpus population (one scalar) sizes
-    # the decile cut k for the top-k plan below.
-    n = corpus.count()
-    k = -(-n // 10)  # ceil(n / 10)
-    flagged = (
-        mx.orderBy(F.desc("mc"), F.asc("vec_id"))
-        .limit(k)
-        .select("vec_id")
+    # Rank-safe decile cut: ntile(10) bucket 1 over (mc DESC, vec_id) is
+    # exactly the top ceil(n/10) rows — SQL ntile gives the first
+    # n % 10 buckets ceil(n/10) rows each — matching the oracle's
+    # rn <= CEIL(n/10.0) frontier. with_exact_ntile range-buckets on a
+    # broadcast percentile sketch, so no row count ever reaches the
+    # driver and no single task sees more than one key range.
+    ranked = with_exact_ntile(
+        mx.withColumn("_neg_mc", -F.col("mc")),
+        10,
+        ["_neg_mc", "vec_id"],
+        out_col="_decile",
     )
-    tagged = mx.join(
-        flagged.withColumn("is_flagged", F.lit(True)), "vec_id", "left"
-    ).withColumn("is_flagged", F.coalesce("is_flagged", F.lit(False)))
+    tagged = ranked.withColumn("is_flagged", F.col("_decile") == 1)
     return tagged.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
         F.sum(F.col("is_flagged").cast("int")).cast("bigint")

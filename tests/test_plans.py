@@ -2592,6 +2592,30 @@ def test_d108_benchmark_side_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_d108_decile_cut_is_rank_safe(spark, sf_dir):
+    """r16 pin (r15 verdict's one `weak`): the top-decile cut must be the
+    range-bucketed exact rank, NEVER a global sort-limit — a
+    `orderBy().limit(ceil(n/10))` plan crosses
+    topKSortFallbackThreshold at scale and degrades to a full sort +
+    single-partition GlobalLimit pulling n/10 rows through one task.
+    Pin: no GlobalLimit anywhere in the executed plan, and every window
+    carries a partition spec (the exact_ntile local rank partitions by
+    its broadcast range id)."""
+    plan = _formatted(_q(spark, sf_dir, "d108_semantic_decontamination"))
+    assert "GlobalLimit" not in plan, plan
+    # Every windowspecdefinition must be partitioned: the partition-less
+    # form renders as `windowspecdefinition(<order>, specifiedwindow...`
+    # with no partition columns before the first ASC/DESC order key. The
+    # exact_ntile window partitions by _range_id.
+    assert "Window" in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        assert "ASC" not in head and "DESC" not in head, (
+            "partition-less window in d108 plan:\n" + plan
+        )
+    assert "_range_id" in plan, plan
+
+
 def test_d112_postings_only_and_broadcast_scalars(spark, sf_dir):
     """d112: the idf/avgdl sides ride broadcast exchanges (no shuffled
     join against 3-row scalars), and the only hash-partitioned keys are
