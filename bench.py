@@ -250,7 +250,12 @@ def _solo_floors(sf_dir: str) -> dict[str, float]:
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=600,
             )
-            floors.update(json.loads(res.stdout.strip().splitlines()[-1]))
+            if res.returncode != 0:
+                raise RuntimeError(f"solo subprocess rc={res.returncode}")
+            parsed = json.loads(res.stdout.strip().splitlines()[-1])
+            if set(parsed) != {name}:
+                raise RuntimeError(f"solo output keyed {set(parsed)}")
+            floors.update(parsed)
         except Exception as exc:  # noqa: BLE001 — a missing floor is
             # recorded, never fatal to the battery artifact
             print(f"# solo floor failed for {name}: {exc}", file=sys.stderr)

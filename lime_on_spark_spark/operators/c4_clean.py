@@ -40,6 +40,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _literal_sep(sep: str) -> str:
+    """Quote ``sep`` for Java-regex ``F.split`` so it matches literally
+    (Pattern.quote semantics: \\Q...\\E, with embedded \\E split out).
+    The documented DuckDB twin (string_split) is literal, so a
+    regex-meaningful separator ('.', '|') must not silently diverge."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def badwords_hits(text_col: Column | str, blocklist: Sequence[str],
                   sep: str = " ") -> Column:
     """Occurrence count of blocklist terms among the tokens of ``text_col``.
@@ -51,7 +59,7 @@ def badwords_hits(text_col: Column | str, blocklist: Sequence[str],
     if not blocklist:
         raise ValueError("empty blocklist")
     toks = F.split(F.col(text_col) if isinstance(text_col, str) else text_col,
-                   sep)
+                   _literal_sep(sep))
     return F.aggregate(
         toks,
         F.lit(0),
@@ -68,7 +76,7 @@ def chunk_lines(df: DataFrame, text_col: str = "text", width: int = 10,
     ``last_tok``. Narrow (one generator, no shuffle); line reconstruction
     is pure array slicing — no groupBy-to-reassemble.
     """
-    toks = F.split(F.col(text_col), sep)
+    toks = F.split(F.col(text_col), _literal_sep(sep))
     n_lines = F.ceil(F.size(toks) / F.lit(width)).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), n_lines - 1),

@@ -691,6 +691,43 @@ def test_badwords_hits_whole_token_exact(spark):
     assert got == {1: 3, 2: 0, 3: 0}
 
 
+def test_c4_sep_is_literal_not_regex(spark):
+    """r16 (ADVICE): a regex-meaningful separator ('.', '|') must split
+    literally — F.split takes a Java regex, but the documented DuckDB
+    twin (string_split) is literal, so the operator quotes the sep."""
+    from lime_on_spark_spark.operators.c4_clean import (
+        badwords_hits,
+        chunk_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "slow.dup.clean"), (2, "a|dup|b")], "id int, text string"
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id",
+            badwords_hits("text", ("dup",), sep=".").alias("h"),
+        ).collect()
+    }
+    # id 1 splits on literal '.' -> 1 hit; id 2 has no '.' -> whole text
+    # is one token, no whole-token match.
+    assert got == {1: 1, 2: 0}
+    got2 = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", badwords_hits("text", ("dup",), sep="|").alias("h")
+        ).collect()
+    }
+    assert got2 == {1: 0, 2: 1}
+    lines = chunk_lines(df, "text", width=2, sep=".").collect()
+    by_id = {}
+    for r in lines:
+        by_id.setdefault(r["id"], []).append((r["line_idx"], r["line"]))
+    assert sorted(by_id[1]) == [(0, "slow dup"), (1, "clean")]
+    assert sorted(by_id[2]) == [(0, "a|dup|b")]
+
+
 def test_chunk_lines_reconstructs_text(spark, sf_dir):
     from lime_on_spark_spark.operators.c4_clean import chunk_lines
 
