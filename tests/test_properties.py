@@ -1315,3 +1315,69 @@ def test_badwords_hits_matches_python_mirror(spark):
         for i, text in cases
     }
     assert got == want
+
+
+def test_dedup_lines_tiebreak_adversarial_skew(spark):
+    """r16 (r15 verdict task 4): d107's keep-first winner under planted
+    duplicate lines STRADDLING doc boundaries with conflicting
+    (doc_id, line_idx) orders and a skewed key distribution — one hot
+    line duplicated across most docs (all its copies land on ONE md5
+    reducer), plus pairs where doc order and line order disagree (the
+    winner must be lexicographic min on (doc_id, line_idx), e.g. (1, 9)
+    beats (2, 0)). Winners must match a pure-Python mirror exactly and
+    be byte-identical under re-sharding."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.c4_clean import (
+        dedup_lines_keep_first,
+    )
+
+    rng = random.Random(107)
+    rows: list[tuple[int, int, str, str]] = []
+    # Hot key: line "hot" in 150 of 160 docs at random line positions —
+    # the skewed reducer. Include the conflicting-order pair explicitly.
+    rows.append((1, 9, "s1", "hot"))
+    rows.append((2, 0, "s2", "hot"))
+    for d in range(3, 153):
+        rows.append((d, rng.randint(0, 30), f"s{d % 5}", "hot"))
+    # 30 cold lines, each duplicated 2-4 times across random docs with
+    # adversarial index order (later doc, earlier index and vice versa).
+    for j in range(30):
+        text = f"cold line {j}"
+        for _ in range(rng.randint(2, 4)):
+            rows.append(
+                (rng.randint(1, 160), rng.randint(0, 30), "sc", text)
+            )
+    # Unique (doc_id, line_idx) key required by the operator contract:
+    # drop planted collisions (same doc, same idx) keeping the first.
+    seen: set[tuple[int, int]] = set()
+    uniq = []
+    for d, i, s, t in rows:
+        if (d, i) not in seen:
+            seen.add((d, i))
+            uniq.append((d, i, s, t))
+    df = spark.createDataFrame(
+        uniq, "doc_id long, line_idx long, source string, line string"
+    )
+
+    want: dict[str, tuple[int, int, str]] = {}
+    for d, i, s, t in uniq:
+        if t not in want or (d, i) < want[t][:2]:
+            want[t] = (d, i, s)
+
+    def winners(frame):
+        return {
+            (r["doc_id"], r["line_idx"], r["source"])
+            for r in dedup_lines_keep_first(frame).collect()
+        }
+
+    expect = {v for v in want.values()}
+    assert winners(df) == expect
+    # Metamorphic re-shards: winner set invariant under partitioning.
+    assert winners(df.repartition(17, "line_idx")) == expect
+    assert winners(df.repartition(1)) == expect
+    assert (
+        winners(df.sortWithinPartitions(F.desc("doc_id"))) == expect
+    )
