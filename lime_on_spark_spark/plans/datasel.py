@@ -2758,3 +2758,115 @@ def d113_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_n") + noise, 4).alias("released_n"),
         (F.abs(mag) <= b * F.log(F.lit(100.0))).alias("within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# D111 — tokenizer fertility by language: tokens-per-word under the d60
+# learned BPE, the multilingual-tokenizer QA metric (a language whose
+# fertility runs high is under-served by the merge table and burns
+# context budget — the number every tokenizer report leads with;
+# Sennrich 2016 / Rust et al. 2021, arXiv:2012.15613). The 3 merge
+# rules are learned CORPUS-WIDE (d60's loop verbatim), then applied to
+# each language's own word-frequency table; fertility = BPE tokens per
+# word occurrence, chars_per_token = compression the merges bought.
+# Scale: the corpus collapses to per-(lang, word) types in one
+# map-side-combinable agg; merge application is a chained literal
+# replace (scan-stage expression, rules are plan constants — 3 rows
+# collected in d60's bounded per-round argmax); census is lang-bounded.
+# --------------------------------------------------------------------------
+_D111_MERGE = """
+        SELECT lang, c,
+               replace(replace(s, '|' || t.a || '|' || t.b || '|',
+                               '|' || t.a || t.b || '|'),
+                       '|' || t.a || '|' || t.b || '|',
+                       '|' || t.a || t.b || '|') AS s
+        FROM {W}, {T} t
+"""
+_D111_ORACLE = (
+    _D60_ORACLE[: _D60_ORACLE.index("    SELECT 1 AS round")]
+    .replace(
+        "t3 AS (SELECT a, b, wc FROM p3 ORDER BY wc DESC, a, b LIMIT 1)",
+        "t3 AS (SELECT a, b, wc FROM p3 ORDER BY wc DESC, a, b LIMIT 1),",
+    )
+    + """
+    wl AS (
+        SELECT lang, word, COUNT(*) AS c,
+               '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) > 0
+        GROUP BY lang, word
+    ),
+    m1 AS ("""
+    + _D111_MERGE.format(W="wl", T="t1")
+    + """),
+    m2 AS ("""
+    + _D111_MERGE.format(W="m1", T="t2")
+    + """),
+    m3 AS ("""
+    + _D111_MERGE.format(W="m2", T="t3")
+    + """),
+    tok AS (
+        SELECT lang, c,
+               len(list_filter(string_split(s, '|'), x -> x <> '')) AS n_bpe,
+               length(replace(s, '|', '')) AS n_chars
+        FROM m3
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT)          AS n_words,
+           CAST(SUM(n_bpe * c) AS BIGINT)  AS n_bpe_tokens,
+           ROUND(SUM(n_bpe * c) / CAST(SUM(c) AS DOUBLE), 4)
+                                           AS fertility,
+           ROUND(SUM(n_chars * c) / CAST(SUM(n_bpe * c) AS DOUBLE), 4)
+                                           AS chars_per_token
+    FROM tok
+    GROUP BY lang
+    """
+)
+
+
+@register("d111_tokenizer_fertility", oracle=_D111_ORACLE)
+def d111_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules, _ = _learn_bpe(spark, sf_dir, rounds=3)
+    docs = load_table(spark, sf_dir, "documents")
+    wl = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "lang", "c",
+            F.concat(
+                F.lit("|"), F.regexp_replace("word", "(.)", "$1|")
+            ).alias("s"),
+        )
+    )
+    s = F.col("s")
+    for _, a, b, _, _ in rules:
+        pat, rep = F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    tok = wl.select(
+        "lang", "c",
+        F.size(
+            F.filter(F.split(s, "\\|"), lambda x: x != F.lit(""))
+        ).alias("n_bpe"),
+        F.length(F.replace(s, F.lit("|"), F.lit(""))).alias("n_chars"),
+    )
+    return tok.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.sum(F.col("n_bpe") * F.col("c")).cast("bigint").alias(
+            "n_bpe_tokens"
+        ),
+        F.round(
+            F.sum(F.col("n_bpe") * F.col("c"))
+            / F.sum("c").cast("double"),
+            4,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("n_chars") * F.col("c"))
+            / F.sum(F.col("n_bpe") * F.col("c")).cast("double"),
+            4,
+        ).alias("chars_per_token"),
+    )

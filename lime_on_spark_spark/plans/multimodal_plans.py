@@ -613,3 +613,185 @@ def m8_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cost").cast("bigint").alias("seq_cost"),
         F.round(F.sum("cost") / float(BUDGET), 4).alias("fill_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# M9 — TOKENIZER-AWARE interleaved packing (the r15 verdict's M8b ask):
+# m8 costs a document by its whitespace token count; production packing
+# costs by TOKENIZER units — here d13's context-window chunker supplies
+# the unit (40-token windows, stride 30), so a document enters the packer
+# as its chunk stream and sequences fill with chunks, not whole docs —
+# the MMC4 recipe's actual granularity (an oversized doc must split
+# across sequences instead of overflowing one). The image slot attaches
+# to the doc's FIRST chunk (the <img> rides the context that contains
+# it); costs, shard-local cumsum (md5-bucket x 8, d67's sharding) and
+# the greedy rule are exactly m8's, so the two rows differ only in the
+# cost unit — the referee comparison m10 quantifies.
+# Scale: d13's chunker is a scan-stage explode (no shuffle); packing adds
+# one keyed window per shard and one grouped census — shuffles carry
+# (shard, doc_id, chunk_id, cost) quadruples only, never chunk text.
+# --------------------------------------------------------------------------
+@register(
+    "m9_tokenized_packing",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / 30 AS BIGINT)     AS chunk_id,
+               len(list_slice(toks, s, s + 39)) AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+             UNNEST(generate_series(1, len(toks), 30)) AS t(s)
+    ), costed AS (
+        SELECT doc_id, chunk_id, n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 8                         AS shard,
+               CASE WHEN doc_id % 5 = 0 AND chunk_id = 0
+                    THEN 1 ELSE 0 END                      AS has_img
+        FROM chunks
+    ), packed AS (
+        SELECT shard, doc_id, chunk_id, n_tokens, has_img,
+               n_tokens + has_img * 64 + 2 AS cost,
+               CAST(floor(
+                   (SUM(n_tokens + has_img * 64 + 2) OVER (
+                        PARTITION BY shard ORDER BY doc_id, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (n_tokens + has_img * 64 + 2)) / 2048.0
+               ) AS BIGINT) AS seq_id
+        FROM costed
+    )
+    SELECT shard, seq_id,
+           CAST(COUNT(*) AS BIGINT)              AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)         AS text_tokens,
+           CAST(SUM(has_img) AS BIGINT)          AS n_images,
+           CAST(SUM(cost) AS BIGINT)             AS seq_cost,
+           ROUND(SUM(cost) / 2048.0, 4)          AS fill_rate
+    FROM packed
+    GROUP BY shard, seq_id
+    """,
+)
+def m9_tokenized_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _m9_packed(spark, sf_dir).groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("text_tokens"),
+        F.sum("has_img").cast("bigint").alias("n_images"),
+        F.sum("cost").cast("bigint").alias("seq_cost"),
+        F.round(F.sum("cost") / 2048.0, 4).alias("fill_rate"),
+    )
+
+
+def _m9_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared m9/m10 packing plan: d13's chunk stream costed (image slot
+    on chunk 0 of every 5th doc) and greedily packed shard-locally."""
+    from pyspark.sql import Window
+
+    from lime_on_spark_spark.plans.registry import queries
+
+    IMG_SLOT, SEP, BUDGET = 64, 2, 2048
+    chunks = queries()["d13_chunk_documents"](spark, sf_dir).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 8
+    )
+    costed = chunks.select(
+        "doc_id", "chunk_id", "n_tokens",
+        shard.alias("shard"),
+        ((F.col("doc_id") % 5 == 0) & (F.col("chunk_id") == 0))
+        .cast("int")
+        .alias("has_img"),
+    ).withColumn(
+        "cost", F.col("n_tokens") + F.col("has_img") * IMG_SLOT + SEP
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return costed.withColumn(
+        "seq_id",
+        F.floor((F.sum("cost").over(w) - F.col("cost")) / BUDGET).cast(
+            "bigint"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# M10 — packing-efficiency referee: greedy streaming packing (m8/m9's
+# rule) against the information-theoretic floor. Per shard, no packer
+# can use fewer than ceil(total_cost / budget) sequences, so
+# lb / n_seqs_greedy is a true efficiency ratio (1.0 = optimal); the
+# overflow census quantifies the at-most-one-chunk-per-sequence
+# overshoot the greedy rule trades for a single pass. This is the QA
+# row a production packer ships with — a fill-rate regression (chunk
+# cost distribution drift, a budget misconfiguration) surfaces here
+# before it wastes accelerator hours.
+# Scale: one extra keyed agg over m9's census — everything stays on the
+# (shard, seq_id) keys; no new wide stage.
+# --------------------------------------------------------------------------
+@register(
+    "m10_packing_efficiency",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / 30 AS BIGINT)     AS chunk_id,
+               len(list_slice(toks, s, s + 39)) AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+             UNNEST(generate_series(1, len(toks), 30)) AS t(s)
+    ), costed AS (
+        SELECT doc_id, chunk_id, n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 8                         AS shard,
+               CASE WHEN doc_id % 5 = 0 AND chunk_id = 0
+                    THEN 1 ELSE 0 END                      AS has_img
+        FROM chunks
+    ), packed AS (
+        SELECT shard, doc_id, chunk_id,
+               n_tokens + has_img * 64 + 2 AS cost,
+               CAST(floor(
+                   (SUM(n_tokens + has_img * 64 + 2) OVER (
+                        PARTITION BY shard ORDER BY doc_id, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (n_tokens + has_img * 64 + 2)) / 2048.0
+               ) AS BIGINT) AS seq_id
+        FROM costed
+    ), seqs AS (
+        SELECT shard, seq_id, SUM(cost) AS seq_cost
+        FROM packed GROUP BY shard, seq_id
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT)                         AS n_seqs_greedy,
+           CAST(CEIL(SUM(seq_cost) / 2048.0) AS BIGINT)     AS n_seqs_lb,
+           ROUND(CEIL(SUM(seq_cost) / 2048.0)
+                 / CAST(COUNT(*) AS DOUBLE), 4)             AS efficiency,
+           CAST(SUM(GREATEST(seq_cost - 2048, 0)) AS BIGINT) AS overflow_tokens,
+           ROUND(AVG(seq_cost) / 2048.0, 4)                 AS mean_fill
+    FROM seqs
+    GROUP BY shard
+    """,
+)
+def m10_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    BUDGET = 2048
+    seqs = (
+        _m9_packed(spark, sf_dir)
+        .groupBy("shard", "seq_id")
+        .agg(F.sum("cost").alias("seq_cost"))
+    )
+    return seqs.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs_greedy"),
+        F.ceil(F.sum("seq_cost") / float(BUDGET))
+        .cast("bigint")
+        .alias("n_seqs_lb"),
+        F.round(
+            F.ceil(F.sum("seq_cost") / float(BUDGET))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("efficiency"),
+        F.sum(F.greatest(F.col("seq_cost") - BUDGET, F.lit(0)))
+        .cast("bigint")
+        .alias("overflow_tokens"),
+        F.round(F.avg("seq_cost") / float(BUDGET), 4).alias("mean_fill"),
+    )

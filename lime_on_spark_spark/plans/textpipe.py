@@ -3788,3 +3788,106 @@ def d112_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+# --------------------------------------------------------------------------
+# D114 — length-bucketed dynamic batching: group d13's context chunks
+# into length bands (ceil(len/8)*8 — the bucketed-padding trick of
+# fairseq/HF group_by_length) and form fixed-size batches of 32 inside
+# each (band, shard); a batch pads every member to ITS OWN max, so the
+# census prices exactly the accelerator waste dynamic padding leaves
+# behind. The pad_frac per band is the number a batching config review
+# reads — a wide band (or no banding) shows up as pad_frac blowing up.
+# Banding quantizes chunk length (1..40) to 5 bands, so the batching
+# window is partitioned (band x md5-shard of doc_id, 8 shards) — the m8
+# discipline: no partition-less window at any scale, and per-worker
+# batching is the production shape anyway.
+# Scale: d13's chunker is scan-stage; one keyed window + two keyed aggs,
+# all on (band, shard) — chunk text never shuffles (only ids + counts).
+# --------------------------------------------------------------------------
+@register(
+    "d114_length_bucketed_batching",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / 30 AS BIGINT)     AS chunk_id,
+               len(list_slice(toks, s, s + 39)) AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+             UNNEST(generate_series(1, len(toks), 30)) AS t(s)
+    ), banded AS (
+        SELECT doc_id, chunk_id, n_tokens,
+               CAST(CEIL(n_tokens / 8.0) * 8 AS BIGINT)   AS band,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 8                        AS shard
+        FROM chunks
+    ), rn AS (
+        SELECT band, shard, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY band, shard
+                                  ORDER BY doc_id, chunk_id) AS r
+        FROM banded
+    ), per_batch AS (
+        SELECT band, shard,
+               CAST(FLOOR((r - 1) / 32.0) AS BIGINT) AS batch_id,
+               COUNT(*)      AS bn,
+               MAX(n_tokens) AS bmax,
+               SUM(n_tokens) AS btoks
+        FROM rn
+        GROUP BY band, shard, CAST(FLOOR((r - 1) / 32.0) AS BIGINT)
+    )
+    SELECT band, shard,
+           CAST(COUNT(*) AS BIGINT)       AS n_batches,
+           CAST(SUM(bn) AS BIGINT)        AS n_chunks,
+           CAST(SUM(btoks) AS BIGINT)     AS total_tokens,
+           CAST(SUM(bn * bmax - btoks) AS BIGINT) AS pad_waste,
+           ROUND(SUM(bn * bmax - btoks)
+                 / CAST(SUM(bn * bmax) AS DOUBLE), 4) AS pad_frac
+    FROM per_batch
+    GROUP BY band, shard
+    """,
+)
+def d114_length_bucketed_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    BATCH = 32
+    chunks = queries()["d13_chunk_documents"](spark, sf_dir).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    banded = chunks.select(
+        "doc_id", "chunk_id", "n_tokens",
+        (F.ceil(F.col("n_tokens") / 8.0) * 8).cast("bigint").alias("band"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string")), 1, 8
+                ),
+                16, 10,
+            ).cast("long")
+            % 8
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("band", "shard").orderBy("doc_id", "chunk_id")
+    per_batch = (
+        banded.withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "batch_id",
+            F.floor((F.col("r") - 1) / float(BATCH)).cast("bigint"),
+        )
+        .groupBy("band", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.max("n_tokens").alias("bmax"),
+            F.sum("n_tokens").alias("btoks"),
+        )
+    )
+    pad = F.col("bn") * F.col("bmax") - F.col("btoks")
+    return per_batch.groupBy("band", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum("bn").cast("bigint").alias("n_chunks"),
+        F.sum("btoks").cast("bigint").alias("total_tokens"),
+        F.sum(pad).cast("bigint").alias("pad_waste"),
+        F.round(
+            F.sum(pad)
+            / F.sum(F.col("bn") * F.col("bmax")).cast("double"),
+            4,
+        ).alias("pad_frac"),
+    )

@@ -212,6 +212,15 @@ REPRESENTATIVE = (
     # (round 15 wave 7) m8's shard-local packing cumsum must assign the
     # same sequences under any fan-out (the d90 prefix-sum risk class).
     "m8_interleaved_packing",
+    # (round 16) m9/d114 are shard-local window cumsums over d13's chunk
+    # explode (the m8 risk class at chunk granularity); m10 adds a keyed
+    # agg on top of m9's census; d111's merge-rule argmaxes are per-round
+    # top-1 frontiers over a shuffled pair agg — the learned rules (and
+    # so every fertility number) must be fan-out-exact (the d60 class).
+    "m9_tokenized_packing",
+    "m10_packing_efficiency",
+    "d111_tokenizer_fertility",
+    "d114_length_bucketed_batching",
 )
 
 
@@ -308,6 +317,12 @@ EMPTY_SAFE = (
     "t35_streaming_variant_ingest",
     "l16_deletion_faithfulness",
     "m8_interleaved_packing",
+    # round-16: packing/batching over an empty chunk stream produces
+    # empty censuses. d111 is deliberately absent (the d60 rule: BPE
+    # training on a zero-row corpus is a caller error).
+    "m9_tokenized_packing",
+    "m10_packing_efficiency",
+    "d114_length_bucketed_batching",
 )
 
 

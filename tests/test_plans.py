@@ -2653,3 +2653,40 @@ def test_d107_dedup_shuffles_hashes_not_lines(spark, sf_dir):
     assert keys, plan
     for key in keys:
         assert "line#" not in key, plan
+
+
+# ---------------------------------------------------------------- round 16
+# Plan-shape pins for the r16 rows.
+
+
+def test_m9_d114_windows_are_sharded(spark, sf_dir):
+    """m9/d114 batching windows must partition by the md5 shard (m8's
+    discipline) — a partition-less cumsum window would be the
+    single-reducer global sort at scale — and their shuffles must carry
+    only ids/counts, never chunk text."""
+    for name, part_col in (
+        ("m9_tokenized_packing", "shard#"),
+        ("d114_length_bucketed_batching", "band#"),
+    ):
+        plan = _formatted(_q(spark, sf_dir, name))
+        assert "GlobalLimit" not in plan, plan
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan
+        for spec in specs:
+            head = spec.split(",")[0]
+            assert "ASC" not in head and "DESC" not in head, (name, plan)
+            assert part_col in spec, (name, plan)
+        for key in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+            assert "chunk_text#" not in key and "text#" not in key, (
+                name,
+                plan,
+            )
+
+
+def test_d111_merge_rules_are_plan_constants(spark, sf_dir):
+    """d111 applies the learned BPE merges as chained literal replaces —
+    plan constants, never a join against a rules table — so the fertility
+    census is two keyed aggs over the scan with zero joins."""
+    plan = _formatted(_q(spark, sf_dir, "d111_tokenizer_fertility"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 4, plan  # two two-stage aggs
