@@ -168,6 +168,13 @@ EXTENDED = (
     # probe-tracked in BENCH_NOTES instead.
     "d108_semantic_decontamination",
     "d112_bm25_ranking",
+    # round-16 additions: the two shapes heavy enough to track (d111 =
+    # the d60 BPE training loop + per-lang merge application; d114 =
+    # chunk-explode + (band, shard) batching window over the full chunk
+    # stream). m9/m10 are the m8 window shape at chunk fan-out and sit
+    # at the floor class — probe-tracked in BENCH_NOTES instead.
+    "d111_tokenizer_fertility",
+    "d114_length_bucketed_batching",
 )
 
 

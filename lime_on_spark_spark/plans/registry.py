@@ -77,61 +77,49 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: exercises the whole engine. Names listed but not (yet) registered are
 #: skipped harmlessly; everything not listed follows in registration order.
 _CURATED_PREFIX = (
-    # r15 rotation v5: 42 of these 50 rows have NEVER appeared in any
-    # CORRECTNESS_r*.json (checked against r01–r14 at rotation time) —
-    # led by all 14 round-14 rows (the judge's #1 r15 ask: every one was
-    # mirror-green and judge-verified at sf0.01 but never driver-
-    # certified) plus all fifteen round-15 rows and 14 more backlog rows.
-    # q1 stays as the round-over-round continuity pin. Every family
-    # keeps >= 2 rows, all oracle-backed. Never-sampled backlog after
-    # this rotation: 151 - 29 = 122 (the fifteen r15 rows are new, not
-    # backlog; 29 backlog rows + 15 new = 44 first-time-sampled).
-    # q — TPC-H-ish classics (q1 = continuity pin; q6 re-pin)
-    "q1_pricing_summary", "q6_forecast_revenue",
-    # p — SQL surface (r14: star-except, ORDER BY ALL; backlog: LATERAL
-    # top-k, parameterized SQL, SQL UDF)
-    "p22_select_star_except", "p23_order_by_all", "p11_lateral_topk",
-    "p13_parameterized_sql",
-    # j — joins (all j rows already certified; outer + semi re-pins)
-    "j2_left_outer", "j3_semi",
-    # a — aggregates / sketches (r14: theta set ops; r15: count-min;
-    # backlog: bitmap distinct, HLL merge, min/max_by)
-    "a28_theta_sketch_setops", "a29_countmin_heavy_hitters",
-    "a2_bitmap_distinct", "a3_hll_sketch_merge",
-    # w — windows (backlog: value funcs, cumulative distinct)
-    "w5_value_funcs", "w7_cumulative_distinct_users",
-    # o — physical/optimizer pins (r15: filter-pushdown pin; backlog:
-    # ANALYZE stats)
-    "o8_analyze_table_stats", "o17_filter_pushdown",
-    # u — set operations (re-pins; both backlog u-rows certified in r14)
-    "u1_union_all", "u2_intersect",
-    # f — functions (r15: VARIANT, collations; backlog: string/date
-    # extras, array predicates)
-    "f28_variant_semistructured", "f29_collation_semantics",
-    "f1_string_extras", "f2_date_extras", "f4_array_predicates",
-    # t — event-time & streaming (r14: multi-watermark policy; r15:
-    # streaming VARIANT; backlog: funnel, transitions, interpolate)
-    "t34_multi_watermark_policy", "t35_streaming_variant_ingest",
-    "t9_conversion_funnel", "t11_event_transitions", "t14_interpolate",
-    # l — LIME (r14: categorical explain; r15: deletion-test
-    # faithfulness; backlog: decile discretizer, Gaussian perturbation)
-    "l15_categorical_explain", "l16_deletion_faithfulness",
-    "l1_discretizer_deciles", "l2_perturb_gaussian",
-    # d — data-pipeline (all 5 r14 rows + all 4 r15 rows — every row new
-    # this round goes straight into the sample so no round ends with its
-    # own rows uncertified — + backlog: hash split, TF-IDF)
-    "d101_url_dedup", "d102_kneser_ney", "d103_rouge_overlap",
-    "d104_group_aware_split", "d105_phrase_search",
-    "d106_badwords_blocklist", "d107_c4_line_cleaning",
-    "d108_semantic_decontamination", "d109_pii_redaction",
-    "d110_domain_profile", "d112_bm25_ranking",
-    "d113_dp_count_release",
-    # m — multimodal (r14: pHash near-dup; r15: interleaved packing)
-    "m7_image_phash_neardup", "m8_interleaved_packing",
-    # s — sources / sinks (all three r14 manifest/CSV rows + r15
-    # VARIANT-parquet roundtrip)
-    "s40_dynamic_partition_overwrite", "s41_manifest_files_table",
-    "s42_csv_malformed_modes", "s43_variant_parquet_roundtrip",
+    # r16 rotation v6: exactly 40 of these 50 rows have NEVER appeared
+    # in any CORRECTNESS_r*.json (recomputed against r01–r15 at rotation
+    # time) — all four round-16 rows (the same-round certification
+    # principle) plus 36 backlog rows, clearing the p/f backlogs
+    # entirely. 10 re-pins: q1 (continuity), q3, j2/j3, u1/u2, o8,
+    # w5/w7 (families whose rows are all driver-certified), and d108 —
+    # re-certified because its decile cut was rewritten this round
+    # (exact_ntile, the r15 verdict's one weak). All 50 oracle-backed.
+    # Never-sampled backlog after this rotation: 122 + 4 new − 40
+    # first-time = 86.
+    # q — TPC-H-ish classics (continuity pins)
+    "q1_pricing_summary", "q3_shipping_priority",
+    # j / u / o / w — fully-certified families, one sample each round
+    "j2_left_outer", "j3_semi", "u1_union_all", "u2_intersect",
+    "o8_analyze_table_stats", "w5_value_funcs",
+    "w7_cumulative_distinct_users",
+    # d108 — the r16 fix (rank-safe decile cut), same oracle
+    "d108_semantic_decontamination",
+    # r16 rows — certified in their own round
+    "m9_tokenized_packing", "m10_packing_efficiency",
+    "d111_tokenizer_fertility", "d114_length_bucketed_batching",
+    # p — clears the p backlog
+    "p14_sql_udf", "p17_identifier_clause",
+    # f — clears the f backlog
+    "f7_map_funcs", "f10_bitwise_funcs", "f15_array_set_ops",
+    "f16_format_funcs", "f17_encoding_funcs", "f4_posexplode_unnest",
+    # a — six of the nine-row a backlog
+    "a9_corr_regression", "a11_histogram", "a12_bool_aggs",
+    "a15_deterministic_mode", "a16_mode_countif", "a18_join_cardinality",
+    # l — LIME backlog
+    "l3_perturb_text", "l4_score_perturbations",
+    # t — event-time/streaming backlog
+    "t20_lateness_profile", "t6_stateful_user_stats",
+    # s — the s4 roundtrip family
+    "s4_seeded_sample", "s4_csv_roundtrip", "s4_json_roundtrip",
+    "s4_merge_schema",
+    # d — fourteen of the d backlog (bulk-retirement per the r15
+    # verdict's task 6)
+    "d5_text_stats", "d7_lang_routing", "d8_hash_split",
+    "d12_quota_sample", "d16_tfidf_top_terms", "d19_repetition_filter",
+    "d28_pagerank", "d32_quantized_knn", "d5_quality_scores",
+    "d5_token_counting", "d9_bigram_counts", "d13_chunk_documents",
+    "d10_dup_clusters", "d17_dup_triangles",
 )
 
 
