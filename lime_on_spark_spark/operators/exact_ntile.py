@@ -48,12 +48,21 @@ def with_exact_ntile(
     *,
     out_col: str = "bucket",
     num_ranges: int | None = None,
+    rank_col: str | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Return ``df`` plus ``out_col`` = ``ntile(n) OVER (ORDER BY
     order_cols)``, computed with deterministic range partitioning instead
     of a single-task global window. Pass a unique tie-breaker as the last
     order column (SQL ntile over a non-unique key is nondeterministic
     anyway); ranges split on the FIRST order column only.
+
+    ``rank_col`` additionally keeps the global 1-based rank (equals SQL
+    ``rank()``/``row_number()`` when the order key is unique — the only
+    case this operator supports deterministically); ``total_col`` attaches
+    the total row count as a literal (already driver-known from the
+    per-range counts — no extra job), so callers can derive
+    ``percent_rank`` = (rank - 1) / (total - 1) without a second scan.
     """
     spark = df.sparkSession
     if num_ranges is None:
@@ -102,9 +111,14 @@ def with_exact_ntile(
         .join(offset_df, "_range_id")
         .withColumn("_rank", F.col("_local_rank") + F.col("_rank_offset"))
     )
-    return ranked.withColumn(
+    result = ranked.withColumn(
         out_col, _ntile_bucket(F.col("_rank"), total, n)
-    ).drop("_range_id", "_local_rank", "_rank_offset", "_rank")
+    )
+    if rank_col is not None:
+        result = result.withColumn(rank_col, F.col("_rank"))
+    if total_col is not None:
+        result = result.withColumn(total_col, F.lit(total))
+    return result.drop("_range_id", "_local_rank", "_rank_offset", "_rank")
 
 
 def _ntile_bucket(rank: Column, total: int, n: int) -> Column:

@@ -71,15 +71,29 @@ def w1_order_rank_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w1_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
+
     cust = load_table(spark, sf_dir, "customer")
-    # Un-partitioned window: acceptable only because the output is a 4-row
-    # summary; at scale rank-by-quantile goes through approxQuantile (L1).
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    # r16: was an un-partitioned ntile/percent_rank window (single-task
+    # global sort over the raw customer table — the d108 anti-pattern).
+    # Now the range-bucketed exact rank: (c_acctbal, c_custkey) is a
+    # unique order key, so rank() == row_number() (no ties) and
+    # percent_rank = (rank - 1) / (N - 1) exactly; N rides as a plan
+    # literal from the operator's per-range counts (no extra scan).
+    ranked = with_exact_ntile(
+        cust.select("c_acctbal", "c_custkey"),
+        4,
+        ["c_acctbal", "c_custkey"],
+        out_col="ntile_bucket",
+        rank_col="_grank",
+        total_col="_n",
+    )
+    pr = F.when(
+        F.col("_n") > 1,
+        (F.col("_grank") - 1) / (F.col("_n") - 1),
+    ).otherwise(F.lit(0.0))
     return (
-        cust.select(
-            F.ntile(4).over(w).alias("ntile_bucket"),
-            F.percent_rank().over(w).alias("pr"),
-        )
+        ranked.select("ntile_bucket", pr.alias("pr"))
         .groupBy("ntile_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

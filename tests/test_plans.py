@@ -2690,3 +2690,15 @@ def test_d111_merge_rules_are_plan_constants(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "d111_tokenizer_fertility"))
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 4, plan  # two two-stage aggs
+
+
+def test_w1_ntile_percent_rank_no_global_window(spark, sf_dir):
+    """r16: the global ntile/percent_rank row must route through the
+    range-bucketed exact rank — no partition-less window (single-task
+    global sort) anywhere in its executed plan."""
+    plan = _formatted(_q(spark, sf_dir, "w1_ntile_percent_rank"))
+    assert "GlobalLimit" not in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        assert "ASC" not in head and "DESC" not in head, plan
+    assert "_range_id" in plan, plan
