@@ -50,6 +50,7 @@ def with_exact_ntile(
     num_ranges: int | None = None,
     rank_col: str | None = None,
     total_col: str | None = None,
+    lead_expr: Column | None = None,
 ) -> DataFrame:
     """Return ``df`` plus ``out_col`` = ``ntile(n) OVER (ORDER BY
     order_cols)``, computed with deterministic range partitioning instead
@@ -63,15 +64,24 @@ def with_exact_ntile(
     the total row count as a literal (already driver-known from the
     per-range counts — no extra job), so callers can derive
     ``percent_rank`` = (rank - 1) / (total - 1) without a second scan.
+
+    ``lead_expr`` overrides the range-split key: a NUMERIC expression that
+    must be MONOTONE (non-strictly) in the total order of ``order_cols``
+    — rows tied on it collapse into one range, which stays correct but
+    concentrates them on one task. Use it when the first order column is
+    heavily duplicated (the Zipf case: half a vocabulary shares f=1) to
+    spread ties by a secondary-key prefix, e.g. ``f + ascii(word)/256``.
     """
     spark = df.sparkSession
     if num_ranges is None:
         num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
 
-    lead = order_cols[0]
+    lead = (
+        lead_expr if lead_expr is not None else F.col(order_cols[0])
+    ).cast("double")
     fracs = [i / num_ranges for i in range(1, num_ranges)]
     cuts_row = df.select(
-        F.percentile_approx(F.col(lead).cast("double"), fracs, 10_000).alias("c")
+        F.percentile_approx(lead, fracs, 10_000).alias("c")
     ).first()
     cuts = sorted(set(cuts_row["c"] or []))
 
@@ -81,7 +91,7 @@ def with_exact_ntile(
     if cuts:
         rid = functools.reduce(
             operator.add,
-            [(F.col(lead).cast("double") > F.lit(c)).cast("int") for c in cuts],
+            [(lead > F.lit(c)).cast("int") for c in cuts],
         )
     else:
         rid = F.lit(0)

@@ -1386,11 +1386,14 @@ def d74_chi2_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.round(F.sum("term"), 4).alias("chi2"))
     )
-    w = Window.orderBy(F.desc("chi2"), F.asc("word"))
-    return (
-        per_word.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("word", "chi2", F.col("rk").cast("int").alias("rk"))
+    # r16: constant-k frontier — TakeOrderedAndProject (per-partition
+    # top-10 then merge), never a vocabulary-wide single-task window;
+    # the rank label is re-derived over the 10 surviving rows only
+    # (bounded by construction, the calendar-window class).
+    top = per_word.orderBy(F.desc("chi2"), F.asc("word")).limit(10)
+    w10 = Window.orderBy(F.desc("chi2"), F.asc("word"))
+    return top.select(
+        "word", "chi2", F.row_number().over(w10).cast("int").alias("rk")
     )
 
 
@@ -1403,6 +1406,16 @@ def d74_chi2_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (n+1)/n); the rank window runs over the VOCABULARY (bounded), not the
 # corpus.
 # --------------------------------------------------------------------------
+def _word_prefix_frac() -> "F.Column":
+    """[0, 1) fraction monotone in the binary order of ``word``'s first
+    two code points (clamped at 255): the tie-spreading term for exact
+    rank over Zipf-skewed frequency tables — without it, the huge f=1
+    tie class lands on ONE range task (r16; see exact_ntile.lead_expr)."""
+    c1 = F.least(F.ascii(F.col("word")), F.lit(255))
+    c2 = F.least(F.ascii(F.substring("word", 2, 1)), F.lit(255))
+    return c1 / 256.0 + c2 / 65536.0
+
+
 @register(
     "d75_gini_concentration",
     oracle="""
@@ -1419,11 +1432,23 @@ def d74_chi2_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d75_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("word"))
     freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
-    wv = Window.orderBy(F.asc("f"), F.asc("word"))
-    ranked = freq.withColumn("i", F.row_number().over(wv))
+    # r16: was a partition-less row_number window (single-task sort of
+    # the whole vocabulary). Now the range-bucketed exact rank; the
+    # lead expression spreads the massive f=1 tie class across ranges
+    # by word prefix (monotone in (f, word), so ranks stay exact).
+    ranked = with_exact_ntile(
+        freq,
+        1,
+        ["f", "word"],
+        out_col="_b",
+        rank_col="i",
+        lead_expr=F.col("f") + _word_prefix_frac(),
+    ).drop("_b")
     return ranked.agg(
         F.round(
             2.0 * F.sum(F.col("i") * F.col("f"))
@@ -1461,12 +1486,23 @@ def d75_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d76_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("word"))
     freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.orderBy(F.desc("f"), F.asc("word"))
-    ranked = freq.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    # r16: exact rank by (f DESC, word) via the range-bucketed operator
+    # (negated f makes the order ascending); the lead expression spreads
+    # the f=1 tie class by word prefix — see d75.
+    ranked = with_exact_ntile(
+        freq.withColumn("_nf", -F.col("f")),
+        1,
+        ["_nf", "word"],
+        out_col="_b",
+        rank_col="_rk",
+        lead_expr=F.col("_nf") + _word_prefix_frac(),
+    ).select(
+        F.log(F.col("_rk").cast("double")).alias("x"),
         F.log("f").alias("y"),
     )
     return ranked.agg(

@@ -2702,3 +2702,23 @@ def test_w1_ntile_percent_rank_no_global_window(spark, sf_dir):
         head = spec.split(",")[0]
         assert "ASC" not in head and "DESC" not in head, plan
     assert "_range_id" in plan, plan
+
+
+def test_d74_topk_is_take_ordered(spark, sf_dir):
+    """r16: d74's top-10 frontier must be TakeOrderedAndProject
+    (per-partition prune + merge); the only window left runs over the
+    10 surviving rows (bounded by construction)."""
+    plan = _formatted(_q(spark, sf_dir, "d74_chi2_dependence"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_vocab_rank_rows_use_range_buckets(spark, sf_dir):
+    """r16: the vocabulary-wide exact ranks (Gini, Zipf) must route
+    through the range-bucketed operator — every window partitioned (by
+    the broadcast range id), never a single-task vocabulary sort."""
+    for name in ("d75_gini_concentration", "d76_zipf_fit"):
+        plan = _formatted(_q(spark, sf_dir, name))
+        assert "_range_id" in plan, plan
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = spec.split(",")[0]
+            assert "ASC" not in head and "DESC" not in head, (name, plan)
