@@ -1381,3 +1381,48 @@ def test_dedup_lines_tiebreak_adversarial_skew(spark):
     assert (
         winners(df.sortWithinPartitions(F.desc("doc_id"))) == expect
     )
+
+
+def test_exact_ntile_rank_total_lead_match_sql_window(spark):
+    """r16: the new exact_ntile surface (rank_col / total_col /
+    lead_expr) must reproduce the single-window SQL semantics exactly —
+    randomized Zipf-ish data where most rows tie on the leading key (the
+    case lead_expr exists for), compared to row_number()/ntile() over
+    one global window."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
+
+    rng = random.Random(16)
+    rows = []
+    for i in range(500):
+        # Zipfian-ish: ~60% of keys are 1, a long tail above.
+        f = 1 if rng.random() < 0.6 else rng.randint(2, 40)
+        rows.append((f"w{i:04d}", f))
+    df = spark.createDataFrame(rows, "word string, f long")
+
+    lead = (
+        F.col("f")
+        + F.least(F.ascii(F.col("word")), F.lit(255)) / 256.0
+        + F.least(F.ascii(F.substring("word", 2, 1)), F.lit(255)) / 65536.0
+    )
+    got = {
+        r["word"]: (r["rk"], r["nt"], r["n"])
+        for r in with_exact_ntile(
+            df, 7, ["f", "word"],
+            out_col="nt", rank_col="rk", total_col="n", lead_expr=lead,
+        ).collect()
+    }
+    w = Window.orderBy("f", "word")
+    want = {
+        r["word"]: (r["rk"], r["nt"], 500)
+        for r in df.select(
+            "word",
+            F.row_number().over(w).alias("rk"),
+            F.ntile(7).over(w).alias("nt"),
+        ).collect()
+    }
+    assert got == want
