@@ -1426,3 +1426,41 @@ def test_exact_ntile_rank_total_lead_match_sql_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_exact_ntile_edge_cases(spark):
+    """r16: exact_ntile degenerate inputs — a CONSTANT leading key (every
+    row ties: all land in one range, the documented worst case — must
+    stay correct), an empty frame (no crash, no phantom rows), and fewer
+    rows than buckets (SQL: bucket i gets row i)."""
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.exact_ntile import with_exact_ntile
+
+    # Constant leading key, unique tie-breaker.
+    df = spark.createDataFrame(
+        [(1, i) for i in range(10)], "f long, k long"
+    )
+    got = {
+        r["k"]: (r["b"], r["rk"])
+        for r in with_exact_ntile(
+            df, 4, ["f", "k"], out_col="b", rank_col="rk"
+        ).collect()
+    }
+    # 10 rows, 4 buckets: sizes 3,3,2,2 (first total%n buckets get +1).
+    want_bucket = [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert got == {i: (want_bucket[i], i + 1) for i in range(10)}
+
+    # Empty input.
+    empty = spark.createDataFrame([], "f long, k long")
+    assert (
+        with_exact_ntile(empty, 4, ["f", "k"], out_col="b").collect() == []
+    )
+
+    # Fewer rows than buckets: bucket i = row i.
+    small = spark.createDataFrame([(5, 0), (7, 1)], "f long, k long")
+    got_s = {
+        r["k"]: r["b"]
+        for r in with_exact_ntile(small, 4, ["f", "k"], out_col="b").collect()
+    }
+    assert got_s == {0: 1, 1: 2}
