@@ -2906,3 +2906,293 @@ def d111_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chars_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# D115 — CCNet perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+# the canonical LM-quality partition of a web corpus. CCNet scores every
+# document with a KenLM n-gram model and splits each language into
+# head / middle / tail perplexity TERCILES; head feeds pretraining,
+# tail is dropped or down-weighted. Here the LM is the in-repo d102
+# interpolated Kneser-Ney bigram model (trained on the same corpus it
+# scores — the self-scoring variant; CCNet trains on Wikipedia, which
+# only changes which rows feed the model CTE), the per-doc score is the
+# average bigram NLL, and the tercile cut is EXACT per language.
+# Scale: the model is vocabulary-bounded (three token-keyed aggs — the
+# d9/d102 shape) and the scoring join shuffles (w1, w2) bigram keys,
+# never document bodies. The per-lang tercile is the part naive plans
+# get wrong at 100 TB: ntile(3) OVER (PARTITION BY lang ...) with a
+# handful of giant languages is corpus/|langs| rows through ONE task per
+# language — so the cut runs through with_grouped_exact_ntile (the d108
+# range-bucketed exact rank, generalized per group): per-lang sketch
+# cuts, (lang, range)-local row_number, O(|langs| x ranges) driver
+# state. NLL is rounded to 6 dp BEFORE ranking on both engines so the
+# bucket boundary never depends on a last-ulp float disagreement.
+# --------------------------------------------------------------------------
+@register(
+    "d115_ccnet_perplexity_buckets",
+    oracle="""
+    WITH pairs AS (
+        SELECT doc_id, lang, arr[i] AS w1, arr[i+1] AS w2
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS arr
+              FROM documents) d,
+             UNNEST(generate_series(1, greatest(len(arr)-1, 0))) AS t(i)
+    ), bi AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, SUM(c12) AS c1, COUNT(*) AS fw FROM bi GROUP BY w1
+    ), bw AS (
+        SELECT w2, COUNT(*) AS nbw FROM bi GROUP BY w2
+    ), tot AS (SELECT COUNT(*) AS t FROM bi),
+    model AS (
+        SELECT b.w1, b.w2,
+               ROUND(GREATEST(b.c12 - 0.75, 0) / ctx.c1
+                     + 0.75 * ctx.fw / ctx.c1 * (bw.nbw / tot.t), 6) AS p_kn
+        FROM bi b
+        JOIN ctx USING (w1)
+        JOIN bw USING (w2)
+        CROSS JOIN tot
+    ), scored AS (
+        SELECT p.doc_id, p.lang,
+               ROUND(-AVG(LN(m.p_kn)), 6) AS nll,
+               COUNT(*) AS nb
+        FROM pairs p
+        JOIN model m USING (w1, w2)
+        GROUP BY p.doc_id, p.lang
+    ), bucketed AS (
+        SELECT lang, nll, nb,
+               ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS b
+        FROM scored
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END                       AS bucket,
+           CAST(COUNT(*) AS BIGINT)                     AS n_docs,
+           CAST(SUM(nb) AS BIGINT)                      AS n_bigrams,
+           ROUND(AVG(EXP(nll)), 4)                      AS avg_ppl
+    FROM bucketed
+    GROUP BY lang, b
+    """,
+)
+def d115_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from lime_on_spark_spark.operators.exact_ntile import (
+        with_grouped_exact_ntile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n_pairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(arr, 1, n_pairs),
+        F.slice(arr, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    # Two consumers (model build + scoring join): persist the exploded
+    # pair frame so the corpus is tokenized once. At 100 TB with a
+    # pre-trained model (the real CCNet setup) only the scoring branch
+    # exists and the persist disappears.
+    doc_pairs = (
+        docs.select("doc_id", "lang", F.explode(pair).alias("p"))
+        .select("doc_id", "lang", "p.w1", "p.w2")
+        .persist()
+    )
+    bi = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fw")
+    )
+    bw = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    tot = bi.agg(F.count(F.lit(1)).alias("t"))
+    # Same expression tree as d102 (and the oracle) so the IEEE doubles
+    # agree past the 6-dp rounding boundary.
+    p_kn = F.round(
+        F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+        + 0.75 * F.col("fw") / F.col("c1") * (F.col("nbw") / F.col("t")),
+        6,
+    )
+    model = (
+        bi.join(ctx, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", p_kn.alias("p_kn"))
+    )
+    scored = (
+        doc_pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(-F.avg(F.log("p_kn")), 6).alias("nll"),
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+        )
+    )
+    bucketed = with_grouped_exact_ntile(
+        scored, 3, ["lang"], ["nll", "doc_id"], out_col="b", num_ranges=16
+    )
+    label = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("b")
+    )
+    return bucketed.groupBy("lang", label.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(F.exp("nll")), 4).alias("avg_ppl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D116 — Bradley-Terry preference aggregation (Bradley & Terry 1952;
+# MM fit per Hunter 2004): the RLHF/RLAIF data-prep stage none of the
+# selection rows cover — given pairwise preference judgments, fit a
+# latent strength per competitor (here: per SOURCE, the "which feed
+# wins head-to-head quality comparisons" question a reward-data
+# pipeline answers before mixing). Judgments are deterministic: docs
+# pair adjacently (even doc_id d vs d+1 — the d103 pairing), the
+# higher type-token-ratio doc wins (ties -> the lower doc_id), and
+# same-source pairs are discarded. The fit is 5 fixed MM iterations
+#   pi_s <- (W_s + 1) / ( SUM_o n_so/(pi_s + pi_o) + 2/(pi_s + 1) )
+# with a ghost opponent of strength 1 (one virtual win + one virtual
+# loss) so zero-win sources and disconnected comparison graphs stay
+# finite — the standard regularization. Each iterate is rounded to
+# 12 dp on both engines so partial-sum order can never leak a ulp into
+# the next iteration.
+# Scale: pair generation is ONE equi-join on the pairing key (never all
+# pairs) and the wins matrix is a keyed agg bounded by |sources|^2 —
+# the only driver state, O(256) cells here, O(|sources|^2) always (the
+# d39 centroid / d60 argmax discipline: corpus-scale work stays in
+# shuffles, the fixed-point loop runs on a bounded summary).
+# --------------------------------------------------------------------------
+_D116_ITER = """
+    it{k} AS (
+        SELECT w.s,
+               ROUND((w.w + 1) / (COALESCE(SUM(c.n / (p.pi + q.pi)), 0)
+                                  + 2 / (p.pi + 1)), 12) AS pi
+        FROM wins w
+        JOIN it{j} p ON p.s = w.s
+        LEFT JOIN comp c ON c.a = w.s
+        LEFT JOIN it{j} q ON q.s = c.b
+        GROUP BY w.s, w.w, p.pi
+    )"""
+
+_D116_ORACLE = (
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+        FROM documents
+    ), prefs AS (
+        SELECT CASE WHEN a.ttr >= b.ttr THEN a.source
+                    ELSE b.source END AS winner,
+               CASE WHEN a.ttr >= b.ttr THEN b.source
+                    ELSE a.source END AS loser
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0 AND a.source <> b.source
+    ), srcs AS (SELECT DISTINCT source AS s FROM documents),
+    wcount AS (
+        SELECT winner, loser, COUNT(*) AS n FROM prefs GROUP BY 1, 2
+    ), comp AS (
+        SELECT a, b, SUM(n) AS n FROM (
+            SELECT winner AS a, loser AS b, n FROM wcount
+            UNION ALL
+            SELECT loser AS a, winner AS b, n FROM wcount
+        ) GROUP BY a, b
+    ), wins AS (
+        SELECT s.s, COALESCE(SUM(w.n), 0) AS w
+        FROM srcs s LEFT JOIN wcount w ON w.winner = s.s GROUP BY s.s
+    ), ncomp AS (
+        SELECT s.s, COALESCE(SUM(c.n), 0) AS n
+        FROM srcs s LEFT JOIN comp c ON c.a = s.s GROUP BY s.s
+    ), it0 AS (SELECT s, 1.0 AS pi FROM srcs),"""
+    + ",".join(_D116_ITER.format(k=k, j=k - 1) for k in range(1, 6))
+    + """,
+    tot AS (SELECT SUM(pi) AS z FROM it5)
+    SELECT w.s                                      AS source,
+           CAST(w.w AS BIGINT)                      AS wins,
+           CAST(n.n AS BIGINT)                      AS comparisons,
+           ROUND(i.pi / t.z, 6)                     AS strength,
+           CAST(row_number() OVER (
+               ORDER BY ROUND(i.pi / t.z, 6) DESC, w.s) AS INT) AS rnk
+    FROM wins w
+    JOIN ncomp n ON n.s = w.s
+    JOIN it5 i ON i.s = w.s
+    CROSS JOIN tot t
+    """
+)
+
+
+@register("d116_bradley_terry_sources", oracle=_D116_ORACLE)
+def d116_bradley_terry_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.array_distinct(F.split("text", " "))).cast("double")
+            / F.size(F.split("text", " "))
+        ).alias("ttr"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    a_wins = F.col("a.ttr") >= F.col("b.ttr")
+    prefs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(
+            (F.col("a.doc_id") % 2 == 0)
+            & (F.col("a.source") != F.col("b.source"))
+        )
+        .select(
+            F.when(a_wins, F.col("a.source"))
+            .otherwise(F.col("b.source"))
+            .alias("winner"),
+            F.when(a_wins, F.col("b.source"))
+            .otherwise(F.col("a.source"))
+            .alias("loser"),
+        )
+    )
+    # Bounded driver state: |sources|^2 win cells + the source universe.
+    wcount = {
+        (r["winner"], r["loser"]): r["n"]
+        for r in prefs.groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    srcs = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    comp: dict[tuple[str, str], int] = {}
+    for (w, l), n in wcount.items():
+        comp[(w, l)] = comp.get((w, l), 0) + n
+        comp[(l, w)] = comp.get((l, w), 0) + n
+    wins = {s: 0 for s in srcs}
+    for (w, _), n in wcount.items():
+        wins[w] += n
+    ncomp = {s: 0 for s in srcs}
+    for (s, _), n in comp.items():
+        ncomp[s] += n
+    pi = {s: 1.0 for s in srcs}
+    for _ in range(5):
+        pi = {
+            s: round(
+                (wins[s] + 1)
+                / (
+                    sum(
+                        comp[(s, o)] / (pi[s] + pi[o])
+                        for o in srcs
+                        if (s, o) in comp
+                    )
+                    + 2 / (pi[s] + 1)
+                ),
+                12,
+            )
+            for s in srcs
+        }
+    z = sum(pi.values())
+    strength = {s: round(pi[s] / z, 6) for s in srcs}
+    ranked = sorted(srcs, key=lambda s: (-strength[s], s))
+    rnk = {s: i + 1 for i, s in enumerate(ranked)}
+    return spark.createDataFrame(
+        [(s, wins[s], ncomp[s], strength[s], rnk[s]) for s in srcs],
+        "source string, wins bigint, comparisons bigint,"
+        " strength double, rnk int",
+    )

@@ -2131,3 +2131,153 @@ def d108_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min(F.when(F.col("is_flagged"), F.col("mc")))
         .alias("min_flagged_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# D117 — MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+# the retrieval stage between ranking and consumption that d94/d98/d68
+# stop short of — a top-k that is RELEVANT but not REDUNDANT. Greedy
+# maximal marginal relevance over the query's shortlist:
+#   pick_1 = argmax rel;  pick_t = argmax rel - max_{s in S} sim
+# with vec_id tie-breaks, five picks from a 20-candidate shortlist.
+# Near-duplicate hits (the thing dedup missed or retrieval re-surfaced)
+# pay a similarity penalty against everything already selected, so the
+# context window gets coverage instead of five copies of one cluster.
+# lambda = 1/2, written SCALED BY 2 (score = rel - max sim — identical
+# ordering) so scores stay on the 6-dp grid of their inputs: a 0.7/0.3
+# split lands scores on exact 7th-digit halves where the two engines'
+# ROUND directions disagree.
+# Scale: relevance scoring is the corpus-scale part — ONE scan against
+# the broadcast query vector ending in TakeOrderedAndProject (the d3
+# shape, O(n) work / O(S) result); the greedy loop runs on the bounded
+# S=20 shortlist (S^2 pairwise sims, driver state O(S^2) — the d60
+# bounded-summary discipline). Both engines rank on 6-dp-rounded
+# similarities, so the selection never hinges on a last-ulp float.
+# --------------------------------------------------------------------------
+_D117_STEP = """
+    , sel{j} AS (SELECT vec_id FROM s{j} {prev})
+    , s{k} AS (
+        SELECT c.vec_id, c.rel,
+               c.rel - (
+                   SELECT MAX(s.sim) FROM sims s
+                   WHERE s.a = c.vec_id
+                     AND s.b IN (SELECT vec_id FROM sel{j})
+               ) AS score
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{j})
+        ORDER BY score DESC, c.vec_id
+        LIMIT 1
+    )"""
+
+_D117_ORACLE = (
+    """
+    WITH cand AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])),
+                     6) AS rel,
+               e.embedding
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id
+        LIMIT 20
+    ), sims AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     6) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), s1 AS (
+        SELECT vec_id, rel, rel AS score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    + "".join(
+        _D117_STEP.format(
+            k=k,
+            j=k - 1,
+            prev=(
+                f"UNION ALL SELECT vec_id FROM sel{k - 2}"
+                if k > 2
+                else ""
+            ),
+        )
+        for k in range(2, 6)
+    )
+    + """
+    SELECT * FROM (
+        SELECT CAST(1 AS INT) AS rnk, vec_id, rel,
+               ROUND(score, 6) AS mmr_score FROM s1
+        UNION ALL SELECT 2, vec_id, rel, ROUND(score, 6) FROM s2
+        UNION ALL SELECT 3, vec_id, rel, ROUND(score, 6) FROM s3
+        UNION ALL SELECT 4, vec_id, rel, ROUND(score, 6) FROM s4
+        UNION ALL SELECT 5, vec_id, rel, ROUND(score, 6) FROM s5
+    )
+    """
+)
+
+
+@register("d117_mmr_rerank", oracle=_D117_ORACLE)
+def d117_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "rel"
+            ),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(20)
+        .cache()
+    )
+    # Pairwise sims among the bounded shortlist — the SAME cosine
+    # expression as the relevance arm (d3/f6 parity discipline).
+    a, b = cand.alias("a"), cand.alias("b")
+    sim_rows = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ai"),
+            F.col("b.vec_id").alias("bi"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("sim"),
+        )
+        .collect()
+    )
+    sims = {(r["ai"], r["bi"]): r["sim"] for r in sim_rows}
+    rels = {
+        r["vec_id"]: r["rel"]
+        for r in cand.select("vec_id", "rel").collect()
+    }
+    selected: list[tuple[int, float]] = []  # (vec_id, score)
+    remaining = set(rels)
+    for _ in range(5):
+        if not remaining:  # shortlist smaller than k (empty corpus)
+            break
+        if selected:
+            scored = [
+                (
+                    rels[c] - max(sims[(c, s)] for s, _ in selected),
+                    c,
+                )
+                for c in remaining
+            ]
+        else:
+            scored = [(rels[c], c) for c in remaining]
+        best_score, best = max(scored, key=lambda t: (t[0], -t[1]))
+        selected.append((best, best_score))
+        remaining.discard(best)
+    return spark.createDataFrame(
+        [
+            (i + 1, v, rels[v], round(s, 6))
+            for i, (v, s) in enumerate(selected)
+        ],
+        "rnk int, vec_id bigint, rel double, mmr_score double",
+    )

@@ -323,6 +323,13 @@ EMPTY_SAFE = (
     "m9_tokenized_packing",
     "m10_packing_efficiency",
     "d114_length_bucketed_batching",
+    # round-16 second wave: d115 buckets zero scored docs into zero
+    # terciles (the grouped exact-ntile empty path); d116 fits zero
+    # sources from zero preference pairs; d117 selects from an empty
+    # shortlist (the greedy loop stops early).
+    "d115_ccnet_perplexity_buckets",
+    "d116_bradley_terry_sources",
+    "d117_mmr_rerank",
 )
 
 

@@ -2722,3 +2722,22 @@ def test_vocab_rank_rows_use_range_buckets(spark, sf_dir):
         for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
             head = spec.split(",")[0]
             assert "ASC" not in head and "DESC" not in head, (name, plan)
+
+
+def test_d115_tercile_cut_is_rank_safe_and_body_free(spark, sf_dir):
+    """r16: d115's per-language tercile must ride the GROUPED
+    range-bucketed exact rank — ntile(3) OVER (PARTITION BY lang) with
+    a handful of giant languages is corpus/|langs| rows through one
+    task. Pin: no GlobalLimit, every windowspecdefinition partitioned
+    (the grouped exact_ntile partitions by (lang, _range_id)), and no
+    shuffle ever carries document text."""
+    plan = _formatted(_q(spark, sf_dir, "d115_ccnet_perplexity_buckets"))
+    assert "GlobalLimit" not in plan, plan
+    assert "_range_id" in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        assert "ASC" not in head and "DESC" not in head, (
+            "partition-less window in d115 plan:\n" + plan
+        )
+    for key in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in key, plan

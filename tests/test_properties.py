@@ -1464,3 +1464,146 @@ def test_exact_ntile_edge_cases(spark):
         for r in with_exact_ntile(small, 4, ["f", "k"], out_col="b").collect()
     }
     assert got_s == {0: 1, 1: 2}
+
+
+def test_grouped_exact_ntile_matches_sql_window(spark):
+    """r16: with_grouped_exact_ntile must reproduce
+    ntile(n)/row_number() OVER (PARTITION BY g ORDER BY ...) exactly —
+    randomized skewed groups (one giant, one tiny, one singleton, sizes
+    not divisible by n) including heavy leading-key ties within groups."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.exact_ntile import (
+        with_grouped_exact_ntile,
+    )
+
+    rng = random.Random(116)
+    rows = []
+    for g, size in (("en", 400), ("de", 37), ("zh", 1), ("fr", 5)):
+        for i in range(size):
+            f = 1 if rng.random() < 0.5 else rng.randint(2, 9)
+            rows.append((g, i, f))
+    df = spark.createDataFrame(rows, "lang string, k long, f long")
+
+    got = {
+        (r["lang"], r["k"]): (r["b"], r["rk"], r["n"])
+        for r in with_grouped_exact_ntile(
+            df, 3, ["lang"], ["f", "k"],
+            out_col="b", rank_col="rk", total_col="n", num_ranges=6,
+        ).collect()
+    }
+    w = Window.partitionBy("lang").orderBy("f", "k")
+    want = {
+        (r["lang"], r["k"]): (r["b"], r["rk"], r["n"])
+        for r in df.select(
+            "lang", "k",
+            F.ntile(3).over(w).alias("b"),
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+    # Empty input survives.
+    empty = spark.createDataFrame([], "lang string, k long, f long")
+    assert (
+        with_grouped_exact_ntile(
+            empty, 3, ["lang"], ["f", "k"], out_col="b"
+        ).collect()
+        == []
+    )
+
+
+def test_d116_bradley_terry_planted_dominance(spark, tmp_path):
+    """r16: the BT fit on a planted corpus with a known dominance order.
+    Three sources A > B > C by construction (A beats B, B beats C, A
+    beats C — one pair each, higher TTR wins) plus an UNPAIRED source D
+    (zero comparisons — the ghost regularizer must keep it finite).
+    Strengths must rank A, B, C in dominance order and every strength
+    must be finite and positive."""
+    from lime_on_spark_spark.plans import registry
+
+    # ttr("a b c d") = 1.0 ; ttr("a a b b") = 0.5 — winner is the
+    # all-distinct doc. Pairing is (even doc_id d, d+1); doc 6 unpaired.
+    rows = [
+        (0, "a b c d", "en", "A", 7),   # beats doc 1 (B)
+        (1, "a a b b", "en", "B", 7),
+        (2, "e f g h", "en", "B", 7),   # beats doc 3 (C)
+        (3, "e e f f", "en", "C", 7),
+        (4, "i j k l", "en", "A", 7),   # beats doc 5 (C)
+        (5, "i i j j", "en", "C", 7),
+        (6, "m n o p", "en", "D", 7),   # unpaired
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: r
+        for r in registry.queries()["d116_bradley_terry_sources"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"A", "B", "C", "D"}
+    assert (got["A"]["wins"], got["B"]["wins"], got["C"]["wins"]) == (2, 1, 0)
+    assert got["A"]["comparisons"] == 2 and got["D"]["comparisons"] == 0
+    assert (
+        got["A"]["strength"] > got["B"]["strength"] > got["C"]["strength"]
+    )
+    for r in got.values():
+        assert r["strength"] > 0
+    assert got["A"]["rnk"] == 1
+
+
+def test_d117_mmr_matches_independent_reference(spark, sf_dir):
+    """r16: d117's greedy selection re-derived by an independent NumPy
+    implementation over the same 6-dp-rounded cosines — picks, order,
+    and scores must match exactly; first pick must be d3's top-1."""
+    import numpy as np
+
+    from lime_on_spark_spark.plans import registry
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    q = emb[0]
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    rel = {v: cos(e, q) for v, e in emb.items() if v != 0}
+    cand = sorted(rel, key=lambda v: (-rel[v], v))[:20]
+    sims = {(a, b): cos(emb[a], emb[b]) for a in cand for b in cand if a != b}
+    sel: list[tuple[int, float]] = []
+    rest = set(cand)
+    for _ in range(5):
+        if sel:
+            scored = [
+                (rel[c] - max(sims[(c, s)] for s, _ in sel), c)
+                for c in rest
+            ]
+        else:
+            scored = [(rel[c], c) for c in rest]
+        sc, best = max(scored, key=lambda t: (t[0], -t[1]))
+        sel.append((best, round(sc, 6)))
+        rest.discard(best)
+
+    got = sorted(
+        (
+            (r["rnk"], r["vec_id"], r["mmr_score"])
+            for r in registry.queries()["d117_mmr_rerank"](
+                spark, sf_dir
+            ).collect()
+        )
+    )
+    want = [(i + 1, v, s) for i, (v, s) in enumerate(sel)]
+    assert got == want
+    # First pick is the global relevance argmax (d3's top-1).
+    assert got[0][1] == cand[0]
