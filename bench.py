@@ -175,6 +175,12 @@ EXTENDED = (
     # at the floor class — probe-tracked in BENCH_NOTES instead.
     "d111_tokenizer_fertility",
     "d114_length_bucketed_batching",
+    # round-16 wave 2: d115 is the one corpus-scaling shape (KN model
+    # build + bigram scoring join + grouped exact-ntile terciles).
+    # d116/d117 are bounded-summary fits over one equi-join / one
+    # broadcast scan and sit at the floor class — probe-tracked in
+    # BENCH_NOTES instead.
+    "d115_ccnet_perplexity_buckets",
 )
 
 

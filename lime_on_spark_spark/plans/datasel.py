@@ -3196,3 +3196,129 @@ def d116_bradley_terry_sources(
         "source string, wins bigint, comparisons bigint,"
         " strength double, rnk int",
     )
+
+
+# --------------------------------------------------------------------------
+# D118 — DP quantile release via the exponential mechanism (McSherry &
+# Talwar 2007; Smith 2011's median instantiation): the companion release
+# primitive to d113's Laplace counts — counts take additive noise, but a
+# MEDIAN needs a noisy ARGMAX over candidate values. Utility of value v
+# for the per-source median is u(v) = -|rank_mid(v) - n/2| (sensitivity
+# 1: one added row moves any rank count by at most 1), the mechanism
+# samples v with probability proportional to exp(eps/2 * u), and the
+# draw is the Gumbel-max trick with md5-deterministic per-(source, v)
+# gumbels — the d113/l15/d8 discipline: a stochastic mechanism as a pure
+# key function, so the release is engine-exact and bit-for-bit
+# oracle-replayable. The row emits the exact median and the utility gap
+# BESIDE the release on purpose (pins the mechanism's arithmetic; the
+# corpus is not private).
+# Scale: the corpus collapses to a (source, n_chars) histogram in ONE
+# combinable agg; every window downstream is over that value-domain-
+# bounded histogram (the d73 discipline — |sources| x |distinct
+# lengths| rows, never corpus rows), so the release adds zero
+# corpus-scale shuffles beyond the census it privatizes.
+# --------------------------------------------------------------------------
+@register(
+    "d118_dp_quantile_release",
+    oracle="""
+    WITH hist AS (
+        SELECT source, n_chars AS v, COUNT(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ), cum AS (
+        SELECT source, v, c,
+               SUM(c) OVER (PARTITION BY source ORDER BY v) - c AS cb,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM hist
+    ), scored AS (
+        SELECT source, v, c, cb, n,
+               -abs(cb + 0.5 * c - n / 2.0) AS u,
+               0.25 * -abs(cb + 0.5 * c - n / 2.0)
+               - ln(-ln(CAST(('0x' || substr(md5('dpq:' || source || ':'
+                                             || CAST(v AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0)) AS score
+        FROM cum
+    ), released AS (
+        SELECT source, v AS released_median, u AS u_rel
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY score DESC, v) = 1
+    ), exact AS (
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cb + c >= CAST(ceil(n / 2.0) AS BIGINT)
+                             THEN v END) AS BIGINT) AS true_median,
+               MAX(u) AS u_max
+        FROM scored
+        GROUP BY source
+    )
+    SELECT e.source, e.n, e.true_median,
+           CAST(r.released_median AS BIGINT) AS released_median,
+           ROUND(e.u_max - r.u_rel, 1)       AS util_gap
+    FROM exact e JOIN released r USING (source)
+    """,
+)
+def d118_dp_quantile_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # Histogram-sized windows (value-domain-bounded — the d73 class).
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("source")
+    cum = hist.select(
+        "source", "v", "c",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cb"),
+        F.sum("c").over(w_n).alias("n"),
+    )
+    u = -F.abs(F.col("cb") + 0.5 * F.col("c") - F.col("n") / 2.0)
+    g = -F.log(
+        -F.log(
+            _md5_uniform(
+                F.concat(
+                    F.lit("dpq:"),
+                    F.col("source"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                )
+            )
+        )
+    )
+    scored = cum.select(
+        "source", "v", "c", "cb", "n",
+        u.alias("u"),
+        (0.25 * u + g).alias("score"),
+    )
+    w_pick = Window.partitionBy("source").orderBy(F.desc("score"), "v")
+    released = (
+        scored.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "source",
+            F.col("v").alias("released_median"),
+            F.col("u").alias("u_rel"),
+        )
+    )
+    exact = scored.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(
+            F.when(
+                F.col("cb") + F.col("c")
+                >= F.ceil(F.col("n") / 2.0).cast("bigint"),
+                F.col("v"),
+            )
+        )
+        .cast("bigint")
+        .alias("true_median"),
+        F.max("u").alias("u_max"),
+    )
+    return exact.join(released, "source").select(
+        "source", "n", "true_median",
+        F.col("released_median").cast("bigint").alias("released_median"),
+        F.round(F.col("u_max") - F.col("u_rel"), 1).alias("util_gap"),
+    )

@@ -330,6 +330,8 @@ EMPTY_SAFE = (
     "d115_ccnet_perplexity_buckets",
     "d116_bradley_terry_sources",
     "d117_mmr_rerank",
+    # d118 releases zero quantiles from a zero-row histogram.
+    "d118_dp_quantile_release",
 )
 
 

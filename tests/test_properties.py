@@ -1607,3 +1607,40 @@ def test_d117_mmr_matches_independent_reference(spark, sf_dir):
     assert got == want
     # First pick is the global relevance argmax (d3's top-1).
     assert got[0][1] == cand[0]
+
+
+def test_d118_exponential_mechanism_invariants(spark, tmp_path):
+    """r16: the exact-median arithmetic and mechanism invariants on a
+    planted histogram with a known median per source: true_median must
+    equal the lower median, util_gap must be >= 0, and the released
+    value must come from the source's own value domain."""
+    from lime_on_spark_spark.plans import registry
+
+    rows = []
+    did = 0
+    # src E: lengths [10]*3 + [20]*2 -> n=5, lower median 10 (rank 3).
+    # src F: lengths [5, 7, 9, 11] -> n=4, lower median 7 (rank 2).
+    for src, lengths in (
+        ("E", [10, 10, 10, 20, 20]),
+        ("F", [5, 7, 9, 11]),
+    ):
+        for ln in lengths:
+            rows.append((did, "x " * ln, "en", src, ln))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: r
+        for r in registry.queries()["d118_dp_quantile_release"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["E"]["n"] == 5 and got["E"]["true_median"] == 10
+    assert got["F"]["n"] == 4 and got["F"]["true_median"] == 7
+    domains = {"E": {10, 20}, "F": {5, 7, 9, 11}}
+    for src, r in got.items():
+        assert r["released_median"] in domains[src]
+        assert r["util_gap"] >= 0.0
