@@ -3891,3 +3891,124 @@ def d114_length_bucketed_batching(
             4,
         ).alias("pad_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# D119 — TextTiling semantic boundaries (Hearst 1997, CL 23(1)): the
+# SEMANTIC counterpart to d13's fixed-window chunking — RAG/packing
+# pipelines that split at topic shifts instead of every 40 tokens use
+# exactly this block-comparison primitive. Per doc: non-overlapping
+# 10-token blocks, adjacent-block cohesion = Jaccard of the block token
+# SETS (an exact integer rational), and a gap is a boundary when its
+# cohesion falls below the doc's own mean - 0.5 * stddev_pop cutoff
+# (Hearst's depth-score criterion in its thresholded form).
+# Determinism discipline: every per-doc statistic is a SEQUENTIAL fold
+# over the gap-score array (F.aggregate here, list_reduce in the
+# oracle) — both engines add identical doubles in identical array
+# order, so the threshold is bit-identical and the boundary decision
+# never hinges on aggregation order (the cross-engine drift that a
+# groupBy mean would reintroduce).
+# Scale: blocks, cohesions, threshold, and boundary counts are all
+# scan-stage higher-order functions — ZERO shuffle before the
+# |langs|-row census; docs shorter than two blocks carry no gap and are
+# excluded on both sides.
+# --------------------------------------------------------------------------
+@register(
+    "d119_texttiling_boundaries",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               list_transform(
+                   generate_series(1, nb - 1),
+                   k -> CAST(len(list_intersect(
+                            list_distinct(list_slice(toks, (k-1)*10+1, k*10)),
+                            list_distinct(list_slice(toks, k*10+1, k*10+10))
+                        )) AS DOUBLE)
+                        / (len(list_distinct(list_slice(toks, (k-1)*10+1, k*10)))
+                           + len(list_distinct(list_slice(toks, k*10+1, k*10+10)))
+                           - len(list_intersect(
+                                 list_distinct(list_slice(toks, (k-1)*10+1, k*10)),
+                                 list_distinct(list_slice(toks, k*10+1, k*10+10))
+                             )))
+               ) AS s
+        FROM (SELECT lang, string_split(text, ' ') AS toks,
+                     CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT)
+                         AS nb
+              FROM documents)
+        WHERE nb >= 2
+    ), stats AS (
+        SELECT lang,
+               len(s) AS n_gaps,
+               list_reduce(s, (a, b) -> a + b) AS ssum,
+               len(list_filter(
+                   s,
+                   x -> x < (list_reduce(s, (a, b) -> a + b) / len(s)
+                             - 0.5 * sqrt(greatest(
+                                   list_reduce(list_transform(s, v -> v * v),
+                                               (a, b) -> a + b) / len(s)
+                                   - (list_reduce(s, (a, b) -> a + b) / len(s))
+                                     * (list_reduce(s, (a, b) -> a + b) / len(s)),
+                                   0)))
+               )) AS n_bounds
+        FROM scored
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM(n_gaps) AS BIGINT)     AS n_gaps,
+           CAST(SUM(n_bounds) AS BIGINT)   AS n_boundaries,
+           ROUND(SUM(ssum) / SUM(n_gaps), 4) AS avg_cohesion,
+           ROUND(CAST(SUM(n_bounds) AS DOUBLE) / SUM(n_gaps), 4)
+                                           AS boundary_rate
+    FROM stats
+    GROUP BY lang
+    """,
+)
+def d119_texttiling_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    B = 10
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nb = F.ceil(F.size(toks) / float(B)).cast("int")
+
+    def block(k, off):
+        # 1-based block k (+off) as a distinct token set.
+        return F.array_distinct(
+            F.slice(F.col("toks"), (k - 1 + off) * B + 1, B)
+        )
+
+    def jac(k):
+        inter = F.size(F.array_intersect(block(k, 0), block(k, 1)))
+        union = F.size(block(k, 0)) + F.size(block(k, 1)) - inter
+        return inter.cast("double") / union
+
+    scored = (
+        docs.select("lang", toks.alias("toks"), nb.alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select(
+            "lang",
+            F.transform(
+                F.sequence(F.lit(1), F.col("nb") - 1), jac
+            ).alias("s"),
+        )
+    )
+    ssum = F.aggregate("s", F.lit(0.0), lambda a, x: a + x)
+    ssq = F.aggregate("s", F.lit(0.0), lambda a, x: a + x * x)
+    n = F.size("s")
+    mean = ssum / n
+    thr = mean - 0.5 * F.sqrt(F.greatest(ssq / n - mean * mean, F.lit(0.0)))
+    stats = scored.select(
+        "lang",
+        n.alias("n_gaps"),
+        ssum.alias("ssum"),
+        F.size(F.filter("s", lambda x: x < thr)).alias("n_bounds"),
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+        F.sum("n_bounds").cast("bigint").alias("n_boundaries"),
+        F.round(F.sum("ssum") / F.sum("n_gaps"), 4).alias("avg_cohesion"),
+        F.round(
+            F.sum("n_bounds").cast("double") / F.sum("n_gaps"), 4
+        ).alias("boundary_rate"),
+    )

@@ -332,6 +332,8 @@ EMPTY_SAFE = (
     "d117_mmr_rerank",
     # d118 releases zero quantiles from a zero-row histogram.
     "d118_dp_quantile_release",
+    # d119 tiles zero docs into zero gaps.
+    "d119_texttiling_boundaries",
 )
 
 

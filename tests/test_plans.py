@@ -2741,3 +2741,18 @@ def test_d115_tercile_cut_is_rank_safe_and_body_free(spark, sf_dir):
         )
     for key in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "text#" not in key, plan
+
+
+def test_d119_census_is_the_only_shuffle(spark, sf_dir):
+    """r16: d119's blocks/cohesions/threshold/boundary counts are all
+    scan-stage higher-order functions — the ONLY shuffle keys allowed in
+    the executed plan are the lang census keys; no window, no limit, no
+    document text in any exchange."""
+    plan = _formatted(_q(spark, sf_dir, "d119_texttiling_boundaries"))
+    assert "Window" not in plan, plan
+    assert "GlobalLimit" not in plan, plan
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys, plan
+    for key in keys:
+        assert key.split("#")[0].strip().startswith("lang"), plan
+        assert "text#" not in key and "toks#" not in key, plan

@@ -1644,3 +1644,35 @@ def test_d118_exponential_mechanism_invariants(spark, tmp_path):
     for src, r in got.items():
         assert r["released_median"] in domains[src]
         assert r["util_gap"] >= 0.0
+
+
+def test_d119_planted_topic_shift(spark, tmp_path):
+    """r16: TextTiling on a planted two-topic doc — blocks AA|BB give
+    gap cohesions (1, 0, 1): mean 2/3, stddev_pop sqrt(2)/3, threshold
+    ~0.431, so exactly the topic-shift gap is a boundary. A uniform
+    one-topic doc (all gaps = 1, stddev 0) must yield zero boundaries,
+    and a doc shorter than two blocks is excluded."""
+    from lime_on_spark_spark.plans import registry
+
+    topic_a = " ".join("a b c d e f g h i j".split())
+    topic_b = " ".join("k l m n o p q r s t".split())
+    rows = [
+        (0, f"{topic_a} {topic_a} {topic_b} {topic_b}", "en", "s0", 0),
+        (1, f"{topic_a} {topic_a} {topic_a}", "de", "s0", 0),
+        (2, "a b c", "fr", "s0", 0),  # < 2 blocks: excluded
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["lang"]: r
+        for r in registry.queries()["d119_texttiling_boundaries"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"en", "de"}
+    assert got["en"]["n_gaps"] == 3 and got["en"]["n_boundaries"] == 1
+    assert got["de"]["n_gaps"] == 2 and got["de"]["n_boundaries"] == 0
+    assert got["de"]["avg_cohesion"] == 1.0
