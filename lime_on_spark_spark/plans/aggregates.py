@@ -1699,3 +1699,78 @@ def a29_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") - F.col("exact")).cast("bigint").alias("overestimate"),
         (F.col("est") >= F.col("exact")).alias("never_under"),
     )
+
+
+# --------------------------------------------------------------------------
+# A30 — approx-percentile rank-error gate (r16): the contract check the
+# sketch family was missing. percentile_approx is how a 100 TB plan gets
+# quantile thresholds (one mergeable pass — exact percentiles would
+# sort), and its guarantee is a RANK bound: the returned element's rank
+# is within n/accuracy of the target rank. This row verifies that
+# contract DISTRIBUTIVELY: one sketch agg produces the candidates, one
+# more scan counts each candidate's tie-class [count(<v)+1, count(<=v)]
+# and checks it intersects [floor((q-eps)n), ceil((q+eps)n)], eps =
+# 1/accuracy — the d109 release-gate pattern (a second full pass, never
+# a sort). The output carries only (q, n, verdict): the approx VALUES
+# stay out of the hashed result on purpose — the sketch's merge order
+# is an engine internal, the contract is not.
+# --------------------------------------------------------------------------
+@register(
+    "a30_approx_percentile_rank_gate",
+    oracle="""
+    SELECT q, CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n,
+           true AS within_contract
+    FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)
+    ORDER BY q
+    """,
+)
+def a30_approx_percentile_rank_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ACC = 1000
+    QS = (0.5, 0.9, 0.99)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    sketch = li.agg(
+        F.percentile_approx("x", F.array(*[F.lit(q) for q in QS]), ACC).alias(
+            "vs"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    probes = li.crossJoin(F.broadcast(sketch)).select(
+        "n",
+        *[
+            F.when(F.col("x") < F.element_at("vs", i + 1), 1)
+            .otherwise(0)
+            .alias(f"lt{i}")
+            for i in range(len(QS))
+        ],
+        *[
+            F.when(F.col("x") <= F.element_at("vs", i + 1), 1)
+            .otherwise(0)
+            .alias(f"le{i}")
+            for i in range(len(QS))
+        ],
+    )
+    counted = probes.groupBy("n").agg(
+        *[F.sum(f"lt{i}").alias(f"rank_lo{i}") for i in range(len(QS))],
+        *[F.sum(f"le{i}").alias(f"rank_hi{i}") for i in range(len(QS))],
+    )
+    per_q = []
+    for i, q in enumerate(QS):
+        eps = 1.0 / ACC
+        lo_ok = F.col(f"rank_hi{i}") >= F.floor((q - eps) * F.col("n"))
+        hi_ok = F.col(f"rank_lo{i}") + 1 <= F.ceil((q + eps) * F.col("n"))
+        per_q.append(
+            F.struct(
+                F.lit(q).alias("q"),
+                F.col("n").cast("bigint").alias("n"),
+                (lo_ok & hi_ok).alias("within_contract"),
+            )
+        )
+    return (
+        counted.select(F.explode(F.array(*per_q)).alias("r"))
+        .select("r.q", "r.n", "r.within_contract")
+        .orderBy("q")
+    )

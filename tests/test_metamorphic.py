@@ -334,6 +334,8 @@ EMPTY_SAFE = (
     "d118_dp_quantile_release",
     # d119 tiles zero docs into zero gaps.
     "d119_texttiling_boundaries",
+    # a30 gates zero candidates over a zero-row table.
+    "a30_approx_percentile_rank_gate",
 )
 
 
