@@ -971,3 +971,57 @@ def p23_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 7
         """
     )
+
+
+# --------------------------------------------------------------------------
+# P24 — DataFrame.transpose (Spark 4, SPARK-47081): the third member of
+# the reshape family next to a5's pivot (aggregation into columns) and
+# unpivot (columns into rows) — a pure flip of a SUMMARY frame with no
+# aggregation: former columns become rows keyed by `key`, index values
+# become columns (sorted, so the output schema is deterministic — the
+# driver's schema check pins it). Metrics are cast to a common type
+# first (transpose requires it: the least common type of all value
+# columns).
+# Scale: transpose materializes the index values driver-side to NAME the
+# output columns (capped by spark.sql.transposeMaxValues) — it is a
+# presentation op for BOUNDED summaries; the corpus-scale work is the
+# upstream keyed agg, which stays a one-pass combinable census.
+# --------------------------------------------------------------------------
+@register(
+    "p24_transpose",
+    oracle="""
+    WITH agg AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS DOUBLE)    AS n_customers,
+               ROUND(AVG(c_acctbal), 4)    AS avg_acctbal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT 'n_customers' AS key,
+           MAX(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN n_customers END)
+               AS "AUTOMOBILE",
+           MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN n_customers END)
+               AS "BUILDING",
+           MAX(CASE WHEN c_mktsegment = 'FURNITURE' THEN n_customers END)
+               AS "FURNITURE",
+           MAX(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN n_customers END)
+               AS "HOUSEHOLD",
+           MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN n_customers END)
+               AS "MACHINERY"
+    FROM agg
+    UNION ALL
+    SELECT 'avg_acctbal',
+           MAX(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN avg_acctbal END),
+           MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN avg_acctbal END),
+           MAX(CASE WHEN c_mktsegment = 'FURNITURE' THEN avg_acctbal END),
+           MAX(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN avg_acctbal END),
+           MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN avg_acctbal END)
+    FROM agg
+    """,
+)
+def p24_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    agg = customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
+    return agg.transpose()

@@ -221,6 +221,17 @@ REPRESENTATIVE = (
     "m10_packing_efficiency",
     "d111_tokenizer_fertility",
     "d114_length_bucketed_batching",
+    # (round 16 wave 2) d115: the grouped exact-ntile's percentile-sketch
+    # CUTS may legitimately differ with fan-out — the claim is that any
+    # cuts yield the identical tercile assignment (ranges only partition
+    # the order; ranks come from counts + local row_number). d116's wins
+    # matrix and d118's histogram prefix sums shuffle on derived keys;
+    # a30's verdict must hold even if the sketch itself drifts with
+    # merge order — the gate is exactly the fan-out-robust statement.
+    "d115_ccnet_perplexity_buckets",
+    "d116_bradley_terry_sources",
+    "d118_dp_quantile_release",
+    "a30_approx_percentile_rank_gate",
 )
 
 
@@ -336,6 +347,8 @@ EMPTY_SAFE = (
     "d119_texttiling_boundaries",
     # a30 gates zero candidates over a zero-row table.
     "a30_approx_percentile_rank_gate",
+    # p24 transposes a zero-index summary (key column only).
+    "p24_transpose",
 )
 
 
