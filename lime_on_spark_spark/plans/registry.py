@@ -77,21 +77,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: exercises the whole engine. Names listed but not (yet) registered are
 #: skipped harmlessly; everything not listed follows in registration order.
 _CURATED_PREFIX = (
-    # r16 rotation v6 (second wave): exactly 47 of these 50 rows have
+    # r16 rotation v6 (second wave): exactly 48 of these 50 rows have
     # NEVER appeared in any CORRECTNESS_r*.json (recomputed against
-    # r01–r15 at rotation time) — all ELEVEN round-16 rows (the
+    # r01–r15 at rotation time) — all TWELVE round-16 rows (the
     # same-round certification principle: m9/m10/d111/d114 from the
-    # first wave, d115-d119/a30/p24 from the second) plus 36 backlog
-    # rows, clearing the p/f backlogs entirely. 3 re-pins: q1
-    # (continuity), w7 (families whose rows are all driver-certified),
-    # and d108 — re-certified because its decile cut was rewritten this
-    # round (exact_ntile, the r15 verdict's one weak). All 50
-    # oracle-backed. Never-sampled backlog after this rotation:
-    # 122 + 11 new − 47 first-time = 86.
+    # first wave, d115-d120/a30/p24 from the second) plus 36 backlog
+    # rows, clearing the p/f backlogs entirely. 2 re-pins: q1
+    # (continuity pin — the headline query), and d108 — re-certified
+    # because its decile cut was rewritten this round (exact_ntile, the
+    # r15 verdict's one weak). All 50 oracle-backed. Never-sampled
+    # backlog after this rotation: 122 + 12 new − 48 first-time = 86.
     # q — TPC-H classic (continuity pin)
     "q1_pricing_summary",
-    # w — fully-certified family, one sample each round
-    "w7_cumulative_distinct_users",
     # d108 — the r16 fix (rank-safe decile cut), same oracle
     "d108_semantic_decontamination",
     # r16 rows — certified in their own round
@@ -100,7 +97,7 @@ _CURATED_PREFIX = (
     "d115_ccnet_perplexity_buckets", "d116_bradley_terry_sources",
     "d117_mmr_rerank", "d118_dp_quantile_release",
     "d119_texttiling_boundaries", "a30_approx_percentile_rank_gate",
-    "p24_transpose",
+    "p24_transpose", "d120_embedding_centroid_drift",
     # p — clears the p backlog
     "p14_sql_udf", "p17_identifier_clause",
     # f — clears the f backlog

@@ -2281,3 +2281,84 @@ def d117_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rnk int, vec_id bigint, rel double, mmr_score double",
     )
+
+
+# --------------------------------------------------------------------------
+# D120 — embedding centroid drift (r16): the VECTOR twin of the scalar
+# drift monitors (d72 PSI, d73 KS) — "did my embedding pipeline shift
+# between builds". The corpus splits into two snapshots by vec_id
+# parity (stand-ins for build N and build N+1); per label the snapshot
+# CENTROIDS are compared by cosine, and drift = 1 - cos. Cosine is
+# scale-invariant, so the centroids are represented by per-dimension
+# SUMS (no division — one fewer float op to disagree on): posexplode
+# to (label, parity, dim) keys, ONE combinable sum agg, then a
+# |labels| x 64 join and a per-label dot/norm reduction. Everything
+# shuffled is dimension-keyed triples — never vectors, never rows;
+# group count is bounded by |labels| x 2 x dims.
+# --------------------------------------------------------------------------
+@register(
+    "d120_embedding_centroid_drift",
+    oracle="""
+    WITH dims AS (
+        SELECT label, vec_id % 2 AS parity, t.dim AS dim,
+               CAST(embedding[t.dim] AS DOUBLE) AS x
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(dim)
+    ), sums AS (
+        SELECT label, parity, dim, SUM(x) AS s, COUNT(*) AS n
+        FROM dims GROUP BY label, parity, dim
+    ), paired AS (
+        SELECT a.label, a.dim, a.s AS sa, b.s AS sb,
+               a.n AS na, b.n AS nb
+        FROM sums a JOIN sums b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.parity = 0 AND b.parity = 1
+    )
+    SELECT label,
+           CAST(MAX(na) AS BIGINT)                  AS n_even,
+           CAST(MAX(nb) AS BIGINT)                  AS n_odd,
+           ROUND(SUM(sa * sb)
+                 / (sqrt(SUM(sa * sa)) * sqrt(SUM(sb * sb))), 6)
+                                                    AS centroid_cos,
+           ROUND(1 - SUM(sa * sb)
+                 / (sqrt(SUM(sa * sa)) * sqrt(SUM(sb * sb))), 6)
+                                                    AS drift
+    FROM paired
+    GROUP BY label
+    """,
+)
+def d120_embedding_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("parity"),
+        F.posexplode("embedding").alias("dim0", "x0"),
+    ).select(
+        "label", "parity",
+        (F.col("dim0") + 1).alias("dim"),  # ordinality parity w/ DuckDB
+        F.col("x0").cast("double").alias("x"),
+    )
+    sums = dims.groupBy("label", "parity", "dim").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = sums.filter(F.col("parity") == 0).select(
+        "label", "dim",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    b = sums.filter(F.col("parity") == 1).select(
+        "label", "dim",
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    paired = a.join(b, ["label", "dim"])
+    cos = F.sum(F.col("sa") * F.col("sb")) / (
+        F.sqrt(F.sum(F.col("sa") * F.col("sa")))
+        * F.sqrt(F.sum(F.col("sb") * F.col("sb")))
+    )
+    return paired.groupBy("label").agg(
+        F.max("na").cast("bigint").alias("n_even"),
+        F.max("nb").cast("bigint").alias("n_odd"),
+        F.round(cos, 6).alias("centroid_cos"),
+        F.round(1 - cos, 6).alias("drift"),
+    )

@@ -232,6 +232,10 @@ REPRESENTATIVE = (
     "d116_bradley_terry_sources",
     "d118_dp_quantile_release",
     "a30_approx_percentile_rank_gate",
+    # d120's per-dimension float sums must round identically under any
+    # partial-aggregation order (the classic float-order risk, held at
+    # the 6-dp output boundary).
+    "d120_embedding_centroid_drift",
 )
 
 
@@ -349,6 +353,8 @@ EMPTY_SAFE = (
     "a30_approx_percentile_rank_gate",
     # p24 transposes a zero-index summary (key column only).
     "p24_transpose",
+    # d120 pairs zero dimension sums into zero drift rows.
+    "d120_embedding_centroid_drift",
 )
 
 
