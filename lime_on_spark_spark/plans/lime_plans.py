@@ -1247,3 +1247,116 @@ def l16_deletion_faithfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("picked_signal"),
         (F.col("top_effect") >= F.col("ctrl_effect")).alias("faithful"),
     )
+
+
+# --------------------------------------------------------------------------
+# L17 — exact KernelSHAP (Lundberg & Lee, NeurIPS 2017 §4.1): the OTHER
+# canonical local explainer, sharing LIME's surrogate machinery but with
+# the Shapley kernel pi(z) = (M-1)/(C(M,|z|)|z|(M-|z|)) — the unique
+# weighting whose weighted-least-squares solution IS the Shapley value.
+# Exact mode: with M = 8 features all 2^8 coalitions enumerate
+# DISTRIBUTIVELY (sequence + explode + popcount bits — scan-stage, the
+# l2/l8 shape), the black-box is a broadcast linear scorer over the
+# vec_id-0 embedding's first 8 dims, and the WLS solve runs on the
+# collected 256 x 9 design (bounded by 2^M — the d60 bounded-summary
+# discipline; sampled KernelSHAP is the scale path for large M). The
+# full/empty coalitions carry the standard large-weight constraint
+# pins (phi must satisfy efficiency: sum phi = f(x) - f(0)).
+# Oracle: for a LINEAR model with baseline-zero masking the exact
+# Shapley value is phi_i = beta_i * x_i — the oracle computes it
+# straight from the parquet, so the solver's recovery is differentially
+# checked to 6 dp (solver residual ~1e-9, far inside the rounding
+# band). Efficiency and recovery verdicts ride beside the values.
+# --------------------------------------------------------------------------
+_L17_BETAS = (1.0, -2.0, 3.0, -1.5, 2.5, -0.5, 4.0, -3.0)
+
+
+@register(
+    "l17_kernel_shap",
+    oracle="""
+    WITH x AS (
+        SELECT t.i AS feature,
+               CAST(embedding[t.i + 1] AS DOUBLE) AS x_i,
+               [1.0, -2.0, 3.0, -1.5, 2.5, -0.5, 4.0, -3.0][t.i + 1]
+                   AS beta_i
+        FROM (SELECT embedding FROM embeddings WHERE vec_id = 0),
+             UNNEST(generate_series(0, 7)) AS t(i)
+    )
+    SELECT feature, ROUND(x_i, 6) AS x_i, beta_i,
+           ROUND(beta_i * x_i, 6) AS phi,
+           true AS recovered, true AS efficient
+    FROM x
+    """,
+)
+def l17_kernel_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+
+    from lime_on_spark_spark.lime.ridge import weighted_ridge
+
+    M = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    inst = emb.filter(F.col("vec_id") == 0).select(
+        *[
+            F.element_at("embedding", i + 1).cast("double").alias(f"x{i}")
+            for i in range(M)
+        ]
+    )
+    betas = _L17_BETAS
+    # All 2^M coalitions, generated scan-stage: bit i of z = membership.
+    coal = inst.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(2**M - 1))).alias("z")
+    )
+    masked_score = sum(
+        F.lit(betas[i])
+        * F.col(f"x{i}")
+        * ((F.shiftright("z", i) % 2) == 1).cast("double")
+        for i in range(M)
+    )
+    size = sum(
+        ((F.shiftright("z", i) % 2) == 1).cast("int") for i in range(M)
+    )
+    rows = coal.select(
+        "z",
+        size.alias("s"),
+        masked_score.alias("fz"),
+        *[
+            ((F.shiftright("z", i) % 2) == 1).cast("double").alias(f"b{i}")
+            for i in range(M)
+        ],
+        *[F.col(f"x{i}") for i in range(M)],
+    ).collect()
+    schema = (
+        "feature int, x_i double, beta_i double, phi double,"
+        " recovered boolean, efficient boolean"
+    )
+    if not rows:  # instance absent (empty corpus): nothing to explain
+        return spark.createDataFrame([], schema)
+
+    # Bounded 2^M x (M+1) design to the driver; Shapley-kernel WLS.
+    Z = np.array([[r[f"b{i}"] for i in range(M)] for r in rows])
+    y = np.array([r["fz"] for r in rows])
+    w = np.empty(len(rows))
+    for j, r in enumerate(rows):
+        s = r["s"]
+        if s == 0 or s == M:
+            w[j] = 1e7  # constraint pin: phi respects f(0) and f(x)
+        else:
+            w[j] = (M - 1) / (math.comb(M, s) * s * (M - s))
+    phi, intercept, _r2 = weighted_ridge(Z, y, w, alpha=0.0)
+    x = [rows[0][f"x{i}"] for i in range(M)]
+    f_full = float(sum(b * v for b, v in zip(betas, x)))
+    efficient = abs(float(phi.sum()) + intercept - f_full) < 1e-6
+    out = [
+        (
+            i,
+            round(x[i], 6),
+            betas[i],
+            round(float(phi[i]), 6),
+            abs(float(phi[i]) - betas[i] * x[i]) < 1e-6,
+            efficient,
+        )
+        for i in range(M)
+    ]
+    return spark.createDataFrame(out, schema)

@@ -79,14 +79,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _CURATED_PREFIX = (
     # r16 rotation v6 (second wave): exactly 48 of these 50 rows have
     # NEVER appeared in any CORRECTNESS_r*.json (recomputed against
-    # r01–r15 at rotation time) — all TWELVE round-16 rows (the
+    # r01–r15 at rotation time) — all THIRTEEN round-16 rows (the
     # same-round certification principle: m9/m10/d111/d114 from the
-    # first wave, d115-d120/a30/p24 from the second) plus 36 backlog
-    # rows, clearing the p/f backlogs entirely. 2 re-pins: q1
-    # (continuity pin — the headline query), and d108 — re-certified
-    # because its decile cut was rewritten this round (exact_ntile, the
-    # r15 verdict's one weak). All 50 oracle-backed. Never-sampled
-    # backlog after this rotation: 122 + 12 new − 48 first-time = 86.
+    # first wave, d115-d120/a30/p24/l17 from the second) plus 35
+    # backlog rows (d17_dup_triangles yields its slot to l17 — the one
+    # backlog row deferred to v7). 2 re-pins: q1 (continuity pin — the
+    # headline query), and d108 — re-certified because its decile cut
+    # was rewritten this round (exact_ntile, the r15 verdict's one
+    # weak). All 50 oracle-backed. Never-sampled backlog after this
+    # rotation: 122 + 13 new − 48 first-time = 87.
     # q — TPC-H classic (continuity pin)
     "q1_pricing_summary",
     # d108 — the r16 fix (rank-safe decile cut), same oracle
@@ -98,6 +99,7 @@ _CURATED_PREFIX = (
     "d117_mmr_rerank", "d118_dp_quantile_release",
     "d119_texttiling_boundaries", "a30_approx_percentile_rank_gate",
     "p24_transpose", "d120_embedding_centroid_drift",
+    "l17_kernel_shap",
     # p — clears the p backlog
     "p14_sql_udf", "p17_identifier_clause",
     # f — clears the f backlog
@@ -119,7 +121,7 @@ _CURATED_PREFIX = (
     "d12_quota_sample", "d16_tfidf_top_terms", "d19_repetition_filter",
     "d28_pagerank", "d32_quantized_knn", "d5_quality_scores",
     "d5_token_counting", "d9_bigram_counts", "d13_chunk_documents",
-    "d10_dup_clusters", "d17_dup_triangles",
+    "d10_dup_clusters",
 )
 
 

@@ -355,6 +355,9 @@ EMPTY_SAFE = (
     "p24_transpose",
     # d120 pairs zero dimension sums into zero drift rows.
     "d120_embedding_centroid_drift",
+    # l17 enumerates coalitions of a missing instance (empty design ->
+    # zero output rows, no crash).
+    "l17_kernel_shap",
 )
 
 
