@@ -1676,3 +1676,83 @@ def test_d119_planted_topic_shift(spark, tmp_path):
     assert got["en"]["n_gaps"] == 3 and got["en"]["n_boundaries"] == 1
     assert got["de"]["n_gaps"] == 2 and got["de"]["n_boundaries"] == 0
     assert got["de"]["avg_cohesion"] == 1.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=1,
+                   max_size=4),
+    n=st.integers(min_value=2, max_value=7),
+    tie_frac=st.integers(min_value=0, max_value=9),
+)
+def test_grouped_exact_ntile_hypothesis(spark, sizes, n, tie_frac):
+    """r16: randomized with_grouped_exact_ntile vs the one-window SQL
+    semantics — arbitrary group counts/sizes (including singletons and
+    sizes not divisible by n) and a drawn leading-key tie rate (up to
+    90% of rows tied on f=1, the range-degeneracy worst case)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lime_on_spark_spark.operators.exact_ntile import (
+        with_grouped_exact_ntile,
+    )
+
+    rng = random.Random(hash((tuple(sizes), n, tie_frac)) & 0xFFFF)
+    rows = []
+    for gi, size in enumerate(sizes):
+        for i in range(size):
+            f = 1 if rng.random() < tie_frac / 10 else rng.randint(2, 8)
+            rows.append((f"g{gi}", i, f))
+    df = spark.createDataFrame(rows, "g string, k long, f long")
+    got = {
+        (r["g"], r["k"]): (r["b"], r["rk"], r["tot"])
+        for r in with_grouped_exact_ntile(
+            df, n, ["g"], ["f", "k"],
+            out_col="b", rank_col="rk", total_col="tot", num_ranges=4,
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("f", "k")
+    want = {
+        (r["g"], r["k"]): (r["b"], r["rk"], r["tot"])
+        for r in df.select(
+            "g", "k",
+            F.ntile(n).over(w).alias("b"),
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("tot"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_d115_tercile_tie_class_is_deterministic(spark, tmp_path):
+    """r16: six docs in one language, ALL with identical text (so every
+    scored NLL ties exactly at 6 dp) — the tercile cut must split the
+    tie class by doc_id into 2/2/2, identically on every run and under
+    re-sharding. Pins the (nll, doc_id) tie-break discipline at the
+    bucket boundary, the exact spot a nondeterministic cut would leak."""
+    from lime_on_spark_spark.plans import registry
+
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, text, "en", "s0", len(text)) for i in range(6)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def run():
+        return sorted(
+            (r["bucket"], r["n_docs"])
+            for r in registry.queries()["d115_ccnet_perplexity_buckets"](
+                spark, str(tmp_path)
+            ).collect()
+        )
+
+    first = run()
+    assert first == [("head", 2), ("middle", 2), ("tail", 2)]
+    assert run() == first
