@@ -1756,3 +1756,51 @@ def test_d115_tercile_tie_class_is_deterministic(spark, tmp_path):
     first = run()
     assert first == [("head", 2), ("middle", 2), ("tail", 2)]
     assert run() == first
+
+
+def test_d117_shortlist_smaller_than_k(spark, tmp_path):
+    """r16: three embeddings -> shortlist of two candidates (query
+    excluded) -> the greedy loop must stop at two picks, ranked by the
+    MMR rule, instead of padding or crashing."""
+    from lime_on_spark_spark.plans import registry
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # query
+        (1, [0.9, 0.1, 0.0, 0.0], 1),
+        (2, [0.0, 1.0, 0.0, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(
+        (r["rnk"], r["vec_id"])
+        for r in registry.queries()["d117_mmr_rerank"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    # vec 1 is most relevant (cos ~0.994); vec 2 follows.
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_d116_single_source_corpus(spark, tmp_path):
+    """r16: every doc from ONE source -> zero preference pairs (the
+    same-source filter drops all) -> the ghost regularizer alone drives
+    the fit: one finite positive strength, zero wins/comparisons."""
+    from lime_on_spark_spark.plans import registry
+
+    rows = [(i, f"w{i} x y z", "en", "only", 9) for i in range(6)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = registry.queries()["d116_bradley_terry_sources"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source"], r["wins"], r["comparisons"], r["rnk"]) == (
+        "only", 0, 0, 1
+    )
+    assert r["strength"] == 1.0  # sole source: normalized mass is all its
