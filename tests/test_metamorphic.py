@@ -236,6 +236,11 @@ REPRESENTATIVE = (
     # partial-aggregation order (the classic float-order risk, held at
     # the 6-dp output boundary).
     "d120_embedding_centroid_drift",
+    # d119's census averages per-doc cohesion sums across partitions and
+    # p24 transposes a float agg — both hold their cross-partition float
+    # sums at a rounding boundary.
+    "d119_texttiling_boundaries",
+    "p24_transpose",
 )
 
 
