@@ -81,23 +81,23 @@ def train_pq_variants(
     # corpus whose ids are 1-based, offset, or non-contiguous after an
     # upstream filter. Driver state is O(K) ids.
     kmax = max(ks)
-    low_ids = sorted(
-        r[0]
-        for r in svf.select("vec_id")
-        .distinct()
-        .orderBy("vec_id")
-        .limit(kmax)
-        .collect()
-    )
-    rank = {vid: i for i, vid in enumerate(low_ids)}
+    # ONE top-(K*M) collect fetches both the K lowest distinct vec_ids AND
+    # their subvectors (r16 optimization — previously a distinct+limit
+    # job followed by a filter+collect job): every vec_id owns exactly
+    # m_subspaces rows of svf by construction, so the K*M lowest-ordered
+    # rows cover the K lowest ids; one spare id's rows guard the slice.
     init = (
-        svf.filter(F.col("vec_id").isin(low_ids))
-        .select("m", "vec_id", F.col("sv").alias("cvec"))
+        svf.select("vec_id", "m", F.col("sv").alias("cvec"))
+        .orderBy("vec_id", "m")
+        .limit((kmax + 1) * m_subspaces)
         .collect()
     )
+    low_ids = sorted({r["vec_id"] for r in init})[:kmax]
+    rank = {vid: i for i, vid in enumerate(low_ids)}
     cent: dict[tuple[int, int, int], list[float]] = {
         (kk, int(r["m"]), rank[r["vec_id"]]): [float(x) for x in r["cvec"]]
         for r in init
+        if r["vec_id"] in rank
         for kk in ks
         if rank[r["vec_id"]] < kk
     }

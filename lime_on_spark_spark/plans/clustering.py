@@ -280,13 +280,17 @@ def d96_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.selectExpr("sa AS a", "sb AS b", "w").unionAll(
         pairs.selectExpr("sb AS a", "sa AS b", "w")
-    ).localCheckpoint(eager=True)
+    )
     nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
         eager=True
     )
-    wdeg = (
-        sym.groupBy(F.col("a").alias("node"))
-        .agg(F.sum("w").alias("wd"))
+    # Pre-join each edge's source degree ONCE (r16 optimization): the
+    # denominator 100*wd is per-source-constant across all 10 rounds, so
+    # joining wdeg inside the loop repeated the same broadcast join 10
+    # times. symw = (a, b, w, wd) is the round-invariant message graph.
+    wdeg = sym.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("wd"))
+    symw = (
+        sym.join(wdeg.withColumnRenamed("node", "a"), "a")
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
@@ -296,19 +300,21 @@ def d96_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = nodes.select("node", F.lit(r0_val).cast("bigint").alias("r"))
     for _ in range(_D96_ITERS):
         contrib = (
-            sym.join(r, sym["a"] == r["node"])
-            .join(wdeg.withColumnRenamed("node", "gn"), F.col("a") == F.col("gn"))
+            symw.join(r, symw["a"] == r["node"])
             .select(
                 F.col("b").alias("node"),
                 F.expr("(85 * r * w) DIV (100 * wd)").alias("c"),
             )
         )
         r = (
-            nodes.join(
-                contrib.groupBy("node").agg(F.sum("c").alias("s")),
-                "node",
-                "left",
-            )
+            # No nodes re-join (r16 optimization): sym is SYMMETRIC, so
+            # every node receives at least one contribution — the keyed
+            # aggregate alone already covers the full node set, row for
+            # row what the oracle's LEFT JOIN produces (its NULL branch
+            # is unreachable for the same reason). Dropping the join
+            # removes one broadcast exchange per round.
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
             .select(
                 "node",
                 (F.lit(b_val) + F.coalesce(F.col("s"), F.lit(0)))
@@ -317,6 +323,10 @@ def d96_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # Truncate the per-round lineage (the d10 discipline): 10
             # chained joins would otherwise replan the whole history.
+            # EAGER on purpose: a lazy chain of 10 checkpoints makes every
+            # round's AQE execution re-materialize its predecessors'
+            # shuffle stages (measured 75 s vs ~6 s at sf0.1 in r16) —
+            # one small job per round is the cheap side of that trade.
             .localCheckpoint(eager=True)
         )
     return (

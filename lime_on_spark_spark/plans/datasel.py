@@ -3024,6 +3024,12 @@ def d115_ccnet_perplexity_buckets(
             F.round(-F.avg(F.log("p_kn")), 6).alias("nll"),
             F.count(F.lit(1)).cast("bigint").alias("nb"),
         )
+        # The tercile operator reads its input FOUR times (per-group
+        # sketch branch + range-count action, each re-run in the final
+        # rank plan); without this persist every pass re-executes the
+        # KN model build + scoring join (r16: 69 -> ~25 jobs). scored
+        # is |docs| rows x 4 cols — the bounded frame, not the corpus.
+        .persist()
     )
     bucketed = with_grouped_exact_ntile(
         scored, 3, ["lang"], ["nll", "doc_id"], out_col="b", num_ranges=16

@@ -2082,22 +2082,38 @@ def d2_vs_d45_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (
         qs["d2_minhash_near_dup"](spark, sf_dir)
         .filter(F.col("jaccard_dist") <= 0.3)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", F.lit(True).alias("in_d2"))
     )
-    d45 = qs["d45_minhash_banded_exact"](spark, sf_dir).persist()
-    ref = d45.filter(F.col("jaccard") >= 0.7).select("doc_a", "doc_b")
-    n_ref = ref.count()
-    n_d2 = d2.count()
-    n_recalled = ref.join(d2, ["doc_a", "doc_b"]).count()
-    # Precision vs d45's FULL >= 0.6 set: d2's threshold (0.7) is strictly
-    # inside it, so every true d2 pair must appear there.
-    n_precise = d2.join(d45.select("doc_a", "doc_b"), ["doc_a", "doc_b"]).count()
-    d45.unpersist()
-    recall_ok = n_ref > 0 and n_recalled / n_ref >= 0.9
-    precision_ok = n_d2 > 0 and n_precise / n_d2 >= 0.9
-    return spark.createDataFrame(
-        [(n_ref, bool(recall_ok), bool(precision_ok))],
-        "n_ref bigint, recall_ok boolean, precision_ok boolean",
+    d45 = qs["d45_minhash_banded_exact"](spark, sf_dir)
+    # ONE full-outer join + ONE aggregation computes all four counts the
+    # verdict needs (r16 optimization): the previous four sequential
+    # .count() actions executed the d2 LSH lineage three times and d45
+    # twice (persist notwithstanding, four driver round-trips). Flags:
+    # a d45-side row carries its jaccard (is_ref when >= 0.7, the d2
+    # similarity threshold); a d2-side row carries in_d2. Pair
+    # multiplicity is preserved exactly (both sides emit distinct pairs),
+    # so every count below equals its former standalone action.
+    j = (
+        d45.select("doc_a", "doc_b", (F.col("jaccard") >= 0.7).alias("is_ref"))
+        .join(d2, ["doc_a", "doc_b"], "full_outer")
+    )
+    in_d45 = F.col("is_ref").isNotNull()
+    counts = j.agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(F.col("in_d2"), 1)).alias("n_d2"),
+        F.count(F.when(F.col("is_ref") & F.col("in_d2"), 1)).alias("n_rec"),
+        # Precision vs d45's FULL >= 0.6 set: d2's threshold (0.7) is
+        # strictly inside it, so every true d2 pair must appear there.
+        F.count(F.when(F.col("in_d2") & in_d45, 1)).alias("n_prec"),
+    )
+    return counts.select(
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.when(
+            F.col("n_ref") > 0, F.col("n_rec") / F.col("n_ref") >= 0.9
+        ).otherwise(F.lit(False)).alias("recall_ok"),
+        F.when(
+            F.col("n_d2") > 0, F.col("n_prec") / F.col("n_d2") >= 0.9
+        ).otherwise(F.lit(False)).alias("precision_ok"),
     )
 
 

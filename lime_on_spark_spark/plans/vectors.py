@@ -1388,8 +1388,13 @@ def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = codes.persist()
     codes16 = codes.filter(F.col("kk") == K).drop("kk")
     cent16 = {(m, c): v for (kk, m, c), v in cent.items() if kk == K}
-    mse16 = codes16.agg(F.avg("dist")).first()[0]
-    mse4 = codes.filter(F.col("kk") == 4).agg(F.avg("dist")).first()[0]
+    # Both variants' MSE in ONE keyed aggregation (r16 optimization —
+    # previously two sequential whole-frame aggs over the same cache).
+    mse = {
+        int(r["kk"]): r["m"]
+        for r in codes.groupBy("kk").agg(F.avg("dist").alias("m")).collect()
+    }
+    mse16, mse4 = mse[K], mse[4]
 
     # 10 deterministic probe queries spread over the id range.
     step = max(1, n // 10)
