@@ -140,17 +140,23 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     # Broadcast ONLY the genuinely bounded dims (region=5, nation=25 rows).
-    # The customer-derived dim is unbounded at scale (hundreds of millions of
-    # rows at 100x TPC-H) — an explicit hint there would override AQE's size
-    # check and OOM executors. Let AQE convert it at runtime when small.
-    dim = (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("c_custkey", "n_name")
-    )
+    # The customer side is unbounded at scale (hundreds of millions of rows
+    # at 100x TPC-H) — an explicit hint there would override AQE's size
+    # check and OOM executors. FLAT join chain on purpose (r16, guide §3.1):
+    # the former (customer x nation x region) dim SUBTREE fed the planner a
+    # join-output size estimate (a product of the input sizes without CBO
+    # stats), which disqualified the runtime-small dim from a static
+    # broadcast and planned SortMergeJoin — shuffling the joined lineitem
+    # side by custkey before AQE could repair it. With every build side a
+    # base SCAN (honest size estimate), the static plan is a pure broadcast
+    # chain and lineitem is never shuffled; on a cluster where customer is
+    # genuinely large the estimator sees that too and plans the shuffle
+    # exactly as before. Plan diff: 3 Exchange -> 1, SortMergeJoin gone.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(dim, orders.o_custkey == F.col("c_custkey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(

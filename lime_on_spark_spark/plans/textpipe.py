@@ -2855,7 +2855,12 @@ def _cross_doc_span_runs(docs: DataFrame) -> DataFrame:
 def d84_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     runs = _cross_doc_span_runs(docs)
-    best = runs.groupBy("da", "db").agg(F.max("span").alias("span"))
+    # TWO consumers (the totals agg and the top-10 cut) sit over best;
+    # persisting the bounded per-pair frame (one row per duplicate pair)
+    # keeps the winnow-candidate-verify pipeline to ONE execution (r16 —
+    # it ran once per branch before). ContextCleaner reclaims the blocks
+    # on dereference; bench.py clears the cache between ops.
+    best = runs.groupBy("da", "db").agg(F.max("span").alias("span")).persist()
     # Explode each pair to its two endpoints: row count = 2 * n_pairs and
     # the distinct endpoints are the affected docs — one agg, no collected
     # arrays (a collect_list of all pairs would not scale).
@@ -2978,7 +2983,10 @@ def d87_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    per_doc = per_doc.join(sizes, "doc_id")
+    # TWO consumers (totals + top-10) over the bounded per-doc frame —
+    # persist so the winnow-candidate-verify pipeline and the interval
+    # merge run once, not once per branch (the d84 r16 note).
+    per_doc = per_doc.join(sizes, "doc_id").persist()
     totals = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_trimmed"),
         F.sum("removed_tokens").cast("bigint").alias("total_removed"),

@@ -1388,13 +1388,13 @@ def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = codes.persist()
     codes16 = codes.filter(F.col("kk") == K).drop("kk")
     cent16 = {(m, c): v for (kk, m, c), v in cent.items() if kk == K}
-    # Both variants' MSE in ONE keyed aggregation (r16 optimization —
-    # previously two sequential whole-frame aggs over the same cache).
-    mse = {
-        int(r["kk"]): r["m"]
-        for r in codes.groupBy("kk").agg(F.avg("dist").alias("m")).collect()
-    }
-    mse16, mse4 = mse[K], mse[4]
+    # Both variants' MSE in ONE conditional aggregation, kept as a 1-row
+    # FRAME (r16 optimization): it joins the verdict plan below instead of
+    # being collected — previously two sequential whole-frame agg actions.
+    mse_df = codes.agg(
+        F.avg(F.when(F.col("kk") == K, F.col("dist"))).alias("mse16"),
+        F.avg(F.when(F.col("kk") == 4, F.col("dist"))).alias("mse4"),
+    )
 
     # 10 deterministic probe queries spread over the id range.
     step = max(1, n // 10)
@@ -1428,10 +1428,10 @@ def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_top = exact.withColumn("rn", F.row_number().over(we)).filter(
         F.col("rn") <= TOPK
     )
-    hits = exact_top.join(
+    hits_df = exact_top.join(
         shortlist.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
-    ).count()
-    recall = hits / (len(queries) * TOPK)
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    recall_denom = len(queries) * TOPK
 
     # Exact regime: 16 vectors, K=16 -> zero quantization error and ADC
     # distances equal to the exact ones for every (query, vector) pair.
@@ -1440,7 +1440,7 @@ def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixed point (every subvector its own centroid, dist 0) — no
     # update pass needed to prove the exact regime.
     mcodes, mcent = train_pq(mini, dim=DIM, m_subspaces=M, k=16, iters=1)
-    mini_mse = mcodes.agg(F.sum("dist")).first()[0]
+    mini_mse_df = mcodes.agg(F.sum("dist").alias("mini_mse"))
     mq = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in (
         mini.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")).collect()
     )]
@@ -1451,26 +1451,41 @@ def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("qid", "vec_id", F.round(sq_l2(vd, F.col("qv")), 6).alias("d2"))
     )
-    mism = (
+    mism_df = (
         mapprox.join(mexact, ["qid", "vec_id"])
         .filter(F.abs(F.col("approx") - F.col("d2")) > 1e-4)
-        .count()
+        .agg(F.count(F.lit(1)).alias("mism"))
     )
-    exact_regime_ok = (mini_mse == 0.0) and (mism == 0)
 
-    return spark.createDataFrame(
-        [
+    # ONE DataFrame program for the verdict (the d32 pattern, r16): the
+    # four 1-row verdict aggregates crossJoin into the returned plan, so
+    # the whole tail is a single job instead of four sequential actions
+    # (mse pass, recall-hits count, mini-MSE pass, ADC-mismatch count).
+    # Comparisons are the same IEEE doubles the driver compared before;
+    # coalesce keeps the booleans non-null on degenerate (empty) inputs.
+    return (
+        hits_df.crossJoin(mse_df)
+        .crossJoin(mini_mse_df)
+        .crossJoin(mism_df)
+        .select(
+            F.lit(n).cast("bigint").alias("n_vectors"),
+            F.lit(M).cast("bigint").alias("m_subspaces"),
+            F.lit(K).cast("bigint").alias("k_centroids"),
+            F.lit(M).cast("bigint").alias("code_bytes"),
+            F.lit(4 * DIM).cast("bigint").alias("raw_bytes"),
+            F.lit((4.0 * DIM) / M).alias("compression_ratio"),
+            F.coalesce(F.col("mse16") < F.col("mse4"), F.lit(False)).alias(
+                "mse_capacity_monotone"
+            ),
             (
-                n, M, K, M, 4 * DIM, (4.0 * DIM) / M,
-                bool(mse16 < mse4),
-                bool(recall >= 0.35 and recall >= 2.0 * L / n),
-                bool(exact_regime_ok),
-            )
-        ],
-        "n_vectors bigint, m_subspaces bigint, k_centroids bigint,"
-        " code_bytes bigint, raw_bytes bigint, compression_ratio double,"
-        " mse_capacity_monotone boolean, shortlist_recall_ok boolean,"
-        " exact_regime_ok boolean",
+                (F.col("hits") / recall_denom >= 0.35)
+                & (F.col("hits") / recall_denom >= 2.0 * L / n)
+            ).alias("shortlist_recall_ok"),
+            (
+                F.coalesce(F.col("mini_mse") == 0.0, F.lit(False))
+                & (F.col("mism") == 0)
+            ).alias("exact_regime_ok"),
+        )
     )
 
 
@@ -1565,10 +1580,10 @@ def d92_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cells in probes.values()
     )
     # No candidate scored from a partial code: every ADC sum saw M terms.
-    terms = short.agg(
+    # Kept as a 1-row FRAME for the single-action verdict plan below (r16).
+    terms_df = short.agg(
         F.min("n_terms").alias("lo"), F.max("n_terms").alias("hi")
-    ).first()
-    adc_complete = terms["lo"] == M and terms["hi"] == M
+    )
 
     # Exact rescore of the shortlist: full-precision distances for the L
     # candidates only (join back to the corpus + broadcast query block).
@@ -1598,26 +1613,28 @@ def d92_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_top = exact.withColumn("rn", F.row_number().over(we)).filter(
         F.col("rn") <= TOPK
     )
-    hits = exact_top.join(
+    hits_df = exact_top.join(
         final_topk.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
-    ).count()
-    recall = hits / (len(queries) * TOPK)
-    short.unpersist()
-
-    return spark.createDataFrame(
-        [
-            (
-                n, CELLS, M, K, len(queries), CAP,
-                bool(recall >= 0.55),
-                bool(worst_frac <= CAP),
-                bool(recall > CAP),
-                bool(adc_complete),
-            )
-        ],
-        "n_vectors bigint, n_cells bigint,"
-        " m_subspaces bigint, k_centroids bigint, n_queries bigint,"
-        " scan_cap_frac double, recall_ok boolean, scan_bounded boolean,"
-        " beats_blind_scan boolean, adc_terms_complete boolean",
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    denom = len(queries) * TOPK
+    # ONE DataFrame program for the verdict (the d32 pattern, r16): the
+    # recall-hits count and the ADC-completeness agg ride the returned
+    # plan instead of two sequential driver actions. `short` stays
+    # persisted for the plan's two consumers — the ContextCleaner
+    # reclaims it on dereference (the lazy-return contract).
+    return hits_df.crossJoin(terms_df).select(
+        F.lit(n).cast("bigint").alias("n_vectors"),
+        F.lit(CELLS).cast("bigint").alias("n_cells"),
+        F.lit(M).cast("bigint").alias("m_subspaces"),
+        F.lit(K).cast("bigint").alias("k_centroids"),
+        F.lit(len(queries)).cast("bigint").alias("n_queries"),
+        F.lit(CAP).alias("scan_cap_frac"),
+        (F.col("hits") / denom >= 0.55).alias("recall_ok"),
+        F.lit(bool(worst_frac <= CAP)).alias("scan_bounded"),
+        (F.col("hits") / denom > CAP).alias("beats_blind_scan"),
+        F.coalesce(
+            (F.col("lo") == M) & (F.col("hi") == M), F.lit(False)
+        ).alias("adc_terms_complete"),
     )
 
 
@@ -1816,33 +1833,40 @@ def d94_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shortlist came back empty contributes rr_u = 0 to the ANN average
     # (a left join against the full query set), never silently drops out
     # — otherwise ANN MRR would be biased upward over fewer queries.
-    ann_mrr = (
+    # The ANN-vs-exact MRR gate rides the returned plan as a broadcast
+    # 1-row frame (r16 optimization): previously two .first() actions
+    # executed the whole ANN arm eagerly and the result was collected and
+    # re-created — three driver round-trips for one verdict boolean. The
+    # ratio compares the same IEEE doubles the driver compared before.
+    ann_avg = (
         per_q.select("qid")
         .join(
             _d94_topk_metrics(ann_scored).select("qid", "rr_u"),
             "qid",
             "left",
         )
-        .agg(F.avg(F.coalesce(F.col("rr_u"), F.lit(0))))
-        .first()[0]
+        .agg(F.avg(F.coalesce(F.col("rr_u"), F.lit(0))).alias("ann_mrr"))
     )
-    exact_mrr = per_q.agg(F.avg("rr_u")).first()[0]
-    ann_ok = ann_mrr >= 0.5 * exact_mrr
-
-    out = per_q.groupBy(F.col("q_label").alias("label")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-        F.round(
-            F.sum("rr_u") / (F.count(F.lit(1)) * 1000000.0), 5
-        ).alias("mrr_at10"),
-        F.round(
-            F.sum("dcg_u") / (F.count(F.lit(1)) * float(_D94_IDCG)), 5
-        ).alias("ndcg_at10"),
-        F.lit(bool(ann_ok)).alias("ann_mrr_ok"),
+    gate = ann_avg.crossJoin(per_q.agg(F.avg("rr_u").alias("exact_mrr"))).select(
+        F.coalesce(
+            F.col("ann_mrr") >= 0.5 * F.col("exact_mrr"), F.lit(False)
+        ).alias("ann_mrr_ok")
     )
-    return spark.createDataFrame(
-        out.collect(),
-        "label int, n_queries bigint, mrr_at10 double, ndcg_at10 double,"
-        " ann_mrr_ok boolean",
+    return (
+        per_q.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum("rr_u") / (F.count(F.lit(1)) * 1000000.0), 5
+            ).alias("mrr_at10"),
+            F.round(
+                F.sum("dcg_u") / (F.count(F.lit(1)) * float(_D94_IDCG)), 5
+            ).alias("ndcg_at10"),
+        )
+        .crossJoin(F.broadcast(gate))
+        .select(
+            "label", "n_queries", "mrr_at10", "ndcg_at10", "ann_mrr_ok"
+        )
     )
 
 
