@@ -44,11 +44,22 @@ def connected_components(
     # when max_rounds <= 0 skips the loop body entirely (previously an
     # unbound-name NameError inside the warning message).
     changed = -1
+
+    def _lsig(df):
+        # Order-free label-set signature (the star operator's discipline):
+        # per-node labels only ever DECREASE, so the set changed iff the
+        # hash-sum changed; a collision is caught by the exact join below.
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("node", "label").cast("decimal(38, 0)")).alias("h"),
+        ).first()
+
+    sig_old = None
     for _ in range(max_rounds):
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
         )
-        # Lazy checkpoint: the `changed` count below is the round's first
+        # Lazy checkpoint: the signature below is the round's first
         # action and materializes it — one job per round, not two.
         new_labels = (
             labels.unionByName(msgs)
@@ -56,13 +67,21 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # Cheap signature per round (r16 optimization — was a per-round
+        # join + count whose shuffle stages tripled the round's job
+        # count); only when it matches, confirm exact set equality with
+        # the one join that used to run every round.
+        sig_new = _lsig(new_labels)
+        if sig_new == sig_old:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+        else:
+            changed = -1
+        labels, sig_old = new_labels, sig_new
         if changed == 0:
             break
     else:
