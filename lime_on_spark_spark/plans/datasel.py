@@ -146,20 +146,31 @@ def d56_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    raw_cnt = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt_cnt = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    # ONE b-keyed aggregation feeds raw counts, target counts AND totals
+    # (r16 optimization, guide §1.2 step 1): the tokenize+explode+md5
+    # subtree is the expensive part and previously sat under THREE
+    # independent aggregations (raw_cnt, tgt_cnt filter+groupBy, totals),
+    # each re-scanning the corpus — four passes per action where the scale
+    # note promised two. Equivalences: a conditional count per bucket ==
+    # the old left-join + fill(0) (a bucket exists iff c_raw > 0); every
+    # token lands in exactly one bucket, so t_raw/t_tgt == the sums of the
+    # per-bucket counts — derived from the <= B-row frame, not a corpus
+    # pass. Corpus passes per action: 4 -> 2 (this table + scored below).
+    cnt = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("c_tgt"),
     )
-    totals = toks.agg(
-        F.count(F.lit(1)).alias("t_raw"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("t_tgt"),
-    )
+    # Totals as unpartitioned-window sums over the BOUNDED cnt frame (a
+    # separate cnt.agg() would duplicate cnt's whole subtree — another
+    # corpus pass in the initial plan): <= B rows through one single-
+    # partition window, a constant at any corpus size.
+    wall = Window.partitionBy()
     ratio = (
-        raw_cnt.join(tgt_cnt, "b", "left")
-        .na.fill({"c_tgt": 0})
-        .crossJoin(F.broadcast(totals))  # 1-row totals: broadcast scalar
+        cnt.select(
+            "b", "c_raw", "c_tgt",
+            F.sum("c_raw").over(wall).alias("t_raw"),
+            F.sum("c_tgt").over(wall).alias("t_tgt"),
+        )
         .select(
             "b",
             F.log(

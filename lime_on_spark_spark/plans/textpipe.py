@@ -3585,33 +3585,42 @@ def d103_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = bc.groupBy("doc_id").agg(F.sum("c").alias("total"))
-    cand = bc.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("pair_id"), "bigram", F.col("c").alias("c_cand")
+    # Per-doc totals ride the bc rows via a doc_id window (r16, guide
+    # §1.2 step 1 / §2.4): a separate totals aggregate was consumed by
+    # TWO projections (t_cand, t_ref), each re-running the corpus
+    # tokenize+explode subtree — the executed plan scanned documents 3x
+    # per action. Every bigram row of a doc carries the same total, so
+    # min() through the intersection groupBy recovers it exactly and the
+    # two join-backs disappear with the extra passes.
+    bcw = bc.withColumn(
+        "total", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    cand = bcw.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), "bigram",
+        F.col("c").alias("c_cand"), F.col("total").alias("t_cand"),
     )
     # Only odd doc_ids can be references (pair_id = doc_id - 1 must be
     # even) — filtering BEFORE the join halves the shuffled ref side.
-    ref = bc.filter(F.col("doc_id") % 2 == 1).select(
+    ref = bcw.filter(F.col("doc_id") % 2 == 1).select(
         (F.col("doc_id") - 1).alias("pair_id"), "bigram",
-        F.col("c").alias("c_ref"),
+        F.col("c").alias("c_ref"), F.col("total").alias("t_ref"),
     )
     inter = (
         cand.join(ref, ["pair_id", "bigram"])
         .groupBy("pair_id")
-        .agg(F.sum(F.least("c_cand", "c_ref")).alias("n_inter"))
+        .agg(
+            F.sum(F.least("c_cand", "c_ref")).alias("n_inter"),
+            F.min("t_cand").alias("t_cand"),
+            F.min("t_ref").alias("t_ref"),
+        )
     )
-    tc = totals.select(F.col("doc_id").alias("pair_id"),
-                       F.col("total").alias("t_cand"))
-    tr = totals.select((F.col("doc_id") - 1).alias("pair_id"),
-                       F.col("total").alias("t_ref"))
     p = F.col("n_inter") / F.col("t_cand")
     r = F.col("n_inter") / F.col("t_ref")
     f1 = F.when(F.col("n_inter") == 0, F.lit(0.0)).otherwise(
         2.0 * p * r / (p + r)
     )
     return (
-        inter.join(tc, "pair_id")
-        .join(tr, "pair_id")
+        inter
         .select(
             "pair_id",
             F.col("n_inter").cast("bigint").alias("n_inter"),
@@ -3772,6 +3781,14 @@ def d112_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size("toks")).alias("avgdl"),
     )
+    # The postings table is the QUERY-TERM inverted index — bounded at
+    # |docs| x |query terms| rows of (doc_id, term, tf, dl), tiny next to
+    # the corpus it summarizes. It feeds BOTH the df/idf aggregate and the
+    # scoring join; persisted so the tokenize+explode corpus pass runs
+    # ONCE per action (r16, guide §1.2 step 1 — measured: the executed
+    # plan re-ran the posting build under each consumer, 4 corpus scans
+    # per action with ReusedExchange never firing). The ContextCleaner
+    # reclaims the blocks on dereference (the prefix_sum.py note).
     tf = (
         docs.select(
             "doc_id", F.size("toks").alias("dl"),
@@ -3780,7 +3797,11 @@ def d112_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*_D112_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .persist()
     )
+    # avgdl rides the <= |terms|-row idf broadcast (same 1-row stats value
+    # on every row) instead of a second broadcast of the stats subtree —
+    # that second consumer re-scanned the corpus too.
     idf = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -3791,11 +3812,11 @@ def d112_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)
             ).alias("idf"),
+            "avgdl",
         )
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms"),
