@@ -1350,11 +1350,20 @@ def d30_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    ctx = bg.groupBy("w1").agg(F.sum("c").alias("ctx_c"))
+    # Context totals ride the VOCABULARY-BOUNDED bg table via a w1 window
+    # (r16, guide §1.2 step 1 / §2.4): the separate ctx aggregate re-ran
+    # bg's whole subtree — a third corpus explode per action — and cost a
+    # second scoring join. A window here is skew-safe because its
+    # partition is the distinct continuations of one w1 (vocabulary-
+    # bounded), NOT the raw pair stream; the model build keeps its
+    # map-side-combinable groupBy. Corpus explodes per action: 3 -> 2
+    # (model build + scoring probe — the d115 two-pass shape).
+    bgw = bg.withColumn(
+        "ctx_c", F.sum("c").over(Window.partitionBy("w1"))
+    )
     nll = -F.log(F.col("c") / F.col("ctx_c"))
     return (
-        pairs.join(bg, ["w1", "w2"])
-        .join(ctx, ["w1"])
+        pairs.join(bgw, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
