@@ -13,7 +13,10 @@ generalized to M independent subspaces trained IN THE SAME JOBS:
 * assignment is an EQUI-join on the subspace id m (broadcast hash, never a
   cross join) -> squared-L2 -> per-(vec_id, m) argmin via
   `min(struct(dist, cid))` (map-side combinable);
-* the centroid update is one shuffle: posexplode -> avg per (m, cid, pos).
+* the centroid update is one shuffle: the winning subvector rides the
+  argmin struct (cid breaks every tie before sv is compared, and sv is
+  group-constant), then posexplode -> avg per (m, cid, pos) — no join
+  back to the subvector frame.
 
 Determinism contract (the kmeans.py discipline): init = the K lowest-
 vec_id subvectors per subspace, distances rounded to 6 dp before the
@@ -108,26 +111,31 @@ def train_pq_variants(
             [(kk, m, c, v) for (kk, m, c), v in sorted(cent.items())],
             "kk int, m int, cid bigint, cvec array<double>",
         )
-        scored = svf.join(F.broadcast(cent_df), "m").select(
-            "kk",
-            "vec_id",
-            "m",
-            "cid",
-            F.round(sq_l2(F.col("sv"), F.col("cvec")), 6).alias("dist"),
-        )
-        codes = (
-            scored.groupBy("kk", "vec_id", "m")
-            .agg(F.min(F.struct("dist", "cid")).alias("x"))
-            .select(
-                "kk", "vec_id", "m",
-                F.col("x.cid").alias("cid"),
-                F.col("x.dist").alias("dist"),
-            )
-        )
+        joined = svf.join(F.broadcast(cent_df), "m")
         if it < iters - 1:
+            # Update iteration: sv RIDES the argmin struct so the centroid
+            # update needs no join back to svf (r16 — previously a shuffle
+            # join of the corpus-scale codes frame against svf once per
+            # iteration). The winner is unchanged: cid is unique within a
+            # (kk, vec_id, m) group, so comparison never reaches sv; and
+            # sv is group-constant, so the winning struct carries exactly
+            # the group's subvector.
+            agg = (
+                joined.select(
+                    "kk", "vec_id", "m", "cid", "sv",
+                    F.round(sq_l2(F.col("sv"), F.col("cvec")), 6).alias(
+                        "dist"
+                    ),
+                )
+                .groupBy("kk", "vec_id", "m")
+                .agg(F.min(F.struct("dist", "cid", "sv")).alias("x"))
+            )
             rows = (
-                codes.join(svf, ["vec_id", "m"])
-                .select("kk", "m", "cid", F.posexplode("sv").alias("pos", "val"))
+                agg.select(
+                    "kk", "m",
+                    F.col("x.cid").alias("cid"),
+                    F.posexplode("x.sv").alias("pos", "val"),
+                )
                 .groupBy("kk", "m", "cid", "pos")
                 .agg(F.round(F.avg("val"), 6).alias("cv"))
                 .collect()
@@ -142,6 +150,22 @@ def train_pq_variants(
                 key: [dims[p] for p in sorted(dims)]
                 for key, dims in sorted(nxt.items())
             }
+        else:
+            # Final iteration: the returned codes frame — plain
+            # (dist, cid) argmin, no sv in the shuffle.
+            scored = joined.select(
+                "kk", "vec_id", "m", "cid",
+                F.round(sq_l2(F.col("sv"), F.col("cvec")), 6).alias("dist"),
+            )
+            codes = (
+                scored.groupBy("kk", "vec_id", "m")
+                .agg(F.min(F.struct("dist", "cid")).alias("x"))
+                .select(
+                    "kk", "vec_id", "m",
+                    F.col("x.cid").alias("cid"),
+                    F.col("x.dist").alias("dist"),
+                )
+            )
     assert codes is not None
     return codes, cent
 
