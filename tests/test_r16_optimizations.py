@@ -11,6 +11,9 @@ identical while restructuring how it executes:
 * ``train_pq``'s init collects the K lowest distinct vec_ids' subvectors
   in ONE ordered-limit pass — must survive non-contiguous / offset ids
   (the bug class the old distinct+filter two-pass guarded against).
+* ``train_pq``'s Lloyd update carries the winning subvector through the
+  argmin struct instead of re-joining the subvector frame — updated
+  centroids must equal an independent driver-side recomputation.
 """
 from __future__ import annotations
 
@@ -111,3 +114,60 @@ def test_d96_symmetric_graph_full_node_coverage(spark, name):
         .count()
     )
     assert n_nodes == expected
+
+
+def test_train_pq_update_centroids_match_reference(spark):
+    """The Lloyd update derives each winner's subvector FROM the argmin
+    struct (min(struct(dist, cid, sv))) instead of re-joining the
+    subvector frame. Pin: after one update (iters=2), the returned
+    centroids equal an independent driver-side recomputation — init from
+    the K lowest ids, left-to-right sq_l2 fold rounded to 6 dp,
+    (dist, cid) argmin, per-position mean rounded to 6 dp."""
+    from lime_on_spark_spark.operators.pq import train_pq
+    from lime_on_spark_spark.sources.catalog import load_table
+
+    M, K, DIM = 8, 4, 64
+    SUB = DIM // M
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 24)
+    )
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    low = sorted(vecs)[:K]
+    cent0 = {
+        (m, c): vecs[low[c]][m * SUB:(m + 1) * SUB]
+        for m in range(M)
+        for c in range(K)
+    }
+    sums: dict = {}
+    counts: dict = {}
+    for vid in sorted(vecs):
+        v = vecs[vid]
+        for m in range(M):
+            sv = v[m * SUB:(m + 1) * SUB]
+            _, win = min(
+                (
+                    round(
+                        sum((a - b) ** 2 for a, b in zip(sv, cent0[(m, c)])),
+                        6,
+                    ),
+                    c,
+                )
+                for c in range(K)
+            )
+            key = (m, win)
+            s = sums.setdefault(key, [0.0] * SUB)
+            counts[key] = counts.get(key, 0) + 1
+            for i, a in enumerate(sv):
+                s[i] += a
+    want = {
+        key: [round(x / counts[key], 6) for x in s]
+        for key, s in sums.items()
+    }
+
+    _, cent_got = train_pq(emb, dim=DIM, m_subspaces=M, k=K, iters=2)
+    assert cent_got == want
