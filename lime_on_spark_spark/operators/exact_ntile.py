@@ -6,25 +6,28 @@ through one task (Spark warns ``WindowExec: No Partition Defined``) — the
 classic scale-killer for exact quantile assignment. This operator computes
 the identical ntile result in fully-parallel steps:
 
-1. Collect P-1 approximate-quantile cut points of the leading order key
-   ONCE on the driver (``percentile_approx``: a mergeable sketch agg, one
-   O(P) collect). The cuts need not be exact quantiles — they only define
-   contiguous key ranges; accuracy just balances range sizes.
-2. Assign each row a range id as a PURE EXPRESSION of its key vs the
-   broadcast cut literals. Deterministic by construction, so every
-   downstream branch of the lineage agrees on the assignment —
-   ``repartitionByRange`` + ``spark_partition_id`` would NOT be (its
-   reservoir sample reseeds per job, so a counts pass and a rank pass
-   can disagree on boundaries).
-3. Per-range counts → cumulative offsets (a P-row driver collect) +
-   per-range local ``row_number`` (window partitioned by range id: each
-   task sorts only its range) → global rank = local rank + offset.
+1. Broadcast P-1 approximate-quantile cut points of the leading order key
+   (``percentile_approx``: a mergeable sketch agg riding the plan as a
+   1-row broadcast array). The cuts need not be exact quantiles — they
+   only define contiguous key ranges; accuracy just balances range sizes,
+   and the final ranks are exact for ANY cuts.
+2. Assign each row a range id as a deterministic expression of its key vs
+   the broadcast cut array, so every downstream branch of the lineage
+   agrees on the assignment — ``repartitionByRange`` +
+   ``spark_partition_id`` would NOT (its reservoir sample reseeds per
+   job, so a counts branch and a rank branch can disagree on boundaries).
+3. Per-range local ``row_number`` (window partitioned by range id: each
+   task sorts only its range); per-range counts = max local rank,
+   aggregated on the SAME exchange (no extra pass); cumulative offsets =
+   a prefix-sum window over the bounded O(P)-row count frame, broadcast
+   back → global rank = local rank + offset.
 4. The ntile bucket is a closed-form expression of (rank, N, n) matching
    SQL semantics exactly: the first ``N % n`` buckets hold ``ceil(N/n)``
    rows, the rest ``floor(N/n)``.
 
-At 100 TB this is one sketch agg + one hash shuffle + two O(P) collects
-instead of a full-table single-task sort. Heavy duplicate leading-key
+At 100 TB this is one sketch agg + one hash shuffle (read twice via
+ReusedExchange) instead of a full-table single-task sort — one lazy
+plan, no eager driver action. Heavy duplicate leading-key
 values all land in one range (assignment must stay monotone in the total
 order), so a pathological constant column degrades toward the single-task
 case — pick a high-cardinality leading key, or pre-combine key columns.
@@ -33,9 +36,6 @@ broadcast straight onto the scan (the L1 discretizer shape).
 """
 
 from __future__ import annotations
-
-import functools
-import operator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -61,8 +61,8 @@ def with_exact_ntile(
     ``rank_col`` additionally keeps the global 1-based rank (equals SQL
     ``rank()``/``row_number()`` when the order key is unique — the only
     case this operator supports deterministically); ``total_col`` attaches
-    the total row count as a literal (already driver-known from the
-    per-range counts — no extra job), so callers can derive
+    the total row count (riding the broadcast per-range count frame — no
+    extra pass), so callers can derive
     ``percent_rank`` = (rank - 1) / (total - 1) without a second scan.
 
     ``lead_expr`` overrides the range-split key: a NUMERIC expression that
@@ -80,69 +80,75 @@ def with_exact_ntile(
         lead_expr if lead_expr is not None else F.col(order_cols[0])
     ).cast("double")
     fracs = [i / num_ranges for i in range(1, num_ranges)]
-    cuts_row = df.select(
-        F.percentile_approx(lead, fracs, 10_000).alias("c")
-    ).first()
-    cuts = sorted(set(cuts_row["c"] or []))
 
+    # r17 (guide §1.2/§2.4): the operator is now ONE lazy plan — two input
+    # passes (sketch agg + ranked pass) instead of three, and zero eager
+    # driver actions at construction. The cuts ride as a broadcast 1-row
+    # array (cut VALUES only balance range sizes; final ranks are exact
+    # for ANY cuts, so a per-action sketch recompute cannot change the
+    # result). NULL cuts (empty input / all-NULL lead) coalesce to range
+    # 0 — the old `cuts = []` behavior.
+    cuts = F.broadcast(
+        df.select(
+            F.array_sort(
+                F.array_distinct(F.percentile_approx(lead, fracs, 10_000))
+            ).alias("_cuts")
+        )
+    )
     # Monotone range id: number of cut points strictly below the key. Rows
     # tied on the leading key share a range, keeping ranges contiguous in
     # the total order.
-    if cuts:
-        rid = functools.reduce(
-            operator.add,
-            [(lead > F.lit(c)).cast("int") for c in cuts],
+    with_rid = (
+        df.crossJoin(cuts)
+        .withColumn(
+            "_range_id",
+            F.coalesce(
+                F.size(F.filter("_cuts", lambda c: lead > c)), F.lit(0)
+            ),
         )
-    else:
-        rid = F.lit(0)
+        .drop("_cuts")
+    )
     order_exprs = [F.col(c) for c in order_cols]
-    with_rid = df.withColumn("_range_id", rid)
-
-    # O(#ranges) rows to the driver: one count per key range.
-    counts = sorted(
-        (r["_range_id"], r["cnt"])
-        for r in with_rid.groupBy("_range_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    total = sum(c for _, c in counts)
-    offsets, acc = [], 0
-    for rng, cnt in counts:
-        offsets.append((rng, acc))
-        acc += cnt
-    offset_df = F.broadcast(
-        spark.createDataFrame(offsets, "_range_id int, _rank_offset long")
-    )
 
     # Parallel local rank: each window group is exactly one key range.
     local_w = Window.partitionBy("_range_id").orderBy(*order_exprs)
-    ranked = (
-        with_rid.withColumn("_local_rank", F.row_number().over(local_w))
-        .join(offset_df, "_range_id")
-        .withColumn("_rank", F.col("_local_rank") + F.col("_rank_offset"))
+    ranked = with_rid.withColumn("_local_rank", F.row_number().over(local_w))
+
+    # Per-range counts = max local rank, aggregated ON the rank pass's own
+    # exchange (the groupBy key equals the window partitioning, so Spark
+    # adds no shuffle and ReusedExchange dedupes the input subtree); the
+    # cumulative offsets are a prefix-sum window over the bounded
+    # O(#ranges)-row frame, broadcast back. The former per-range count
+    # pass (a full input re-execution + driver collect) is gone.
+    pw = Window.orderBy("_range_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = F.broadcast(
+        ranked.groupBy("_range_id")
+        .agg(F.max("_local_rank").alias("_cnt"))
+        .select(
+            "_range_id",
+            F.coalesce(F.sum("_cnt").over(pw), F.lit(0))
+            .cast("long")
+            .alias("_rank_offset"),
+            F.sum("_cnt")
+            .over(Window.partitionBy())
+            .cast("long")
+            .alias("_group_total"),
+        )
+    )
+    ranked = ranked.join(offsets, "_range_id").withColumn(
+        "_rank", F.col("_local_rank") + F.col("_rank_offset")
     )
     result = ranked.withColumn(
-        out_col, _ntile_bucket(F.col("_rank"), total, n)
+        out_col, _ntile_bucket_col(F.col("_rank"), F.col("_group_total"), n)
     )
     if rank_col is not None:
         result = result.withColumn(rank_col, F.col("_rank"))
     if total_col is not None:
-        result = result.withColumn(total_col, F.lit(total))
-    return result.drop("_range_id", "_local_rank", "_rank_offset", "_rank")
-
-
-def _ntile_bucket(rank: Column, total: int, n: int) -> Column:
-    """SQL ntile bucket for a 1-based global ``rank`` out of ``total`` rows:
-    the first ``total % n`` buckets hold ``total // n + 1`` rows each."""
-    q, rem = divmod(total, n)
-    if q == 0:
-        # Fewer rows than buckets: bucket i gets row i.
-        return rank.cast("int")
-    big = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
-    return (
-        F.when(rank <= big, F.ceil(rank / (q + 1)))
-        .otherwise(rem + F.ceil((rank - big) / q))
-        .cast("int")
+        result = result.withColumn(total_col, F.col("_group_total"))
+    return result.drop(
+        "_range_id", "_local_rank", "_rank_offset", "_rank", "_group_total"
     )
 
 
@@ -208,48 +214,42 @@ def with_grouped_exact_ntile(
         .drop("_cuts")
     )
 
-    # O(|groups| x num_ranges) rows to the driver: one count per
-    # (group, key range). Offsets/totals are per group.
-    count_rows = (
-        with_rid.groupBy(*partition_cols, "_range_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    by_group: dict[tuple, list[tuple[int, int]]] = {}
-    for r in count_rows:
-        key = tuple(r[c] for c in partition_cols)
-        by_group.setdefault(key, []).append((r["_range_id"], r["cnt"]))
-    offset_rows = []
-    for key, ranges in by_group.items():
-        total = sum(c for _, c in ranges)
-        acc = 0
-        for rng, cnt in sorted(ranges):
-            offset_rows.append((*key, rng, acc, total))
-            acc += cnt
-    schema_prefix = ", ".join(
-        f"{c} {t}"
-        for c, t in zip(
-            partition_cols,
-            (df.schema[c].dataType.simpleString() for c in partition_cols),
-        )
-    )
-    offset_df = F.broadcast(
-        spark.createDataFrame(
-            offset_rows,
-            f"{schema_prefix}, _range_id int, _rank_offset long,"
-            " _group_total long",
-        )
-    )
-
     # Parallel local rank: each window group is one (group, range) cell.
     local_w = Window.partitionBy(*partition_cols, "_range_id").orderBy(
         *[F.col(c) for c in order_cols]
     )
-    ranked = (
-        with_rid.withColumn("_local_rank", F.row_number().over(local_w))
-        .join(offset_df, [*partition_cols, "_range_id"])
-        .withColumn("_rank", F.col("_local_rank") + F.col("_rank_offset"))
+    ranked = with_rid.withColumn("_local_rank", F.row_number().over(local_w))
+
+    # r17 (guide §1.2/§2.4): per-cell counts = max local rank, aggregated
+    # ON the rank pass's own exchange (grouping key == window partitioning
+    # -> no new shuffle, ReusedExchange dedupes the input subtree); the
+    # per-group offsets/totals are prefix-sum/total windows over the
+    # bounded O(|groups| x num_ranges)-row frame, broadcast back. The
+    # former per-cell count pass (a full input re-execution + driver
+    # collect) is gone, and the operator is one lazy plan.
+    pw = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("_range_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    offsets = F.broadcast(
+        ranked.groupBy(*partition_cols, "_range_id")
+        .agg(F.max("_local_rank").alias("_cnt"))
+        .select(
+            *partition_cols,
+            "_range_id",
+            F.coalesce(F.sum("_cnt").over(pw), F.lit(0))
+            .cast("long")
+            .alias("_rank_offset"),
+            F.sum("_cnt")
+            .over(Window.partitionBy(*partition_cols))
+            .cast("long")
+            .alias("_group_total"),
+        )
+    )
+    ranked = ranked.join(
+        offsets, [*partition_cols, "_range_id"]
+    ).withColumn("_rank", F.col("_local_rank") + F.col("_rank_offset"))
     result = ranked.withColumn(
         out_col,
         _ntile_bucket_col(F.col("_rank"), F.col("_group_total"), n),

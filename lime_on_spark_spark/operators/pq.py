@@ -77,7 +77,15 @@ def train_pq_variants(
     # subvector frame; persist so the scan+explode runs once, not once
     # per action. Stays cached for the returned codes' lineage too — the
     # ContextCleaner reclaims it on dereference (the prefix_sum.py note).
-    svf = _subvectors(emb, m_subspaces, sub).persist()
+    # r17 (guide §2.4): persist PRE-PARTITIONED on vec_id — hash
+    # partitioning on a subset of the grouping keys satisfies the
+    # per-(kk, vec_id, m) argmin's clustering, so EVERY iteration's
+    # assignment aggregation (and the returned codes frame, and the
+    # codes-side of IVFADC's cell join) runs without its own corpus
+    # shuffle: one upfront exchange replaces `iters` per-iteration ones.
+    # Partition count stays conf-driven (spark.sql.shuffle.partitions /
+    # AQE), never a local constant.
+    svf = _subvectors(emb, m_subspaces, sub).repartition("vec_id").persist()
 
     # Init = the K lowest DISTINCT vec_ids, ranked 0..K-1 as cids — never
     # `vec_id < K`, which silently trains fewer (or zero) centroids on any

@@ -77,51 +77,50 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: exercises the whole engine. Names listed but not (yet) registered are
 #: skipped harmlessly; everything not listed follows in registration order.
 _CURATED_PREFIX = (
-    # r16 rotation v6 (second wave): exactly 48 of these 50 rows have
-    # NEVER appeared in any CORRECTNESS_r*.json (recomputed against
-    # r01–r15 at rotation time) — all THIRTEEN round-16 rows (the
-    # same-round certification principle: m9/m10/d111/d114 from the
-    # first wave, d115-d120/a30/p24/l17 from the second) plus 35
-    # backlog rows (d17_dup_triangles yields its slot to l17 — the one
-    # backlog row deferred to v7). 2 re-pins: q1 (continuity pin — the
-    # headline query), and d108 — re-certified because its decile cut
-    # was rewritten this round (exact_ntile, the r15 verdict's one
-    # weak). All 50 oracle-backed. Never-sampled backlog after this
-    # rotation: 122 + 13 new − 48 first-time = 87.
+    # r17 rotation v7: 41 of these 50 rows have NEVER appeared in any
+    # CORRECTNESS_r*.json (recomputed against r01–r16 at rotation time:
+    # 422 oracles, 346 ever sampled, 76-row backlog). 9 pins: q1
+    # (continuity — the headline query) plus the 8 rows whose internals
+    # this round rewrote (same-round re-certification principle):
+    # d108/d115/w1_ntile_percent_rank (exact_ntile now one lazy plan),
+    # d91/d92 (PQ subvector frame pre-partitioned), t26/t27 (manifest
+    # connector Arrow write+read paths), s21 (spool-encoder-agnostic
+    # purge probe). d65/d75 are both first-time AND ntile-rewritten;
+    # d30 was rewritten in r16 but never sampled. All 50 oracle-backed.
+    # Never-sampled backlog after this rotation: 76 − 41 = 35.
     # q — TPC-H classic (continuity pin)
     "q1_pricing_summary",
-    # d108 — the r16 fix (rank-safe decile cut), same oracle
-    "d108_semantic_decontamination",
-    # r16 rows — certified in their own round
-    "m9_tokenized_packing", "m10_packing_efficiency",
-    "d111_tokenizer_fertility", "d114_length_bucketed_batching",
-    "d115_ccnet_perplexity_buckets", "d116_bradley_terry_sources",
-    "d117_mmr_rerank", "d118_dp_quantile_release",
-    "d119_texttiling_boundaries", "a30_approx_percentile_rank_gate",
-    "p24_transpose", "d120_embedding_centroid_drift",
-    "l17_kernel_shap",
-    # p — clears the p backlog
-    "p14_sql_udf", "p17_identifier_clause",
-    # f — clears the f backlog
-    "f7_map_funcs", "f10_bitwise_funcs", "f15_array_set_ops",
-    "f16_format_funcs", "f17_encoding_funcs", "f4_posexplode_unnest",
-    # a — six of the nine-row a backlog
-    "a9_corr_regression", "a11_histogram", "a12_bool_aggs",
-    "a15_deterministic_mode", "a16_mode_countif", "a18_join_cardinality",
-    # l — LIME backlog
-    "l3_perturb_text", "l4_score_perturbations",
-    # t — event-time/streaming backlog
-    "t20_lateness_profile", "t6_stateful_user_stats",
-    # s — the s4 roundtrip family
-    "s4_seeded_sample", "s4_csv_roundtrip", "s4_json_roundtrip",
-    "s4_merge_schema",
-    # d — fourteen of the d backlog (bulk-retirement per the r15
-    # verdict's task 6)
-    "d5_text_stats", "d7_lang_routing", "d8_hash_split",
-    "d12_quota_sample", "d16_tfidf_top_terms", "d19_repetition_filter",
-    "d28_pagerank", "d32_quantized_knn", "d5_quality_scores",
-    "d5_token_counting", "d9_bigram_counts", "d13_chunk_documents",
-    "d10_dup_clusters",
+    # re-pins — rows whose internals r17 rewrote
+    "d108_semantic_decontamination", "d115_ccnet_perplexity_buckets",
+    "w1_ntile_percent_rank", "d91_pq_quantization", "d92_ivfadc_search",
+    "t26_exactly_once_sink", "t27_streaming_ivm",
+    "s21_manifest_compaction_purge",
+    # first-time: exact_ntile callers + r16-rewritten-but-never-sampled
+    "d65_curriculum_phases", "d75_gini_concentration",
+    "d30_perplexity_score",
+    # first-time: the d2/d45 agreement family + skew-audit targets
+    "d2_ngram_jaccard", "d57_repeated_ngrams", "d2_minhash_recall",
+    "d2_embedding_near_dup",
+    # first-time: streaming backlog (clears the t_streaming family)
+    "t1_streaming_tumbling", "t2_streaming_sliding",
+    "t3_streaming_session", "t5_dedup_within_watermark",
+    "t7_stream_stream_join", "t8_foreach_batch_sink",
+    "t12_streaming_topk", "t13_stream_static_join",
+    "t16_stream_stream_left_outer", "t18_streaming_upsert",
+    "t21_streaming_observe",
+    # first-time: sources backlog
+    "s4_compaction", "s4_orc_roundtrip", "s5_rate_source",
+    "s8_text_roundtrip",
+    # first-time: LIME backlog
+    "l2c_around_instance", "l3b_perturb_text_bow",
+    # first-time: aggregates backlog
+    "a4_minmax_by", "a21_mergeable_histogram", "a22_grouping_labels",
+    # first-time: d backlog (retrieval + dedup + sampling families)
+    "d1_dedup_keep_best", "d1_fingerprint", "d3_batch_knn",
+    "d4_ann_recall", "d4_ivf_recall", "d6_multimodal_join",
+    "d7_langid_routing", "d8_stratified_sample", "d11_label_centroids",
+    "d17_dup_triangles", "d18_source_entropy", "d20_winsorize",
+    "d21_merge_upsert", "d22_pack_cross_doc",
 )
 
 

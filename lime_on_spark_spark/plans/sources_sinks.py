@@ -1505,9 +1505,16 @@ def s21_manifest_compaction_purge(spark: SparkSession, sf_dir: str) -> DataFrame
     blobs = "".join(
         open(os.path.join(path, n), encoding="utf-8").read() for n in after
     )
-    purged = all(
-        f'"i": {k},' not in blobs for k in (1500, 2999, 4499)
-    ) and '"i": 1499,' in blobs
+    # Key/value byte pattern with optional whitespace: the spool encoder
+    # may write `"i": 1500` (stdlib json) or `"i":1500` (orjson fast
+    # path) — the pin is on the VALUE bytes being gone, not on the
+    # encoder's separator style.
+    import re as _re
+
+    def _has_i(k: int) -> bool:
+        return _re.search(rf'"i":\s*{k}[,}}]', blobs) is not None
+
+    purged = not any(_has_i(k) for k in (1500, 2999, 4499)) and _has_i(1499)
     return spark.createDataFrame(
         [
             (

@@ -79,7 +79,7 @@ def w1_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Now the range-bucketed exact rank: (c_acctbal, c_custkey) is a
     # unique order key, so rank() == row_number() (no ties) and
     # percent_rank = (rank - 1) / (N - 1) exactly; N rides as a plan
-    # literal from the operator's per-range counts (no extra scan).
+    # broadcast from the operator's per-range counts (no extra scan).
     ranked = with_exact_ntile(
         cust.select("c_acctbal", "c_custkey"),
         4,

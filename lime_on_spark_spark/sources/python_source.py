@@ -48,9 +48,29 @@ class SyntheticSeriesReader(DataSourceReader):
         ]
 
     def read(self, partition: InputPartition):  # executor-side row gen
-        lo, hi = partition.value
-        for i in range(lo, hi):
-            yield (i, (i * i % 97) / 10.0, i % 8)
+        yield from _series_batches(*partition.value)
+
+
+def _series_batches(lo: int, hi: int, step: int = 1):
+    """The closed-form (i, v, bucket) series as ONE Arrow RecordBatch —
+    vectorized row generation (guide §4.2) with values bit-identical to
+    the scalar loop: i*i stays well inside int64 for every supported n,
+    i*i%97 is an exact small int, and /10.0 is one IEEE double division
+    in both paths."""
+    if hi <= lo:
+        return
+    import numpy as np
+    import pyarrow as pa
+
+    i = np.arange(lo, hi, step, dtype=np.int64)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(i),
+            pa.array((i * i % 97) / 10.0),
+            pa.array((i % 8).astype(np.int32)),
+        ],
+        names=["i", "v", "bucket"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -112,9 +132,7 @@ class SyntheticStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: InputPartition):  # executor-side row gen
-        lo, hi = partition.value
-        for i in range(lo, hi):
-            yield (i, (i * i % 97) / 10.0, i % 8)
+        yield from _series_batches(*partition.value)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the source is synthetic
@@ -148,7 +166,43 @@ import json as _json
 import os as _os
 import shutil as _shutil
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+try:  # fast JSON-lines spooling (guide §4.2: vectorize the per-task work)
+    import orjson as _orjson
+except ImportError:  # pragma: no cover — stdlib json path stays correct
+    _orjson = None
+
+
+def _spool_plain_batch(batch, fh) -> None:
+    """Spool one Arrow RecordBatch as JSON lines (no per-row rules).
+
+    orjson when every float is finite — orjson silently rewrites NaN/
+    Infinity to null, while the row-at-a-time path wrote bare NaN/Infinity
+    tokens (stdlib json), so non-finite batches keep the stdlib encoder to
+    preserve the on-disk values exactly. Key order (schema order) and the
+    parsed-back values are identical either way; only whitespace differs,
+    which no reader observes (every consumer parses the line)."""
+    rows = batch.to_pylist()
+    if _orjson is not None:
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        for i, field in enumerate(batch.schema):
+            if _pa.types.is_floating(field.type):
+                col = batch.column(i).drop_null()
+                if len(col) and not _pc.all(_pc.is_finite(col)).as_py():
+                    break
+        else:
+            d = _orjson.dumps
+            fh.write(b"".join(d(r) + b"\n" for r in rows))
+            return
+    for vals in rows:
+        fh.write((_json.dumps(vals) + "\n").encode("utf-8"))
 
 
 def _bloom_bit_positions(column: str, value, m: int, k: int) -> list[int]:
@@ -233,7 +287,7 @@ _GEN_OPS = {
 }
 
 
-class JsonManifestWriter(DataSourceWriter):
+class JsonManifestWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool = True) -> None:
         import uuid as _uuid
 
@@ -449,6 +503,13 @@ class JsonManifestWriter(DataSourceWriter):
         return type(v) is not bool and isinstance(v, (int, str))
 
     def write(self, iterator):  # executor-side: spool one partition
+        # Arrow writer (guide §4): rows arrive as pyarrow RecordBatches —
+        # no per-row Row construction or per-value converters. Batches
+        # without per-row rules spool through the vectorized path; any
+        # batch with rules in force (generated columns, poison, CHECKs,
+        # column mapping) or with non-JSON-native column types runs the
+        # original row-at-a-time body, preserving the pinned per-row
+        # failure semantics (first offending row raises, same message).
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -481,68 +542,25 @@ class JsonManifestWriter(DataSourceWriter):
             if self.stats_columns is not None
             else None
         )
-        with open(temp, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                vals = row.asDict()
-                # GENERATED COLUMNS (s36): compute when absent; verify
-                # when provided (a mismatch fails the task before any
-                # spool file is renamed in — the table stays untouched).
-                # A provided NULL is treated as absent (computed).
-                for gname, (gsrc, gop, goperand) in self.generated.items():
-                    s = vals.get(gsrc)
-                    expect = None if s is None else _GEN_OPS[gop](s, goperand)
-                    if vals.get(gname) is not None and vals[gname] != expect:
-                        raise ValueError(
-                            f"generated column violation: {gname} = "
-                            f"{vals[gname]!r} but {gsrc} {gop} "
-                            f"{goperand} = {expect!r}"
-                        )
-                    vals[gname] = expect
-                if self.poison is not None and vals[self.fields[0]] == self.poison:
-                    raise RuntimeError(
-                        f"planted failure on {self.fields[0]}={self.poison}"
-                    )
-                for col, tag, bound in self.checks:
-                    x = vals.get(col)
-                    # 3VL: NULL never VIOLATES a CHECK (ANSI/Delta).
-                    if x is not None and not _ROW_TESTS[tag](x, bound):
-                        raise ValueError(
-                            f"check constraint violated: {col} {tag} "
-                            f"{bound!r} fails for row {vals!r}"
-                        )
-                if self.colmap:
-                    # Disk boundary: logical row -> physical JSON keys.
-                    vals = {
-                        self.colmap.get(k, k): v for k, v in vals.items()
-                    }
-                for c, bits in bloom_bits.items():
-                    v = vals.get(c)
-                    if v is None:
-                        continue  # NULL never matches an eq probe (3VL)
-                    if not self._bloomable(v):
-                        # A non-insertable value (float/bool) could still
-                        # equal an int probe (5.0 == 5): mark the bloom
-                        # PARTIAL so the reader declines to prune with it.
-                        bloom_partial.add(c)
-                        continue
-                    for pos in _bloom_bit_positions(
-                        c, v, self.bloom_bits, self.bloom_k
-                    ):
-                        bits[pos // 8] |= 1 << (pos % 8)
-                for k, v in vals.items():
-                    if pstats_columns is not None and k not in pstats_columns:
-                        continue
-                    if v is None or type(v) is bool or not isinstance(v, statable):
-                        continue
-                    if isinstance(v, float) and v != v:
-                        nans.add(k)  # flagged so the reader declines filters
-                        continue
-                    if k not in mins or v < mins[k]:
-                        mins[k] = v
-                    if k not in maxs or v > maxs[k]:
-                        maxs[k] = v
-                fh.write(_json.dumps(vals) + "\n")
-                n += 1
+        # Per-row rules force the row path: their failure semantics (raise
+        # on the FIRST offending row, exact message) and the logical->
+        # physical key translation are row-scoped by contract.
+        rules = bool(
+            self.generated or self.checks or self.colmap
+            or self.poison is not None
+        )
+        with open(temp, "wb") as fh:
+            for batch in iterator:
+                if not rules and self._spool_batch_vectorized(
+                    batch, fh, mins, maxs, bloom_bits, bloom_partial,
+                    pstats_columns,
+                ):
+                    n += batch.num_rows
+                    continue
+                n += self._spool_batch_rows(
+                    batch, fh, mins, maxs, nans, statable, bloom_bits,
+                    bloom_partial, pstats_columns,
+                )
         # Columns excluded by the stats allowlist must be ABSENT from the
         # dict, not present with min=None: a None zone reads as "all NULL,
         # prunable", which would unsoundly skip files for filters on a
@@ -572,6 +590,150 @@ class JsonManifestWriter(DataSourceWriter):
             stats,
             blooms or None,
         )
+
+    def _spool_batch_rows(
+        self, batch, fh, mins, maxs, nans, statable, bloom_bits,
+        bloom_partial, pstats_columns,
+    ) -> int:
+        """The original row-at-a-time spool body, over one Arrow batch —
+        the path every rule-bearing write takes, so the per-row failure
+        semantics (first offending row raises, exact message) and the
+        logical->physical key translation are unchanged."""
+        n = 0
+        for vals in batch.to_pylist():
+            # GENERATED COLUMNS (s36): compute when absent; verify
+            # when provided (a mismatch fails the task before any
+            # spool file is renamed in — the table stays untouched).
+            # A provided NULL is treated as absent (computed).
+            for gname, (gsrc, gop, goperand) in self.generated.items():
+                s = vals.get(gsrc)
+                expect = None if s is None else _GEN_OPS[gop](s, goperand)
+                if vals.get(gname) is not None and vals[gname] != expect:
+                    raise ValueError(
+                        f"generated column violation: {gname} = "
+                        f"{vals[gname]!r} but {gsrc} {gop} "
+                        f"{goperand} = {expect!r}"
+                    )
+                vals[gname] = expect
+            if self.poison is not None and vals[self.fields[0]] == self.poison:
+                raise RuntimeError(
+                    f"planted failure on {self.fields[0]}={self.poison}"
+                )
+            for col, tag, bound in self.checks:
+                x = vals.get(col)
+                # 3VL: NULL never VIOLATES a CHECK (ANSI/Delta).
+                if x is not None and not _ROW_TESTS[tag](x, bound):
+                    raise ValueError(
+                        f"check constraint violated: {col} {tag} "
+                        f"{bound!r} fails for row {vals!r}"
+                    )
+            if self.colmap:
+                # Disk boundary: logical row -> physical JSON keys.
+                vals = {
+                    self.colmap.get(k, k): v for k, v in vals.items()
+                }
+            for c, bits in bloom_bits.items():
+                v = vals.get(c)
+                if v is None:
+                    continue  # NULL never matches an eq probe (3VL)
+                if not self._bloomable(v):
+                    # A non-insertable value (float/bool) could still
+                    # equal an int probe (5.0 == 5): mark the bloom
+                    # PARTIAL so the reader declines to prune with it.
+                    bloom_partial.add(c)
+                    continue
+                for pos in _bloom_bit_positions(
+                    c, v, self.bloom_bits, self.bloom_k
+                ):
+                    bits[pos // 8] |= 1 << (pos % 8)
+            for k, v in vals.items():
+                if pstats_columns is not None and k not in pstats_columns:
+                    continue
+                if v is None or type(v) is bool or not isinstance(v, statable):
+                    continue
+                if isinstance(v, float) and v != v:
+                    nans.add(k)  # flagged so the reader declines filters
+                    continue
+                if k not in mins or v < mins[k]:
+                    mins[k] = v
+                if k not in maxs or v > maxs[k]:
+                    maxs[k] = v
+            fh.write((_json.dumps(vals) + "\n").encode("utf-8"))
+            n += 1
+        return n
+
+    def _spool_batch_vectorized(
+        self, batch, fh, mins, maxs, bloom_bits, bloom_partial,
+        pstats_columns,
+    ) -> bool:
+        """Column-at-a-time spool of one rule-free Arrow batch (guide §4.2).
+
+        Declines (returns False, caller takes the row path) when a column
+        type falls outside the JSON-native set, when a float column holds
+        a non-finite value (orjson rewrites NaN/Infinity to null; stdlib
+        json writes the bare tokens the readers round-trip), or when
+        orjson is unavailable. Stats/bloom updates compute the exact same
+        values as the per-row path: min/max over non-NULL values (bool
+        columns excluded; UTF-8 byte order == code-point order for str),
+        bloom inserts over the distinct non-NULL values (idempotent bits),
+        float/bool bloom columns marked partial iff any non-NULL value."""
+        if _orjson is None:
+            return False
+        if batch.num_rows == 0:
+            return True
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        for field in batch.schema:
+            t = field.type
+            if not (
+                _pa.types.is_integer(t)
+                or _pa.types.is_floating(t)
+                or _pa.types.is_string(t)
+                or _pa.types.is_large_string(t)
+                or _pa.types.is_boolean(t)
+                or _pa.types.is_null(t)
+            ):
+                return False
+        for i, field in enumerate(batch.schema):
+            if _pa.types.is_floating(field.type):
+                col = batch.column(i).drop_null()
+                if len(col) and not _pc.all(_pc.is_finite(col)).as_py():
+                    return False
+        for i, field in enumerate(batch.schema):
+            name = field.name
+            col = batch.column(i)
+            if name in bloom_bits:
+                nn = col.drop_null()
+                if len(nn):
+                    if _pa.types.is_boolean(field.type) or _pa.types.is_floating(
+                        field.type
+                    ):
+                        bloom_partial.add(name)
+                    else:
+                        bits = bloom_bits[name]
+                        for v in _pc.unique(nn).to_pylist():
+                            for pos in _bloom_bit_positions(
+                                name, v, self.bloom_bits, self.bloom_k
+                            ):
+                                bits[pos // 8] |= 1 << (pos % 8)
+            if pstats_columns is not None and name not in pstats_columns:
+                continue
+            if _pa.types.is_boolean(field.type) or _pa.types.is_null(
+                field.type
+            ):
+                continue
+            nn = col.drop_null()
+            if len(nn):
+                mm = _pc.min_max(nn)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if name not in mins or lo < mins[name]:
+                    mins[name] = lo
+                if name not in maxs or hi > maxs[name]:
+                    maxs[name] = hi
+        d = _orjson.dumps
+        fh.write(b"".join(d(r) + b"\n" for r in batch.to_pylist()))
+        return True
 
     def commit(self, messages):  # driver-side: publish atomically
         mp = _os.path.join(self.path, "_MANIFEST.json")
@@ -847,12 +1009,15 @@ class FilteredSeriesReader(DataSourceReader):
         lo, hi = partition.value
         pushed = self.eq_bucket is not None and self.lt_i is not None
         if self.eq_bucket is None:
-            it = range(lo, hi)
+            start, step = lo, 1
         else:  # first i >= lo with i % 8 == eq_bucket, then stride 8
-            start = lo + (self.eq_bucket - lo) % 8
-            it = range(start, hi, 8)
-        for i in it:
-            yield (i, (i * i % 97) / 10.0, i % 8, pushed)
+            start, step = lo + (self.eq_bucket - lo) % 8, 8
+        import pyarrow as pa
+
+        for batch in _series_batches(start, hi, step):
+            yield batch.append_column(
+                "pushed", pa.array([pushed] * batch.num_rows)
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -871,10 +1036,7 @@ class FilteredSeriesReader(DataSourceReader):
 # both; port the byte transport to a storage client for object stores.
 # ---------------------------------------------------------------------------
 
-from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
-
-
-class JsonManifestStreamWriter(DataSourceStreamWriter):
+class JsonManifestStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options, field_names) -> None:
         import uuid as _uuid
 
@@ -888,6 +1050,8 @@ class JsonManifestStreamWriter(DataSourceStreamWriter):
         self.query_id = _uuid.uuid4().hex
 
     def write(self, iterator):  # executor-side: spool one partition
+        # Arrow batches in (guide §4); the spool bytes parse back to the
+        # same rows as the row-at-a-time path (see _spool_plain_batch).
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -896,10 +1060,10 @@ class JsonManifestStreamWriter(DataSourceStreamWriter):
         _os.makedirs(temp_dir, exist_ok=True)
         temp = _os.path.join(temp_dir, f"attempt-{pid}-{attempt}.json")
         n = 0
-        with open(temp, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(_json.dumps(row.asDict()) + "\n")
-                n += 1
+        with open(temp, "wb") as fh:
+            for batch in iterator:
+                _spool_plain_batch(batch, fh)
+                n += batch.num_rows
         return JsonManifestCommitMessage(temp, f"part-{pid:05d}.json", n)
 
     def _manifest_path(self) -> str:
@@ -1601,6 +1765,47 @@ def _scan_file_changes(
             yield tuple(out) + (change_type,)
 
 
+def _cdf_file_batches(
+    path: str,
+    name: str,
+    mode: str,
+    positions,
+    pfields,
+    ddl_types,
+    out_fields,
+    change_type: str,
+    ver=None,
+):
+    """Arrow-path CDF scan of one data file (guide §4.2): the same rows as
+    :func:`_scan_file_changes`, emitted as RecordBatches under the logical
+    `out_fields` names plus the `_change_type` tag (and `_commit_version`
+    when `ver` is given). Returns None when the Arrow parser declines the
+    file — callers run the row-at-a-time scan instead."""
+    tbl = _read_data_file_table(path, name, pfields, ddl_types)
+    if tbl is None:
+        return None
+    import numpy as np
+    import pyarrow as pa
+
+    nrows = tbl.num_rows
+    hit = np.zeros(nrows, dtype=bool)
+    if positions:
+        hit[[p for p in positions if p < nrows]] = True
+    if mode != "include":
+        hit = ~hit
+    idx = np.nonzero(hit)[0]
+    if len(idx) < nrows:
+        tbl = tbl.take(pa.array(idx))
+    n = tbl.num_rows
+    cols = list(tbl.columns)
+    names = list(out_fields) + ["_change_type"]
+    cols.append(pa.array([change_type] * n, type=pa.string()))
+    if ver is not None:
+        names.append("_commit_version")
+        cols.append(pa.array(np.full(n, ver, dtype=np.int64)))
+    return pa.table(cols, names=names).combine_chunks().to_batches()
+
+
 def changes_between_manifest_path(
     spark,
     path: str,
@@ -1956,6 +2161,86 @@ _ROW_TESTS = {
 }
 
 
+def _pa_ddl_type(ddl_type: str):
+    """Arrow type for a manifest DDL type, or None when the type falls
+    outside the JSON-native set (callers fall back to the row scan).
+    The mapping mirrors Spark's own arrow schema for these types, so a
+    RecordBatch built with it is exactly what the scan declares."""
+    import pyarrow as pa
+
+    return {
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+    }.get(ddl_type.split("(")[0].strip())
+
+
+def _read_data_file_table(path: str, name: str, pfields, ddl_types):
+    """One spooled JSON-lines data file as an Arrow table with columns
+    `pfields` parsed per `ddl_types` — the vectorized scan shared by the
+    manifest readers (guide §4.2: batch the Python boundary). Missing keys
+    NULL-fill (s20 schema evolution); unknown keys are ignored, never
+    inferred in (s34 dropped physicals). Returns None when a declared type
+    falls outside the JSON-native set or the file does not parse under the
+    explicit schema (a bare NaN/Infinity token, a type conflict): callers
+    then run the original row-at-a-time scan, which owns those semantics."""
+    import pyarrow as pa
+
+    types = []
+    for t in ddl_types:
+        at = _pa_ddl_type(t)
+        if at is None:
+            return None
+        types.append(at)
+    schema = pa.schema(list(zip(pfields, types)))
+    full = _os.path.join(path, name)
+    if _os.path.getsize(full) == 0:
+        return schema.empty_table()  # the JSON parser rejects empty files
+    import pyarrow.json as paj
+
+    try:
+        return paj.read_json(
+            full,
+            parse_options=paj.ParseOptions(
+                explicit_schema=schema,
+                unexpected_field_behavior="ignore",
+            ),
+        )
+    except pa.ArrowInvalid:
+        return None
+
+
+def _pa_comparison_mask(col, tag: str, v):
+    """Boolean numpy mask for one accepted (tag, value) comparison over an
+    Arrow column. NULL never satisfies a comparison (3VL) — nulls fill to
+    False; a comparison the engine cannot type (an int probe on a string
+    column, reachable only via a bloom-accepted EqualTo) matches nothing,
+    exactly the Python `x == v` row test."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ops = {
+        "eq": pc.equal,
+        "lt": pc.less,
+        "le": pc.less_equal,
+        "gt": pc.greater,
+        "ge": pc.greater_equal,
+    }
+    try:
+        m = ops[tag](col, v)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        return np.zeros(len(col), dtype=bool)
+    return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+
 class JsonManifestSourceReader(DataSourceReader):
     def __init__(self, options, manifest: dict | None = None) -> None:
         self.path = options.get("path")
@@ -1965,6 +2250,7 @@ class JsonManifestSourceReader(DataSourceReader):
             manifest = _load_manifest(self.path, options.get("version"))
         self.files = manifest["files"]
         self.fields = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
+        self.ddl_types = [ddl.split(" ", 1)[1] for ddl in manifest["schema"]]
         # COLUMN MAPPING (s33): data files are keyed by PHYSICAL names
         # forever (a RENAME is metadata-only — Delta's column-mapping
         # model); the schema speaks logical. Filters arrive logical and
@@ -2112,6 +2398,37 @@ class JsonManifestSourceReader(DataSourceReader):
         # anti-applied while scanning — the data file itself is immutable
         # (byte-identical across DELETEs, pinned in pytest).
         deleted = set(_load_dv(self.path, dv_name)) if dv_name else set()
+        tbl = _read_data_file_table(
+            self.path, name, self.pfields, self.ddl_types
+        )
+        if tbl is None:  # non-JSON-native type or unparseable: row scan
+            yield from self._read_rows(name, deleted, n_read, total, base_rid)
+            return
+        import numpy as np
+        import pyarrow as pa
+
+        nrows = tbl.num_rows
+        keep = np.ones(nrows, dtype=bool)
+        if deleted:
+            keep[[p for p in deleted if p < nrows]] = False
+        for tag, col, v in self.accepted:
+            keep &= _pa_comparison_mask(tbl.column(col), tag, v)
+        idx = np.nonzero(keep)[0]
+        if len(idx) < nrows:
+            tbl = tbl.take(pa.array(idx))
+        n = tbl.num_rows
+        cols = list(tbl.columns)
+        names = list(self.fields) + ["n_files_read", "n_files_total"]
+        cols.append(pa.array(np.full(n, n_read, dtype=np.int64)))
+        cols.append(pa.array(np.full(n, total, dtype=np.int64)))
+        if self.with_row_ids:
+            names.append("_row_id")
+            cols.append(pa.array(idx + base_rid, type=pa.int64()))
+        yield from pa.table(cols, names=names).combine_chunks().to_batches()
+
+    def _read_rows(self, name, deleted, n_read, total, base_rid):
+        """Original row-at-a-time scan — the fallback for files the Arrow
+        parser declines (non-JSON-native declared types, NaN tokens)."""
         with open(
             _os.path.join(self.path, name), encoding="utf-8"
         ) as fh:
@@ -2155,7 +2472,8 @@ class ManifestCDFBatchReader(DataSourceReader):
     def __init__(self, path: str, v_from: int, v_to: int, manifest: dict):
         self.path = path
         self.v_from, self.v_to = int(v_from), int(v_to)
-        _, self.fields, self.casts = _schema_fields_casts(manifest)
+        self.logical, self.fields, self.casts = _schema_fields_casts(manifest)
+        self.ddl_types = [ddl.split(" ", 1)[1] for ddl in manifest["schema"]]
 
     def partitions(self):
         if self.v_from == self.v_to:
@@ -2172,10 +2490,17 @@ class ManifestCDFBatchReader(DataSourceReader):
         if partition.value is None:
             return
         name, mode, positions, kind = partition.value
-        yield from _scan_file_changes(
-            self.path, name, mode, frozenset(positions),
-            self.fields, self.casts, kind,
+        batches = _cdf_file_batches(
+            self.path, name, mode, positions, self.fields, self.ddl_types,
+            self.logical, kind,
         )
+        if batches is None:  # non-JSON-native type: row-at-a-time scan
+            yield from _scan_file_changes(
+                self.path, name, mode, frozenset(positions),
+                self.fields, self.casts, kind,
+            )
+        else:
+            yield from batches
 
 
 _ZONE_TESTS_BY_TAG = {tag: fn for tag, fn in _ZONE_TESTS.values()}
@@ -2615,10 +2940,9 @@ class ManifestStreamReader(_DSSR):
             manifest = _load_manifest(self.path)
         # Physical names drive data access (s33 column mapping).
         cmap = manifest.get("column_mapping", {})
-        self.fields = [
-            cmap.get(c, c)
-            for c in (ddl.split(" ", 1)[0] for ddl in manifest["schema"])
-        ]
+        self.logical = [ddl.split(" ", 1)[0] for ddl in manifest["schema"]]
+        self.fields = [cmap.get(c, c) for c in self.logical]
+        self.ddl_types = [ddl.split(" ", 1)[1] for ddl in manifest["schema"]]
 
     def initialOffset(self) -> dict:
         return {"version": 0}  # before the first commit: stream everything
@@ -2664,6 +2988,14 @@ class ManifestStreamReader(_DSSR):
     def read(self, partition: InputPartition):  # executor-side
         (name,) = partition.value
         if name is None:
+            return
+        tbl = _read_data_file_table(
+            self.path, name, self.fields, self.ddl_types
+        )
+        if tbl is not None:
+            yield from (
+                tbl.rename_columns(self.logical).combine_chunks().to_batches()
+            )
             return
         with open(
             _os.path.join(self.path, name), encoding="utf-8"
@@ -2738,7 +3070,8 @@ class ManifestCDFStreamReader(_DSSR):
         # superset): older epochs NULL-fill added columns, exactly as the
         # batch feed does (non-additive changes raise in _cdf_tasks).
         # Physical names (s33): renames never change disk keys.
-        _, self.fields, self.casts = _schema_fields_casts(manifest)
+        self.logical, self.fields, self.casts = _schema_fields_casts(manifest)
+        self.ddl_types = [ddl.split(" ", 1)[1] for ddl in manifest["schema"]]
         self.per_commit = str(
             options.get("per_commit", "false")
         ).lower() in ("true", "1")
@@ -2784,6 +3117,15 @@ class ManifestCDFStreamReader(_DSSR):
         if partition.value is None:
             return
         name, mode, positions, kind, ver = partition.value
+        # ver is non-None exactly when per_commit declared the
+        # _commit_version column, so the batch schema stays in lockstep.
+        batches = _cdf_file_batches(
+            self.path, name, mode, positions, self.fields, self.ddl_types,
+            self.logical, kind, ver=ver,
+        )
+        if batches is not None:
+            yield from batches
+            return
         rows = _scan_file_changes(
             self.path, name, mode, frozenset(positions),
             self.fields, self.casts, kind,

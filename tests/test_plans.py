@@ -2592,27 +2592,35 @@ def test_d108_benchmark_side_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def _assert_no_unbounded_global_window(plan: str, ctx: str = "") -> None:
+    """Every windowspecdefinition must carry a partition spec — the
+    partition-less form renders as `windowspecdefinition(<order>, ...)`
+    with an ASC/DESC order key first — EXCEPT the exact_ntile offsets
+    window (r17): the operator prefix-sums its per-range count frame,
+    bounded at O(#ranges) rows by construction, with a window ordered by
+    `_range_id`. A regression back to a single-task global sort over DATA
+    would order by real key columns and still fails here."""
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        if "ASC" in head or "DESC" in head:
+            assert head.strip().startswith("_range_id"), (
+                f"partition-less window over data in {ctx} plan:\n" + plan
+            )
+
+
 def test_d108_decile_cut_is_rank_safe(spark, sf_dir):
     """r16 pin (r15 verdict's one `weak`): the top-decile cut must be the
     range-bucketed exact rank, NEVER a global sort-limit — a
     `orderBy().limit(ceil(n/10))` plan crosses
     topKSortFallbackThreshold at scale and degrades to a full sort +
     single-partition GlobalLimit pulling n/10 rows through one task.
-    Pin: no GlobalLimit anywhere in the executed plan, and every window
-    carries a partition spec (the exact_ntile local rank partitions by
-    its broadcast range id)."""
+    Pin: no GlobalLimit anywhere in the executed plan, and no
+    partition-less window over data (the exact_ntile local rank
+    partitions by its broadcast range id)."""
     plan = _formatted(_q(spark, sf_dir, "d108_semantic_decontamination"))
     assert "GlobalLimit" not in plan, plan
-    # Every windowspecdefinition must be partitioned: the partition-less
-    # form renders as `windowspecdefinition(<order>, specifiedwindow...`
-    # with no partition columns before the first ASC/DESC order key. The
-    # exact_ntile window partitions by _range_id.
     assert "Window" in plan, plan
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        head = spec.split(",")[0]
-        assert "ASC" not in head and "DESC" not in head, (
-            "partition-less window in d108 plan:\n" + plan
-        )
+    _assert_no_unbounded_global_window(plan, "d108")
     assert "_range_id" in plan, plan
 
 
@@ -2698,9 +2706,7 @@ def test_w1_ntile_percent_rank_no_global_window(spark, sf_dir):
     global sort) anywhere in its executed plan."""
     plan = _formatted(_q(spark, sf_dir, "w1_ntile_percent_rank"))
     assert "GlobalLimit" not in plan, plan
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        head = spec.split(",")[0]
-        assert "ASC" not in head and "DESC" not in head, plan
+    _assert_no_unbounded_global_window(plan, "w1_ntile")
     assert "_range_id" in plan, plan
 
 
@@ -2719,9 +2725,7 @@ def test_vocab_rank_rows_use_range_buckets(spark, sf_dir):
     for name in ("d75_gini_concentration", "d76_zipf_fit"):
         plan = _formatted(_q(spark, sf_dir, name))
         assert "_range_id" in plan, plan
-        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-            head = spec.split(",")[0]
-            assert "ASC" not in head and "DESC" not in head, (name, plan)
+        _assert_no_unbounded_global_window(plan, name)
 
 
 def test_d115_tercile_cut_is_rank_safe_and_body_free(spark, sf_dir):
