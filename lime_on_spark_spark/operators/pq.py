@@ -97,12 +97,20 @@ def train_pq_variants(
     # job followed by a filter+collect job): every vec_id owns exactly
     # m_subspaces rows of svf by construction, so the K*M lowest-ordered
     # rows cover the K lowest ids; one spare id's rows guard the slice.
-    init = (
-        svf.select("vec_id", "m", F.col("sv").alias("cvec"))
-        .orderBy("vec_id", "m")
-        .limit((kmax + 1) * m_subspaces)
-        .collect()
-    )
+    # r17: the init TakeOrdered also materializes the persisted svf; with
+    # AQE off it is one DAG job instead of one per exchange (the same
+    # bounded-subplan rationale as the update collects below). The cached
+    # layout is the repartition's static shuffle-partition count — conf-
+    # driven, deterministic for a fixed config.
+    from lime_on_spark_spark.session import temp_conf
+
+    with temp_conf(spark, "spark.sql.adaptive.enabled", "false"):
+        init = (
+            svf.select("vec_id", "m", F.col("sv").alias("cvec"))
+            .orderBy("vec_id", "m")
+            .limit((kmax + 1) * m_subspaces)
+            .collect()
+        )
     low_ids = sorted({r["vec_id"] for r in init})[:kmax]
     rank = {vid: i for i, vid in enumerate(low_ids)}
     cent: dict[tuple[int, int, int], list[float]] = {
@@ -138,16 +146,22 @@ def train_pq_variants(
                 .groupBy("kk", "vec_id", "m")
                 .agg(F.min(F.struct("dist", "cid", "sv")).alias("x"))
             )
-            rows = (
-                agg.select(
-                    "kk", "m",
-                    F.col("x.cid").alias("cid"),
-                    F.posexplode("x.sv").alias("pos", "val"),
-                )
-                .groupBy("kk", "m", "cid", "pos")
-                .agg(F.round(F.avg("val"), 6).alias("cv"))
-                .collect()
+            upd = agg.select(
+                "kk", "m",
+                F.col("x.cid").alias("cid"),
+                F.posexplode("x.sv").alias("pos", "val"),
+            ).groupBy("kk", "m", "cid", "pos").agg(
+                F.round(F.avg("val"), 6).alias("cv")
             )
+            # r17: AQE adds one scheduler job per materialized exchange;
+            # this subplan is bounded (sum(K)*dim rows post-aggregation)
+            # and its only shuffle is the tiny update agg, so adaptive
+            # re-planning buys nothing — run the collect as one DAG job
+            # per iteration (VERDICT item 4). Values are unchanged: the
+            # cached svf partitioning (not AQE) fixes the avg's input
+            # layout, and the 6-dp round absorbs reduce-order noise.
+            with temp_conf(spark, "spark.sql.adaptive.enabled", "false"):
+                rows = upd.collect()
             nxt: dict[tuple[int, int, int], dict[int, float]] = {}
             for r in rows:
                 nxt.setdefault(

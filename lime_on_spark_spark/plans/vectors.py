@@ -1396,15 +1396,22 @@ def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(F.col("kk") == 4, F.col("dist"))).alias("mse4"),
     )
 
-    # 10 deterministic probe queries spread over the id range.
+    # 10 deterministic probe queries spread over the id range. ONE collect
+    # also fetches the 16 exact-regime vectors used below (r17: the two
+    # probe collects were separate jobs over the same cached table).
     step = max(1, n // 10)
     qids = [i * step for i in range(10)]
-    qrows = (
-        emb.filter(F.col("vec_id").isin(qids))
+    qid_set = set(qids)
+    probe_rows = (
+        emb.filter(F.col("vec_id").isin(qids) | (F.col("vec_id") < 16))
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .collect()
     )
-    queries = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in qrows]
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in probe_rows
+        if int(r["vec_id"]) in qid_set
+    ]
     approx = adc_distances(
         codes16, cent16, queries, m_subspaces=M, sub=DIM // M
     ).filter(F.col("qid") != F.col("vec_id"))
@@ -1441,9 +1448,11 @@ def d91_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update pass needed to prove the exact regime.
     mcodes, mcent = train_pq(mini, dim=DIM, m_subspaces=M, k=16, iters=1)
     mini_mse_df = mcodes.agg(F.sum("dist").alias("mini_mse"))
-    mq = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in (
-        mini.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")).collect()
-    )]
+    mq = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in probe_rows
+        if int(r["vec_id"]) < 16
+    ]
     mapprox = adc_distances(mcodes, mcent, mq, m_subspaces=M, sub=DIM // M)
     mexact = (
         mini.crossJoin(
