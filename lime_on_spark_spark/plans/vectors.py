@@ -2140,8 +2140,9 @@ def d108_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("mc")
         )
     )
-    # THREE actions read mx (exact_ntile's percentile sketch + range
-    # counts, then the census) — persist so the corpus x benchmark
+    # THREE branches of the (now fully lazy, r17) exact_ntile plan read
+    # mx — the percentile-sketch broadcast, the rank window, and the
+    # per-range offsets frame — persist so the corpus x benchmark
     # similarity pass runs once, not three times. No explicit unpersist
     # is possible under the lazy-return contract (the d84 precedent):
     # the ContextCleaner reclaims the blocks once the returned plan is
