@@ -1576,11 +1576,16 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
     _os.makedirs(spool, exist_ok=True)
     statable = (int, float, str)
 
-    def _spool_partition(pdf_iter):
+    def _spool_partition(batches):
+        # Arrow batches in (guide §4 — was mapInPandas with per-row
+        # numpy `.item()` unwrapping; Arrow's to_pylist yields native
+        # Python values directly, and a NULL in an int column stays a
+        # JSON null instead of pandas' NaN-promoted float). Per-row
+        # generated-column verification keeps its exact message.
         import json as j
         import os as o
 
-        import pandas as p
+        import pyarrow as pa
 
         from pyspark import TaskContext
 
@@ -1592,18 +1597,14 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
         maxs: dict = {}
         nans: set = set()
         with open(temp, "w", encoding="utf-8") as fh:
-            for pdf in pdf_iter:
-                for rec in pdf.to_dict(orient="records"):
+            for batch in batches:
+                for rec in batch.to_pylist():
                     for gname, (gsrc, gop, goperand) in generated.items():
                         s = rec.get(gsrc)
-                        if s is not None and hasattr(s, "item"):
-                            s = s.item()
                         expect = (
                             None if s is None else _GEN_OPS[gop](s, goperand)
                         )
                         got = rec.get(gname)
-                        if got is not None and hasattr(got, "item"):
-                            got = got.item()
                         if got is not None and got != expect:
                             raise ValueError(
                                 f"generated column violation: {gname} = "
@@ -1613,9 +1614,7 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
                         rec[gname] = expect
                     vals = {
                         # logical -> physical at the disk boundary (s33)
-                        cmap.get(k, k): (
-                            v.item() if hasattr(v, "item") else v
-                        )
+                        cmap.get(k, k): v
                         for k, v in rec.items()
                     }
                     for k, v in vals.items():
@@ -1642,13 +1641,17 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
             }
             for k in (cmap.get(c, c) for c in fields)
         }
-        yield p.DataFrame(
-            {
-                "temp": [temp],
-                "final": [f"merge-{job_id}-part-{pid:05d}.json"],
-                "n": [n],
-                "stats": [j.dumps(stats)],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([temp], type=pa.string()),
+                pa.array(
+                    [f"merge-{job_id}-part-{pid:05d}.json"],
+                    type=pa.string(),
+                ),
+                pa.array([n], type=pa.int64()),
+                pa.array([j.dumps(stats)], type=pa.string()),
+            ],
+            names=["temp", "final", "n", "stats"],
         )
 
     # Abort discipline (the JsonManifestWriter.abort contract): a failure
@@ -1658,7 +1661,7 @@ def merge_into_manifest_path(spark, path: str, updates, key_col: str) -> dict:
     # them eventually, but the two-phase protocol cleans up eagerly.
     written: list[str] = []
     try:
-        messages = updates.mapInPandas(
+        messages = updates.mapInArrow(
             _spool_partition,
             "temp string, final string, n bigint, stats string",
         ).collect()
