@@ -44,17 +44,34 @@ def lloyd_kmeans(emb: DataFrame, *, k: int = 8, iters: int = 3) -> DataFrame:
     a3 for iters=3), matching the unrolled oracle CTE chain.
     """
     spark = emb.sparkSession
-    embd = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # r17 (the pq.py discipline, guide §2.4): persist the projected corpus
+    # PRE-PARTITIONED on vec_id — hash partitioning on the argmin's own
+    # grouping key makes every iteration's assignment aggregation (and the
+    # returned assignment's lineage) exchange-free, so one upfront shuffle
+    # replaces `iters` per-iteration ones. The ContextCleaner reclaims the
+    # blocks when the returned plan is dereferenced (the prefix_sum.py
+    # note); partition count stays conf-driven.
+    embd = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .repartition("vec_id")
+        .persist()
     )
 
+    from lime_on_spark_spark.session import temp_conf
+
     # Deterministic seed: the k lowest-id vectors. Bounded driver collect
-    # (k rows), same class as IVF's centroid table.
-    init = (
-        embd.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
-        .collect()
-    )
+    # (k rows), same class as IVF's centroid table. AQE off for the
+    # operator's bounded internal actions (the pq.py rationale: adaptive
+    # stage jobs on tiny bounded subplans are pure scheduler overhead).
+    with temp_conf(spark, "spark.sql.adaptive.enabled", "false"):
+        init = (
+            embd.filter(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+            .collect()
+        )
     cent = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in init]
 
     assigned: DataFrame | None = None
@@ -64,28 +81,28 @@ def lloyd_kmeans(emb: DataFrame, *, k: int = 8, iters: int = 3) -> DataFrame:
             "vec_id",
             "cid",
             F.round(sq_l2(F.col("v"), F.col("cvec")), 6).alias("dist"),
-        )
-        # argmin: struct ordering is (dist, cid) lexicographic, so the min
-        # is the nearest centroid with lowest-cid tie-break — map-side
-        # combinable, unlike a row_number window.
-        assigned = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
-            .select(
-                "vec_id",
-                F.col("m.cid").alias("cid"),
-                F.col("m.dist").alias("dist"),
-            )
+            "v",
         )
         if it < iters - 1:
-            # One-shuffle centroid update; k·d rows is bounded driver state.
-            rows = (
-                assigned.join(embd, "vec_id")
-                .select("cid", F.posexplode("v").alias("pos", "val"))
+            # Update iteration: v RIDES the argmin struct so the centroid
+            # update needs no join back to embd (the r16 pq.py trick —
+            # previously one corpus-scale shuffle join per iteration).
+            # The winner is unchanged: cid is unique within a vec_id
+            # group, so comparison never reaches v; and v is
+            # group-constant, so the winning struct carries exactly the
+            # group's vector. One-shuffle update; k·d rows of driver state.
+            upd = (
+                scored.groupBy("vec_id")
+                .agg(F.min(F.struct("dist", "cid", "v")).alias("m"))
+                .select(
+                    F.col("m.cid").alias("cid"),
+                    F.posexplode("m.v").alias("pos", "val"),
+                )
                 .groupBy("cid", "pos")
                 .agg(F.round(F.avg("val"), 6).alias("cv"))
-                .collect()
             )
+            with temp_conf(spark, "spark.sql.adaptive.enabled", "false"):
+                rows = upd.collect()
             by_cid: dict[int, dict[int, float]] = {}
             for r in rows:
                 by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
@@ -95,6 +112,21 @@ def lloyd_kmeans(emb: DataFrame, *, k: int = 8, iters: int = 3) -> DataFrame:
                 (cid, [dims[p] for p in sorted(dims)])
                 for cid, dims in sorted(by_cid.items())
             ]
+        else:
+            # Final iteration: the returned assignment — plain (dist, cid)
+            # argmin, no vector in the aggregation state. struct ordering
+            # is (dist, cid) lexicographic, so the min is the nearest
+            # centroid with lowest-cid tie-break — map-side combinable,
+            # unlike a row_number window.
+            assigned = (
+                scored.groupBy("vec_id")
+                .agg(F.min(F.struct("dist", "cid")).alias("m"))
+                .select(
+                    "vec_id",
+                    F.col("m.cid").alias("cid"),
+                    F.col("m.dist").alias("dist"),
+                )
+            )
     assert assigned is not None
     return assigned
 
