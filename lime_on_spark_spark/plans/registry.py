@@ -77,24 +77,29 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: exercises the whole engine. Names listed but not (yet) registered are
 #: skipped harmlessly; everything not listed follows in registration order.
 _CURATED_PREFIX = (
-    # r17 rotation v7: 41 of these 50 rows have NEVER appeared in any
+    # r17 rotation v7: 40 of these 50 rows have NEVER appeared in any
     # CORRECTNESS_r*.json (recomputed against r01–r16 at rotation time:
-    # 422 oracles, 346 ever sampled, 76-row backlog). 9 pins: q1
-    # (continuity — the headline query) plus the 8 rows whose internals
+    # 422 oracles, 346 ever sampled, 76-row backlog). 10 pins: q1
+    # (continuity — the headline query) plus the 9 rows whose internals
     # this round rewrote (same-round re-certification principle):
     # d108/d115/w1_ntile_percent_rank (exact_ntile now one lazy plan),
     # d91/d92 (PQ subvector frame pre-partitioned), t26/t27 (manifest
     # connector Arrow write+read paths), s21 (spool-encoder-agnostic
-    # purge probe). d65/d75 are both first-time AND ntile-rewritten;
-    # d30 was rewritten in r16 but never sampled. All 50 oracle-backed.
-    # Never-sampled backlog after this rotation: 76 − 41 = 35.
+    # purge probe), d39 (lloyd_kmeans pre-partitioned + join-free
+    # update — rewritten after the initial v7 cut; re-pinned in place of
+    # the d1_fingerprint backlog row). d65/d75 are both first-time AND
+    # ntile-rewritten; d30 was rewritten in r16 but never sampled;
+    # d40_semantic_dedup is first-time AND a lloyd_kmeans caller (swapped
+    # in for d4_ivf_recall — the d4 family keeps d4_ann_recall).
+    # All 50 oracle-backed. Never-sampled backlog after this rotation:
+    # 76 − 40 = 36.
     # q — TPC-H classic (continuity pin)
     "q1_pricing_summary",
     # re-pins — rows whose internals r17 rewrote
     "d108_semantic_decontamination", "d115_ccnet_perplexity_buckets",
     "w1_ntile_percent_rank", "d91_pq_quantization", "d92_ivfadc_search",
     "t26_exactly_once_sink", "t27_streaming_ivm",
-    "s21_manifest_compaction_purge",
+    "s21_manifest_compaction_purge", "d39_kmeans_lloyd",
     # first-time: exact_ntile callers + r16-rewritten-but-never-sampled
     "d65_curriculum_phases", "d75_gini_concentration",
     "d30_perplexity_score",
@@ -116,8 +121,8 @@ _CURATED_PREFIX = (
     # first-time: aggregates backlog
     "a4_minmax_by", "a21_mergeable_histogram", "a22_grouping_labels",
     # first-time: d backlog (retrieval + dedup + sampling families)
-    "d1_dedup_keep_best", "d1_fingerprint", "d3_batch_knn",
-    "d4_ann_recall", "d4_ivf_recall", "d6_multimodal_join",
+    "d1_dedup_keep_best", "d3_batch_knn",
+    "d4_ann_recall", "d40_semantic_dedup", "d6_multimodal_join",
     "d7_langid_routing", "d8_stratified_sample", "d11_label_centroids",
     "d17_dup_triangles", "d18_source_entropy", "d20_winsorize",
     "d21_merge_upsert", "d22_pack_cross_doc",

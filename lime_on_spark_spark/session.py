@@ -35,6 +35,22 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDF exchange (LIME ridge, as-of merge fallback).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r17: Spark 4.1's ChecksumCheckpointFileManager leaks its per-manager
+    # thread pool when a streaming query terminates (~112 threads PER
+    # availableNow query, measured): a long-lived session accumulates
+    # thousands of threads and every later query — batch included —
+    # degrades 2-6x from scheduler/GC contention. Checkpoint-file checksums
+    # exist to detect corruption in durable production checkpoints; this
+    # engine's streaming rows use ephemeral per-run checkpoint dirs, so
+    # the protection is pure leak. Re-enable for durable checkpoints.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+    # r17: unload state-store providers when an availableNow query
+    # commits — otherwise every (operator, partition) provider stays
+    # loaded in the local executor with its maintenance work forever.
+    # Right for this engine's short-lived queries; a long-running
+    # production stream would keep the default (false) to avoid per-batch
+    # provider reloads.
+    "spark.sql.streaming.stateStore.unloadOnCommit": "true",
 }
 
 
